@@ -1,0 +1,48 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's t2 correctness gate.
+
+Usage: python3 scripts/check_oracle.py [sfdir] [verify_out]
+Runs each oracle_sql.json query in DuckDB against the sf parquet tables
+and strictly compares (schema, rows, values) with the Spark dump.
+"""
+import duckdb, json, glob, pathlib, sys
+
+sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+con = duckdb.connect()
+for p in glob.glob(f"{sfdir}/*.parquet"):
+    con.execute(f"CREATE VIEW {pathlib.Path(p).stem} AS SELECT * FROM read_parquet('{p}')")
+
+oracle = json.load(open(f"{out}/oracle_sql.json"))
+fails = 0
+for q in sorted(oracle):
+    try:
+        got = con.execute(f"SELECT * FROM read_parquet('{out}/{q}/*.parquet')").fetchdf()
+        exp = con.execute(oracle[q]).fetchdf()
+    except Exception as e:
+        print(f"FAIL {q}: {e}")
+        fails += 1
+        continue
+    got = got[sorted(got.columns)].reset_index(drop=True)
+    exp = exp[sorted(exp.columns)].reset_index(drop=True)
+    problems = []
+    if list(got.columns) != list(exp.columns):
+        problems.append(f"cols {list(got.columns)} != {list(exp.columns)}")
+    elif got.shape != exp.shape:
+        problems.append(f"shape {got.shape} != {exp.shape}")
+    else:
+        if [str(t) for t in got.dtypes] != [str(t) for t in exp.dtypes]:
+            problems.append(f"dtypes {list(map(str,got.dtypes))} != {list(map(str,exp.dtypes))}")
+        neq = (got.astype(str) != exp.astype(str))
+        if neq.any().any():
+            bad = neq.any(axis=1)
+            problems.append("values:\nspark:\n" + got[bad].head(3).to_string() +
+                            "\nduck:\n" + exp[bad].head(3).to_string())
+    if problems:
+        fails += 1
+        print(f"FAIL {q}: " + "; ".join(problems))
+    else:
+        print(f"OK   {q} ({got.shape[0]} rows)")
+print(f"{len(oracle)-fails}/{len(oracle)} oracle-matched")
+sys.exit(1 if fails else 0)

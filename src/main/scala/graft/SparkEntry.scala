@@ -1,13 +1,135 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.sims
+import graft.Tables._
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    CoreQueries.all
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = CoreQueries.oracles
+}
+
+/** TPC-H-style analytic queries proving the relational core:
+  * scan → filter (pushed) → partial agg → single shuffle → sort.
+  */
+object CoreQueries {
+
+  /** Q1-style pricing summary. Money math in exact integer cents so the
+    * result is order-independent (see Tables.cents) — a double sum at
+    * 100 TB would be nondeterministic across shuffle orders.
+    */
+  def q1PricingSummary(s: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(s, dir)
+    li.filter(col("l_shipdate") <= lit("1998-09-02"))
+      .select(
+        col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity").cast("long").as("qty"),
+        cents(col("l_extendedprice")).as("price_c"),
+        (cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("disc_e4"),
+        (cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))
+          * (lit(100L) + cents(col("l_tax")))).as("charge_e6"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum("qty").as("sum_qty"),
+        (sum("price_c").cast("double") / 100.0).as("sum_base_price"),
+        (sum("disc_e4").cast("double") / 10000.0).as("sum_disc_price"),
+        (sum("charge_e6").cast("double") / 1000000.0).as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val q1Oracle: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_base_price,
+      |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)/10000.0 AS sum_disc_price,
+      |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT)) * (100 + CAST(round(l_tax*100) AS BIGINT))) AS DOUBLE)/1000000.0 AS sum_charge,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Revenue by nation: multi-way join; nation/region are broadcast. */
+  def q2NationRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(s, dir)
+    val o = orders(s, dir)
+    val c = customer(s, dir)
+    val n = nation(s, dir)
+    li.select(col("l_orderkey"),
+        (cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("rev_e4"))
+      .join(o.select("o_orderkey", "o_custkey"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c.select("c_custkey", "c_nationkey")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg((sum("rev_e4").cast("double") / 10000.0).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("n_name")
+  }
+
+  val q2Oracle: String =
+    """SELECT n_name,
+      |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)/10000.0 AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
+  /** Character-level similarity kernels over adjacent customer-name
+    * pairs — oracled against DuckDB's own jaro/jw/levenshtein/jaccard.
+    */
+  def simFunctions(s: SparkSession, dir: String): DataFrame = {
+    val c = customer(s, dir).select(col("c_custkey"), col("c_name"))
+    val c1 = c.as("a")
+    val c2 = c.as("b")
+    c1.join(c2, col("b.c_custkey") === col("a.c_custkey") + 1)
+      .select(
+        col("a.c_custkey").as("id1"), col("b.c_custkey").as("id2"),
+        round(sims.jaro(col("a.c_name"), col("b.c_name")), 5).as("jaro"),
+        round(sims.jaroWinkler(col("a.c_name"), col("b.c_name")), 5).as("jw"),
+        round(sims.levenshteinSim(col("a.c_name"), col("b.c_name")), 5).as("lev_sim"),
+        round(sims.charJaccard(col("a.c_name"), col("b.c_name")), 5).as("jac_char"),
+        sims.damerauLevenshtein(col("a.c_name"), col("b.c_name")).cast("long").as("dl_dist"),
+        sims.hammingDist(col("a.c_name"), col("b.c_name")).cast("long").as("ham_dist"))
+      .orderBy("id1")
+  }
+
+  val simOracle: String =
+    """SELECT a.c_custkey AS id1, b.c_custkey AS id2,
+      |  round(jaro_similarity(a.c_name, b.c_name), 5) AS jaro,
+      |  round(jaro_winkler_similarity(a.c_name, b.c_name), 5) AS jw,
+      |  round(CASE WHEN greatest(len(a.c_name), len(b.c_name)) = 0 THEN 1.0
+      |    ELSE 1.0 - CAST(levenshtein(a.c_name, b.c_name) AS DOUBLE)/greatest(len(a.c_name), len(b.c_name)) END, 5) AS lev_sim,
+      |  round(jaccard(a.c_name, b.c_name), 5) AS jac_char,
+      |  CAST(damerau_levenshtein(a.c_name, b.c_name) AS BIGINT) AS dl_dist,
+      |  CAST(hamming(a.c_name, b.c_name) AS BIGINT) AS ham_dist
+      |FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 1
+      |ORDER BY id1""".stripMargin
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> (q1PricingSummary _),
+    "q2_nation_revenue" -> (q2NationRevenue _),
+    "sim_functions" -> (simFunctions _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q1_pricing_summary" -> q1Oracle,
+    "q2_nation_revenue" -> q2Oracle,
+    "sim_functions" -> simOracle
+  )
 }

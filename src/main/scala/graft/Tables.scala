@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Column
+
+/** Test-table access + oracle-determinism helpers shared by queries. */
+object Tables {
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(s: SparkSession, d: String): DataFrame = t(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame = t(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame = t(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = t(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = t(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame = t(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame = t(s, d, "region")
+  def events(s: SparkSession, d: String): DataFrame = t(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+
+  /** Money column → exact integer cents (BIGINT). Summing cents is
+    * exact and order-independent, unlike summing doubles — the oracle
+    * (DuckDB) does the identical transform, so aggregates hash-match
+    * bit-for-bit at any scale factor.
+    */
+  def cents(c: Column): Column = round(c * 100).cast("long")
+
+  /** Exact integer sum of cents back to a deterministic double. */
+  def centsToDouble(sumCents: Column): Column = sumCents.cast("double") / 100.0
+
+  /** Round a double for output comparison (used only where the value
+    * is already deterministic; magnitude-sensitive sums go via cents).
+    */
+  def r5(c: Column): Column = round(c, 5)
+}

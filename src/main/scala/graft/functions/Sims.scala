@@ -1,0 +1,147 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression for the string-similarity kernels in
+  * [[SimImpl]]. One class parameterized by kernel name keeps the
+  * expression surface small; `doGenCode` emits a direct static call so
+  * the kernel stays inside whole-stage codegen (no UDF boxing).
+  */
+case class StringSim(left: Expression, right: Expression, kernel: String)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = s"sim_$kernel"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val s1 = a.asInstanceOf[UTF8String].toString
+    val s2 = b.asInstanceOf[UTF8String].toString
+    kernel match {
+      case "jaro"            => SimImpl.jaro(s1, s2)
+      case "jaroWinkler"     => SimImpl.jaroWinkler(s1, s2)
+      case "damerauLevenshtein" => SimImpl.damerauLevenshtein(s1, s2)
+      case "hamming"         => SimImpl.hamming(s1, s2)
+      case "charJaccard"     => SimImpl.charJaccard(s1, s2)
+      case "lcsStr"          => SimImpl.lcsStr(s1, s2)
+      case "commonPrefixLen" => SimImpl.commonPrefixLen(s1, s2)
+      case "commonSuffixLen" => SimImpl.commonSuffixLen(s1, s2)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.SimImpl.$kernel($a.toString(), $b.toString());")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Column-level similarity API (the Spark analogue of
+  * PyDI/utils/similarity_registry.py). Character-level kernels are
+  * native expressions; token-level sims compose built-in array
+  * functions (set semantics via array_intersect/array_union), so they
+  * stay fully codegen'd and SQL-oracle-friendly.
+  */
+object sims {
+
+  private def ssim(kernel: String)(l: Column, r: Column): Column =
+    Bridge.column(StringSim(Bridge.expression(l), Bridge.expression(r), kernel))
+
+  // ---- character-based ----
+  def jaro(l: Column, r: Column): Column = ssim("jaro")(l, r)
+  def jaroWinkler(l: Column, r: Column): Column = ssim("jaroWinkler")(l, r)
+  def damerauLevenshtein(l: Column, r: Column): Column = ssim("damerauLevenshtein")(l, r)
+  def hammingDist(l: Column, r: Column): Column = ssim("hamming")(l, r)
+  def charJaccard(l: Column, r: Column): Column = ssim("charJaccard")(l, r)
+  def lcsStrLen(l: Column, r: Column): Column = ssim("lcsStr")(l, r)
+  def prefixLen(l: Column, r: Column): Column = ssim("commonPrefixLen")(l, r)
+  def suffixLen(l: Column, r: Column): Column = ssim("commonSuffixLen")(l, r)
+
+  /** 1 - levenshtein/max(len); 1.0 when both empty. */
+  def levenshteinSim(l: Column, r: Column): Column = {
+    val mx = greatest(length(l), length(r))
+    when(mx === 0, 1.0).otherwise(lit(1.0) - levenshtein(l, r).cast("double") / mx)
+  }
+
+  def prefixSim(l: Column, r: Column): Column = {
+    val mx = greatest(length(l), length(r))
+    when(mx === 0, 1.0).otherwise(prefixLen(l, r) / mx)
+  }
+
+  def postfixSim(l: Column, r: Column): Column = {
+    val mx = greatest(length(l), length(r))
+    when(mx === 0, 1.0).otherwise(suffixLen(l, r) / mx)
+  }
+
+  def lcsStrSim(l: Column, r: Column): Column = {
+    val mx = greatest(length(l), length(r))
+    when(mx === 0, 1.0).otherwise(lcsStrLen(l, r) / mx)
+  }
+
+  /** Exact equality as 1.0 / 0.0. */
+  def exactSim(l: Column, r: Column): Column =
+    when(l === r, 1.0).otherwise(0.0)
+
+  // ---- token-based (args are array<string> columns) ----
+  private def safeRatio(num: Column, den: Column): Column =
+    when(den === 0, 1.0).otherwise(num.cast("double") / den)
+
+  /** |A∩B| / |A∪B| over distinct tokens. */
+  def tokenJaccard(a: Column, b: Column): Column =
+    safeRatio(size(array_intersect(a, b)), size(array_union(a, b)))
+
+  /** 2|A∩B| / (|A|+|B|) over distinct tokens. */
+  def tokenDice(a: Column, b: Column): Column = {
+    val da = array_distinct(a); val db = array_distinct(b)
+    safeRatio(size(array_intersect(da, db)) * 2, size(da) + size(db))
+  }
+
+  /** |A∩B| / min(|A|,|B|) over distinct tokens. */
+  def tokenOverlap(a: Column, b: Column): Column = {
+    val da = array_distinct(a); val db = array_distinct(b)
+    safeRatio(size(array_intersect(da, db)), least(size(da), size(db)))
+  }
+
+  /** Set-cosine |A∩B| / sqrt(|A||B|) over distinct tokens. */
+  def tokenCosine(a: Column, b: Column): Column = {
+    val da = array_distinct(a); val db = array_distinct(b)
+    when(size(da) === 0 && size(db) === 0, 1.0)
+      .when(size(da) === 0 || size(db) === 0, 0.0)
+      .otherwise(size(array_intersect(da, db)).cast("double") /
+        sqrt(size(da).cast("double") * size(db)))
+  }
+
+  /** Monge–Elkan: mean over tokens of A of the max Jaro–Winkler
+    * against tokens of B. Composed from array HOFs so it stays native.
+    */
+  def mongeElkan(a: Column, b: Column): Column = {
+    val best = transform(a, x =>
+      array_max(transform(b, y => jaroWinkler(x, y))))
+    when(size(a) === 0 && size(b) === 0, 1.0)
+      .when(size(a) === 0 || size(b) === 0, 0.0)
+      .otherwise(aggregate(best, lit(0.0), (acc, v) => acc + v) / size(a))
+  }
+
+  // ---- numeric / date comparators (PyDI/entitymatching/comparators.py:243,433) ----
+
+  /** 1 - |x-y|/max(|x|,|y|), floored at 0; equal → 1. */
+  def numericPctSim(l: Column, r: Column): Column = {
+    val mx = greatest(abs(l), abs(r))
+    when(l === r, 1.0).when(mx === 0, 1.0)
+      .otherwise(greatest(lit(0.0), lit(1.0) - abs(l - r) / mx))
+  }
+
+  /** 1 - |x-y|/range, floored at 0 (absolute deviation vs a max). */
+  def numericAbsSim(l: Column, r: Column, maxDiff: Double): Column =
+    greatest(lit(0.0), lit(1.0) - abs(l - r) / lit(maxDiff))
+
+  /** 1 - |days(l)-days(r)|/maxDays, floored at 0. */
+  def dateSim(l: Column, r: Column, maxDays: Double): Column =
+    greatest(lit(0.0), lit(1.0) - abs(datediff(l, r)).cast("double") / lit(maxDays))
+}
