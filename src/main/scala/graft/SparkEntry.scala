@@ -14,11 +14,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.all
+    CoreQueries.all ++ graft.normalization.NormQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = CoreQueries.oracles
+  def oracleSql: Map[String, String] =
+    CoreQueries.oracles ++ graft.normalization.NormQueries.oracles
 }
 
 /** TPC-H-style analytic queries proving the relational core:

@@ -16,7 +16,17 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = t(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = t(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = t(s, d, "region")
-  def events(s: SparkSession, d: String): DataFrame = t(s, d, "events")
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark refuses by
+    * default ([PARQUET_TYPE_ILLEGAL]). Read nanos as long and convert
+    * to a micros timestamp (truncation — matches DuckDB's ns→us read).
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = t(s, d, "events")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(floor(col("ts") / 1000).cast("long")))
+    else raw
+  }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 

@@ -1,0 +1,311 @@
+package graft.normalization
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Driver-contract queries + DuckDB oracles for the normalization
+  * family (SURVEY.md §2.3). Each query constructs a "messy" column
+  * deterministically from the raw tables, applies the normalization
+  * operator, and the oracle recomputes the TRUE value independently —
+  * so a parser bug on the Spark side hash-mismatches.
+  */
+object NormQueries {
+
+  private def centsL(c: Column): Column = round(c * 100).cast("long")
+
+  // ---- norm_text ----
+  def normText(s: SparkSession, dir: String): DataFrame = {
+    val p = part(s, dir)
+    p.select(col("p_partkey"),
+        Normalize.normalizeText(
+          concat(upper(col("p_name")), lit("  "), col("p_brand"), lit("!!"))).as("norm"))
+      .orderBy("p_partkey")
+  }
+  val normTextOracle: String =
+    """SELECT p_partkey,
+      |  trim(regexp_replace(regexp_replace(
+      |    lower(concat(upper(p_name), '  ', p_brand, '!!')),
+      |    '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  // ---- norm_headers ----
+  def normHeaders(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val messy = Seq(" C CustKey ", "C-CustKey!", "c NATION key", "Acct.Bal", "MKT segment")
+    val renamed = customer(s, dir).toDF(messy: _*)
+    val cleaned = Normalize.cleanHeaders(renamed).columns
+    messy.zip(cleaned).toDF("original", "cleaned").orderBy("original")
+  }
+  val normHeadersOracle: String =
+    """SELECT * FROM (VALUES
+      |  (' C CustKey ', 'c_custkey'), ('C-CustKey!', 'c_custkey_2'),
+      |  ('c NATION key', 'c_nation_key'), ('Acct.Bal', 'acct_bal'),
+      |  ('MKT segment', 'mkt_segment')) AS t(original, cleaned)
+      |ORDER BY original""".stripMargin
+
+  // ---- norm_tokenize ----
+  def normTokenize(s: SparkSession, dir: String): DataFrame = {
+    val d = documents(s, dir)
+    val toks = Normalize.tokenize(col("text"), Seq("the", "a"))
+    d.select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"),
+        element_at(toks, 1).as("first_token"),
+        element_at(toks, -1).as("last_token"))
+      .orderBy("doc_id")
+  }
+  val normTokenizeOracle: String =
+    """WITH t AS (SELECT doc_id,
+      |  list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+      |    x -> x <> '' AND x NOT IN ('the', 'a')) AS toks
+      |  FROM documents)
+      |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+      |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+      |  toks[1] AS first_token, toks[-1] AS last_token
+      |FROM t ORDER BY doc_id""".stripMargin
+
+  // ---- norm_nulls ----
+  def normNulls(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val raw = when(col("event_id") % 5 === 0, "N/A")
+      .when(col("event_id") % 5 === 1, "null")
+      .when(col("event_id") % 5 === 2, "  ")
+      .when(col("event_id") % 5 === 3, "-")
+      .otherwise(centsL(col("value")).cast("string"))
+    val cleaned = Normalize.cleanNulls(raw)
+    e.select(col("event_id"), coalesce(cleaned, lit("(null)")).as("cleaned"),
+        cleaned.isNull.as("was_null"))
+      .orderBy("event_id")
+  }
+  val normNullsOracle: String =
+    """WITH t AS (SELECT event_id,
+      |  CASE event_id % 5 WHEN 0 THEN 'N/A' WHEN 1 THEN 'null'
+      |    WHEN 2 THEN '  ' WHEN 3 THEN '-'
+      |    ELSE CAST(CAST(round(value*100) AS BIGINT) AS VARCHAR) END AS raw
+      |  FROM events),
+      |c AS (SELECT event_id, CASE WHEN lower(trim(raw)) IN
+      |  ('', 'null', 'none', 'n/a', 'na', 'nan', '-', '?', 'unknown')
+      |  THEN NULL ELSE raw END AS cleaned FROM t)
+      |SELECT event_id, coalesce(cleaned, '(null)') AS cleaned,
+      |  cleaned IS NULL AS was_null
+      |FROM c ORDER BY event_id""".stripMargin
+
+  // ---- norm_boolean ----
+  def normBoolean(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val raw = element_at(
+      array(Seq("yes", "NO", "True", "false", "1", "0", "Y", "maybe").map(lit): _*),
+      (col("event_id") % 8).cast("int") + 1)
+    val parsed = Normalize.parseBoolean(raw)
+    e.select(col("event_id"), raw.as("raw"),
+        coalesce(parsed.cast("string"), lit("(null)")).as("parsed"))
+      .orderBy("event_id")
+  }
+  val normBooleanOracle: String =
+    """WITH t AS (SELECT event_id,
+      |  CASE event_id % 8 WHEN 0 THEN 'yes' WHEN 1 THEN 'NO' WHEN 2 THEN 'True'
+      |    WHEN 3 THEN 'false' WHEN 4 THEN '1' WHEN 5 THEN '0' WHEN 6 THEN 'Y'
+      |    ELSE 'maybe' END AS raw FROM events)
+      |SELECT event_id, raw,
+      |  CASE WHEN lower(trim(raw)) IN ('true','t','yes','y','1','on') THEN 'true'
+      |       WHEN lower(trim(raw)) IN ('false','f','no','n','0','off') THEN 'false'
+      |       ELSE '(null)' END AS parsed
+      |FROM t ORDER BY event_id""".stripMargin
+
+  // ---- norm_numeric ----
+  def normNumeric(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val c = centsL(col("value"))
+    val raw = when(col("event_id") % 4 === 0, format_number(c, 0))
+      .when(col("event_id") % 4 === 1,
+        concat(floor(c / 100).cast("long").cast("string"), lit(","),
+          lpad((c % 100).cast("string"), 2, "0")))
+      .when(col("event_id") % 4 === 2, concat(c.cast("string"), lit("%")))
+      .otherwise(concat(c.cast("string"), lit("e-2")))
+    e.select(col("event_id"), raw.as("raw"),
+        round(Normalize.parseNumeric(raw), 5).as("parsed"))
+      .orderBy("event_id")
+  }
+  val normNumericOracle: String =
+    """WITH t AS (SELECT event_id, CAST(round(value*100) AS BIGINT) AS c FROM events)
+      |SELECT event_id,
+      |  CASE event_id % 4 WHEN 0 THEN format('{:,}', c)
+      |    WHEN 1 THEN concat(CAST(c // 100 AS VARCHAR), ',', lpad(CAST(c % 100 AS VARCHAR), 2, '0'))
+      |    WHEN 2 THEN concat(CAST(c AS VARCHAR), '%')
+      |    ELSE concat(CAST(c AS VARCHAR), 'e-2') END AS raw,
+      |  round(CASE WHEN event_id % 4 = 0 THEN CAST(c AS DOUBLE) ELSE c/100.0 END, 5) AS parsed
+      |FROM t ORDER BY event_id""".stripMargin
+
+  // ---- norm_dates ----
+  def normDates(s: SparkSession, dir: String): DataFrame = {
+    val o = orders(s, dir)
+    val raw = when(col("o_orderkey") % 3 === 0, date_format(col("o_orderdate"), "dd/MM/yyyy"))
+      .when(col("o_orderkey") % 3 === 1, date_format(col("o_orderdate"), "yyyy.MM.dd"))
+      .otherwise(date_format(col("o_orderdate"), "MMM d, yyyy"))
+    val parsed = Normalize.parseDate(raw, Normalize.DefaultDateFormats)
+    o.select(col("o_orderkey"), raw.as("raw"),
+        date_format(parsed, "yyyy-MM-dd").as("iso"))
+      .orderBy("o_orderkey")
+  }
+  val normDatesOracle: String =
+    """SELECT o_orderkey,
+      |  CASE o_orderkey % 3 WHEN 0 THEN strftime(o_orderdate, '%d/%m/%Y')
+      |    WHEN 1 THEN strftime(o_orderdate, '%Y.%m.%d')
+      |    ELSE strftime(o_orderdate, '%b %-d, %Y') END AS raw,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS iso
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  // ---- norm_urls ----
+  def normUrls(s: SparkSession, dir: String): DataFrame = {
+    val d = documents(s, dir)
+    val raw = concat(lit("HTTPS://WWW."), upper(col("source")), lit(".COM/Path-"),
+      col("doc_id").cast("string"), lit("/?utm=1#frag"))
+    d.select(col("doc_id"), raw.as("raw"),
+        Normalize.canonicalizeUrl(raw).as("canonical"))
+      .orderBy("doc_id")
+  }
+  val normUrlsOracle: String =
+    """SELECT doc_id,
+      |  concat('HTTPS://WWW.', upper(source), '.COM/Path-', doc_id, '/?utm=1#frag') AS raw,
+      |  concat(lower(source), '.com/path-', doc_id) AS canonical
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---- norm_units ----
+  def normUnits(s: SparkSession, dir: String): DataFrame = {
+    val p = part(s, dir)
+    val unit = element_at(array(Seq("mg", "g", "kg", "t", "oz").map(lit): _*),
+      (col("p_partkey") % 5).cast("int") + 1)
+    val df = p.select(col("p_partkey"),
+      concat(col("p_size").cast("string"), lit(" "), unit).as("qty"))
+    Normalize.quantityToGrams(df, "qty")
+      .select(col("p_partkey"), col("qty"),
+        round(coalesce(col("qty_grams"), lit(-1.0)), 5).as("grams"))
+      .orderBy("p_partkey")
+  }
+  val normUnitsOracle: String =
+    """SELECT p_partkey,
+      |  concat(p_size, ' ', CASE p_partkey % 5 WHEN 0 THEN 'mg' WHEN 1 THEN 'g'
+      |    WHEN 2 THEN 'kg' WHEN 3 THEN 't' ELSE 'oz' END) AS qty,
+      |  round(CASE p_partkey % 5 WHEN 0 THEN p_size * 0.001 WHEN 1 THEN p_size * 1.0
+      |    WHEN 2 THEN p_size * 1000.0 WHEN 3 THEN p_size * 1000000.0
+      |    ELSE -1.0 END, 5) AS grams
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  // ---- norm_detect_types ----
+  def normDetectTypes(s: SparkSession, dir: String): DataFrame =
+    Normalize.detectTypes(orders(s, dir))
+      .withColumn("share_parsed", round(col("share_parsed"), 5))
+      .orderBy("column")
+  val normDetectTypesOracle: String =
+    """SELECT * FROM (VALUES
+      |  ('o_custkey', 'long', 1.0), ('o_orderdate', 'datetime', 1.0),
+      |  ('o_orderkey', 'long', 1.0), ('o_orderpriority', 'string', 0.0),
+      |  ('o_orderstatus', 'string', 0.0), ('o_totalprice', 'double', 1.0))
+      |AS t("column", detected, share_parsed) ORDER BY "column"""".stripMargin
+
+  // ---- norm_outliers ----
+  def normOutliers(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val spiked = e.select(col("event_id"),
+      (col("value") * when(col("event_id") % 97 === 0, 50).otherwise(1)).as("v"))
+    Normalize.iqrOutliers(spiked, "v")
+      .select(col("event_id"), round(col("v"), 5).as("v"))
+      .orderBy("event_id")
+  }
+  val normOutliersOracle: String =
+    """WITH t AS (SELECT event_id,
+      |    value * CASE WHEN event_id % 97 = 0 THEN 50 ELSE 1 END AS v FROM events),
+      |q AS (SELECT quantile_cont(v, 0.25) AS q1, quantile_cont(v, 0.75) AS q3 FROM t)
+      |SELECT event_id, round(v, 5) AS v FROM t, q
+      |WHERE v < q1 - 1.5*(q3-q1) OR v > q3 + 1.5*(q3-q1)
+      |ORDER BY event_id""".stripMargin
+
+  // ---- norm_validate ----
+  def normValidate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = customer(s, dir)
+    val email = concat(regexp_replace(lower(col("c_name")), "[^a-z0-9]", ""),
+      when(col("c_custkey") % 7 === 0, "(at)x.com").otherwise("@x.com"))
+    val withEmail = c.withColumn("email", email)
+    val report = Normalize.validate(withEmail, Seq(
+      Normalize.PatternRule("email_format", col("email"), Normalize.EmailPattern),
+      Normalize.RangeRule("acctbal_range", col("c_acctbal"), -999.0, 9999.0),
+      Normalize.CompletenessRule("mktsegment_complete", col("c_mktsegment"))))
+    val dups = Normalize.duplicateKeyCount(c, "c_custkey")
+    report.union(Seq(("custkey_unique", dups)).toDF("rule", "violations"))
+      .orderBy("rule")
+  }
+  val normValidateOracle: String =
+    """SELECT * FROM (
+      |  SELECT 'email_format' AS rule, CAST(sum(CASE WHEN NOT regexp_matches(
+      |    concat(regexp_replace(lower(c_name), '[^a-z0-9]', '', 'g'),
+      |      CASE WHEN c_custkey % 7 = 0 THEN '(at)x.com' ELSE '@x.com' END),
+      |    '^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}$') THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS violations FROM customer
+      |  UNION ALL SELECT 'acctbal_range', CAST(sum(CASE WHEN c_acctbal < -999.0
+      |    OR c_acctbal > 9999.0 OR c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM customer
+      |  UNION ALL SELECT 'mktsegment_complete', CAST(sum(CASE WHEN c_mktsegment IS NULL
+      |    THEN 1 ELSE 0 END) AS BIGINT) FROM customer
+      |  UNION ALL SELECT 'custkey_unique', CAST(count(*) AS BIGINT) FROM
+      |    (SELECT c_custkey FROM customer GROUP BY 1 HAVING count(*) > 1)
+      |) ORDER BY rule""".stripMargin
+
+  // ---- norm_coords ----
+  def normCoords(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val latc = centsL(col("value")) - 10000L
+    val lonc = centsL(col("value")) * 2 - 20000L
+    def fmt(cc: Column, pos: String, neg: String): Column = concat(
+      floor(abs(cc) / 100).cast("long").cast("string"), lit("."),
+      lpad((abs(cc) % 100).cast("string"), 2, "0"),
+      when(cc >= 0, pos).otherwise(neg))
+    val rawLat = fmt(latc, "N", "S")
+    val rawLon = fmt(lonc, "E", "W")
+    e.select(col("event_id"), rawLat.as("raw_lat"), rawLon.as("raw_lon"),
+        round(Normalize.parseCoord(rawLat), 5).as("lat"),
+        round(Normalize.parseCoord(rawLon), 5).as("lon"))
+      .orderBy("event_id")
+  }
+  val normCoordsOracle: String =
+    """WITH t AS (SELECT event_id,
+      |  CAST(round(value*100) AS BIGINT) - 10000 AS latc,
+      |  CAST(round(value*100) AS BIGINT) * 2 - 20000 AS lonc FROM events)
+      |SELECT event_id,
+      |  concat(abs(latc) // 100, '.', lpad(CAST(abs(latc) % 100 AS VARCHAR), 2, '0'),
+      |    CASE WHEN latc >= 0 THEN 'N' ELSE 'S' END) AS raw_lat,
+      |  concat(abs(lonc) // 100, '.', lpad(CAST(abs(lonc) % 100 AS VARCHAR), 2, '0'),
+      |    CASE WHEN lonc >= 0 THEN 'E' ELSE 'W' END) AS raw_lon,
+      |  round(latc / 100.0, 5) AS lat, round(lonc / 100.0, 5) AS lon
+      |FROM t ORDER BY event_id""".stripMargin
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "norm_text" -> (normText _),
+    "norm_headers" -> (normHeaders _),
+    "norm_tokenize" -> (normTokenize _),
+    "norm_nulls" -> (normNulls _),
+    "norm_boolean" -> (normBoolean _),
+    "norm_numeric" -> (normNumeric _),
+    "norm_dates" -> (normDates _),
+    "norm_urls" -> (normUrls _),
+    "norm_units" -> (normUnits _),
+    "norm_detect_types" -> (normDetectTypes _),
+    "norm_outliers" -> (normOutliers _),
+    "norm_validate" -> (normValidate _),
+    "norm_coords" -> (normCoords _))
+
+  def oracles: Map[String, String] = Map(
+    "norm_text" -> normTextOracle,
+    "norm_headers" -> normHeadersOracle,
+    "norm_tokenize" -> normTokenizeOracle,
+    "norm_nulls" -> normNullsOracle,
+    "norm_boolean" -> normBooleanOracle,
+    "norm_numeric" -> normNumericOracle,
+    "norm_dates" -> normDatesOracle,
+    "norm_urls" -> normUrlsOracle,
+    "norm_units" -> normUnitsOracle,
+    "norm_detect_types" -> normDetectTypesOracle,
+    "norm_outliers" -> normOutliersOracle,
+    "norm_validate" -> normValidateOracle,
+    "norm_coords" -> normCoordsOracle)
+}

@@ -1,0 +1,247 @@
+package graft.normalization
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Spark-native re-expression of PyDI's normalization operators
+  * (reference: PyDI/normalization/ — TextNormalizer, HeaderNormalizer,
+  * TokenizationNormalizer, NullDetector, BooleanParser, NumericParser,
+  * DateNormalizer, LinkNormalizer, UnitNormalizer, CoordinateParser).
+  *
+  * Everything here is a pure `Column → Column` (or `DataFrame →
+  * DataFrame`) projection built from `org.apache.spark.sql.functions`
+  * — whole-stage-codegen'd, no UDFs, no shuffle. At 100 TB these run
+  * at scan speed and never become the bottleneck.
+  */
+object Normalize {
+
+  // ---- text (PyDI/normalization/text_normalizer.py) ----
+
+  /** lower → strip punctuation → collapse whitespace → trim. */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9\\s]", " "), "\\s+", " "))
+
+  // ---- headers (PyDI/normalization/header_normalizer.py) ----
+
+  /** snake_case one header: lower, non-alnum runs → `_`, trim `_`. */
+  def cleanHeader(name: String): String = {
+    val s = name.toLowerCase.replaceAll("[^a-z0-9]+", "_")
+      .replaceAll("^_+|_+$", "")
+    if (s.isEmpty) "col" else s
+  }
+
+  /** Clean all headers; duplicates get positional suffixes (`_2`, …). */
+  def cleanHeaders(df: DataFrame): DataFrame = {
+    val seen = scala.collection.mutable.Map.empty[String, Int]
+    val cleaned = df.columns.map { c =>
+      val base = cleanHeader(c)
+      val n = seen.getOrElse(base, 0) + 1
+      seen(base) = n
+      if (n == 1) base else s"${base}_$n"
+    }
+    df.toDF(cleaned.toIndexedSeq: _*)
+  }
+
+  // ---- tokenization (PyDI/normalization/tokenization_normalizer.py) ----
+
+  /** Lowercase word tokens, empties and stopwords removed, order and
+    * duplicates preserved (matches the reference's tokenizer).
+    */
+  def tokenize(c: Column, stopwords: Seq[String] = Nil): Column = {
+    val toks = filter(split(lower(c), "[^a-z0-9]+"), t => t =!= "")
+    if (stopwords.isEmpty) toks
+    else filter(toks, t => !t.isInCollection(stopwords))
+  }
+
+  // ---- null sentinels (PyDI/normalization/null_detector.py) ----
+
+  val DefaultNullTokens: Seq[String] =
+    Seq("", "null", "none", "n/a", "na", "nan", "-", "?", "unknown")
+
+  /** Map sentinel strings (case-insensitive, trimmed) to real NULL. */
+  def cleanNulls(c: Column, tokens: Seq[String] = DefaultNullTokens): Column =
+    when(lower(trim(c)).isInCollection(tokens), lit(null)).otherwise(c)
+
+  // ---- boolean (PyDI/normalization/boolean_parser.py) ----
+
+  val TrueTokens: Seq[String] = Seq("true", "t", "yes", "y", "1", "on")
+  val FalseTokens: Seq[String] = Seq("false", "f", "no", "n", "0", "off")
+
+  /** Truthy/falsy token sets → BooleanType; unparseable → NULL. */
+  def parseBoolean(c: Column): Column = {
+    val t = lower(trim(c))
+    when(t.isInCollection(TrueTokens), lit(true))
+      .when(t.isInCollection(FalseTokens), lit(false))
+      .otherwise(lit(null).cast("boolean"))
+  }
+
+  // ---- numeric (PyDI/normalization/numeric_parser.py) ----
+
+  /** Parse numbers in common locale formats:
+    *   "1,234.56"  (comma thousands)   "123,45" (decimal comma)
+    *   "85%"       (percent → /100)    "123e-2" (scientific)
+    * Unparseable → NULL. One codegen'd when-chain, no UDF.
+    */
+  def parseNumeric(c: Column): Column = {
+    val t = regexp_replace(trim(c), "\\s+", "")
+    val isPct = t.rlike("%$")
+    val core = regexp_replace(t, "%$", "")
+    val parsed = parseCore(core)
+    when(isPct, parsed / 100.0).otherwise(parsed)
+  }
+
+  private def parseCore(core: Column): Column =
+    when(core.rlike("^-?\\d{1,3}(,\\d{3})+(\\.\\d+)?$"),
+        regexp_replace(core, ",", "").cast("double"))
+      .when(core.rlike("^-?\\d+,\\d+$"),
+        regexp_replace(core, ",", ".").cast("double"))
+      .when(core.rlike("^-?\\d+(\\.\\d+)?([eE][+-]?\\d+)?$"),
+        core.cast("double"))
+      .otherwise(lit(null).cast("double"))
+
+  // ---- dates (PyDI/normalization/date_normalizer.py) ----
+
+  /** Try each format in order; first parse wins (NULL if none). */
+  def parseDate(c: Column, formats: Seq[String]): Column =
+    coalesce(formats.map(f => try_to_timestamp(c, lit(f))): _*)
+
+  val DefaultDateFormats: Seq[String] = Seq(
+    "yyyy-MM-dd", "dd/MM/yyyy", "MM/dd/yyyy", "yyyy.MM.dd",
+    "yyyy/MM/dd", "MMM d, yyyy", "d MMM yyyy", "yyyyMMdd")
+
+  // ---- urls (PyDI/normalization/link_normalizer.py) ----
+
+  /** Canonical form: lowercase, scheme + `www.` + query/fragment +
+    * trailing slash stripped.
+    */
+  def canonicalizeUrl(c: Column): Column = {
+    val low = lower(trim(c))
+    val noScheme = regexp_replace(low, "^[a-z][a-z0-9+.-]*://", "")
+    val noWww = regexp_replace(noScheme, "^www\\.", "")
+    val noQuery = regexp_replace(noWww, "[?#].*$", "")
+    regexp_replace(noQuery, "/$", "")
+  }
+
+  // ---- units (PyDI/normalization/unit_normalizer.py) ----
+
+  /** (unit symbol → factor to grams) registry, broadcast-joined.
+    * `quantityToGrams(df, "qty")` adds `qty_value`, `qty_unit`,
+    * `qty_grams` columns; unknown unit → NULL grams.
+    */
+  val MassUnitsToGrams: Seq[(String, Double)] =
+    Seq("mg" -> 0.001, "g" -> 1.0, "kg" -> 1000.0, "t" -> 1000000.0)
+
+  def quantityToGrams(df: DataFrame, col: String,
+      registry: Seq[(String, Double)] = MassUnitsToGrams): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val reg = registry.toDF("_unit", "_factor")
+    df.withColumn(s"${col}_value",
+        regexp_extract(org.apache.spark.sql.functions.col(col),
+          "^\\s*(-?\\d+(?:\\.\\d+)?)\\s*([a-zA-Z]+)\\s*$", 1).cast("double"))
+      .withColumn(s"${col}_unit",
+        lower(regexp_extract(org.apache.spark.sql.functions.col(col),
+          "^\\s*(-?\\d+(?:\\.\\d+)?)\\s*([a-zA-Z]+)\\s*$", 2)))
+      .join(broadcast(reg), org.apache.spark.sql.functions.col(s"${col}_unit") === $"_unit", "left")
+      .withColumn(s"${col}_grams",
+        org.apache.spark.sql.functions.col(s"${col}_value") * $"_factor")
+      .drop("_unit", "_factor")
+  }
+
+  // ---- coordinates (PyDI/normalization/coordinate_parser.py) ----
+
+  /** "12.34N" / "56.78W" → signed double (S/W negative); NULL if
+    * unparseable.
+    */
+  def parseCoord(c: Column): Column = {
+    val v = regexp_extract(trim(c), "^(\\d+(?:\\.\\d+)?)\\s*([NSEWnsew])$", 1).cast("double")
+    val d = upper(regexp_extract(trim(c), "^(\\d+(?:\\.\\d+)?)\\s*([NSEWnsew])$", 2))
+    when(d.isin("S", "W"), -v).when(d.isin("N", "E"), v)
+      .otherwise(lit(null).cast("double"))
+  }
+
+  // ---- type detection (PyDI/normalization/type_detector.py) ----
+
+  /** Per-column majority type vote over stringified values, one pass.
+    * Emits (column, detected, share_parsed). Detection order:
+    * long → double → datetime → bool → string.
+    */
+  def detectTypes(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val aggs = df.columns.flatMap { c =>
+      val s = trim(col(c).cast("string"))
+      Seq(
+        avg(s.rlike("^-?\\d+$").cast("double")).as(s"${c}__long"),
+        avg(s.rlike("^-?\\d+\\.\\d+([eE][+-]?\\d+)?$").cast("double")).as(s"${c}__double"),
+        avg(s.rlike("^\\d{4}-\\d{2}-\\d{2}([ T].*)?$").cast("double")).as(s"${c}__datetime"),
+        avg(lower(s).isInCollection(TrueTokens ++ FalseTokens).cast("double")).as(s"${c}__bool"))
+    }
+    val row = df.agg(aggs.head, aggs.tail.toIndexedSeq: _*).collect()(0)
+    val out = df.columns.zipWithIndex.map { case (c, i) =>
+      val shares = Seq("long", "double", "datetime", "bool").zipWithIndex.map {
+        case (t, j) => t -> Option(row.get(i * 4 + j)).map(_.asInstanceOf[Double]).getOrElse(0.0)
+      }
+      val (best, share) = shares.maxBy(_._2)
+      if (share >= 0.5) (c, best, share) else (c, "string", 0.0)
+    }
+    import spark.implicits._
+    out.toSeq.toDF("column", "detected", "share_parsed")
+  }
+
+  // ---- outliers (PyDI/normalization/outlier_detector.py) ----
+
+  /** Rows outside [q1 - k·iqr, q3 + k·iqr] on `valueCol` (exact
+    * percentiles — interpolated, matching quantile_cont).
+    */
+  def iqrOutliers(df: DataFrame, valueCol: String, k: Double = 1.5): DataFrame = {
+    val q = df.agg(
+      percentile(col(valueCol), lit(0.25)).as("q1"),
+      percentile(col(valueCol), lit(0.75)).as("q3"))
+    df.crossJoin(broadcast(q))
+      .filter(col(valueCol) < col("q1") - lit(k) * (col("q3") - col("q1")) ||
+              col(valueCol) > col("q3") + lit(k) * (col("q3") - col("q1")))
+      .drop("q1", "q3")
+  }
+
+  /** Rows with |value - mean| > k·stddev (population stddev). */
+  def zscoreOutliers(df: DataFrame, valueCol: String, k: Double = 3.0): DataFrame = {
+    val q = df.agg(avg(col(valueCol)).as("_mu"), stddev_pop(col(valueCol)).as("_sd"))
+    df.crossJoin(broadcast(q))
+      .filter(abs(col(valueCol) - col("_mu")) > lit(k) * col("_sd"))
+      .drop("_mu", "_sd")
+  }
+
+  // ---- validation (PyDI/normalization/validators.py) ----
+
+  val EmailPattern = "^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}$"
+
+  /** Declarative rule → violation count, one aggregate pass per rule
+    * family (all rules fold into a single `agg`, one job total).
+    */
+  sealed trait Rule { def name: String; def violations: Column }
+  case class PatternRule(name: String, c: Column, pattern: String) extends Rule {
+    def violations: Column = sum((!c.rlike(pattern) || c.isNull).cast("long"))
+  }
+  case class RangeRule(name: String, c: Column, lo: Double, hi: Double) extends Rule {
+    def violations: Column = sum((c < lo || c > hi || c.isNull).cast("long"))
+  }
+  case class CompletenessRule(name: String, c: Column) extends Rule {
+    def violations: Column = sum(c.isNull.cast("long"))
+  }
+
+  def validate(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val row = df.agg(rules.head.violations.as(rules.head.name),
+      rules.tail.map(r => r.violations.as(r.name)).toIndexedSeq: _*).collect()(0)
+    rules.zipWithIndex.map { case (r, i) =>
+      (r.name, Option(row.get(i)).map(_.asInstanceOf[Long]).getOrElse(0L))
+    }.toDF("rule", "violations")
+  }
+
+  /** Count of key values appearing more than once (uniqueness check —
+    * needs its own groupBy, unlike the single-pass rules above).
+    */
+  def duplicateKeyCount(df: DataFrame, keyCol: String): Long =
+    df.groupBy(keyCol).count().filter(col("count") > 1).count()
+}
