@@ -1,0 +1,9 @@
+#!/bin/bash
+# Local correctness loop: sbt-run Verify at a small SF, then DuckDB-compare.
+# Usage: scripts/check.sh [sfdir]
+set -e
+SF=${1:-/root/testdata/sf0.01}
+OUT=/tmp/verify_out
+cd /root/repo
+SPARK_GRAFT_CPUS=8 sbt -batch "runMain graft.Verify $SF $OUT" 2>&1 | grep -E "\[verify\]|error\]:" || true
+python3 scripts/check_oracle.py "$SF" "$OUT"

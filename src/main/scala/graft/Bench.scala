@@ -1,5 +1,14 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Benchmark main: runs every SparkEntry query at SPARK_GRAFT_SF_DIR and
+  * prints ONE JSON line. Each query is forced to full materialization by
+  * hashing every output column (xxhash64 over a struct of all columns,
+  * summed) — a bare count() would let Catalyst prune projections and skip
+  * the very expressions we are timing. Failures are reported per-query
+  * (elapsed = -1, error message recorded), never swallowed as successes.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,18 +16,41 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      val elapsed =
+        try {
+          val df = fn(spark, sfDir)
+          // Force every output column: hash the full row, XOR the hashes
+          // (order-independent; no ANSI overflow, unlike sum).
+          df.agg(expr(s"bit_xor(xxhash64(${df.columns.map(c => s"`$c`").mkString(",")}))"))
+            .collect()
+          (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+            -1.0
+        }
+      name -> elapsed
+    }
+    val qs = results.map { case (k, v) => "\"" + esc(k) + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errJson = errors.map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_failed":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

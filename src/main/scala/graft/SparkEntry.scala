@@ -14,12 +14,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.all ++ graft.normalization.NormQueries.all
+    CoreQueries.all ++ graft.normalization.NormQueries.all ++
+      graft.blocking.BlockQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    CoreQueries.oracles ++ graft.normalization.NormQueries.oracles
+    CoreQueries.oracles ++ graft.normalization.NormQueries.oracles ++
+      graft.blocking.BlockQueries.oracles
 }
 
 /** TPC-H-style analytic queries proving the relational core:
@@ -72,7 +74,9 @@ object CoreQueries {
     li.select(col("l_orderkey"),
         (cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("rev_e4"))
       .join(o.select("o_orderkey", "o_custkey"), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c.select("c_custkey", "c_nationkey")), col("o_custkey") === col("c_custkey"))
+      // customer is fact-sized at scale (~1.5B rows at 100 TB) — let AQE
+      // pick its join strategy; only nation (25 rows) is a safe broadcast.
+      .join(c.select("c_custkey", "c_nationkey"), col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .groupBy("n_name")
       .agg((sum("rev_e4").cast("double") / 10000.0).as("revenue"),

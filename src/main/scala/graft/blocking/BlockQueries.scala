@@ -1,0 +1,168 @@
+package graft.blocking
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Deterministic two-source entity-matching scenario shared by the
+  * blocking / matching / clustering / fusion queries and their DuckDB
+  * oracles. Left = customers; Right = a perturbed copy (name suffixed,
+  * every custkey ≡ 3 (mod 10) dropped, ids offset) so true matches are
+  * exactly (k, k + 10_000_000) for surviving k.
+  */
+object EmScenario {
+  val ROffset = 10000000L
+
+  def custL(s: SparkSession, dir: String): DataFrame =
+    customer(s, dir).select(
+      col("c_custkey").as("id"),
+      lower(col("c_name")).as("name"),
+      col("c_mktsegment").as("seg"),
+      col("c_nationkey").as("nat"),
+      col("c_acctbal").as("bal"))
+
+  def custR(s: SparkSession, dir: String): DataFrame =
+    customer(s, dir)
+      .filter(col("c_custkey") % 10 =!= 3)
+      .select(
+        (col("c_custkey") + ROffset).as("id"),
+        concat(lower(col("c_name")), lit(" r")).as("name"),
+        col("c_mktsegment").as("seg"),
+        col("c_nationkey").as("nat"),
+        round(col("c_acctbal") * 1.01, 2).as("bal"))
+
+  def gold(s: SparkSession, dir: String): DataFrame =
+    customer(s, dir)
+      .filter(col("c_custkey") % 10 =!= 3)
+      .select(col("c_custkey").as("id1"), (col("c_custkey") + ROffset).as("id2"))
+
+  /** DuckDB WITH-clause prelude defining the same l / r / gold tables. */
+  val oracleWith: String =
+    """WITH l AS (
+      |  SELECT c_custkey AS id, lower(c_name) AS name, c_mktsegment AS seg,
+      |         c_nationkey AS nat, c_acctbal AS bal FROM customer),
+      |r AS (
+      |  SELECT c_custkey + 10000000 AS id, lower(c_name) || ' r' AS name,
+      |         c_mktsegment AS seg, c_nationkey AS nat,
+      |         round(c_acctbal * 1.01, 2) AS bal
+      |  FROM customer WHERE c_custkey % 10 <> 3),
+      |gold AS (
+      |  SELECT c_custkey AS id1, c_custkey + 10000000 AS id2
+      |  FROM customer WHERE c_custkey % 10 <> 3)""".stripMargin
+}
+
+/** Blocking-family queries + DuckDB oracles (SURVEY §2.7). */
+object BlockQueries {
+  import EmScenario._
+
+  /** StandardBlocker on the composite key (mktsegment, nationkey). */
+  def blockStandard(s: SparkSession, dir: String): DataFrame =
+    Blockers.standard(custL(s, dir), custR(s, dir), Seq("seg", "nat"), "id")
+      .orderBy("id1", "id2")
+
+  val blockStandardOracle: String =
+    s"""$oracleWith
+       |SELECT l.id AS id1, r.id AS id2
+       |FROM l JOIN r ON l.seg = r.seg AND l.nat = r.nat
+       |ORDER BY id1, id2""".stripMargin
+
+  /** TokenBlocker on name with high-DF pruning: the token "customer"
+    * appears in every record (a quadratic block) and is pruned by the
+    * pair cap; the zero-padded digit tokens are unique per record.
+    */
+  def blockToken(s: SparkSession, dir: String): DataFrame =
+    Blockers.token(custL(s, dir), custR(s, dir), "name", "id",
+        minTokenLen = 2, maxPairsPerToken = Some(10000L))
+      .orderBy("id1", "id2")
+
+  val blockTokenOracle: String =
+    s"""$oracleWith,
+       |ltok AS (SELECT DISTINCT id, tok FROM (
+       |  SELECT id, unnest(string_split_regex(name, '[^a-z0-9]+')) AS tok FROM l)
+       |  WHERE len(tok) >= 2),
+       |rtok AS (SELECT DISTINCT id, tok FROM (
+       |  SELECT id, unnest(string_split_regex(name, '[^a-z0-9]+')) AS tok FROM r)
+       |  WHERE len(tok) >= 2),
+       |lc AS (SELECT tok, count(*) AS nl FROM ltok GROUP BY tok),
+       |rc AS (SELECT tok, count(*) AS nr FROM rtok GROUP BY tok),
+       |keep AS (SELECT lc.tok FROM lc JOIN rc USING (tok) WHERE nl * nr <= 10000)
+       |SELECT DISTINCT ltok.id AS id1, rtok.id AS id2
+       |FROM ltok JOIN keep USING (tok) JOIN rtok USING (tok)
+       |ORDER BY id1, id2""".stripMargin
+
+  /** SortedNeighbourhoodBlocker on name, window 3. */
+  def blockSortedNbhd(s: SparkSession, dir: String): DataFrame =
+    Blockers.sortedNeighbourhood(custL(s, dir), custR(s, dir), "name", "id", window = 3)
+      .orderBy("id1", "id2")
+
+  val blockSortedNbhdOracle: String =
+    s"""$oracleWith,
+       |u AS (
+       |  SELECT id, name AS k, 0 AS side FROM l
+       |  UNION ALL SELECT id, name AS k, 1 AS side FROM r),
+       |ranked AS (
+       |  SELECT id, side, row_number() OVER (ORDER BY k, side, id) - 1 AS rn FROM u)
+       |SELECT CASE WHEN a.side = 0 THEN a.id ELSE b.id END AS id1,
+       |       CASE WHEN a.side = 0 THEN b.id ELSE a.id END AS id2
+       |FROM ranked a JOIN ranked b
+       |  ON b.rn > a.rn AND b.rn <= a.rn + 3 AND a.side <> b.side
+       |ORDER BY id1, id2""".stripMargin
+
+  /** NoBlocker cross product — small×small only (nation × region). */
+  def blockCross(s: SparkSession, dir: String): DataFrame =
+    Blockers.cross(
+        nation(s, dir).select(col("n_nationkey").cast("long").as("id")),
+        region(s, dir).select(col("r_regionkey").cast("long").as("id")),
+        "id")
+      .orderBy("id1", "id2")
+
+  val blockCrossOracle: String =
+    """SELECT CAST(n_nationkey AS BIGINT) AS id1, CAST(r_regionkey AS BIGINT) AS id2
+      |FROM nation CROSS JOIN region
+      |ORDER BY id1, id2""".stripMargin
+
+  /** Pair completeness / quality / reduction of the standard blocker vs
+    * the scenario gold pairs (evaluation.py:104).
+    */
+  def blockEval(s: SparkSession, dir: String): DataFrame = {
+    val l = custL(s, dir)
+    val r = custR(s, dir)
+    val total = l.count() * r.count()
+    Blockers.evaluate(
+      Blockers.standard(l, r, Seq("seg", "nat"), "id"),
+      gold(s, dir), total)
+  }
+
+  val blockEvalOracle: String =
+    s"""$oracleWith,
+       |cand AS (SELECT DISTINCT l.id AS id1, r.id AS id2
+       |         FROM l JOIN r ON l.seg = r.seg AND l.nat = r.nat),
+       |n AS (SELECT (SELECT count(*) FROM cand) AS cn,
+       |             (SELECT count(*) FROM gold) AS gn,
+       |             (SELECT count(*) FROM cand JOIN gold USING (id1, id2)) AS tp,
+       |             (SELECT count(*) FROM l) * (SELECT count(*) FROM r) AS tot)
+       |SELECT round(CAST(tp AS DOUBLE) / greatest(gn, 1), 5) AS pair_completeness,
+       |       round(CAST(tp AS DOUBLE) / greatest(cn, 1), 5) AS pair_quality,
+       |       round(1.0 - CAST(cn AS DOUBLE) / CAST(tot AS DOUBLE), 5) AS reduction_ratio,
+       |       CAST(cn AS BIGINT) AS total_candidates,
+       |       CAST(tot AS BIGINT) AS total_possible_pairs,
+       |       CAST(tp AS BIGINT) AS true_positives_found,
+       |       CAST(gn AS BIGINT) AS total_true_pairs
+       |FROM n""".stripMargin
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "block_standard" -> (blockStandard _),
+    "block_token" -> (blockToken _),
+    "block_sorted_nbhd" -> (blockSortedNbhd _),
+    "block_cross" -> (blockCross _),
+    "block_eval" -> (blockEval _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "block_standard" -> blockStandardOracle,
+    "block_token" -> blockTokenOracle,
+    "block_sorted_nbhd" -> blockSortedNbhdOracle,
+    "block_cross" -> blockCrossOracle,
+    "block_eval" -> blockEvalOracle
+  )
+}
