@@ -15,13 +15,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.all ++ graft.normalization.NormQueries.all ++
-      graft.blocking.BlockQueries.all
+      graft.blocking.BlockQueries.all ++ graft.matching.MatchQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ graft.normalization.NormQueries.oracles ++
-      graft.blocking.BlockQueries.oracles
+      graft.blocking.BlockQueries.oracles ++ graft.matching.MatchQueries.oracles
 }
 
 /** TPC-H-style analytic queries proving the relational core:

@@ -1,0 +1,152 @@
+package graft.matching
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.sims
+import graft.blocking.{Blockers, EmScenario}
+
+/** Comparator + rule-matcher queries and DuckDB oracles (SURVEY §2.8/§2.9). */
+object MatchQueries {
+
+  /** Token-level similarities over adjacent part-name pairs — exercises
+    * tokenJaccard/dice/overlap/cosine and the Monge–Elkan composition
+    * (comparators.py:16, similarity_registry.py token sims).
+    */
+  def simToken(s: SparkSession, dir: String): DataFrame = {
+    val p = part(s, dir).select(col("p_partkey").as("id"), split(col("p_name"), " ").as("t"))
+    val a = p.select(col("id").as("id1"), col("t").as("ta"))
+    val b = p.select(col("id").as("id2"), col("t").as("tb"))
+    a.join(b, col("id2") === col("id1") + 1)
+      .select(
+        col("id1"), col("id2"),
+        round(sims.tokenJaccard(col("ta"), col("tb")), 5).as("jac_tok"),
+        round(sims.tokenDice(col("ta"), col("tb")), 5).as("dice_tok"),
+        round(sims.tokenOverlap(col("ta"), col("tb")), 5).as("overlap_tok"),
+        round(sims.tokenCosine(col("ta"), col("tb")), 5).as("cos_tok"),
+        round(sims.mongeElkan(col("ta"), col("tb")), 5).as("monge_elkan"))
+      .orderBy("id1")
+  }
+
+  val simTokenOracle: String =
+    """WITH p AS (SELECT p_partkey AS id, string_split(p_name, ' ') AS t FROM part),
+      |pr AS (SELECT a.id AS id1, b.id AS id2, a.t AS ta, b.t AS tb
+      |       FROM p a JOIN p b ON b.id = a.id + 1),
+      |tok1 AS (SELECT id1, id2, generate_subscripts(ta, 1) AS ix,
+      |                unnest(ta) AS x, tb FROM pr),
+      |best AS (SELECT id1, id2, ix, max(jaro_winkler_similarity(x, y)) AS b
+      |         FROM (SELECT id1, id2, ix, x, unnest(tb) AS y FROM tok1)
+      |         GROUP BY id1, id2, ix),
+      |me AS (SELECT id1, id2, avg(b) AS me FROM best GROUP BY id1, id2)
+      |SELECT pr.id1, pr.id2,
+      |  round(CAST(len(list_intersect(ta, tb)) AS DOUBLE)
+      |        / len(list_distinct(ta || tb)), 5) AS jac_tok,
+      |  round(CAST(2 * len(list_intersect(ta, tb)) AS DOUBLE)
+      |        / (len(list_distinct(ta)) + len(list_distinct(tb))), 5) AS dice_tok,
+      |  round(CAST(len(list_intersect(ta, tb)) AS DOUBLE)
+      |        / least(len(list_distinct(ta)), len(list_distinct(tb))), 5) AS overlap_tok,
+      |  round(CAST(len(list_intersect(ta, tb)) AS DOUBLE)
+      |        / sqrt(CAST(len(list_distinct(ta)) AS DOUBLE) * len(list_distinct(tb))), 5) AS cos_tok,
+      |  round(me.me, 5) AS monge_elkan
+      |FROM pr JOIN me USING (id1, id2)
+      |ORDER BY id1""".stripMargin
+
+  /** Numeric + date comparators over adjacent order pairs
+    * (comparators.py:243 NumericComparator, :433 DateComparator).
+    */
+  def simNumericDate(s: SparkSession, dir: String): DataFrame = {
+    val o = orders(s, dir).select(col("o_orderkey").as("id"),
+      col("o_totalprice").as("price"), col("o_orderdate").as("d"))
+    val a = o.select(col("id").as("id1"), col("price").as("pa"), col("d").as("da"))
+    val b = o.select(col("id").as("id2"), col("price").as("pb"), col("d").as("db"))
+    a.join(b, col("id2") === col("id1") + 1)
+      .select(
+        col("id1"), col("id2"),
+        round(sims.numericPctSim(col("pa"), col("pb")), 5).as("pct_sim"),
+        round(sims.numericAbsSim(col("pa"), col("pb"), 1000.0), 5).as("abs_sim"),
+        round(sims.dateSim(col("da"), col("db"), 365.0), 5).as("date_sim"))
+      .orderBy("id1")
+  }
+
+  val simNumericDateOracle: String =
+    """WITH o AS (SELECT o_orderkey AS id, o_totalprice AS p, o_orderdate AS d FROM orders),
+      |pr AS (SELECT a.id AS id1, b.id AS id2, a.p AS pa, b.p AS pb, a.d AS da, b.d AS db
+      |       FROM o a JOIN o b ON b.id = a.id + 1)
+      |SELECT id1, id2,
+      |  round(CASE WHEN pa = pb THEN 1.0
+      |             WHEN greatest(abs(pa), abs(pb)) = 0 THEN 1.0
+      |             ELSE greatest(0.0, 1.0 - abs(pa - pb) / greatest(abs(pa), abs(pb)))
+      |        END, 5) AS pct_sim,
+      |  round(greatest(0.0, 1.0 - abs(pa - pb) / 1000.0), 5) AS abs_sim,
+      |  round(greatest(0.0, 1.0 - CAST(abs(date_diff('day', CAST(db AS DATE), CAST(da AS DATE))) AS DOUBLE) / 365.0), 5) AS date_sim
+      |FROM pr
+      |ORDER BY id1""".stripMargin
+
+  /** RuleBasedMatcher over the standard-blocked EmScenario candidates:
+    * 0.6·jw(name) + 0.2·exact(seg) + 0.2·absSim(bal, 1000) ≥ 0.97.
+    */
+  def matchRule(s: SparkSession, dir: String): DataFrame = {
+    val l = EmScenario.custL(s, dir)
+    val r = EmScenario.custR(s, dir)
+    val cands = Blockers.standard(l, r, Seq("seg", "nat"), "id")
+    Matching.ruleMatch(cands, l, r, "id",
+        Seq(
+          sims.jaroWinkler(col("l_name"), col("r_name")) -> 0.6,
+          sims.exactSim(col("l_seg"), col("r_seg")) -> 0.2,
+          sims.numericAbsSim(col("l_bal"), col("r_bal"), 1000.0) -> 0.2),
+        threshold = 0.97)
+      .orderBy("id1", "id2")
+  }
+
+  val matchRuleSql: String =
+    s"""${EmScenario.oracleWith},
+       |cand AS (SELECT l.id AS id1, r.id AS id2, l.name AS ln, r.name AS rn,
+       |                l.seg AS ls, r.seg AS rs, l.bal AS lb, r.bal AS rb
+       |         FROM l JOIN r ON l.seg = r.seg AND l.nat = r.nat),
+       |scored AS (SELECT id1, id2,
+       |  jaro_winkler_similarity(ln, rn) * 0.6
+       |  + (CASE WHEN ls = rs THEN 1.0 ELSE 0.0 END) * 0.2
+       |  + greatest(0.0, 1.0 - abs(lb - rb) / 1000.0) * 0.2 AS score
+       |  FROM cand)
+       |SELECT id1, id2, round(score, 5) AS score FROM scored
+       |WHERE score >= 0.97
+       |ORDER BY id1, id2""".stripMargin
+
+  /** EntityMatchingEvaluator: P/R/F1 of the rule matcher vs gold. */
+  def matchEval(s: SparkSession, dir: String): DataFrame =
+    Matching.evaluate(matchRule(s, dir), EmScenario.gold(s, dir))
+
+  val matchEvalOracle: String =
+    s"""${EmScenario.oracleWith},
+       |cand AS (SELECT l.id AS id1, r.id AS id2, l.name AS ln, r.name AS rn,
+       |                l.seg AS ls, r.seg AS rs, l.bal AS lb, r.bal AS rb
+       |         FROM l JOIN r ON l.seg = r.seg AND l.nat = r.nat),
+       |pred AS (SELECT id1, id2 FROM cand
+       |         WHERE jaro_winkler_similarity(ln, rn) * 0.6
+       |               + (CASE WHEN ls = rs THEN 1.0 ELSE 0.0 END) * 0.2
+       |               + greatest(0.0, 1.0 - abs(lb - rb) / 1000.0) * 0.2 >= 0.97),
+       |n AS (SELECT (SELECT count(*) FROM pred JOIN gold USING (id1, id2)) AS tp,
+       |             (SELECT count(*) FROM pred) AS np,
+       |             (SELECT count(*) FROM gold) AS ng)
+       |SELECT CAST(tp AS BIGINT) AS tp,
+       |       CAST(np - tp AS BIGINT) AS fp,
+       |       CAST(ng - tp AS BIGINT) AS fn,
+       |       round(CAST(tp AS DOUBLE) / greatest(np, 1), 5) AS precision,
+       |       round(CAST(tp AS DOUBLE) / greatest(ng, 1), 5) AS recall,
+       |       round(CAST(tp AS DOUBLE) * 2.0 / greatest(np + ng, 1), 5) AS f1
+       |FROM n""".stripMargin
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_token" -> (simToken _),
+    "sim_numeric_date" -> (simNumericDate _),
+    "match_rule" -> (matchRule _),
+    "match_eval" -> (matchEval _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "sim_token" -> simTokenOracle,
+    "sim_numeric_date" -> simNumericDateOracle,
+    "match_rule" -> matchRuleSql,
+    "match_eval" -> matchEvalOracle
+  )
+}

@@ -1,0 +1,62 @@
+package graft.matching
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Rule-based entity matching + evaluation — the Spark re-expression of
+  * PyDI/entitymatching/rule_based.py:16 (LinearCombinationMatchingRule
+  * semantics) and PyDI/entitymatching/evaluation.py:25.
+  *
+  * The reference iterates candidate pairs in Python and calls comparator
+  * closures per pair; here the whole match is ONE declarative plan:
+  * candidates ⋈ left ⋈ right → a codegen'd projection computing every
+  * comparator → weighted sum → threshold filter. No per-pair interpreter,
+  * no shuffle beyond the two record joins (which AQE sizes at runtime).
+  */
+object Matching {
+
+  /** Join candidate pairs `(id1, id2)` back to their records. All left
+    * record columns come out prefixed `l_`, right ones `r_`.
+    */
+  def attachRecords(candidates: DataFrame, left: DataFrame, right: DataFrame,
+      idCol: String): DataFrame = {
+    val l = left.columns.foldLeft(left)((d, c) => d.withColumnRenamed(c, s"l_$c"))
+    val r = right.columns.foldLeft(right)((d, c) => d.withColumnRenamed(c, s"r_$c"))
+    candidates.select("id1", "id2")
+      .join(l, col("id1") === col(s"l_$idCol"))
+      .join(r, col("id2") === col(s"r_$idCol"))
+  }
+
+  /** Weighted linear rule: score = Σ wᵢ·simᵢ over the attached-record
+    * frame; keep pairs with score ≥ threshold. Comparator columns refer
+    * to `l_...` / `r_...` columns (see [[attachRecords]]).
+    */
+  def ruleMatch(candidates: DataFrame, left: DataFrame, right: DataFrame, idCol: String,
+      comparators: Seq[(Column, Double)], threshold: Double): DataFrame = {
+    val score = comparators
+      .map { case (c, w) => c * lit(w) }
+      .reduce(_ + _)
+    attachRecords(candidates, left, right, idCol)
+      .withColumn("_score", score)
+      .filter(col("_score") >= threshold)
+      .select(col("id1"), col("id2"), round(col("_score"), 5).as("score"))
+  }
+
+  /** P/R/F1 of predicted correspondences vs gold pairs
+    * (evaluation.py:25 evaluate with all-positive test pairs).
+    */
+  def evaluate(predicted: DataFrame, gold: DataFrame): DataFrame = {
+    val p = predicted.select("id1", "id2").distinct()
+    val g = gold.select("id1", "id2").distinct()
+    val tp = p.join(g, Seq("id1", "id2")).agg(count(lit(1)).as("tp"))
+    val pn = p.agg(count(lit(1)).as("n_pred"))
+    val gn = g.agg(count(lit(1)).as("n_gold"))
+    tp.crossJoin(pn).crossJoin(gn).select(
+      col("tp"),
+      (col("n_pred") - col("tp")).as("fp"),
+      (col("n_gold") - col("tp")).as("fn"),
+      round(col("tp") / greatest(col("n_pred"), lit(1L)), 5).as("precision"),
+      round(col("tp") / greatest(col("n_gold"), lit(1L)), 5).as("recall"),
+      round(col("tp") * 2.0 / greatest(col("n_pred") + col("n_gold"), lit(1L)), 5).as("f1"))
+  }
+}
