@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.sims
 import graft.Tables._
 
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+/** Driver contract — see SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -15,13 +15,15 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.all ++ graft.normalization.NormQueries.all ++
-      graft.blocking.BlockQueries.all ++ graft.matching.MatchQueries.all
+      graft.blocking.BlockQueries.all ++ graft.matching.MatchQueries.all ++
+      graft.clustering.ClusterQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ graft.normalization.NormQueries.oracles ++
-      graft.blocking.BlockQueries.oracles ++ graft.matching.MatchQueries.oracles
+      graft.blocking.BlockQueries.oracles ++ graft.matching.MatchQueries.oracles ++
+      graft.clustering.ClusterQueries.oracles
 }
 
 /** TPC-H-style analytic queries proving the relational core:

@@ -36,9 +36,11 @@ object EmScenario {
       .filter(col("c_custkey") % 10 =!= 3)
       .select(col("c_custkey").as("id1"), (col("c_custkey") + ROffset).as("id2"))
 
-  /** DuckDB WITH-clause prelude defining the same l / r / gold tables. */
-  val oracleWith: String =
-    """WITH l AS (
+  /** DuckDB CTE body (no WITH keyword) defining the same l / r / gold
+    * tables — composable into WITH / WITH RECURSIVE preludes.
+    */
+  val oracleWithBody: String =
+    """l AS (
       |  SELECT c_custkey AS id, lower(c_name) AS name, c_mktsegment AS seg,
       |         c_nationkey AS nat, c_acctbal AS bal FROM customer),
       |r AS (
@@ -49,6 +51,9 @@ object EmScenario {
       |gold AS (
       |  SELECT c_custkey AS id1, c_custkey + 10000000 AS id2
       |  FROM customer WHERE c_custkey % 10 <> 3)""".stripMargin
+
+  /** Standalone WITH prelude (most oracles start from this). */
+  val oracleWith: String = "WITH " + oracleWithBody
 }
 
 /** Blocking-family queries + DuckDB oracles (SURVEY §2.7). */

@@ -1,0 +1,190 @@
+package graft.clustering
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.sims
+import graft.blocking.{Blockers, EmScenario}
+
+/** Clustering queries + DuckDB oracles (SURVEY §2.10).
+  *
+  * Oracle strategy: connected components via a recursive reachability CTE;
+  * the sequential-greedy algorithms (centre, greedy 1:1) via a recursive
+  * single-row FOLD over the score-ranked edge list — DuckDB replays the
+  * exact greedy walk. Stable / bipartite / hierarchical are not reasonably
+  * SQL-expressible → rows-only driver check + property specs in
+  * ClusterSpec (brute-force cross-checks on random graphs).
+  */
+object ClusterQueries {
+
+  /** Scenario edge set: cross-source gold pairs plus within-left chain
+    * edges between consecutive customers of the same nation — yields
+    * multi-node components spanning both sources.
+    */
+  def edges(s: SparkSession, dir: String): DataFrame = {
+    val c = customer(s, dir).select(col("c_custkey").as("k"), col("c_nationkey").as("nat"))
+    val a = c.select(col("k").as("id1"), col("nat").as("na"))
+    val b = c.select(col("k").as("id2"), col("nat").as("nb"))
+    val chain = a.join(b, col("id2") === col("id1") + 1 && col("na") === col("nb"))
+      .select("id1", "id2")
+    EmScenario.gold(s, dir).unionByName(chain)
+  }
+
+  /** chain + e CTEs; expects a `gold` CTE upstream. */
+  val chainEdgesSql: String =
+    """chain AS (
+      |  SELECT a.c_custkey AS id1, b.c_custkey AS id2
+      |  FROM customer a JOIN customer b
+      |    ON b.c_custkey = a.c_custkey + 1 AND a.c_nationkey = b.c_nationkey),
+      |e AS (SELECT * FROM gold UNION ALL SELECT * FROM chain)""".stripMargin
+
+  val edgesSql: String =
+    """gold AS (
+      |  SELECT c_custkey AS id1, c_custkey + 10000000 AS id2
+      |  FROM customer WHERE c_custkey % 10 <> 3),
+      |""".stripMargin + chainEdgesSql
+
+  /** Edges scored by Jaro–Winkler between the endpoint record names. */
+  def scoredEdges(s: SparkSession, dir: String): DataFrame = {
+    val recs = EmScenario.custL(s, dir).select("id", "name")
+      .unionByName(EmScenario.custR(s, dir).select("id", "name"))
+    edges(s, dir)
+      .join(recs.select(col("id").as("id1"), col("name").as("na")), "id1")
+      .join(recs.select(col("id").as("id2"), col("name").as("nb")), "id2")
+      .select(col("id1"), col("id2"),
+        round(sims.jaroWinkler(col("na"), col("nb")), 5).as("score"))
+  }
+
+  val scoredEdgesSql: String =
+    s"""${EmScenario.oracleWithBody},
+       |$chainEdgesSql,
+       |recs AS (SELECT id, name FROM l UNION ALL SELECT id, name FROM r),
+       |se AS (SELECT e.id1, e.id2,
+       |              round(jaro_winkler_similarity(a.name, b.name), 5) AS score
+       |       FROM e JOIN recs a ON a.id = e.id1 JOIN recs b ON b.id = e.id2)""".stripMargin
+
+  // ---- connected components ----
+
+  def clusterConnectedComponents(s: SparkSession, dir: String): DataFrame =
+    Clusterers.connectedComponents(edges(s, dir)).orderBy("id")
+
+  val ccOracle: String =
+    s"""WITH RECURSIVE $edgesSql,
+       |sym AS (SELECT id1 AS u, id2 AS v FROM e UNION SELECT id2, id1 FROM e),
+       |nodes AS (SELECT DISTINCT u AS id FROM sym),
+       |reach(node, r) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT s.v, reach.r FROM reach JOIN sym s ON s.u = reach.node)
+       |SELECT node AS id, min(r) AS cluster FROM reach GROUP BY node
+       |ORDER BY id""".stripMargin
+
+  // ---- greedy 1:1 ----
+
+  def clusterGreedyOneToOne(s: SparkSession, dir: String): DataFrame =
+    Clusterers.greedyOneToOne(scoredEdges(s, dir)).orderBy("id1", "id2")
+
+  val greedyOracle: String =
+    s"""WITH RECURSIVE $scoredEdgesSql,
+       |ranked AS (SELECT id1, id2, score,
+       |           row_number() OVER (ORDER BY score DESC, id1, id2) AS rn FROM se),
+       |walk(rn, matched, sel) AS (
+       |  SELECT CAST(0 AS BIGINT), CAST([] AS BIGINT[]),
+       |         CAST([] AS STRUCT(id1 BIGINT, id2 BIGINT, score DOUBLE)[])
+       |  UNION ALL
+       |  SELECT r.rn,
+       |    CASE WHEN list_contains(w.matched, r.id1) OR list_contains(w.matched, r.id2)
+       |         THEN w.matched
+       |         ELSE list_append(list_append(w.matched, r.id1), r.id2) END,
+       |    CASE WHEN list_contains(w.matched, r.id1) OR list_contains(w.matched, r.id2)
+       |         THEN w.sel
+       |         ELSE list_append(w.sel, {'id1': CAST(r.id1 AS BIGINT),
+       |                                  'id2': CAST(r.id2 AS BIGINT), 'score': r.score}) END
+       |  FROM walk w JOIN ranked r ON r.rn = w.rn + 1)
+       |SELECT u.u.id1 AS id1, u.u.id2 AS id2, u.u.score AS score FROM (
+       |  SELECT unnest(sel) AS u FROM walk WHERE rn = (SELECT max(rn) FROM ranked)) u
+       |ORDER BY id1, id2""".stripMargin
+
+  // ---- CENTER ----
+
+  def clusterCentre(s: SparkSession, dir: String): DataFrame =
+    Clusterers.centreCluster(scoredEdges(s, dir)).orderBy("id")
+
+  val centreOracle: String =
+    s"""WITH RECURSIVE $scoredEdgesSql,
+       |ranked AS (SELECT id1, id2, score,
+       |           row_number() OVER (ORDER BY score DESC, id1, id2) AS rn FROM se),
+       |walk(rn, assigned, centres, outp) AS (
+       |  SELECT CAST(0 AS BIGINT), CAST([] AS BIGINT[]), CAST([] AS BIGINT[]),
+       |         CAST([] AS STRUCT(id BIGINT, centre BIGINT)[])
+       |  UNION ALL
+       |  SELECT r.rn,
+       |    CASE
+       |      WHEN NOT list_contains(w.assigned, r.id1) AND NOT list_contains(w.assigned, r.id2)
+       |        THEN list_append(list_append(w.assigned, r.id1), r.id2)
+       |      WHEN NOT list_contains(w.assigned, r.id1) AND list_contains(w.centres, r.id2)
+       |        THEN list_append(w.assigned, r.id1)
+       |      WHEN NOT list_contains(w.assigned, r.id2) AND list_contains(w.centres, r.id1)
+       |        THEN list_append(w.assigned, r.id2)
+       |      ELSE w.assigned END,
+       |    CASE
+       |      WHEN NOT list_contains(w.assigned, r.id1) AND NOT list_contains(w.assigned, r.id2)
+       |        THEN list_append(w.centres, r.id1)
+       |      ELSE w.centres END,
+       |    CASE
+       |      WHEN NOT list_contains(w.assigned, r.id1) AND NOT list_contains(w.assigned, r.id2)
+       |        THEN list_append(list_append(w.outp,
+       |               {'id': CAST(r.id1 AS BIGINT), 'centre': CAST(r.id1 AS BIGINT)}),
+       |               {'id': CAST(r.id2 AS BIGINT), 'centre': CAST(r.id1 AS BIGINT)})
+       |      WHEN NOT list_contains(w.assigned, r.id1) AND list_contains(w.centres, r.id2)
+       |        THEN list_append(w.outp, {'id': CAST(r.id1 AS BIGINT), 'centre': CAST(r.id2 AS BIGINT)})
+       |      WHEN NOT list_contains(w.assigned, r.id2) AND list_contains(w.centres, r.id1)
+       |        THEN list_append(w.outp, {'id': CAST(r.id2 AS BIGINT), 'centre': CAST(r.id1 AS BIGINT)})
+       |      ELSE w.outp END
+       |  FROM walk w JOIN ranked r ON r.rn = w.rn + 1)
+       |SELECT u.u.id AS id, u.u.centre AS centre FROM (
+       |  SELECT unnest(outp) AS u FROM walk WHERE rn = (SELECT max(rn) FROM ranked)) u
+       |ORDER BY id""".stripMargin
+
+  // ---- stable / bipartite / hierarchical (rows-only + specs) ----
+
+  def clusterStable(s: SparkSession, dir: String): DataFrame =
+    Clusterers.stableMatching(scoredEdges(s, dir)).orderBy("id1", "id2")
+
+  /** Bipartite input: cross-source candidates from the standard blocker
+    * scored by name JW, kept at ≥ 0.95 — id1 (left) and id2 (right)
+    * partitions are disjoint by construction.
+    */
+  def bipartiteEdges(s: SparkSession, dir: String): DataFrame = {
+    val l = EmScenario.custL(s, dir)
+    val r = EmScenario.custR(s, dir)
+    val cands = Blockers.standard(l, r, Seq("seg", "nat"), "id")
+    cands
+      .join(l.select(col("id").as("id1"), col("name").as("na")), "id1")
+      .join(r.select(col("id").as("id2"), col("name").as("nb")), "id2")
+      .select(col("id1"), col("id2"),
+        round(sims.jaroWinkler(col("na"), col("nb")), 5).as("score"))
+      .filter(col("score") >= 0.95)
+  }
+
+  def clusterMaxBipartite(s: SparkSession, dir: String): DataFrame =
+    Clusterers.maximumBipartite(bipartiteEdges(s, dir)).orderBy("id1", "id2")
+
+  def clusterHierarchical(s: SparkSession, dir: String): DataFrame =
+    Clusterers.hierarchicalCluster(scoredEdges(s, dir), "single", 0.9).orderBy("id")
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cluster_connected_components" -> (clusterConnectedComponents _),
+    "cluster_greedy_one_to_one" -> (clusterGreedyOneToOne _),
+    "cluster_centre" -> (clusterCentre _),
+    "cluster_stable" -> (clusterStable _),
+    "cluster_max_bipartite" -> (clusterMaxBipartite _),
+    "cluster_hierarchical" -> (clusterHierarchical _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "cluster_connected_components" -> ccOracle,
+    "cluster_greedy_one_to_one" -> greedyOracle,
+    "cluster_centre" -> centreOracle
+  )
+}

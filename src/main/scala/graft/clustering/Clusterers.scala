@@ -1,0 +1,145 @@
+package graft.clustering
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Rows used with case-class Encoders inside [[Clusterers]] — must be
+  * public top-level classes or Catalyst's generated (de)serializers
+  * cannot access them.
+  */
+case class CompEdge(comp: Long, id1: Long, id2: Long, score: Double)
+case class Membership(id: Long, cluster: Long)
+
+/** Connected components over correspondence edges — the Spark
+  * re-expression of PyDI/entitymatching/post_clustering/
+  * connected_components.py:19 (which delegates to networkx on one node).
+  *
+  * Implementation: alternating large-star / small-star contraction
+  * (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+  * the standard O(log n)-round distributed CC. Each round is a groupBy
+  * min + self-join (single shuffle each); no per-node adjacency lists are
+  * ever collected, so mega-hubs stay partial-aggregable and AQE handles
+  * skew. A plain label-propagation loop would need O(diameter) rounds —
+  * this needs O(log n) regardless of chain length.
+  */
+object Clusterers {
+
+  /** edges (id1, id2) → one row per non-isolated node: (id, cluster)
+    * where cluster is the minimum node id in the component.
+    */
+  def connectedComponents(edgesIn: DataFrame, maxIter: Int = 25): DataFrame = {
+    val spark = edgesIn.sparkSession
+    // localCheckpoint (eager) after every round: the star transforms
+    // reference their input twice, so without lineage truncation the
+    // logical plan doubles per iteration and the driver OOMs just
+    // stringifying it. On a cluster this also caps scheduler overhead.
+    var edges = edgesIn
+      .select(col("id1").cast("long").as("u"), col("id2").cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    val nodes = edges.select(col("u").as("id")).union(edges.select(col("v").as("id"))).distinct()
+      .localCheckpoint(true)
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      sym.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      val or = e.select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      val mins = or.groupBy("u").agg(min("v").as("m"))
+      or.join(mins, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mins.select(col("u"), col("m").as("v")))
+        .distinct()
+    }
+
+    var converged = false
+    var it = 0
+    var prevSig: (Long, Long) = (-1L, -1L)
+    while (!converged && it < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      // Cheap fixpoint check: canonical edge multiset checksum + count.
+      val sig = next.agg(
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L)),
+        count(lit(1))).collect()(0)
+      val curSig = (sig.getLong(0), sig.getLong(1))
+      edges = next
+      converged = curSig == prevSig
+      prevSig = curSig
+      it += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter iterations")
+
+    // Post-fixpoint, edges are (node → component-min). Roots map to themselves.
+    val labels = edges.select(col("u").as("id"), col("v").as("cluster"))
+    val out = nodes.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
+    out
+  }
+
+  import ComponentKernels.Edge
+
+  /** Group scored correspondences (id1, id2, score) by connected
+    * component and run a sequential kernel per component inside
+    * mapGroups. Components after blocking are bounded-size (SURVEY §5);
+    * the shuffle is a single hash partition on component id and AQE
+    * balances component-count skew.
+    */
+  private def perComponent[T <: Product : scala.reflect.runtime.universe.TypeTag](
+      scored: DataFrame)(kernel: Seq[Edge] => Seq[T]): org.apache.spark.sql.Dataset[T] = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    implicit val enc: org.apache.spark.sql.Encoder[T] = org.apache.spark.sql.Encoders.product[T]
+    val labels = connectedComponents(scored)
+      .withColumnRenamed("id", "id1").withColumnRenamed("cluster", "comp")
+    scored.select(col("id1").cast("long"), col("id2").cast("long"),
+        col("score").cast("double"))
+      .join(labels, "id1")
+      .select(col("comp"), col("id1"), col("id2"), col("score"))
+      .as[CompEdge]
+      .groupByKey(_.comp)
+      .flatMapGroups { (_, it) =>
+        kernel(it.map(e => Edge(e.id1, e.id2, e.score)).toSeq).iterator
+      }
+  }
+
+  /** CENTER clustering (centre_clusterer.py:117) → (id, centre). */
+  def centreCluster(scored: DataFrame): DataFrame =
+    perComponent(scored)(es =>
+      ComponentKernels.centre(es).map { case (m, c) => Membership(m, c) })
+      .toDF("id", "centre")
+
+  /** Greedy 1:1 matching (greedy_one_to_one.py:108) → (id1, id2, score). */
+  def greedyOneToOne(scored: DataFrame): DataFrame =
+    perComponent(scored)(ComponentKernels.greedyOneToOne).toDF()
+
+  /** Mutual-preference stable matching (stable_matching.py:92). */
+  def stableMatching(scored: DataFrame): DataFrame =
+    perComponent(scored)(ComponentKernels.stableMatching).toDF()
+
+  /** Max-weight bipartite matching (maximum_bipartite_matching.py:112);
+    * caller guarantees id1/id2 partitions are disjoint.
+    */
+  def maximumBipartite(scored: DataFrame): DataFrame =
+    perComponent(scored)(ComponentKernels.maxWeightBipartite).toDF()
+
+  /** Agglomerative clustering (hierarchical_clusterer.py:137) →
+    * (id, cluster = min member id). Per-component is equivalent to the
+    * reference's global run whenever minSimilarity > 0 (cross-component
+    * similarity is 0, so those merges are never taken).
+    */
+  def hierarchicalCluster(scored: DataFrame, linkage: String = "single",
+      minSimilarity: Double = 0.5): DataFrame =
+    perComponent(scored)(es =>
+      ComponentKernels.hierarchical(es, linkage, minSimilarity)
+        .map { case (m, c) => Membership(m, c) })
+      .toDF("id", "cluster")
+}

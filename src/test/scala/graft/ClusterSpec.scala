@@ -1,0 +1,90 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import scala.util.Random
+import graft.clustering.{Clusterers, ComponentKernels}
+import graft.clustering.ComponentKernels.Edge
+
+class ClusterSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("connected components match union-find on random graphs") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new Random(7)
+    for (trial <- 1 to 3) {
+      val n = 60
+      val edges = Seq.fill(50)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      // union-find reference
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) => parent(find(a.toInt)) = find(b.toInt) }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val expect = nodes.map { v =>
+        val comp = nodes.filter(u => find(u.toInt) == find(v.toInt)).min
+        v -> comp
+      }.toMap
+
+      val got = Clusterers.connectedComponents(edges.toDF("id1", "id2"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expect, s"trial $trial")
+    }
+  }
+
+  test("greedy 1:1 kernel: highest-score-first, no node reuse") {
+    val es = Seq(Edge(1, 2, 0.9), Edge(2, 3, 0.9), Edge(3, 4, 0.8), Edge(1, 3, 0.7))
+    val got = ComponentKernels.greedyOneToOne(es)
+    assert(got == Seq(Edge(1, 2, 0.9), Edge(3, 4, 0.8)))
+  }
+
+  test("centre kernel: non-centre nodes never absorb members") {
+    val es = Seq(Edge(1, 2, 0.9), Edge(1, 3, 0.85), Edge(2, 4, 0.8), Edge(5, 6, 0.7))
+    val got = ComponentKernels.centre(es).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("stable matching kernel: mutual-best pairs, 1:1") {
+    // 1 prefers 12 (0.9); 12 prefers 1; 2's best available after (1,12) is 11.
+    val es = Seq(Edge(1, 12, 0.9), Edge(1, 11, 0.8), Edge(2, 12, 0.85), Edge(2, 11, 0.6))
+    val got = ComponentKernels.stableMatching(es)
+    assert(got.map(e => (e.id1, e.id2)) == Seq((1L, 12L), (2L, 11L)))
+    val nodes = got.flatMap(e => Seq(e.id1, e.id2))
+    assert(nodes.distinct.size == nodes.size)
+  }
+
+  test("hungarian matches brute-force max weight on random bipartite graphs") {
+    val rnd = new Random(11)
+    for (trial <- 1 to 20) {
+      val nl = 1 + rnd.nextInt(5)
+      val nr = 1 + rnd.nextInt(5)
+      val edges = (for {
+        i <- 0 until nl; j <- 0 until nr
+        if rnd.nextDouble() < 0.6
+      } yield Edge(i.toLong, (100 + j).toLong, math.rint(rnd.nextDouble() * 100) / 100))
+        .toSeq
+      if (edges.nonEmpty) {
+        val got = ComponentKernels.maxWeightBipartite(edges).map(_.score).sum
+        // brute force over all subsets of edges forming a matching
+        def best(rem: List[Edge], used: Set[Long]): Double = rem match {
+          case Nil => 0.0
+          case e :: t =>
+            val skip = best(t, used)
+            if (used(e.id1) || used(e.id2)) skip
+            else math.max(skip, e.score + best(t, used + e.id1 + e.id2))
+        }
+        val want = best(edges.toList, Set.empty)
+        assert(math.abs(got - want) < 1e-9, s"trial $trial: got $got want $want")
+      }
+    }
+  }
+
+  test("hierarchical kernel: single linkage merges chain, complete does not") {
+    val es = Seq(Edge(1, 2, 0.9), Edge(2, 3, 0.85), Edge(3, 4, 0.8))
+    val single = ComponentKernels.hierarchical(es, "single", 0.5).toMap
+    assert(single.values.toSet == Set(1L)) // one chain cluster
+    val complete = ComponentKernels.hierarchical(es, "complete", 0.5).toMap
+    // complete linkage: cluster {1,2} vs {3}: min(sim(1,3)=0, sim(2,3)) = 0 < 0.5
+    assert(complete.values.toSet.size > 1)
+  }
+}
