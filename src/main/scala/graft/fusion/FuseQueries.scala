@@ -1,0 +1,324 @@
+package graft.fusion
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Fusion queries + DuckDB oracles (SURVEY §2.11). Scenario: every order
+  * is described by three sources — A (original), B (status flipped on
+  * every 7th key, price +10, date +1d, priority suffixed), C (price
+  * rounded, date −2d, priority missing on every 5th key). Cluster id =
+  * o_orderkey, i.e. records are pre-clustered duplicates to fuse.
+  */
+object FuseQueries {
+
+  def sources(s: SparkSession, dir: String): DataFrame = {
+    val o = orders(s, dir).select(
+      col("o_orderkey").as("cluster"),
+      col("o_orderstatus").as("status"),
+      col("o_totalprice").as("price"),
+      to_date(col("o_orderdate")).as("odate"),
+      col("o_orderpriority").as("prio"))
+    val a = o.select(col("cluster"), lit("A").as("src"), col("status"), col("price"),
+      col("odate"), col("prio"))
+    val b = o.select(col("cluster"), lit("B").as("src"),
+      when(col("cluster") % 7 === 0, "X").otherwise(col("status")).as("status"),
+      (col("price") + 10.0).as("price"),
+      date_add(col("odate"), 1).as("odate"),
+      concat(col("prio"), lit(" b")).as("prio"))
+    val c = o.select(col("cluster"), lit("C").as("src"), col("status"),
+      round(col("price"), 0).as("price"),
+      date_add(col("odate"), -2).as("odate"),
+      when(col("cluster") % 5 === 0, lit(null)).otherwise(col("prio")).as("prio"))
+    a.unionByName(b).unionByName(c)
+  }
+
+  val sourcesSql: String =
+    """src AS (
+      |  SELECT o_orderkey AS cluster, 'A' AS src, o_orderstatus AS status,
+      |         o_totalprice AS price, CAST(o_orderdate AS DATE) AS odate,
+      |         o_orderpriority AS prio
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey, 'B',
+      |         CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END,
+      |         o_totalprice + 10.0, CAST(o_orderdate AS DATE) + 1,
+      |         o_orderpriority || ' b'
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey, 'C', o_orderstatus, round(o_totalprice, 0),
+      |         CAST(o_orderdate AS DATE) - 2,
+      |         CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_orderpriority END
+      |  FROM orders)""".stripMargin
+
+  // ---- voting family (#46) ----
+
+  def fuseVoting(s: SparkSession, dir: String): DataFrame = {
+    val src = sources(s, dir)
+    val v = Fusion.voting(src, "cluster", "status")
+    val wv = Fusion.weightedVoting(src, "cluster", "status",
+        when(col("src") === "A", 1.0).when(col("src") === "B", 2.0).otherwise(0.5))
+      .withColumnRenamed("status", "status_weighted")
+      .withColumnRenamed("confidence", "conf_weighted")
+    val tr = Fusion.preferHigherTrust(src, "cluster", "status", "src",
+        Map("A" -> 0.5, "B" -> 0.9, "C" -> 0.7))
+      .withColumnRenamed("status", "status_trust")
+    val hp = Fusion.hashPick(src, "cluster", "status")
+      .withColumnRenamed("status", "status_hash")
+    v.join(wv, "cluster").join(tr, "cluster").join(hp, "cluster").orderBy("cluster")
+  }
+
+  val fuseVotingOracle: String =
+    s"""WITH $sourcesSql,
+       |counts AS (SELECT cluster, status, count(*) AS cnt
+       |           FROM src GROUP BY cluster, status),
+       |rankd AS (SELECT cluster, status, cnt,
+       |          row_number() OVER (PARTITION BY cluster ORDER BY cnt DESC, status) AS rn
+       |          FROM counts),
+       |vote AS (SELECT cluster,
+       |           max(CASE WHEN rn = 1 THEN status END) AS status,
+       |           max(CASE WHEN rn = 1 THEN cnt END) AS w,
+       |           max(CASE WHEN rn = 2 THEN cnt END) AS s,
+       |           sum(cnt) AS n, count(*) AS d
+       |         FROM rankd GROUP BY cluster),
+       |wsum AS (SELECT cluster, status,
+       |           sum(CASE src WHEN 'A' THEN 1.0 WHEN 'B' THEN 2.0 ELSE 0.5 END) AS wsum
+       |         FROM src GROUP BY cluster, status),
+       |wtot AS (SELECT cluster, sum(wsum) AS tot FROM wsum GROUP BY cluster),
+       |wrank AS (SELECT w.cluster, w.status, w.wsum, t.tot,
+       |          row_number() OVER (PARTITION BY w.cluster ORDER BY w.wsum DESC, w.status) AS rn
+       |          FROM wsum w JOIN wtot t ON w.cluster = t.cluster),
+       |trustp AS (SELECT cluster, status,
+       |           row_number() OVER (PARTITION BY cluster ORDER BY
+       |             CASE src WHEN 'A' THEN 0.5 WHEN 'B' THEN 0.9 ELSE 0.7 END DESC, src) AS rn
+       |           FROM src),
+       |hashp AS (SELECT cluster, status,
+       |          row_number() OVER (PARTITION BY cluster ORDER BY
+       |            md5(CAST(cluster AS VARCHAR) || '|' || status)) AS rn
+       |          FROM src)
+       |SELECT v.cluster, v.status,
+       |  round(CASE WHEN v.d = 1 THEN 1.0
+       |             WHEN v.w > v.s THEN 0.5 + CAST(v.w - v.s AS DOUBLE) / v.n * 0.5
+       |             ELSE 0.5 END, 5) AS confidence,
+       |  v.w > CAST(v.n AS DOUBLE) / 2.0 AS is_majority,
+       |  wr.status AS status_weighted,
+       |  round(wr.wsum / wr.tot, 5) AS conf_weighted,
+       |  tp.status AS status_trust,
+       |  hp.status AS status_hash
+       |FROM vote v
+       |JOIN wrank wr ON wr.cluster = v.cluster AND wr.rn = 1
+       |JOIN trustp tp ON tp.cluster = v.cluster AND tp.rn = 1
+       |JOIN hashp hp ON hp.cluster = v.cluster AND hp.rn = 1
+       |ORDER BY v.cluster""".stripMargin
+
+  // ---- string resolvers (#47) ----
+
+  def fuseStrings(s: SparkSession, dir: String): DataFrame =
+    Fusion.stringResolvers(sources(s, dir), "cluster", "prio").orderBy("cluster")
+
+  val fuseStringsOracle: String =
+    s"""WITH $sourcesSql,
+       |valid AS (SELECT cluster, prio FROM src WHERE prio IS NOT NULL),
+       |lo AS (SELECT cluster, prio, row_number() OVER (PARTITION BY cluster
+       |        ORDER BY length(prio) DESC, prio) AS rn FROM valid),
+       |sh AS (SELECT cluster, prio, row_number() OVER (PARTITION BY cluster
+       |        ORDER BY length(prio), prio) AS rn FROM valid),
+       |mc AS (SELECT cluster, prio, row_number() OVER (PARTITION BY cluster
+       |        ORDER BY length(regexp_replace(prio, '[ \\t\\n]', '', 'g')) DESC, prio) AS rn
+       |       FROM valid)
+       |SELECT lo.cluster, lo.prio AS longest, sh.prio AS shortest, mc.prio AS most_complete
+       |FROM lo JOIN sh ON sh.cluster = lo.cluster AND sh.rn = 1
+       |        JOIN mc ON mc.cluster = lo.cluster AND mc.rn = 1
+       |WHERE lo.rn = 1
+       |ORDER BY lo.cluster""".stripMargin
+
+  // ---- numeric resolvers (#48) ----
+
+  def fuseNumeric(s: SparkSession, dir: String): DataFrame =
+    Fusion.numericResolvers(sources(s, dir), "cluster", cents(col("price")))
+      .orderBy("cluster")
+
+  val fuseNumericOracle: String =
+    s"""WITH $sourcesSql,
+       |c AS (SELECT cluster, CAST(round(price * 100) AS BIGINT) AS cents FROM src
+       |      WHERE price IS NOT NULL)
+       |SELECT cluster,
+       |  round(CAST(sum(cents) AS DOUBLE) / 100.0 / count(*), 5) AS avg_value,
+       |  round(median(cents) / 100.0, 5) AS median_value,
+       |  round(max(cents) / 100.0, 5) AS max_value,
+       |  round(min(cents) / 100.0, 5) AS min_value,
+       |  round(CAST(sum(cents) AS DOUBLE) / 100.0, 5) AS sum_value
+       |FROM c GROUP BY cluster
+       |ORDER BY cluster""".stripMargin
+
+  // ---- date resolvers (#50) ----
+
+  def fuseDates(s: SparkSession, dir: String): DataFrame =
+    Fusion.dateResolvers(sources(s, dir), "cluster", col("odate")).orderBy("cluster")
+
+  val fuseDatesOracle: String =
+    s"""WITH $sourcesSql
+       |SELECT cluster, max(odate) AS most_recent, min(odate) AS earliest
+       |FROM src GROUP BY cluster
+       |ORDER BY cluster""".stripMargin
+
+  // ---- list resolvers (#49) ----
+
+  def fuseLists(s: SparkSession, dir: String): DataFrame =
+    Fusion.listResolvers(sources(s, dir), "cluster", split(col("prio"), "-"), 2)
+      .orderBy("cluster")
+
+  val fuseListsOracle: String =
+    s"""WITH $sourcesSql,
+       |valid AS (SELECT cluster, prio FROM src WHERE prio IS NOT NULL),
+       |nrec AS (SELECT cluster, count(*) AS nrec FROM valid GROUP BY cluster),
+       |tok AS (SELECT cluster, unnest(list_distinct(string_split(prio, '-'))) AS tok
+       |        FROM valid),
+       |cnts AS (SELECT cluster, tok, count(*) AS cnt FROM tok GROUP BY cluster, tok)
+       |SELECT c.cluster,
+       |  string_agg(c.tok, ',' ORDER BY c.tok) AS union_list,
+       |  coalesce(string_agg(c.tok, ',' ORDER BY c.tok)
+       |           FILTER (WHERE c.cnt = n.nrec), '') AS intersection_list,
+       |  coalesce(string_agg(c.tok, ',' ORDER BY c.tok)
+       |           FILTER (WHERE c.cnt >= 2), '') AS intersection_2_list
+       |FROM cnts c JOIN nrec n ON n.cluster = c.cluster
+       |GROUP BY c.cluster
+       |ORDER BY c.cluster""".stripMargin
+
+  // ---- engine (#51) ----
+
+  /** FusionEngine.run (engine.py:356): per-attribute strategy table —
+    * status→voting, price→average, odate→most_recent, prio→longest +
+    * favour_sources([C, A]) — one fused row per cluster with the record
+    * count as provenance.
+    */
+  def fuseEngine(s: SparkSession, dir: String): DataFrame = {
+    val src = sources(s, dir)
+    val v = Fusion.voting(src, "cluster", "status").select("cluster", "status")
+    val n = Fusion.numericResolvers(src, "cluster", cents(col("price")))
+      .select(col("cluster"), col("avg_value").as("price"))
+    val d = Fusion.dateResolvers(src, "cluster", col("odate"))
+      .select(col("cluster"), col("most_recent").as("odate"))
+    val st = Fusion.stringResolvers(src, "cluster", "prio")
+      .select(col("cluster"), col("longest").as("prio_longest"))
+    val fs = Fusion.favourSources(src, "cluster", "prio", "src", Seq("C", "A"))
+      .withColumnRenamed("prio", "prio_pref")
+    val cnt = src.groupBy("cluster").agg(count(lit(1)).as("n_records"))
+    v.join(n, "cluster").join(d, "cluster").join(st, "cluster")
+      .join(fs, "cluster").join(cnt, "cluster")
+      .orderBy("cluster")
+  }
+
+  val fuseEngineOracle: String =
+    s"""WITH $sourcesSql,
+       |counts AS (SELECT cluster, status, count(*) AS cnt FROM src GROUP BY cluster, status),
+       |vote AS (SELECT cluster, status FROM (
+       |  SELECT cluster, status,
+       |         row_number() OVER (PARTITION BY cluster ORDER BY cnt DESC, status) AS rn
+       |  FROM counts) WHERE rn = 1),
+       |num AS (SELECT cluster,
+       |          round(CAST(sum(CAST(round(price * 100) AS BIGINT)) AS DOUBLE) / 100.0
+       |                / count(*), 5) AS price
+       |        FROM src GROUP BY cluster),
+       |dt AS (SELECT cluster, max(odate) AS odate FROM src GROUP BY cluster),
+       |lo AS (SELECT cluster, prio AS prio_longest FROM (
+       |  SELECT cluster, prio, row_number() OVER (PARTITION BY cluster
+       |         ORDER BY length(prio) DESC, prio) AS rn
+       |  FROM src WHERE prio IS NOT NULL) WHERE rn = 1),
+       |fs AS (SELECT cluster, prio AS prio_pref FROM (
+       |  SELECT cluster, prio, row_number() OVER (PARTITION BY cluster
+       |         ORDER BY CASE src WHEN 'C' THEN 0 WHEN 'A' THEN 1 ELSE 2 END, src) AS rn
+       |  FROM src WHERE prio IS NOT NULL) WHERE rn = 1),
+       |cnt AS (SELECT cluster, count(*) AS n_records FROM src GROUP BY cluster)
+       |SELECT v.cluster, v.status, num.price, dt.odate, lo.prio_longest,
+       |       fs.prio_pref, cnt.n_records
+       |FROM vote v JOIN num USING (cluster) JOIN dt USING (cluster)
+       |     JOIN lo USING (cluster) JOIN fs USING (cluster) JOIN cnt USING (cluster)
+       |ORDER BY v.cluster""".stripMargin
+
+  // ---- evaluation + consistency (#52) ----
+
+  /** Fusion accuracy vs gold (= source A's values), per attribute. */
+  def fuseEval(s: SparkSession, dir: String): DataFrame = {
+    val fused = fuseEngine(s, dir)
+    val gold = sources(s, dir).filter(col("src") === "A")
+      .select(col("cluster"), col("status").as("g_status"), col("price").as("g_price"),
+        col("odate").as("g_odate"), col("prio").as("g_prio"))
+    fused.join(gold, "cluster")
+      .agg(
+        round(avg(when(col("status") === col("g_status"), 1.0).otherwise(0.0)), 5)
+          .as("acc_status"),
+        round(avg(when(col("price") === col("g_price"), 1.0).otherwise(0.0)), 5)
+          .as("acc_price"),
+        round(avg(when(col("odate") === col("g_odate"), 1.0).otherwise(0.0)), 5)
+          .as("acc_odate"),
+        round(avg(when(col("prio_pref") === col("g_prio"), 1.0).otherwise(0.0)), 5)
+          .as("acc_prio"),
+        count(lit(1)).as("n_clusters"))
+  }
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fuse_voting" -> (fuseVoting _),
+    "fuse_strings" -> (fuseStrings _),
+    "fuse_numeric" -> (fuseNumeric _),
+    "fuse_dates" -> (fuseDates _),
+    "fuse_lists" -> (fuseLists _),
+    "fuse_engine" -> (fuseEngine _),
+    "fuse_eval" -> (fuseEval _),
+    "fuse_consistency" -> (fuseConsistency _)
+  )
+
+  def fuseConsistency(s: SparkSession, dir: String): DataFrame =
+    Fusion.consistencyReport(sources(s, dir), "cluster",
+      Seq("status", "price", "odate", "prio"))
+
+  val fuseConsistencyOracle: String = {
+    def one(a: String) =
+      s"""SELECT '$a' AS attribute, count(*) AS n_clusters,
+         |  CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_conflicted,
+         |  round(CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |        / greatest(count(*), 1), 5) AS conflict_share
+         |FROM (SELECT cluster, count(DISTINCT $a) AS d FROM src GROUP BY cluster)""".stripMargin
+    s"""WITH $sourcesSql
+       |${Seq("status", "price", "odate", "prio").map(one).mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
+  def oracles: Map[String, String] = Map(
+    "fuse_voting" -> fuseVotingOracle,
+    "fuse_strings" -> fuseStringsOracle,
+    "fuse_numeric" -> fuseNumericOracle,
+    "fuse_dates" -> fuseDatesOracle,
+    "fuse_lists" -> fuseListsOracle,
+    "fuse_engine" -> fuseEngineOracle,
+    "fuse_eval" -> fuseEvalRealOracle,
+    "fuse_consistency" -> fuseConsistencyOracle
+  )
+
+  /** fuse_eval oracle: fused CTEs + gold compare, single metrics row. */
+  val fuseEvalRealOracle: String =
+    s"""WITH $sourcesSql,
+       |counts AS (SELECT cluster, status, count(*) AS cnt FROM src GROUP BY cluster, status),
+       |vote AS (SELECT cluster, status FROM (
+       |  SELECT cluster, status,
+       |         row_number() OVER (PARTITION BY cluster ORDER BY cnt DESC, status) AS rn
+       |  FROM counts) WHERE rn = 1),
+       |num AS (SELECT cluster,
+       |          round(CAST(sum(CAST(round(price * 100) AS BIGINT)) AS DOUBLE) / 100.0
+       |                / count(*), 5) AS price
+       |        FROM src GROUP BY cluster),
+       |dt AS (SELECT cluster, max(odate) AS odate FROM src GROUP BY cluster),
+       |fs AS (SELECT cluster, prio AS prio_pref FROM (
+       |  SELECT cluster, prio, row_number() OVER (PARTITION BY cluster
+       |         ORDER BY CASE src WHEN 'C' THEN 0 WHEN 'A' THEN 1 ELSE 2 END, src) AS rn
+       |  FROM src WHERE prio IS NOT NULL) WHERE rn = 1),
+       |gold AS (SELECT cluster, status AS g_status, price AS g_price,
+       |                odate AS g_odate, prio AS g_prio FROM src WHERE src = 'A')
+       |SELECT
+       |  round(avg(CASE WHEN v.status = g.g_status THEN 1.0 ELSE 0.0 END), 5) AS acc_status,
+       |  round(avg(CASE WHEN num.price = g.g_price THEN 1.0 ELSE 0.0 END), 5) AS acc_price,
+       |  round(avg(CASE WHEN dt.odate = g.g_odate THEN 1.0 ELSE 0.0 END), 5) AS acc_odate,
+       |  round(avg(CASE WHEN fs.prio_pref = g.g_prio THEN 1.0 ELSE 0.0 END), 5) AS acc_prio,
+       |  count(*) AS n_clusters
+       |FROM vote v JOIN num USING (cluster) JOIN dt USING (cluster)
+       |     JOIN fs USING (cluster) JOIN gold g USING (cluster)""".stripMargin
+}

@@ -1,0 +1,179 @@
+package graft.fusion
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Conflict-resolution + fusion engine — the Spark re-expression of
+  * PyDI/fusion (engine.py:248, conflict_resolution/{general,string,
+  * numeric,date,list}.py).
+  *
+  * The reference resolves each cluster in a Python loop over value lists;
+  * here every resolver is a distributed aggregation with ONE shuffle on
+  * the cluster id (or (cluster, value) for voting), all
+  * partial-aggregation friendly. Deterministic tie-breaks everywhere:
+  * the reference inherits pandas/dict insertion order on exact ties —
+  * we define (count desc, value asc) / (-len, value asc) etc., matching
+  * the reference's own sort keys where it has them
+  * (string.py:34,80,130).
+  */
+object Fusion {
+
+  /** First row per cluster under `order` → chosen value column(s). */
+  private def pickFirst(df: DataFrame, cluster: String, order: Seq[Column], keep: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(col(cluster)).orderBy(order: _*)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col(cluster) +: keep: _*)
+  }
+
+  /** voting (general.py:16): most frequent valid value; ties → value asc.
+    * Output: (cluster, value, confidence, is_majority) with the
+    * reference's tie confidence 0.5 + (win−second)/n·0.5.
+    */
+  def voting(df: DataFrame, cluster: String, value: String): DataFrame = {
+    val counts = df.filter(col(value).isNotNull)
+      .groupBy(col(cluster), col(value))
+      .agg(count(lit(1)).as("_cnt"))
+    val w = Window.partitionBy(col(cluster)).orderBy(col("_cnt").desc, col(value))
+    counts.withColumn("_rn", row_number().over(w))
+      .groupBy(col(cluster))
+      .agg(
+        max(when(col("_rn") === 1, col(value))).as(value),
+        max(when(col("_rn") === 1, col("_cnt"))).as("_w"),
+        max(when(col("_rn") === 2, col("_cnt"))).as("_s"),
+        sum(col("_cnt")).as("_n"),
+        count(lit(1)).as("_d"))
+      .select(
+        col(cluster), col(value),
+        round(when(col("_d") === 1, 1.0)
+          .when(col("_w") > col("_s"),
+            lit(0.5) + (col("_w") - col("_s")) / col("_n") * 0.5)
+          .otherwise(0.5), 5).as("confidence"),
+        (col("_w") > col("_n") / 2.0).as("is_majority"))
+  }
+
+  /** weighted_voting (general.py:154): per-value weight sums; winner by
+    * (weight desc, value asc); confidence = winner/total weight.
+    */
+  def weightedVoting(df: DataFrame, cluster: String, value: String, weight: Column): DataFrame = {
+    val sums = df.filter(col(value).isNotNull)
+      .groupBy(col(cluster), col(value))
+      .agg(sum(weight).as("_wsum"))
+    val tot = sums.groupBy(col(cluster)).agg(sum(col("_wsum")).as("_tot"))
+    pickFirst(sums.join(tot, cluster), cluster,
+      Seq(col("_wsum").desc, col(value)),
+      Seq(col(value), round(col("_wsum") / col("_tot"), 5).as("confidence")))
+  }
+
+  /** favour_sources (general.py:61): first valid value scanning sources
+    * in preference order.
+    */
+  def favourSources(df: DataFrame, cluster: String, value: String, source: String,
+      prefs: Seq[String]): DataFrame = {
+    val rank = prefs.zipWithIndex
+      .foldLeft(lit(prefs.size)) { case (acc, (s, i)) =>
+        when(col(source) === s, i).otherwise(acc)
+      }
+    pickFirst(df.filter(col(value).isNotNull), cluster,
+      Seq(rank.asc, col(source).asc), Seq(col(value)))
+  }
+
+  /** prefer_higher_trust (general.py:213): value from the most trusted
+    * source; ties → source asc (reference: first in input order).
+    */
+  def preferHigherTrust(df: DataFrame, cluster: String, value: String, source: String,
+      trust: Map[String, Double], defaultTrust: Double = 1.0): DataFrame = {
+    val t = trust.foldLeft(lit(defaultTrust)) { case (acc, (s, v)) =>
+      when(col(source) === s, v).otherwise(acc)
+    }
+    pickFirst(df.filter(col(value).isNotNull), cluster,
+      Seq(t.desc, col(source).asc), Seq(col(value)))
+  }
+
+  /** random_value (general.py:122) made deterministic and distributed:
+    * seeded hash-pick — the value minimizing md5(cluster‖value) — instead
+    * of Python's random.choice (which is seed-order dependent and cannot
+    * be reproduced by a SQL oracle).
+    */
+  def hashPick(df: DataFrame, cluster: String, value: String): DataFrame =
+    pickFirst(df.filter(col(value).isNotNull), cluster,
+      Seq(md5(concat_ws("|", col(cluster).cast("string"), col(value).cast("string"))).asc),
+      Seq(col(value)))
+
+  /** longest_string / shortest_string / most_complete (string.py:12,58,103)
+    * in one pass. most_complete counts non-whitespace characters.
+    */
+  def stringResolvers(df: DataFrame, cluster: String, value: String): DataFrame = {
+    val v = col(value)
+    val nonWs = length(regexp_replace(v, "[ \\t\\n]", ""))
+    df.filter(v.isNotNull)
+      .groupBy(col(cluster))
+      .agg(
+        min(struct((-length(v)).as("k"), v.as("v"))).as("_lo"),
+        min(struct(length(v).as("k"), v.as("v"))).as("_sh"),
+        min(struct((-nonWs).as("k"), v.as("v"))).as("_mc"))
+      .select(col(cluster),
+        col("_lo.v").as("longest"),
+        col("_sh.v").as("shortest"),
+        col("_mc.v").as("most_complete"))
+  }
+
+  /** average / median / maximum / minimum / sum (numeric.py) over an
+    * exact-cents column: integer sums are order-independent, so results
+    * hash-match the oracle at any parallelism (see Tables.cents).
+    */
+  def numericResolvers(df: DataFrame, cluster: String, cents: Column): DataFrame =
+    df.filter(cents.isNotNull)
+      .groupBy(col(cluster))
+      .agg(
+        round(sum(cents) / 100.0 / count(lit(1)), 5).as("avg_value"),
+        round(percentile(cents, lit(0.5)) / 100.0, 5).as("median_value"),
+        round(max(cents) / 100.0, 5).as("max_value"),
+        round(min(cents) / 100.0, 5).as("min_value"),
+        round(sum(cents) / 100.0, 5).as("sum_value"))
+
+  /** most_recent / earliest (date.py) → max / min date. */
+  def dateResolvers(df: DataFrame, cluster: String, date: Column): DataFrame =
+    df.filter(date.isNotNull)
+      .groupBy(col(cluster))
+      .agg(max(date).as("most_recent"), min(date).as("earliest"))
+
+  /** union / intersection / intersection_k_sources (list.py) over an
+    * array column. Emitted as comma-joined sorted strings (portable
+    * across engines). Intersection counts a token once per record.
+    */
+  def listResolvers(df: DataFrame, cluster: String, arr: Column, k: Int = 2): DataFrame = {
+    val valid = df.filter(arr.isNotNull)
+    val nRec = valid.groupBy(col(cluster)).agg(count(lit(1)).as("_nrec"))
+    val tokens = valid
+      .select(col(cluster), explode(array_distinct(arr)).as("_tok"))
+      .groupBy(col(cluster), col("_tok"))
+      .agg(count(lit(1)).as("_cnt"))
+    tokens.join(nRec, cluster)
+      .groupBy(col(cluster))
+      .agg(
+        array_join(array_sort(collect_list(col("_tok"))), ",").as("union_list"),
+        array_join(array_sort(collect_list(when(col("_cnt") === col("_nrec"), col("_tok")))), ",")
+          .as("intersection_list"),
+        array_join(array_sort(collect_list(when(col("_cnt") >= k, col("_tok")))), ",")
+          .as(s"intersection_${k}_list"))
+  }
+
+  /** Conflict share per attribute (fusion/analysis.py): fraction of
+    * clusters holding >1 distinct valid value for the attribute.
+    */
+  def consistencyReport(df: DataFrame, cluster: String, attrs: Seq[String]): DataFrame = {
+    val perAttr = attrs.map { a =>
+      df.groupBy(col(cluster))
+        .agg(count_distinct(col(a)).as("_d"))
+        .agg(
+          lit(a).as("attribute"),
+          count(lit(1)).as("n_clusters"),
+          sum(when(col("_d") > 1, 1L).otherwise(0L)).as("n_conflicted"))
+        .select(col("attribute"), col("n_clusters"), col("n_conflicted"),
+          round(col("n_conflicted") / greatest(col("n_clusters"), lit(1L)), 5).as("conflict_share"))
+    }
+    perAttr.reduce(_.unionByName(_))
+  }
+}
