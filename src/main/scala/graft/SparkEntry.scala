@@ -16,14 +16,16 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.all ++ graft.normalization.NormQueries.all ++
       graft.blocking.BlockQueries.all ++ graft.matching.MatchQueries.all ++
-      graft.clustering.ClusterQueries.all ++ graft.fusion.FuseQueries.all
+      graft.clustering.ClusterQueries.all ++ graft.fusion.FuseQueries.all ++
+      graft.dedup.DedupQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ graft.normalization.NormQueries.oracles ++
       graft.blocking.BlockQueries.oracles ++ graft.matching.MatchQueries.oracles ++
-      graft.clustering.ClusterQueries.oracles ++ graft.fusion.FuseQueries.oracles
+      graft.clustering.ClusterQueries.oracles ++ graft.fusion.FuseQueries.oracles ++
+      graft.dedup.DedupQueries.oracles
 }
 
 /** TPC-H-style analytic queries proving the relational core:

@@ -1,0 +1,139 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Dedup queries + DuckDB oracles (SURVEY §2.12 #53–56). The oracles
+  * replay the exact same md5-based pipelines in SQL, so results match
+  * bit-for-bit including any LSH banding effects.
+  */
+object DedupQueries {
+
+  /** Shared DuckDB CTEs: word arrays, distinct 3-shingle sets, inverted
+    * shingle index over `documents`.
+    */
+  val shinglePrelude: String =
+    """t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT doc_id,
+      |         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |                        for i in range(1, len(w) - 1)]) AS s
+      |       FROM t),
+      |inv AS (SELECT doc_id, unnest(s) AS shg FROM sh)""".stripMargin
+
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(documents(s, dir), "doc_id", "text").orderBy("doc_id")
+
+  val dedupExactOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |         sha256(array_to_string(list_sort(list_distinct(
+      |           string_split(lower(text), ' '))), ' ')) AS dg
+      |  FROM documents),
+      |g AS (SELECT dg, min(doc_id) AS dup_group, count(*) AS n_dups
+      |      FROM d GROUP BY dg)
+      |SELECT d.doc_id, g.dup_group, g.n_dups
+      |FROM d JOIN g USING (dg)
+      |ORDER BY doc_id""".stripMargin
+
+  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccard(documents(s, dir), "doc_id", "text", 3, 0.8)
+      .orderBy("id1", "id2")
+
+  val dedupNgramOracle: String =
+    s"""WITH $shinglePrelude,
+       |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+       |         FROM inv a JOIN inv b ON a.shg = b.shg AND a.doc_id < b.doc_id)
+       |SELECT * FROM (
+       |  SELECT id1, id2,
+       |    round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |          / len(list_distinct(a.s || b.s)), 5) AS jaccard
+       |  FROM cand JOIN sh a ON a.doc_id = id1 JOIN sh b ON b.doc_id = id2)
+       |WHERE jaccard >= 0.8
+       |ORDER BY id1, id2""".stripMargin
+
+  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLsh(documents(s, dir), "doc_id", "text",
+        n = 3, bands = 4, rows = 3, threshold = 0.8)
+      .orderBy("id1", "id2")
+
+  val dedupMinhashOracle: String = {
+    val hashes = (0 until 12)
+      .map(i => s"  min(substr(md5('$i#' || shg), 1, 8)) AS h$i")
+      .mkString(",\n")
+    val bandCols = (0 until 4)
+      .map(b => s"  h${b * 3} || ':' || h${b * 3 + 1} || ':' || h${b * 3 + 2} AS b$b")
+      .mkString(",\n")
+    val bandJoins = (0 until 4)
+      .map(b => s"  SELECT a.doc_id AS id1, b.doc_id AS id2 FROM banded a " +
+        s"JOIN banded b ON a.b$b = b.b$b AND a.doc_id < b.doc_id")
+      .mkString("\n  UNION\n")
+    s"""WITH $shinglePrelude,
+       |sigs AS (SELECT doc_id,
+       |$hashes
+       |FROM inv GROUP BY doc_id),
+       |banded AS (SELECT doc_id,
+       |$bandCols
+       |FROM sigs),
+       |cand AS (
+       |$bandJoins)
+       |SELECT * FROM (
+       |  SELECT id1, id2,
+       |    round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |          / len(list_distinct(a.s || b.s)), 5) AS jaccard
+       |  FROM cand JOIN sh a ON a.doc_id = id1 JOIN sh b ON b.doc_id = id2)
+       |WHERE jaccard >= 0.8
+       |ORDER BY id1, id2""".stripMargin
+  }
+
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(documents(s, dir), "doc_id", "text", maxHamming = 3)
+      .orderBy("id1", "id2")
+
+  val dedupSimhashOracle: String = {
+    val votes = (0 until 16)
+      .map(j => s"  sum(CASE WHEN substr(m, ${j + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS v$j")
+      .mkString(",\n")
+    val bits = (0 until 16)
+      .map(j => s"CASE WHEN v$j > 0 THEN '1' ELSE '0' END")
+      .mkString(" || ")
+    val ham = (0 until 16)
+      .map(j => s"CASE WHEN substr(a.simhash, ${j + 1}, 1) <> substr(b.simhash, ${j + 1}, 1) THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, md5(tok) AS m FROM (
+       |    SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS tok
+       |    FROM documents)),
+       |votes AS (SELECT doc_id,
+       |$votes
+       |FROM toks GROUP BY doc_id),
+       |sig AS (SELECT doc_id, $bits AS simhash FROM votes),
+       |halves AS (SELECT doc_id, simhash,
+       |           substr(simhash, 1, 8) AS b0, substr(simhash, 9, 8) AS b1 FROM sig),
+       |cand AS (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2, a.simhash AS s1, b.simhash AS s2
+       |  FROM halves a JOIN halves b ON a.b0 = b.b0 AND a.doc_id < b.doc_id
+       |  UNION
+       |  SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
+       |  FROM halves a JOIN halves b ON a.b1 = b.b1 AND a.doc_id < b.doc_id)
+       |SELECT * FROM (
+       |  SELECT id1, id2, ${ham.replace("a.simhash", "s1").replace("b.simhash", "s2")} AS hamming
+       |  FROM cand)
+       |WHERE hamming <= 3
+       |ORDER BY id1, id2""".stripMargin
+  }
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (dedupExact _),
+    "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "dedup_simhash" -> (dedupSimhash _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "dedup_exact" -> dedupExactOracle,
+    "dedup_ngram_jaccard" -> dedupNgramOracle,
+    "dedup_minhash_lsh" -> dedupMinhashOracle,
+    "dedup_simhash" -> dedupSimhashOracle
+  )
+}
