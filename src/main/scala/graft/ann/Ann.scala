@@ -1,0 +1,101 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search + near-dup (SURVEY §2.12 #57–59):
+  * brute-force cosine top-k as the correctness baseline, and
+  * random-hyperplane LSH bucketing as the scale path (bucket equi-join,
+  * never all-pairs).
+  *
+  * Determinism contract: dot products and norms are EXPLICIT left-
+  * associated 64-term sums (not aggregate HOFs), so Spark and the DuckDB
+  * oracle fold floats in the same order and produce bit-identical
+  * doubles. Hyperplane signs come from md5(plane‖'-'‖dim) — reproducible
+  * in any engine, no RNG state.
+  */
+object Ann {
+
+  /** Explicit dot product Σ a[i]·b[i], left-associated. */
+  def dot(a: Column, b: Column, dim: Int): Column =
+    (1 to dim).map(i => element_at(a, i) * element_at(b, i)).reduce(_ + _)
+
+  def norm(a: Column, dim: Int): Column = sqrt(dot(a, a, dim))
+
+  def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Hyperplane sign for (plane j, 1-based dim d): +1 iff the first md5
+    * hex digit of "j-d" is ≥ '8'.
+    */
+  def planeSign(j: Int, d: Int): Double =
+    if (md5hex(s"$j-$d").charAt(0) >= '8') 1.0 else -1.0
+
+  /** 8-bit (default) random-hyperplane bucket id as a '0'/'1' string. */
+  def lshBucket(v: Column, dim: Int, planes: Int = 8): Column =
+    concat((0 until planes).map { j =>
+      val dotJ = (1 to dim).map(d => element_at(v, d) * lit(planeSign(j, d))).reduce(_ + _)
+      when(dotJ > 0, "1").otherwise("0")
+    }: _*)
+
+  /** Corpus (id, vec) with attached norm column. */
+  private def withNorm(df: DataFrame, id: String, vec: String, dim: Int): DataFrame =
+    df.select(col(id).as("_id"), col(vec).as("_v"), norm(col(vec), dim).as("_n"))
+
+  /** Brute-force cosine top-k (#58): queries × corpus join — the O(nq·n)
+    * correctness baseline (broadcast the query side; corpus streams).
+    * Ranks order by (round(cos,7) desc, id asc).
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, id: String, vec: String,
+      dim: Int, k: Int): DataFrame = {
+    val q = withNorm(queries, id, vec, dim)
+      .select(col("_id").as("qid"), col("_v").as("_qv"), col("_n").as("_qn"))
+    val c = withNorm(corpus, id, vec, dim)
+    val cos = dot(col("_qv"), col("_v"), dim) / (col("_qn") * col("_n"))
+    val w = Window.partitionBy(col("qid")).orderBy(round(cos, 7).desc, col("_id"))
+    broadcast(q).join(c, col("qid") =!= col("_id"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("_id").as(id), round(cos, 5).as("cosine"), col("rank"))
+  }
+
+  /** LSH top-k (#59): identical contract to [[bruteForceTopK]] but
+    * candidates are restricted to the query's hyperplane bucket — an
+    * equi-join on the bucket id. Recall is tunable via plane count /
+    * multi-probing; the plan never materializes all pairs.
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, id: String, vec: String,
+      dim: Int, k: Int, planes: Int = 8): DataFrame = {
+    val q = withNorm(queries, id, vec, dim)
+      .select(col("_id").as("qid"), col("_v").as("_qv"), col("_n").as("_qn"),
+        lshBucket(col("_v"), dim, planes).as("_bk"))
+    val c = withNorm(corpus, id, vec, dim)
+      .withColumn("_bk", lshBucket(col("_v"), dim, planes))
+    val cos = dot(col("_qv"), col("_v"), dim) / (col("_qn") * col("_n"))
+    val w = Window.partitionBy(col("qid")).orderBy(round(cos, 7).desc, col("_id"))
+    q.join(c, Seq("_bk"))
+      .filter(col("qid") =!= col("_id"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("_id").as(id), round(cos, 5).as("cosine"), col("rank"))
+  }
+
+  /** Embedding-cosine near-dup pairs (#57): LSH bucket join over the
+    * corpus, verify round(cos,5) ≥ threshold within buckets.
+    */
+  def embeddingNearDup(corpus: DataFrame, id: String, vec: String, dim: Int,
+      threshold: Double, planes: Int = 8): DataFrame = {
+    val c = withNorm(corpus, id, vec, dim)
+      .withColumn("_bk", lshBucket(col("_v"), dim, planes))
+    val a = c.select(col("_id").as("id1"), col("_v").as("_va"), col("_n").as("_na"), col("_bk"))
+    val b = c.select(col("_id").as("id2"), col("_v").as("_vb"), col("_n").as("_nb"), col("_bk"))
+    val cos = round(dot(col("_va"), col("_vb"), dim) / (col("_na") * col("_nb")), 5)
+    a.join(b, "_bk")
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), cos.as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .distinct()
+  }
+}

@@ -1,0 +1,122 @@
+package graft.ann
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** ANN / embedding-dedup queries + DuckDB oracles (SURVEY §2.12 #57–59).
+  * The corpus is `embeddings` (unit vectors, dim 64) plus, for the
+  * near-dup query, a deterministic perturbed copy of every vector
+  * (id + 100000, first component +0.2 → cosine ≈ 0.98 to its original) —
+  * planted near-duplicates both engines can construct identically.
+  */
+object AnnQueries {
+  val Dim = 64
+  val POffset = 100000L
+
+  private def orig(s: SparkSession, dir: String): DataFrame =
+    embeddings(s, dir).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+
+  private def perturbed(s: SparkSession, dir: String): DataFrame =
+    orig(s, dir).select(
+      (col("vec_id") + POffset).as("vec_id"),
+      concat(array(element_at(col("v"), 1) + 0.2), slice(col("v"), 2, Dim - 1)).as("v"))
+
+  // ---- SQL generators mirroring Ann's explicit-sum expressions ----
+
+  private def dotSql(a: String, b: String): String =
+    (1 to Dim).map(i => s"$a[$i]*$b[$i]").mkString(" + ")
+
+  private def normSql(v: String): String = s"sqrt(${dotSql(v, v)})"
+
+  private def bucketSql(v: String): String =
+    (0 until 8).map { j =>
+      val terms = (1 to Dim).map(d => s"$v[$d]*${Ann.planeSign(j, d)}").mkString(" + ")
+      s"CASE WHEN $terms > 0 THEN '1' ELSE '0' END"
+    }.mkString(" || ")
+
+  /** orig + perturbed corpus CTEs (DuckDB). */
+  private val corpusSql: String =
+    s"""o AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |p AS (SELECT vec_id + $POffset AS vec_id, [v[1] + 0.2] || v[2:] AS v FROM o),
+       |corpus AS (SELECT * FROM o UNION ALL SELECT * FROM p)""".stripMargin
+
+  // ---- #57 embedding near-dup ----
+
+  def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
+    Ann.embeddingNearDup(orig(s, dir).unionByName(perturbed(s, dir)),
+        "vec_id", "v", Dim, 0.97)
+      .orderBy("id1", "id2")
+
+  val dedupEmbeddingOracle: String =
+    s"""WITH $corpusSql,
+       |c AS (SELECT vec_id, v, ${normSql("v")} AS n, ${bucketSql("v")} AS bk FROM corpus),
+       |pairs AS (
+       |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+       |         round((${dotSql("a.v", "b.v")}) / (a.n * b.n), 5) AS cosine
+       |  FROM c a JOIN c b ON a.bk = b.bk AND a.vec_id < b.vec_id)
+       |SELECT DISTINCT id1, id2, cosine FROM pairs
+       |WHERE cosine >= 0.97
+       |ORDER BY id1, id2""".stripMargin
+
+  // ---- #58 brute-force top-k ----
+
+  def annBruteforce(s: SparkSession, dir: String): DataFrame = {
+    val c = orig(s, dir)
+    Ann.bruteForceTopK(c.filter(col("vec_id") < 10), c, "vec_id", "v", Dim, k = 5)
+      .orderBy("qid", "rank")
+  }
+
+  val annBruteforceOracle: String =
+    s"""WITH o AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |c AS (SELECT vec_id, v, ${normSql("v")} AS n FROM o),
+       |q AS (SELECT vec_id AS qid, v AS qv, n AS qn FROM c WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT q.qid, c.vec_id,
+       |         round((${dotSql("q.qv", "c.v")}) / (q.qn * c.n), 7) AS cos7,
+       |         round((${dotSql("q.qv", "c.v")}) / (q.qn * c.n), 5) AS cosine
+       |  FROM q JOIN c ON c.vec_id <> q.qid),
+       |ranked AS (SELECT qid, vec_id, cosine,
+       |           row_number() OVER (PARTITION BY qid ORDER BY cos7 DESC, vec_id) AS rank
+       |           FROM scored)
+       |SELECT qid, vec_id, cosine, CAST(rank AS INT) AS rank FROM ranked
+       |WHERE rank <= 5
+       |ORDER BY qid, rank""".stripMargin
+
+  // ---- #59 LSH top-k ----
+
+  def annLsh(s: SparkSession, dir: String): DataFrame = {
+    val c = orig(s, dir)
+    Ann.lshTopK(c.filter(col("vec_id") < 10), c, "vec_id", "v", Dim, k = 5)
+      .orderBy("qid", "rank")
+  }
+
+  val annLshOracle: String =
+    s"""WITH o AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |c AS (SELECT vec_id, v, ${normSql("v")} AS n, ${bucketSql("v")} AS bk FROM o),
+       |q AS (SELECT vec_id AS qid, v AS qv, n AS qn, bk FROM c WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT q.qid, c.vec_id,
+       |         round((${dotSql("q.qv", "c.v")}) / (q.qn * c.n), 7) AS cos7,
+       |         round((${dotSql("q.qv", "c.v")}) / (q.qn * c.n), 5) AS cosine
+       |  FROM q JOIN c ON c.bk = q.bk AND c.vec_id <> q.qid),
+       |ranked AS (SELECT qid, vec_id, cosine,
+       |           row_number() OVER (PARTITION BY qid ORDER BY cos7 DESC, vec_id) AS rank
+       |           FROM scored)
+       |SELECT qid, vec_id, cosine, CAST(rank AS INT) AS rank FROM ranked
+       |WHERE rank <= 5
+       |ORDER BY qid, rank""".stripMargin
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_embedding" -> (dedupEmbedding _),
+    "ann_bruteforce" -> (annBruteforce _),
+    "ann_lsh" -> (annLsh _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "dedup_embedding" -> dedupEmbeddingOracle,
+    "ann_bruteforce" -> annBruteforceOracle,
+    "ann_lsh" -> annLshOracle
+  )
+}
