@@ -17,7 +17,8 @@ object SparkEntry {
     CoreQueries.all ++ graft.normalization.NormQueries.all ++
       graft.blocking.BlockQueries.all ++ graft.matching.MatchQueries.all ++
       graft.clustering.ClusterQueries.all ++ graft.fusion.FuseQueries.all ++
-      graft.dedup.DedupQueries.all ++ graft.ann.AnnQueries.all
+      graft.dedup.DedupQueries.all ++ graft.ann.AnnQueries.all ++
+      graft.text.TextQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -25,7 +26,8 @@ object SparkEntry {
     CoreQueries.oracles ++ graft.normalization.NormQueries.oracles ++
       graft.blocking.BlockQueries.oracles ++ graft.matching.MatchQueries.oracles ++
       graft.clustering.ClusterQueries.oracles ++ graft.fusion.FuseQueries.oracles ++
-      graft.dedup.DedupQueries.oracles ++ graft.ann.AnnQueries.oracles
+      graft.dedup.DedupQueries.oracles ++ graft.ann.AnnQueries.oracles ++
+      graft.text.TextQueries.oracles
 }
 
 /** TPC-H-style analytic queries proving the relational core:
