@@ -18,7 +18,8 @@ object SparkEntry {
       graft.blocking.BlockQueries.all ++ graft.matching.MatchQueries.all ++
       graft.clustering.ClusterQueries.all ++ graft.fusion.FuseQueries.all ++
       graft.dedup.DedupQueries.all ++ graft.ann.AnnQueries.all ++
-      graft.text.TextQueries.all
+      graft.text.TextQueries.all ++ graft.io.IoQueries.all ++
+      graft.profiling.ProfileQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -27,7 +28,8 @@ object SparkEntry {
       graft.blocking.BlockQueries.oracles ++ graft.matching.MatchQueries.oracles ++
       graft.clustering.ClusterQueries.oracles ++ graft.fusion.FuseQueries.oracles ++
       graft.dedup.DedupQueries.oracles ++ graft.ann.AnnQueries.oracles ++
-      graft.text.TextQueries.oracles
+      graft.text.TextQueries.oracles ++ graft.io.IoQueries.oracles ++
+      graft.profiling.ProfileQueries.oracles
 }
 
 /** TPC-H-style analytic queries proving the relational core:

@@ -1,0 +1,81 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** IO / provenance queries + DuckDB oracles (SURVEY §2.1). */
+object IoQueries {
+
+  /** Extension-dispatch load of the customer parquet. */
+  def ioLoadParquet(s: SparkSession, dir: String): DataFrame =
+    Loaders.load(s, s"$dir/customer.parquet")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+
+  val ioLoadParquetOracle: String =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer ORDER BY c_custkey""".stripMargin
+
+  /** Provenance load: key-derived unique id + dataset/source columns. */
+  def ioProvenance(s: SparkSession, dir: String): DataFrame =
+    Loaders.withProvenance(
+        customer(s, dir).select("c_custkey", "c_name", "c_acctbal"),
+        "customer", "c_custkey", "customer.parquet")
+      .orderBy("c_custkey")
+
+  val ioProvenanceOracle: String =
+    """SELECT 'customer-' || lpad(CAST(c_custkey AS VARCHAR), 9, '0') AS customer_id,
+      |       c_custkey, c_name, c_acctbal,
+      |       'customer' AS __dataset_name,
+      |       'customer.parquet' AS __source_path
+      |FROM customer
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Nested-record flatten: build a nested struct view of customer, then
+    * flatten back to `parent_child` columns.
+    */
+  def ioFlatten(s: SparkSession, dir: String): DataFrame = {
+    val nested = customer(s, dir).select(
+      col("c_custkey").as("id"),
+      struct(
+        col("c_name").as("name"),
+        struct(col("c_mktsegment").as("segment"), col("c_nationkey").as("nation")).as("market"))
+        .as("profile"),
+      col("c_acctbal").as("balance"))
+    Loaders.flatten(nested).orderBy("id")
+  }
+
+  val ioFlattenOracle: String =
+    """SELECT c_custkey AS id, c_name AS profile_name,
+      |       c_mktsegment AS profile_market_segment,
+      |       c_nationkey AS profile_market_nation,
+      |       c_acctbal AS balance
+      |FROM customer
+      |ORDER BY id""".stripMargin
+
+  /** Delimited-column explode over part names. */
+  def ioExplodeDelim(s: SparkSession, dir: String): DataFrame =
+    Loaders.explodeDelimited(
+        part(s, dir).select(col("p_partkey"), col("p_name")), "p_name", " ", "word")
+      .select("p_partkey", "word")
+      .orderBy("p_partkey", "word")
+
+  val ioExplodeDelimOracle: String =
+    """SELECT p_partkey, trim(unnest(string_split(p_name, ' '))) AS word
+      |FROM part
+      |ORDER BY p_partkey, word""".stripMargin
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "io_load_parquet" -> (ioLoadParquet _),
+    "io_provenance" -> (ioProvenance _),
+    "io_flatten" -> (ioFlatten _),
+    "io_explode_delim" -> (ioExplodeDelim _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "io_load_parquet" -> ioLoadParquetOracle,
+    "io_provenance" -> ioProvenanceOracle,
+    "io_flatten" -> ioFlattenOracle,
+    "io_explode_delim" -> ioExplodeDelimOracle
+  )
+}

@@ -1,0 +1,64 @@
+package graft.io
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, StructType}
+
+/** IO + provenance — the Spark re-expression of PyDI/io/loaders.py.
+  *
+  * Key deviation, by design: the reference injects `{prefix}-{i:04d}`
+  * ids from the pandas ROW POSITION (loaders.py:165-170). Row position
+  * is not stable in a distributed engine (partition order, retries), so
+  * [[withProvenance]] derives the id from a caller-named KEY COLUMN —
+  * deterministic under any parallelism — with the same
+  * `{prefix}-{zero-padded}` shape.
+  */
+object Loaders {
+
+  /** load_table dispatch (loaders.py:238 load_with_provenance readers):
+    * format by extension — csv / parquet / json.
+    */
+  def load(spark: SparkSession, path: String): DataFrame =
+    path.split('.').last.toLowerCase match {
+      case "csv"     => spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+      case "json"    => spark.read.json(path)
+      case "parquet" => spark.read.parquet(path)
+      case other     => throw new IllegalArgumentException(s"unsupported extension: $other")
+    }
+
+  /** load_with_provenance (loaders.py:238): unique id column
+    * `{dataset}_id` valued `{dataset}-{key zero-padded to ≥4}` plus the
+    * minimal provenance columns `__dataset_name` / `__source_path`.
+    */
+  def withProvenance(df: DataFrame, datasetName: String, keyCol: String,
+      sourcePath: String, pad: Int = 9): DataFrame = {
+    val id = concat_ws("-", lit(datasetName), lpad(col(keyCol).cast("string"), pad, "0"))
+    df.select(
+      (id.as(s"${datasetName}_id") +:
+        df.columns.map(c => col(c)) :+
+        lit(datasetName).as("__dataset_name") :+
+        lit(sourcePath).as("__source_path")): _*)
+  }
+
+  /** Recursive schema flatten (the Spark analogue of load_xml's nested-
+    * record flattening): struct fields become `parent_child` columns,
+    * arrays are left in place (explode is a separate, size-changing op).
+    */
+  def flatten(df: DataFrame): DataFrame = {
+    def cols(schema: StructType, prefix: Seq[String]): Seq[Column] =
+      schema.fields.toSeq.flatMap { f =>
+        val path = prefix :+ f.name
+        f.dataType match {
+          case s: StructType => cols(s, path)
+          case _ => Seq(col(path.map(p => s"`$p`").mkString(".")).as(path.mkString("_")))
+        }
+      }
+    df.select(cols(df.schema, Nil): _*)
+  }
+
+  /** _explode_delimited_column (loaders.py): one row per delimited item;
+    * items are trimmed.
+    */
+  def explodeDelimited(df: DataFrame, column: String, sep: String, as: String): DataFrame =
+    df.withColumn(as, explode(transform(split(col(column), sep), x => trim(x))))
+}

@@ -1,0 +1,56 @@
+package graft.profiling
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Column profiling — the Spark re-expression of
+  * PyDI/profiling/profiler.py (whose `summary` computes per-column
+  * counts/nulls/distincts on one node; the HTML report wrappers around
+  * ydata-profiling are out of scope — the statistics are the operator).
+  *
+  * profile(): ONE aggregation pass computes every metric for every
+  * column (no per-column jobs), then unpivots to long form. Values are
+  * profiled as strings so one schema covers heterogeneous columns.
+  */
+object Profiler {
+
+  def profile(df: DataFrame): DataFrame = {
+    val metrics = df.columns.toSeq.flatMap { c =>
+      val sc = col(c).cast("string")
+      Seq(
+        count(lit(1)).as(s"__n_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
+        count_distinct(col(c)).as(s"__dist_$c"),
+        min(sc).as(s"__min_$c"),
+        max(sc).as(s"__max_$c"))
+    }
+    val agg = df.agg(metrics.head, metrics.tail: _*)
+    val stacked = df.columns.toSeq.map { c =>
+      agg.select(
+        lit(c).as("column_name"),
+        col(s"__n_$c").as("n_rows"),
+        col(s"__nulls_$c").as("n_nulls"),
+        col(s"__dist_$c").as("n_distinct"),
+        col(s"__min_$c").as("min_value"),
+        col(s"__max_$c").as("max_value"))
+    }
+    stacked.reduce(_.unionByName(_))
+  }
+
+  /** Top-k most frequent values per listed column (long form); ties on
+    * count break by value asc.
+    */
+  def topK(df: DataFrame, columns: Seq[String], k: Int): DataFrame = {
+    val perCol = columns.map { c =>
+      val counts = df.filter(col(c).isNotNull)
+        .groupBy(col(c).cast("string").as("value"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy(col("cnt").desc, col("value"))
+      counts.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= k)
+        .select(lit(c).as("column_name"), col("value"), col("cnt"), col("rnk").cast("long").as("rnk"))
+    }
+    perCol.reduce(_.unionByName(_))
+  }
+}
