@@ -38,18 +38,22 @@ object SimImpl {
       i += 1
     }
     if (matches == 0) return 0.0
-    var t = 0; var k = 0
+    var mismatches = 0; var k = 0
     i = 0
     while (i < l1) {
       if (m1(i)) {
         while (!m2(k)) k += 1
-        if (s1.charAt(i) != s2.charAt(k)) t += 1
+        if (s1.charAt(i) != s2.charAt(k)) mismatches += 1
         k += 1
       }
       i += 1
     }
+    // Transpositions = mismatched match positions / 2, TRUNCATED —
+    // matches DuckDB's jaro (the correctness oracle); implementations
+    // that keep the 0.5 fraction differ on odd mismatch counts.
+    val t = mismatches / 2
     val m = matches.toDouble
-    (m / l1 + m / l2 + (m - t / 2.0) / m) / 3.0
+    (m / l1 + m / l2 + (m - t) / m) / 3.0
   }
 
   /** Jaro–Winkler with p=0.1, prefix ≤ 4, boost threshold 0.7. */
