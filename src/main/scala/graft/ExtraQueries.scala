@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.blocking.{Blockers, EmScenario}
+import graft.functions.sims
+import graft.matching.MlMatcher
+import graft.multimodal.Multimodal
+import graft.streaming.Streams
+
+/** ML matching, multimodal, and streaming queries (SURVEY §2.9 #36–37,
+  * §2.12 #64–65). match_ml is rows-only checked (LR coefficients are not
+  * SQL-expressible); its quality is asserted against gold in MlSpec.
+  */
+object ExtraQueries {
+
+  /** MLBasedMatcher: LR on 4 comparator features over standard-blocked
+    * candidates, labels from the scenario gold; scores every candidate.
+    */
+  def matchMl(s: SparkSession, dir: String): DataFrame = {
+    val l = EmScenario.custL(s, dir)
+    val r = EmScenario.custR(s, dir)
+    val cands = Blockers.standard(l, r, Seq("seg", "nat"), "id")
+    val features = Seq(
+      "f_jw" -> sims.jaroWinkler(col("l_name"), col("r_name")),
+      "f_lev" -> sims.levenshteinSim(col("l_name"), col("r_name")),
+      "f_bal" -> sims.numericAbsSim(col("l_bal"), col("r_bal"), 1000.0),
+      "f_seg" -> sims.exactSim(col("l_seg"), col("r_seg")))
+    val labeled = MlMatcher.labeledFeatures(cands, l, r, "id", features, EmScenario.gold(s, dir))
+    MlMatcher.fitPredict(labeled, features.map(_._1))
+      .filter(col("prediction") === 1)
+      .select("id1", "id2", "prediction")
+      .orderBy("id1", "id2")
+  }
+
+  /** Multimodal: binary payload + typed metadata through the batched
+    * feature-extraction kernel (deterministic fake digest).
+    */
+  def mmBinaryMeta(s: SparkSession, dir: String): DataFrame =
+    Multimodal.extractFeatures(
+        Multimodal.syntheticMedia(customer(s, dir), "c_custkey", "c_name"))
+      .toDF()
+      .orderBy("id")
+
+  val mmBinaryMetaOracle: String =
+    """SELECT c_custkey AS id, 'image' AS kind,
+      |  CAST(c_custkey % 64 + 16 AS INT) AS width,
+      |  CAST(c_custkey % 48 + 12 AS INT) AS height,
+      |  CAST(length(c_name) AS BIGINT) AS n_bytes,
+      |  md5(c_name) AS digest
+      |FROM customer
+      |ORDER BY id""".stripMargin
+
+  /** Streaming windowed agg, batch semantics (the stream ≡ batch
+    * equivalence is proven in StreamSpec via an AvailableNow run).
+    */
+  def streamWindowAgg(s: SparkSession, dir: String): DataFrame =
+    Streams.windowAgg(events(s, dir)).orderBy("window_start", "event_type")
+
+  val streamWindowAggOracle: String =
+    """SELECT date_trunc('hour', ts) AS window_start,
+      |       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+      |       event_type,
+      |       count(*) AS n_events,
+      |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+      |FROM events
+      |GROUP BY 1, 2, 3
+      |ORDER BY window_start, event_type""".stripMargin
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "match_ml" -> (matchMl _),
+    "mm_binary_meta" -> (mmBinaryMeta _),
+    "stream_window_agg" -> (streamWindowAgg _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "mm_binary_meta" -> mmBinaryMetaOracle,
+    "stream_window_agg" -> streamWindowAggOracle
+  )
+}

@@ -19,7 +19,8 @@ object SparkEntry {
       graft.clustering.ClusterQueries.all ++ graft.fusion.FuseQueries.all ++
       graft.dedup.DedupQueries.all ++ graft.ann.AnnQueries.all ++
       graft.text.TextQueries.all ++ graft.io.IoQueries.all ++
-      graft.profiling.ProfileQueries.all ++ graft.schema.SchemaQueries.all
+      graft.profiling.ProfileQueries.all ++ graft.schema.SchemaQueries.all ++
+      ExtraQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -29,7 +30,8 @@ object SparkEntry {
       graft.clustering.ClusterQueries.oracles ++ graft.fusion.FuseQueries.oracles ++
       graft.dedup.DedupQueries.oracles ++ graft.ann.AnnQueries.oracles ++
       graft.text.TextQueries.oracles ++ graft.io.IoQueries.oracles ++
-      graft.profiling.ProfileQueries.oracles ++ graft.schema.SchemaQueries.oracles
+      graft.profiling.ProfileQueries.oracles ++ graft.schema.SchemaQueries.oracles ++
+      ExtraQueries.oracles
 }
 
 /** TPC-H-style analytic queries proving the relational core:

@@ -1,0 +1,48 @@
+package graft.matching
+
+import org.apache.spark.ml.classification.LogisticRegression
+import org.apache.spark.ml.feature.VectorAssembler
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** MLBasedMatcher — the Spark re-expression of
+  * PyDI/entitymatching/ml_based.py:21 (sklearn on comparator features):
+  * comparator columns → VectorAssembler → spark.ml LogisticRegression,
+  * trained on labeled candidate pairs and scored distributed. This also
+  * covers feature_extraction.py (the assembler stage, SURVEY §2.9 #37).
+  */
+object MlMatcher {
+
+  /** Attach comparator feature columns and a 0/1 label from gold. */
+  def labeledFeatures(candidates: DataFrame, left: DataFrame, right: DataFrame,
+      idCol: String, features: Seq[(String, Column)], gold: DataFrame): DataFrame = {
+    val attached = Matching.attachRecords(candidates, left, right, idCol)
+    val withF = features.foldLeft(attached) { case (d, (name, c)) => d.withColumn(name, c) }
+    withF.join(gold.select(col("id1"), col("id2"), lit(1.0).as("label")),
+        Seq("id1", "id2"), "left")
+      .na.fill(0.0, Seq("label"))
+      .select(Seq(col("id1"), col("id2"), col("label")) ++ features.map(f => col(f._1)): _*)
+  }
+
+  /** Train LR on the labeled pairs and score them: returns
+    * (id1, id2, probability, prediction). The reference trains sklearn
+    * on a driver-side frame; here training data and scoring are both
+    * distributed (LBFGS aggregates gradients like any Spark agg).
+    */
+  def fitPredict(labeled: DataFrame, featureCols: Seq[String]): DataFrame = {
+    val assembler = new VectorAssembler()
+      .setInputCols(featureCols.toArray).setOutputCol("features")
+    val vec = assembler.transform(labeled)
+    val lr = new LogisticRegression()
+      .setMaxIter(25).setRegParam(0.01).setStandardization(true)
+      .setLabelCol("label").setFeaturesCol("features")
+    val model = lr.fit(vec)
+    model.transform(vec)
+      .select(col("id1"), col("id2"),
+        round(element_at(vector_to_array(col("probability")), 2), 5).as("match_prob"),
+        col("prediction").cast("long").as("prediction"))
+  }
+
+  private def vector_to_array(c: Column): Column =
+    org.apache.spark.ml.functions.vector_to_array(c)
+}

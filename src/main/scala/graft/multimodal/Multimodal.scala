@@ -1,0 +1,59 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal record with an opaque binary payload + typed metadata —
+  * the schema pattern for image/audio/video columns at 100 TB: payload
+  * stays a parquet `binary`, metadata is a first-class struct the
+  * optimizer can prune/filter on without touching bytes.
+  */
+case class MediaRecord(id: Long, kind: String, width: Int, height: Int, media: Array[Byte])
+
+/** Extracted per-media features (deterministic fake kernel — see below). */
+case class MediaFeature(id: Long, kind: String, width: Int, height: Int,
+    n_bytes: Long, digest: String)
+
+/** Multimodal column handling (SURVEY §2.12 #64). The Spark-side
+  * plumbing is real: typed binary Dataset, partition-batched kernel
+  * calls (the shape a native decoder / GPU feature extractor needs),
+  * metadata carried alongside. The decode kernel itself is a
+  * deterministic fake (md5 of the payload) because no image/audio codecs
+  * exist in this container — swap `decodeBatch` for the real library
+  * call; the batching, schema, and distribution do not change.
+  */
+object Multimodal {
+
+  /** Batched "decode": processes fixed-size batches per partition so a
+    * real kernel could amortize model/codec setup per batch (the
+    * mapInPandas batch shape, in Scala).
+    */
+  def extractFeatures(records: Dataset[MediaRecord], batchSize: Int = 64): Dataset[MediaFeature] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(decodeBatch)
+    }
+  }
+
+  /** STUB KERNEL: deterministic md5 digest instead of a real decoder. */
+  private def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeature] =
+    batch.map { r =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val digest = md.digest(r.media).map("%02x".format(_)).mkString
+      MediaFeature(r.id, r.kind, r.width, r.height, r.media.length.toLong, digest)
+    }
+
+  /** Build a media table from any (id, payload-string) source — payload
+    * bytes are the UTF-8 of the string; metadata derived arithmetically.
+    */
+  def syntheticMedia(df: DataFrame, id: String, payload: String): Dataset[MediaRecord] = {
+    import df.sparkSession.implicits._
+    df.select(
+        col(id).cast("long").as("id"),
+        lit("image").as("kind"),
+        (col(id) % 64 + 16).cast("int").as("width"),
+        (col(id) % 48 + 12).cast("int").as("height"),
+        col(payload).cast("binary").as("media"))
+      .as[MediaRecord]
+  }
+}

@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.blocking.EmScenario
+import graft.matching.Matching
+import graft.streaming.Streams
+
+class MlStreamSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("ML matcher separates gold pairs from noise (rows-only query, quality gated here)") {
+    val pred = ExtraQueries.matchMl(spark, sf)
+    val m = Matching.evaluate(pred, EmScenario.gold(spark, sf)).collect()(0)
+    assert(m.getAs[Double]("recall") >= 0.99, s"recall too low: $m")
+    assert(m.getAs[Double]("precision") >= 0.99, s"precision too low: $m")
+  }
+
+  test("streaming windowed agg equals the batch query (AvailableNow run)") {
+    val batch = ExtraQueries.streamWindowAgg(spark, sf)
+    val stream = Streams.runStreamToBatch(spark, sf, "stream_spec_sink")
+      .orderBy("window_start", "event_type")
+    val b = batch.collect().map(_.toSeq)
+    val st = stream.collect().map(_.toSeq)
+    assert(b.length == st.length && b.length > 0)
+    assert(b.zip(st).forall { case (x, y) => x == y })
+  }
+
+  test("multimodal feature extraction: digest matches driver-side md5") {
+    val rows = ExtraQueries.mmBinaryMeta(spark, sf).limit(3).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[String]("digest").length == 32)
+      assert(r.getAs[Long]("n_bytes") > 0)
+    }
+  }
+}
