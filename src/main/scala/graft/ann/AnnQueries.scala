@@ -108,15 +108,44 @@ object AnnQueries {
        |WHERE rank <= 5
        |ORDER BY qid, rank""".stripMargin
 
+  // ---- SURVEY §2.7 #31: EmbeddingBlocker ----
+
+  /** EmbeddingBlocker (blocking/embedding.py:21, FAISS top-k): candidate
+    * pairs = LSH-bucket join between left (originals) and right
+    * (perturbed copies), top-3 right per left by cosine within bucket —
+    * the distributed stand-in for a shared ANN index.
+    */
+  def blockEmbedding(s: SparkSession, dir: String): DataFrame =
+    Ann.lshTopK(orig(s, dir), perturbed(s, dir), "vec_id", "v", Dim, k = 3)
+      .select(col("qid").as("id1"), col("vec_id").as("id2"), col("rank"))
+      .orderBy("id1", "rank")
+
+  val blockEmbeddingOracle: String =
+    s"""WITH $corpusSql,
+       |cl AS (SELECT vec_id, v, ${normSql("v")} AS n, ${bucketSql("v")} AS bk FROM o),
+       |cr AS (SELECT vec_id, v, ${normSql("v")} AS n, ${bucketSql("v")} AS bk FROM p),
+       |scored AS (
+       |  SELECT cl.vec_id AS id1, cr.vec_id AS id2,
+       |         round((${dotSql("cl.v", "cr.v")}) / (cl.n * cr.n), 7) AS cos7
+       |  FROM cl JOIN cr ON cl.bk = cr.bk AND cl.vec_id <> cr.vec_id),
+       |ranked AS (SELECT id1, id2,
+       |           row_number() OVER (PARTITION BY id1 ORDER BY cos7 DESC, id2) AS rank
+       |           FROM scored)
+       |SELECT id1, id2, CAST(rank AS INT) AS rank FROM ranked
+       |WHERE rank <= 3
+       |ORDER BY id1, rank""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_embedding" -> (dedupEmbedding _),
     "ann_bruteforce" -> (annBruteforce _),
-    "ann_lsh" -> (annLsh _)
+    "ann_lsh" -> (annLsh _),
+    "block_embedding" -> (blockEmbedding _)
   )
 
   def oracles: Map[String, String] = Map(
     "dedup_embedding" -> dedupEmbeddingOracle,
     "ann_bruteforce" -> annBruteforceOracle,
-    "ann_lsh" -> annLshOracle
+    "ann_lsh" -> annLshOracle,
+    "block_embedding" -> blockEmbeddingOracle
   )
 }

@@ -147,6 +147,110 @@ object SimImpl {
     best.toDouble
   }
 
+  /** Needleman–Wunsch global alignment similarity (match 1, mismatch −1,
+    * gap −1), min-max normalized to [0,1]: (score + maxLen) / (2·maxLen).
+    * Reference: PyDI/utils/similarity_registry.py (textdistance NW).
+    */
+  def needlemanWunsch(s1: String, s2: String): Double = {
+    val l1 = s1.length; val l2 = s2.length
+    val mx = math.max(l1, l2)
+    if (mx == 0) return 1.0
+    var prev = Array.tabulate(l2 + 1)(-_)
+    val cur = new Array[Int](l2 + 1)
+    var i = 1
+    while (i <= l1) {
+      cur(0) = -i
+      var j = 1
+      while (j <= l2) {
+        val m = if (s1.charAt(i - 1) == s2.charAt(j - 1)) 1 else -1
+        cur(j) = math.max(prev(j - 1) + m, math.max(prev(j) - 1, cur(j - 1) - 1))
+        j += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, l2 + 1)
+      i += 1
+    }
+    (prev(l2).toDouble + mx) / (2.0 * mx)
+  }
+
+  /** Smith–Waterman local alignment similarity (match 1, mismatch −1,
+    * gap −1), normalized by min length.
+    */
+  def smithWaterman(s1: String, s2: String): Double = {
+    val l1 = s1.length; val l2 = s2.length
+    if (l1 == 0 && l2 == 0) return 1.0
+    if (l1 == 0 || l2 == 0) return 0.0
+    val prev = new Array[Int](l2 + 1)
+    val cur = new Array[Int](l2 + 1)
+    var best = 0
+    var i = 1
+    while (i <= l1) {
+      var j = 1
+      while (j <= l2) {
+        val m = if (s1.charAt(i - 1) == s2.charAt(j - 1)) 1 else -1
+        cur(j) = math.max(0, math.max(prev(j - 1) + m, math.max(prev(j) - 1, cur(j - 1) - 1)))
+        if (cur(j) > best) best = cur(j)
+        j += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, l2 + 1)
+      i += 1
+    }
+    best.toDouble / math.min(l1, l2)
+  }
+
+  /** Ratcliff–Obershelp similarity (difflib ratio): 2·M / (|s1|+|s2|)
+    * where M recursively counts longest-common-substring matches.
+    */
+  def ratcliffObershelp(s1: String, s2: String): Double = {
+    if (s1.isEmpty && s2.isEmpty) return 1.0
+    if (s1.isEmpty || s2.isEmpty) return 0.0
+    def matches(a: String, b: String): Int = {
+      if (a.isEmpty || b.isEmpty) return 0
+      // longest common substring + its positions
+      var best = 0; var ba = 0; var bb = 0
+      val prev = new Array[Int](b.length + 1)
+      val cur = new Array[Int](b.length + 1)
+      var i = 1
+      while (i <= a.length) {
+        var j = 1
+        while (j <= b.length) {
+          if (a.charAt(i - 1) == b.charAt(j - 1)) {
+            cur(j) = prev(j - 1) + 1
+            if (cur(j) > best) { best = cur(j); ba = i - best; bb = j - best }
+          } else cur(j) = 0
+          j += 1
+        }
+        System.arraycopy(cur, 0, prev, 0, b.length + 1)
+        i += 1
+      }
+      if (best == 0) 0
+      else best +
+        matches(a.substring(0, ba), b.substring(0, bb)) +
+        matches(a.substring(ba + best), b.substring(bb + best))
+    }
+    2.0 * matches(s1, s2) / (s1.length + s2.length)
+  }
+
+  /** Longest common subsequence LENGTH (lcsseq). */
+  def lcsSeq(s1: String, s2: String): Double = {
+    val l1 = s1.length; val l2 = s2.length
+    if (l1 == 0 || l2 == 0) return 0.0
+    val prev = new Array[Int](l2 + 1)
+    val cur = new Array[Int](l2 + 1)
+    var i = 1
+    while (i <= l1) {
+      var j = 1
+      while (j <= l2) {
+        cur(j) =
+          if (s1.charAt(i - 1) == s2.charAt(j - 1)) prev(j - 1) + 1
+          else math.max(prev(j), cur(j - 1))
+        j += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, l2 + 1)
+      i += 1
+    }
+    prev(l2).toDouble
+  }
+
   /** Length of the common prefix. */
   def commonPrefixLen(s1: String, s2: String): Double = {
     val n = math.min(s1.length, s2.length)

@@ -29,6 +29,10 @@ case class StringSim(left: Expression, right: Expression, kernel: String)
       case "hamming"         => SimImpl.hamming(s1, s2)
       case "charJaccard"     => SimImpl.charJaccard(s1, s2)
       case "lcsStr"          => SimImpl.lcsStr(s1, s2)
+      case "needlemanWunsch" => SimImpl.needlemanWunsch(s1, s2)
+      case "smithWaterman"   => SimImpl.smithWaterman(s1, s2)
+      case "ratcliffObershelp" => SimImpl.ratcliffObershelp(s1, s2)
+      case "lcsSeq"          => SimImpl.lcsSeq(s1, s2)
       case "commonPrefixLen" => SimImpl.commonPrefixLen(s1, s2)
       case "commonSuffixLen" => SimImpl.commonSuffixLen(s1, s2)
     }
@@ -60,6 +64,27 @@ object sims {
   def hammingDist(l: Column, r: Column): Column = ssim("hamming")(l, r)
   def charJaccard(l: Column, r: Column): Column = ssim("charJaccard")(l, r)
   def lcsStrLen(l: Column, r: Column): Column = ssim("lcsStr")(l, r)
+  def needlemanWunsch(l: Column, r: Column): Column = ssim("needlemanWunsch")(l, r)
+  def smithWaterman(l: Column, r: Column): Column = ssim("smithWaterman")(l, r)
+  def ratcliffObershelp(l: Column, r: Column): Column = ssim("ratcliffObershelp")(l, r)
+  def lcsSeqLen(l: Column, r: Column): Column = ssim("lcsSeq")(l, r)
+
+  /** lcsseq similarity: LCS length / max length. */
+  def lcsSeqSim(l: Column, r: Column): Column = {
+    val mx = greatest(length(l), length(r))
+    when(mx === 0, 1.0).otherwise(lcsSeqLen(l, r) / mx)
+  }
+
+  /** Distinct character n-grams of a string (contiguous, overlapping). */
+  def charNgrams(c: Column, n: Int): Column =
+    array_distinct(filter(
+      transform(sequence(lit(1), greatest(length(c) - (n - 1), lit(0))),
+        i => c.substr(i, lit(n))),
+      g => length(g) === n))
+
+  /** Jaccard over character n-gram sets (similarity_registry ngram_2/3). */
+  def ngramJaccard(l: Column, r: Column, n: Int): Column =
+    tokenJaccard(charNgrams(l, n), charNgrams(r, n))
   def prefixLen(l: Column, r: Column): Column = ssim("commonPrefixLen")(l, r)
   def suffixLen(l: Column, r: Column): Column = ssim("commonSuffixLen")(l, r)
 

@@ -136,9 +136,63 @@ object MatchQueries {
        |       round(CAST(tp AS DOUBLE) * 2.0 / greatest(np + ng, 1), 5) AS f1
        |FROM n""".stripMargin
 
+  /** Character n-gram Jaccard sims (similarity_registry ngram_2/3) over
+    * adjacent part-name pairs — fully oracled via DuckDB set algebra.
+    */
+  def simNgram(s: SparkSession, dir: String): DataFrame = {
+    val p = part(s, dir).select(col("p_partkey").as("id"), col("p_name").as("nm"))
+    val a = p.select(col("id").as("id1"), col("nm").as("na"))
+    val b = p.select(col("id").as("id2"), col("nm").as("nb"))
+    a.join(b, col("id2") === col("id1") + 1)
+      .select(col("id1"), col("id2"),
+        round(sims.ngramJaccard(col("na"), col("nb"), 2), 5).as("ngram2_jac"),
+        round(sims.ngramJaccard(col("na"), col("nb"), 3), 5).as("ngram3_jac"))
+      .orderBy("id1")
+  }
+
+  private def ngramListSql(v: String, n: Int): String =
+    s"list_distinct([substr($v, i, $n) for i in range(1, greatest(length($v) - ${n - 1}, 0) + 1)])"
+
+  val simNgramOracle: String = {
+    def jac(n: Int) =
+      s"""round(CAST(len(list_intersect(${ngramListSql("na", n)}, ${ngramListSql("nb", n)})) AS DOUBLE)
+         | / greatest(len(list_distinct(${ngramListSql("na", n)} || ${ngramListSql("nb", n)})), 1), 5)""".stripMargin
+    s"""WITH p AS (SELECT p_partkey AS id, p_name AS nm FROM part),
+       |pr AS (SELECT a.id AS id1, b.id AS id2, a.nm AS na, b.nm AS nb
+       |       FROM p a JOIN p b ON b.id = a.id + 1)
+       |SELECT id1, id2,
+       |  ${jac(2)} AS ngram2_jac,
+       |  ${jac(3)} AS ngram3_jac
+       |FROM pr
+       |ORDER BY id1""".stripMargin
+  }
+
+  /** Alignment-family sims (needleman_wunsch, smith_waterman,
+    * ratcliff_obershelp, lcsseq) over adjacent customer-name pairs.
+    * No DuckDB equivalents exist → rows-only driver check; kernel
+    * correctness is pinned by textbook values in SimSpec.
+    */
+  def simRegistry(s: SparkSession, dir: String): DataFrame = {
+    val c = customer(s, dir).select(col("c_custkey").as("id"), lower(col("c_name")).as("nm"))
+    val a = c.select(col("id").as("id1"), col("nm").as("na"))
+    val b = c.select(col("id").as("id2"), col("nm").as("nb"))
+    a.join(b, col("id2") === col("id1") + 1)
+      .select(col("id1"), col("id2"),
+        round(sims.needlemanWunsch(col("na"), col("nb")), 5).as("nw_sim"),
+        round(sims.smithWaterman(col("na"), col("nb")), 5).as("sw_sim"),
+        round(sims.ratcliffObershelp(col("na"), col("nb")), 5).as("ro_sim"),
+        round(sims.lcsSeqSim(col("na"), col("nb")), 5).as("lcsseq_sim"),
+        round(sims.lcsStrSim(col("na"), col("nb")), 5).as("lcsstr_sim"),
+        round(sims.prefixSim(col("na"), col("nb")), 5).as("prefix_sim"),
+        round(sims.postfixSim(col("na"), col("nb")), 5).as("postfix_sim"))
+      .orderBy("id1")
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_token" -> (simToken _),
     "sim_numeric_date" -> (simNumericDate _),
+    "sim_ngram" -> (simNgram _),
+    "sim_registry" -> (simRegistry _),
     "match_rule" -> (matchRule _),
     "match_eval" -> (matchEval _)
   )
@@ -146,6 +200,7 @@ object MatchQueries {
   def oracles: Map[String, String] = Map(
     "sim_token" -> simTokenOracle,
     "sim_numeric_date" -> simNumericDateOracle,
+    "sim_ngram" -> simNgramOracle,
     "match_rule" -> matchRuleSql,
     "match_eval" -> matchEvalOracle
   )

@@ -192,6 +192,50 @@ object NormQueries {
       |    ELSE -1.0 END, 5) AS grams
       |FROM part ORDER BY p_partkey""".stripMargin
 
+  // ---- norm_units_multi (registry breadth: mass/length/time/data) ----
+  def normUnitsMulti(s: SparkSession, dir: String): DataFrame = {
+    val units = Seq("kg", "cm", "min", "mb", "g", "km", "ms", "gb")
+    val unit = element_at(array(units.map(lit): _*), (col("p_partkey") % 8).cast("int") + 1)
+    val df = part(s, dir).select(col("p_partkey"),
+      concat(col("p_size").cast("string"), lit(" "), unit).as("qty"))
+    Normalize.parseQuantity(df, "qty")
+      .select(col("p_partkey"), col("qty"), col("qty_category"),
+        round(col("qty_base"), 5).as("base_value"))
+      .orderBy("p_partkey")
+  }
+  val normUnitsMultiOracle: String = {
+    val cases = Seq(
+      0 -> ("kg", "mass", 1000.0), 1 -> ("cm", "length", 0.01),
+      2 -> ("min", "time", 60.0), 3 -> ("mb", "data", 1048576.0),
+      4 -> ("g", "mass", 1.0), 5 -> ("km", "length", 1000.0),
+      6 -> ("ms", "time", 0.001), 7 -> ("gb", "data", 1073741824.0))
+    val unitCase = cases.map { case (i, (u, _, _)) => s"WHEN $i THEN '$u'" }.mkString(" ")
+    val catCase = cases.map { case (i, (_, c, _)) => s"WHEN $i THEN '$c'" }.mkString(" ")
+    val facCase = cases.map { case (i, (_, _, f)) => s"WHEN $i THEN p_size * $f" }.mkString(" ")
+    s"""SELECT p_partkey,
+       |  concat(p_size, ' ', CASE p_partkey % 8 $unitCase END) AS qty,
+       |  CASE p_partkey % 8 $catCase END AS qty_category,
+       |  round(CASE p_partkey % 8 $facCase END, 5) AS base_value
+       |FROM part ORDER BY p_partkey""".stripMargin
+  }
+
+  // ---- norm_outliers_zscore ----
+  def normOutliersZscore(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val spiked = e.select(col("event_id"),
+      (col("value") * when(col("event_id") % 97 === 0, 50).otherwise(1)).as("v"))
+    Normalize.zscoreOutliers(spiked, "v", 3.0)
+      .select(col("event_id"), round(col("v"), 5).as("v"))
+      .orderBy("event_id")
+  }
+  val normOutliersZscoreOracle: String =
+    """WITH t AS (SELECT event_id,
+      |    value * CASE WHEN event_id % 97 = 0 THEN 50 ELSE 1 END AS v FROM events),
+      |q AS (SELECT avg(v) AS mu, stddev_pop(v) AS sd FROM t)
+      |SELECT event_id, round(v, 5) AS v FROM t, q
+      |WHERE abs(v - mu) > 3.0 * sd
+      |ORDER BY event_id""".stripMargin
+
   // ---- norm_detect_types ----
   def normDetectTypes(s: SparkSession, dir: String): DataFrame =
     Normalize.detectTypes(orders(s, dir))
@@ -289,6 +333,8 @@ object NormQueries {
     "norm_dates" -> (normDates _),
     "norm_urls" -> (normUrls _),
     "norm_units" -> (normUnits _),
+    "norm_units_multi" -> (normUnitsMulti _),
+    "norm_outliers_zscore" -> (normOutliersZscore _),
     "norm_detect_types" -> (normDetectTypes _),
     "norm_outliers" -> (normOutliers _),
     "norm_validate" -> (normValidate _),
@@ -304,6 +350,8 @@ object NormQueries {
     "norm_dates" -> normDatesOracle,
     "norm_urls" -> normUrlsOracle,
     "norm_units" -> normUnitsOracle,
+    "norm_units_multi" -> normUnitsMultiOracle,
+    "norm_outliers_zscore" -> normOutliersZscoreOracle,
     "norm_detect_types" -> normDetectTypesOracle,
     "norm_outliers" -> normOutliersOracle,
     "norm_validate" -> normValidateOracle,

@@ -148,6 +148,36 @@ object Normalize {
       .drop("_unit", "_factor")
   }
 
+  /** Multi-category unit registry (PyDI/normalization/units.py:22 spans
+    * many categories, not just mass): (unit, category, factor to the
+    * category's base unit — g, m, s, byte).
+    */
+  val UnitRegistry: Seq[(String, String, Double)] = Seq(
+    ("mg", "mass", 0.001), ("g", "mass", 1.0), ("kg", "mass", 1000.0), ("t", "mass", 1e6),
+    ("mm", "length", 0.001), ("cm", "length", 0.01), ("m", "length", 1.0), ("km", "length", 1000.0),
+    ("ms", "time", 0.001), ("s", "time", 1.0), ("min", "time", 60.0), ("h", "time", 3600.0),
+    ("b", "data", 1.0), ("kb", "data", 1024.0), ("mb", "data", 1048576.0), ("gb", "data", 1073741824.0))
+
+  /** General quantity parser: "12.5 kg" → value, unit, category and
+    * base_value columns (broadcast registry join; unknown unit → NULLs).
+    */
+  def parseQuantity(df: DataFrame, col: String,
+      registry: Seq[(String, String, Double)] = UnitRegistry): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val reg = registry.toDF("_unit", s"${col}_category", "_factor")
+    df.withColumn(s"${col}_value",
+        regexp_extract(org.apache.spark.sql.functions.col(col),
+          "^\\s*(-?\\d+(?:\\.\\d+)?)\\s*([a-zA-Z]+)\\s*$", 1).cast("double"))
+      .withColumn(s"${col}_unit",
+        lower(regexp_extract(org.apache.spark.sql.functions.col(col),
+          "^\\s*(-?\\d+(?:\\.\\d+)?)\\s*([a-zA-Z]+)\\s*$", 2)))
+      .join(broadcast(reg), org.apache.spark.sql.functions.col(s"${col}_unit") === $"_unit", "left")
+      .withColumn(s"${col}_base",
+        org.apache.spark.sql.functions.col(s"${col}_value") * $"_factor")
+      .drop("_unit", "_factor")
+  }
+
   // ---- coordinates (PyDI/normalization/coordinate_parser.py) ----
 
   /** "12.34N" / "56.78W" → signed double (S/W negative); NULL if
