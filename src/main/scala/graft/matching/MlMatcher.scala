@@ -32,9 +32,13 @@ object MlMatcher {
   def fitPredict(labeled: DataFrame, featureCols: Seq[String]): DataFrame = {
     val assembler = new VectorAssembler()
       .setInputCols(featureCols.toArray).setOutputCol("features")
+    // Cache the assembled features: LBFGS makes one full pass per
+    // iteration — without this every iteration recomputes the blocking
+    // join and all comparator expressions.
     val vec = assembler.transform(labeled)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val lr = new LogisticRegression()
-      .setMaxIter(25).setRegParam(0.01).setStandardization(true)
+      .setMaxIter(10).setRegParam(0.01).setStandardization(true)
       .setLabelCol("label").setFeaturesCol("features")
     val model = lr.fit(vec)
     model.transform(vec)
