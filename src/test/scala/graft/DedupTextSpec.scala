@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.dedup.Dedup
+import graft.text.TextOps
+import graft.ann.Ann
+
+class DedupTextSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def docs = {
+    val spark2 = spark
+    import spark2.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over dog"),
+      (2L, "quick the brown fox jumps over dog"), // same word SET as 1
+      (3L, "the quick brown fox jumps over dog"), // identical to 1
+      (4L, "completely different text entirely here now")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups canonicalized word sets, keeps min id") {
+    val r = Dedup.exact(docs, "doc_id", "text").collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r(1L) == (1L, 3L) && r(2L) == (1L, 3L) && r(3L) == (1L, 3L))
+    assert(r(4L) == (4L, 1L))
+  }
+
+  test("ngram jaccard finds only the true near-dup pair") {
+    val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.8).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 3L)))
+    assert(pairs.head._3 == 1.0)
+  }
+
+  test("minhash LSH surfaces identical docs; simhash hamming 0 for identical") {
+    val mh = Dedup.minhashLsh(docs, "doc_id", "text").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(mh.contains((1L, 3L)))
+    val sh = Dedup.simhashPairs(docs, "doc_id", "text", 0).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    // 1,2,3 share the same word SET → identical simhash signatures
+    assert(sh == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("langid picks the profile with most stopword hits") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(
+      (1L, "the cat and the dog"),
+      (2L, "der hund und die katze"),
+      (3L, "zzz qqq www")).toDF("doc_id", "text")
+    val r = TextOps.langId(df, "doc_id", "text").collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r(1L) == "en" && r(2L) == "de" && r(3L) == "unknown")
+  }
+
+  test("winnowing fingerprint is stable and shorter than gram count") {
+    val r = TextOps.fingerprint(docs, "doc_id", "text").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getString(2)))
+    val byId = r.map(x => x._1 -> x).toMap
+    assert(byId(1L)._3 == byId(3L)._3) // identical text → identical digest
+    assert(byId(1L)._3 != byId(4L)._3)
+    assert(byId(1L)._2 > 0)
+  }
+
+  test("cosine helpers: unit vector self-similarity and bucket determinism") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq((1L, Array(1.0, 0.0, 0.0, 0.0)), (2L, Array(0.0, 1.0, 0.0, 0.0)))
+      .toDF("vec_id", "v")
+    val top = Ann.bruteForceTopK(df, df, "vec_id", "v", 4, 1).collect()
+    assert(top.length == 2) // each query gets its single non-self neighbor
+    assert(top.forall(_.getDouble(2) == 0.0)) // orthogonal → cosine 0
+    // bucket string: 4 planes default 8 → deterministic across calls
+    val b1 = df.select(Ann.lshBucket(col("v"), 4).as("b")).collect().map(_.getString(0))
+    val b2 = df.select(Ann.lshBucket(col("v"), 4).as("b")).collect().map(_.getString(0))
+    assert(b1.sameElements(b2))
+  }
+}

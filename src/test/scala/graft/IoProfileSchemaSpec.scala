@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.io.Loaders
+import graft.profiling.Profiler
+import graft.schema.SchemaMatch
+
+class IoProfileSchemaSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("provenance ids are key-derived and stable under repartition") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq((7L, "x"), (42L, "y")).toDF("k", "v")
+    val a = Loaders.withProvenance(df, "ds", "k", "p.parquet").collect()
+      .map(r => r.getLong(1) -> r.getString(0)).toMap
+    val b = Loaders.withProvenance(df.repartition(8), "ds", "k", "p.parquet").collect()
+      .map(r => r.getLong(1) -> r.getString(0)).toMap
+    assert(a(7L) == "ds-000000007" && a(42L) == "ds-000000042")
+    assert(a == b) // partitioning cannot change ids
+  }
+
+  test("flatten walks nested structs into parent_child columns") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq((1L, ("a", ("b", 2)))).toDF("id", "s")
+      .select(col("id"), col("s._1").as("x"),
+        struct(col("s._2._1").as("y"), col("s._2._2").as("z")).as("nest"))
+    val flat = Loaders.flatten(df)
+    assert(flat.columns.toSeq == Seq("id", "x", "nest_y", "nest_z"))
+  }
+
+  test("profiler: one row per column with exact stats") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(("a", 1), ("b", 1), (null.asInstanceOf[String], 2)).toDF("s", "n")
+    val p = Profiler.profile(df).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(p("s") == (3L, 1L, 2L))
+    assert(p("n") == (3L, 0L, 2L))
+  }
+
+  test("instance matcher: identical value sets → sim 1.0") {
+    val spark2 = spark
+    import spark2.implicits._
+    val l = Seq((1, "x"), (2, "y")).toDF("ln", "lv")
+    val r = Seq((1, "p"), (2, "q")).toDF("rn", "rv")
+    val sims = SchemaMatch.instanceBased(l, Seq("ln", "lv"), r, Seq("rn", "rv"), 0.01)
+      .collect().map(x => (x.getString(0), x.getString(1)) -> x.getDouble(2)).toMap
+    assert(sims(("ln", "rn")) == 1.0)
+    assert(!sims.contains(("lv", "rv"))) // {x,y} vs {p,q}: no overlap
+  }
+
+  test("duplicate-based matcher: agreement shares over gold pairs") {
+    val spark2 = spark
+    import spark2.implicits._
+    val gold = Seq((1L, 11L), (2L, 12L)).toDF("id1", "id2")
+    val l = Seq((1L, "a", "k"), (2L, "b", "k")).toDF("id", "p", "q")
+    val r = Seq((11L, "a", "z"), (12L, "c", "z")).toDF("id", "p", "q")
+    val m = SchemaMatch.duplicateBased(gold, l, r, "id", Seq("p", "q"), Seq("p", "q"))
+      .collect().map(x => (x.getString(0), x.getString(1)) -> x.getDouble(2)).toMap
+    assert(m(("p", "p")) == 0.5) // a=a agrees, b≠c
+    assert(m(("q", "q")) == 0.0) // k≠z
+  }
+
+  test("blocker pair estimate matches materialized pair count") {
+    val l = graft.blocking.EmScenario.custL(spark, sf)
+    val r = graft.blocking.EmScenario.custR(spark, sf)
+    val est = graft.blocking.Blockers.estimateStandardPairs(l, r, Seq("seg", "nat"))
+      .collect()(0).getLong(0)
+    val real = graft.blocking.Blockers.standard(l, r, Seq("seg", "nat"), "id").count()
+    assert(est == real)
+  }
+}
