@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.graftbridge.Bridge
+import graft.functions.StringSim
+
+/** SQL surface for the graft similarity kernels.
+  *
+  * Cluster deploy: `--conf spark.sql.extensions=graft.GraftExtensions`
+  * makes `graft_jaro('a','b')` etc. available in plain SQL on every
+  * session. For an already-running session, `GraftFunctions.register`
+  * installs the same functions at runtime.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, kernel) =>
+      ext.injectFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo(classOf[StringSim].getName, name),
+        (children: Seq[Expression]) => StringSim(children(0), children(1), kernel)))
+    }
+}
+
+object GraftFunctions {
+  /** SQL name → StringSim kernel. */
+  val all: Seq[(String, String)] = Seq(
+    "graft_jaro" -> "jaro",
+    "graft_jaro_winkler" -> "jaroWinkler",
+    "graft_damerau_levenshtein" -> "damerauLevenshtein",
+    "graft_hamming" -> "hamming",
+    "graft_char_jaccard" -> "charJaccard",
+    "graft_lcs_str" -> "lcsStr",
+    "graft_needleman_wunsch" -> "needlemanWunsch",
+    "graft_smith_waterman" -> "smithWaterman",
+    "graft_ratcliff_obershelp" -> "ratcliffObershelp",
+    "graft_lcs_seq" -> "lcsSeq")
+
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, kernel) =>
+      Bridge.registerFunction(spark, name,
+        children => StringSim(children(0), children(1), kernel))
+    }
+}

@@ -43,6 +43,25 @@ object Blockers {
     lc.join(rc, "_bk").agg(coalesce(sum(col("nl") * col("nr")), lit(0L)).as("est_pairs"))
   }
 
+  /** Skew-safe variant of [[standard]]: when a handful of block keys
+    * hold most rows (the classic hot-key shuffle straggler), salt the
+    * left side deterministically by id hash into `salt` sub-keys and
+    * replicate the right side across all of them. Output is identical
+    * to [[standard]]; the shuffle spreads each hot key over `salt`
+    * reducers at the cost of a `salt`× right-side replication — use for
+    * hot keys with a small right side, or rely on AQE skew-split when
+    * both sides are large.
+    */
+  def standardSalted(left: DataFrame, right: DataFrame, on: Seq[String], idCol: String,
+      salt: Int): DataFrame = {
+    require(salt >= 1, "salt must be >= 1")
+    val l = left.select(col(idCol).as("id1"), blockKey(on).as("_bk"))
+      .withColumn("_salt", pmod(xxhash64(col("id1")), lit(salt.toLong)).cast("int"))
+    val r = right.select(col(idCol).as("id2"), blockKey(on).as("_bk"))
+      .withColumn("_salt", explode(sequence(lit(0), lit(salt - 1))))
+    l.join(r, Seq("_bk", "_salt")).select("id1", "id2")
+  }
+
   /** Default tokenizer of token_blocking.py:120-141: lowercase, split into
     * maximal alphanumeric runs, keep tokens with length ≥ minTokenLen,
     * distinct. Returns an array<string> column.

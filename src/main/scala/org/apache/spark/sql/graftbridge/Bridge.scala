@@ -15,4 +15,15 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a SQL function on an EXISTING session (the runtime
+    * counterpart of SparkSessionExtensions.injectFunction, which only
+    * applies at session build time). `sessionState` is private[sql],
+    * hence this lives in the bridge.
+    */
+  def registerFunction(spark: org.apache.spark.sql.SparkSession, name: String,
+      builder: Seq[Expression] => Expression): Unit = {
+    val cls = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    cls.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "scala_udf")
+  }
 }
