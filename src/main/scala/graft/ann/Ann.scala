@@ -53,12 +53,12 @@ object Ann {
     val q = withNorm(queries, id, vec, dim)
       .select(col("_id").as("qid"), col("_v").as("_qv"), col("_n").as("_qn"))
     val c = withNorm(corpus, id, vec, dim)
-    val cos = dot(col("_qv"), col("_v"), dim) / (col("_qn") * col("_n"))
-    val w = Window.partitionBy(col("qid")).orderBy(round(cos, 7).desc, col("_id"))
+    val w = Window.partitionBy(col("qid")).orderBy(round(col("_cos"), 7).desc, col("_id"))
     broadcast(q).join(c, col("qid") =!= col("_id"))
+      .withColumn("_cos", dot(col("_qv"), col("_v"), dim) / (col("_qn") * col("_n")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("qid"), col("_id").as(id), round(cos, 5).as("cosine"), col("rank"))
+      .select(col("qid"), col("_id").as(id), round(col("_cos"), 5).as("cosine"), col("rank"))
   }
 
   /** LSH top-k (#59): identical contract to [[bruteForceTopK]] but
@@ -73,13 +73,13 @@ object Ann {
         lshBucket(col("_v"), dim, planes).as("_bk"))
     val c = withNorm(corpus, id, vec, dim)
       .withColumn("_bk", lshBucket(col("_v"), dim, planes))
-    val cos = dot(col("_qv"), col("_v"), dim) / (col("_qn") * col("_n"))
-    val w = Window.partitionBy(col("qid")).orderBy(round(cos, 7).desc, col("_id"))
+    val w = Window.partitionBy(col("qid")).orderBy(round(col("_cos"), 7).desc, col("_id"))
     q.join(c, Seq("_bk"))
       .filter(col("qid") =!= col("_id"))
+      .withColumn("_cos", dot(col("_qv"), col("_v"), dim) / (col("_qn") * col("_n")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("qid"), col("_id").as(id), round(cos, 5).as("cosine"), col("rank"))
+      .select(col("qid"), col("_id").as(id), round(col("_cos"), 5).as("cosine"), col("rank"))
   }
 
   /** Embedding-cosine near-dup pairs (#57): LSH bucket join over the

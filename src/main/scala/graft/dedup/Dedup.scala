@@ -50,17 +50,21 @@ object Dedup {
     */
   def ngramJaccard(docs: DataFrame, id: String, text: String, n: Int, threshold: Double): DataFrame = {
     val sh = docs.select(col(id).as("_id"), shingles(col(text), n).as("_sh"))
+    val sizes = sh.select(col("_id"), size(col("_sh")).as("_n"))
     val inv = sh.select(col("_id"), explode(col("_sh")).as("_s"))
-    val cands = inv.select(col("_id").as("id1"), col("_s"))
+    // |A∩B| falls straight out of the inverted-index join (count of
+    // shared shingles per pair) — no per-pair array intersections, and
+    // the shuffle carries only (id1, id2) rows.
+    val inter = inv.select(col("_id").as("id1"), col("_s"))
       .join(inv.select(col("_id").as("id2"), col("_s")), "_s")
       .filter(col("id1") < col("id2"))
-      .select("id1", "id2").distinct()
-    cands
-      .join(sh.select(col("_id").as("id1"), col("_sh").as("_sa")), "id1")
-      .join(sh.select(col("_id").as("id2"), col("_sh").as("_sb")), "id2")
+      .groupBy("id1", "id2").agg(count(lit(1)).as("_i"))
+    inter
+      .join(sizes.select(col("_id").as("id1"), col("_n").as("_na")), "id1")
+      .join(sizes.select(col("_id").as("id2"), col("_n").as("_nb")), "id2")
       .select(col("id1"), col("id2"),
-        round(size(array_intersect(col("_sa"), col("_sb")))
-          .cast("double") / size(array_union(col("_sa"), col("_sb"))), 5).as("jaccard"))
+        round(col("_i").cast("double") / (col("_na") + col("_nb") - col("_i")), 5)
+          .as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -129,19 +133,21 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, id: String, text: String, maxHamming: Int = 3): DataFrame = {
     val sig = simhashSig(docs, id, text)
-    val halves = sig.select(col(id).as("_id"), col("simhash"),
+    // Carry the signature as an integer: Hamming distance is then one
+    // xor + bit_count instead of 16 substring compares per pair.
+    val halves = sig.select(col(id).as("_id"),
+      conv(col("simhash"), 2, 10).cast("long").as("_sig"),
       substring(col("simhash"), 1, 8).as("_b0"),
       substring(col("simhash"), 9, 8).as("_b1"))
     val cands = (0 until 2).map { b =>
-      halves.select(col("_id").as("id1"), col("simhash").as("_s1"), col(s"_b$b").as("_bk"))
-        .join(halves.select(col("_id").as("id2"), col("simhash").as("_s2"), col(s"_b$b").as("_bk")), "_bk")
+      halves.select(col("_id").as("id1"), col("_sig").as("_s1"), col(s"_b$b").as("_bk"))
+        .join(halves.select(col("_id").as("id2"), col("_sig").as("_s2"), col(s"_b$b").as("_bk")), "_bk")
         .filter(col("id1") < col("id2"))
         .select("id1", "id2", "_s1", "_s2")
     }.reduce(_.unionByName(_)).distinct()
-    val ham = (0 until 16)
-      .map(j => when(substring(col("_s1"), j + 1, 1) =!= substring(col("_s2"), j + 1, 1), 1).otherwise(0))
-      .reduce((a: Column, b: Column) => a + b)
-    cands.select(col("id1"), col("id2"), ham.as("hamming"))
+    cands
+      .select(col("id1"), col("id2"),
+        bit_count(col("_s1").bitwiseXOR(col("_s2"))).cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 }
