@@ -68,14 +68,66 @@ object ExtraQueries {
       |GROUP BY 1, 2, 3
       |ORDER BY window_start, event_type""".stripMargin
 
+  /** Gap-based sessionization, batch semantics (stream version proven
+    * equivalent in MlStreamSpec via flatMapGroupsWithState).
+    */
+  def streamSessionize(s: SparkSession, dir: String): DataFrame =
+    Streams.sessionizeBatch(events(s, dir), 30)
+      .orderBy("user_id", "session_idx")
+
+  val streamSessionizeOracle: String =
+    """WITH t AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+      |         THEN 1 ELSE 0 END AS newf
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (SELECT user_id, ts,
+      |        sum(newf) OVER (PARTITION BY user_id ORDER BY ts
+      |                        ROWS UNBOUNDED PRECEDING) AS session_idx
+      |      FROM t)
+      |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+      |       min(ts) AS session_start, max(ts) AS session_end,
+      |       count(*) AS n_events
+      |FROM s GROUP BY user_id, session_idx
+      |ORDER BY user_id, session_idx""".stripMargin
+
+  /** TextFormatter (entitymatching/text_formatting.py): entity pairs →
+    * "field … [SEP] field …" strings for PLM matchers, with a
+    * missing-value placeholder.
+    */
+  def matchTextFormat(s: SparkSession, dir: String): DataFrame = {
+    val l = EmScenario.custL(s, dir)
+    val r = EmScenario.custR(s, dir)
+    val fmt = (p: String) => concat_ws(" ",
+      coalesce(col(s"${p}_name"), lit("[MISSING]")),
+      coalesce(col(s"${p}_seg"), lit("[MISSING]")))
+    graft.matching.Matching.attachRecords(EmScenario.gold(s, dir), l, r, "id")
+      .select(col("id1"), col("id2"),
+        concat(fmt("l"), lit(" [SEP] "), fmt("r")).as("pair_text"))
+      .orderBy("id1")
+  }
+
+  val matchTextFormatOracle: String =
+    s"""${graft.blocking.EmScenario.oracleWith}
+       |SELECT g.id1, g.id2,
+       |  l.name || ' ' || l.seg || ' [SEP] ' || r.name || ' ' || r.seg AS pair_text
+       |FROM gold g JOIN l ON l.id = g.id1 JOIN r ON r.id = g.id2
+       |ORDER BY g.id1""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "match_ml" -> (matchMl _),
+    "match_text_format" -> (matchTextFormat _),
     "mm_binary_meta" -> (mmBinaryMeta _),
-    "stream_window_agg" -> (streamWindowAgg _)
+    "stream_window_agg" -> (streamWindowAgg _),
+    "stream_sessionize" -> (streamSessionize _)
   )
 
   def oracles: Map[String, String] = Map(
+    "match_text_format" -> matchTextFormatOracle,
     "mm_binary_meta" -> mmBinaryMetaOracle,
-    "stream_window_agg" -> streamWindowAggOracle
+    "stream_window_agg" -> streamWindowAggOracle,
+    "stream_sessionize" -> streamSessionizeOracle
   )
 }

@@ -24,7 +24,9 @@ object Tables {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = t(s, d, "events")
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(floor(col("ts") / 1000).cast("long")))
+      // integer division — `/` would go through DOUBLE and lose µs
+      // precision on epoch-nano magnitudes (~1.7e18 ≫ 2^53)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")

@@ -5,6 +5,9 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
 import org.apache.spark.sql.Row
 
+/** Streaming sessionization output row (top-level for the encoder). */
+case class SessionRow(user_id: Long, startUs: Long, endUs: Long, n_events: Long)
+
 /** Structured Streaming operators (SURVEY §2.12 #65). The transform is
   * written once against a DataFrame and used by BOTH the batch query
   * (which the DuckDB oracle checks) and the streaming query (readStream →
@@ -44,9 +47,68 @@ object Streams {
     val raw = spark.readStream.schema(schema).parquet(stage.toString)
     val ts =
       if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", timestamp_micros(floor(col("ts") / 1000).cast("long")))
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       else raw
     ts.withWatermark("ts", "2 hours")
+  }
+
+  /** Gap-based sessionization (30-min inactivity closes a session),
+    * batch form: lag + cumulative new-session flags per user — the
+    * exact semantics the streaming state version reproduces.
+    */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // event_id tie-break keeps lag/cumsum deterministic on equal ts.
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapUs = gapMinutes * 60L * 1000000L
+    events
+      .withColumn("_prev", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("_new",
+        when(col("_prev").isNull ||
+          unix_micros(col("ts")) - col("_prev") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("_new")).over(byUser))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+  }
+
+  /** Streaming sessionization via flatMapGroupsWithState: per-user
+    * state carries the open session; events are sorted within the
+    * micro-batch, sessions closed by the gap rule are emitted, the open
+    * tail stays in state (emitted here too because AvailableNow ends
+    * the stream — in production it flushes on state timeout).
+    */
+  def sessionizeStream(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapUs = gapMinutes * 60L * 1000000L
+    val typed = events.select(col("user_id").cast("long"), unix_micros(col("ts")).as("us"))
+      .as[(Long, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[List[Long], SessionRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[(Long, Long)], state: GroupState[List[Long]]) =>
+          val times = (state.getOption.getOrElse(Nil) ++ it.map(_._2)).sorted
+          val sessions = scala.collection.mutable.ArrayBuffer.empty[SessionRow]
+          var start = times.head
+          var prev = times.head
+          var n = 0L
+          for (t <- times) {
+            if (t - prev > gapUs) {
+              sessions += SessionRow(user, start, prev, n)
+              start = t; n = 0L
+            }
+            n += 1; prev = t
+          }
+          sessions += SessionRow(user, start, prev, n)
+          state.update(Nil)
+          sessions.iterator
+      }
+      .toDF()
+      .select(col("user_id"),
+        timestamp_micros(col("startUs")).as("session_start"),
+        timestamp_micros(col("endUs")).as("session_end"),
+        col("n_events"))
   }
 
   /** Run the streaming windowed agg to completion (AvailableNow) into an

@@ -5,6 +5,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.blocking.EmScenario
 import graft.matching.Matching
 import graft.streaming.Streams
+import graft.Tables
 
 class MlStreamSpec extends AnyFunSuite {
   import TestSpark._
@@ -24,6 +25,20 @@ class MlStreamSpec extends AnyFunSuite {
     val st = stream.collect().map(_.toSeq)
     assert(b.length == st.length && b.length > 0)
     assert(b.zip(st).forall { case (x, y) => x == y })
+  }
+
+  test("streaming sessionization (flatMapGroupsWithState) equals batch sessions") {
+    val batch = Streams.sessionizeBatch(Tables.events(spark, sf), 30)
+      .select("user_id", "session_start", "session_end", "n_events")
+      .collect().map(_.toSeq).toSet
+    val q = Streams.sessionizeStream(Streams.eventsStream(spark, sf), 30)
+      .writeStream.format("memory").queryName("sessionize_sink")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val stream = spark.table("sessionize_sink").collect().map(_.toSeq).toSet
+    assert(batch.nonEmpty && batch == stream)
   }
 
   test("multimodal feature extraction: digest matches driver-side md5") {
