@@ -20,7 +20,7 @@ object SparkEntry {
       graft.dedup.DedupQueries.all ++ graft.ann.AnnQueries.all ++
       graft.text.TextQueries.all ++ graft.io.IoQueries.all ++
       graft.profiling.ProfileQueries.all ++ graft.schema.SchemaQueries.all ++
-      ExtraQueries.all
+      ExtraQueries.all ++ graft.extraction.ExtractQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -31,7 +31,7 @@ object SparkEntry {
       graft.dedup.DedupQueries.oracles ++ graft.ann.AnnQueries.oracles ++
       graft.text.TextQueries.oracles ++ graft.io.IoQueries.oracles ++
       graft.profiling.ProfileQueries.oracles ++ graft.schema.SchemaQueries.oracles ++
-      ExtraQueries.oracles
+      ExtraQueries.oracles ++ graft.extraction.ExtractQueries.oracles
 }
 
 /** TPC-H-style analytic queries proving the relational core:
