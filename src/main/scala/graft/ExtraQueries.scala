@@ -116,7 +116,74 @@ object ExtraQueries {
        |FROM gold g JOIN l ON l.id = g.id1 JOIN r ON r.id = g.id2
        |ORDER BY g.id1""".stripMargin
 
+  /** Flagship: the full PyDI pipeline in one declarative program —
+    * block → compare (codegen sims) → rule-match → connected components
+    * → per-attribute fusion — producing one golden record per entity.
+    */
+  def pipelineE2e(s: SparkSession, dir: String): DataFrame = {
+    val l = EmScenario.custL(s, dir)
+    val r = EmScenario.custR(s, dir)
+    val cands = Blockers.standard(l, r, Seq("seg", "nat"), "id")
+    val matches = graft.matching.Matching.ruleMatch(cands, l, r, "id",
+      Seq(
+        sims.jaroWinkler(col("l_name"), col("r_name")) -> 0.6,
+        sims.exactSim(col("l_seg"), col("r_seg")) -> 0.2,
+        sims.numericAbsSim(col("l_bal"), col("r_bal"), 1000.0) -> 0.2),
+      threshold = 0.97).select("id1", "id2")
+    val cc = graft.clustering.Clusterers.connectedComponents(matches)
+    val recs = l.unionByName(r)
+    val wc = recs.join(cc, Seq("id"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col("id")))
+    val name = graft.fusion.Fusion.stringResolvers(wc, "cluster", "name")
+      .select(col("cluster"), col("longest").as("name"))
+    val bal = graft.fusion.Fusion.numericResolvers(wc, "cluster", cents(col("bal")))
+      .select(col("cluster"), col("avg_value").as("bal"))
+    val seg = graft.fusion.Fusion.voting(wc, "cluster", "seg").select("cluster", "seg")
+    val rest = wc.groupBy("cluster")
+      .agg(min(col("nat")).as("nat"), count(lit(1)).as("n_records"))
+    name.join(bal, "cluster").join(seg, "cluster").join(rest, "cluster")
+      .orderBy("cluster")
+  }
+
+  val pipelineE2eOracle: String =
+    s"""WITH RECURSIVE ${EmScenario.oracleWithBody},
+       |cand AS (SELECT l.id AS id1, r.id AS id2, l.name AS ln, r.name AS rn,
+       |                l.seg AS ls, r.seg AS rs, l.bal AS lb, r.bal AS rb
+       |         FROM l JOIN r ON l.seg = r.seg AND l.nat = r.nat),
+       |pred AS (SELECT id1, id2 FROM cand
+       |         WHERE jaro_winkler_similarity(ln, rn) * 0.6
+       |               + (CASE WHEN ls = rs THEN 1.0 ELSE 0.0 END) * 0.2
+       |               + greatest(0.0, 1.0 - abs(lb - rb) / 1000.0) * 0.2 >= 0.97),
+       |sym AS (SELECT id1 AS u, id2 AS v FROM pred UNION SELECT id2, id1 FROM pred),
+       |nodes AS (SELECT DISTINCT u AS id FROM sym),
+       |reach(node, rt) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT s.v, reach.rt FROM reach JOIN sym s ON s.u = reach.node),
+       |labels AS (SELECT node AS id, min(rt) AS cluster FROM reach GROUP BY node),
+       |recs AS (SELECT * FROM l UNION ALL SELECT * FROM r),
+       |wc AS (SELECT recs.id, recs.name, recs.seg, recs.nat, recs.bal,
+       |              coalesce(lab.cluster, recs.id) AS cluster
+       |       FROM recs LEFT JOIN labels lab ON lab.id = recs.id),
+       |nm AS (SELECT cluster, name FROM (
+       |  SELECT cluster, name, row_number() OVER (PARTITION BY cluster
+       |         ORDER BY length(name) DESC, name) AS rn FROM wc) WHERE rn = 1),
+       |balv AS (SELECT cluster,
+       |  round(CAST(sum(CAST(round(bal * 100) AS BIGINT)) AS DOUBLE) / 100.0
+       |        / count(*), 5) AS bal FROM wc GROUP BY cluster),
+       |segv AS (SELECT cluster, seg FROM (
+       |  SELECT cluster, seg, row_number() OVER (PARTITION BY cluster
+       |         ORDER BY count(*) DESC, seg) AS rn
+       |  FROM wc GROUP BY cluster, seg) WHERE rn = 1),
+       |rest AS (SELECT cluster, min(nat) AS nat, count(*) AS n_records
+       |         FROM wc GROUP BY cluster)
+       |SELECT nm.cluster, nm.name, balv.bal, segv.seg, rest.nat, rest.n_records
+       |FROM nm JOIN balv USING (cluster) JOIN segv USING (cluster)
+       |     JOIN rest USING (cluster)
+       |ORDER BY nm.cluster""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_e2e" -> (pipelineE2e _),
     "match_ml" -> (matchMl _),
     "match_text_format" -> (matchTextFormat _),
     "mm_binary_meta" -> (mmBinaryMeta _),
@@ -125,6 +192,7 @@ object ExtraQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "pipeline_e2e" -> pipelineE2eOracle,
     "match_text_format" -> matchTextFormatOracle,
     "mm_binary_meta" -> mmBinaryMetaOracle,
     "stream_window_agg" -> streamWindowAggOracle,

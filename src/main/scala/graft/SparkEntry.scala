@@ -8,9 +8,12 @@ import graft.Tables._
 /** Driver contract — see SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The full integration pipeline: block → compare → match → cluster →
+    * fuse, one golden record per entity.
+    */
   def entry(spark: SparkSession): DataFrame =
-    queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
+    queries("pipeline_e2e")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -11,9 +11,12 @@ import org.apache.spark.sql.SparkSession
 object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val mode = sys.env.getOrElse("SPARK_GRAFT_EXPLAIN_MODE", "formatted")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
+      // AQE hides codegen spans in pre-execution explain output
+      .config("spark.sql.adaptive.enabled", mode != "codegen")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -21,7 +24,7 @@ object Explain {
       else Seq("q2_nation_revenue", "block_standard", "match_rule", "fuse_numeric")
     names.foreach { n =>
       println(s"\n========== $n ==========")
-      graft.SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      graft.SparkEntry.queries(n)(spark, sfDir).explain(mode)
     }
     spark.stop()
   }
