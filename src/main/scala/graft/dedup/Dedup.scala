@@ -48,23 +48,31 @@ object Dedup {
     * verified ≥ threshold. Never all-pairs: the shingle join is the
     * blocker.
     */
+  /** Exact n-gram Jaccard with PREFIX FILTERING (Chaudhuri et al.):
+    * under a global (lexicographic) shingle order, any pair with
+    * J ≥ t must share a shingle inside each side's first
+    * |S| − ⌈t·|S|⌉ + 1 sorted shingles — so only that prefix is indexed.
+    * Candidates shrink from "share ANY shingle" to "share a PREFIX
+    * shingle" (~(1−t)² of the naive volume) with zero false negatives;
+    * the true Jaccard is then verified on the full sets.
+    */
   def ngramJaccard(docs: DataFrame, id: String, text: String, n: Int, threshold: Double): DataFrame = {
-    val sh = docs.select(col(id).as("_id"), shingles(col(text), n).as("_sh"))
-    val sizes = sh.select(col("_id"), size(col("_sh")).as("_n"))
-    val inv = sh.select(col("_id"), explode(col("_sh")).as("_s"))
-    // |A∩B| falls straight out of the inverted-index join (count of
-    // shared shingles per pair) — no per-pair array intersections, and
-    // the shuffle carries only (id1, id2) rows.
-    val inter = inv.select(col("_id").as("id1"), col("_s"))
+    val sh = docs.select(col(id).as("_id"),
+      array_sort(shingles(col(text), n)).as("_sh"))
+    val withPrefix = sh.withColumn("_pl",
+      (size(col("_sh")) - ceil(lit(threshold) * size(col("_sh"))) + 1).cast("int"))
+    val inv = withPrefix
+      .select(col("_id"), explode(slice(col("_sh"), lit(1), col("_pl"))).as("_s"))
+    val cands = inv.select(col("_id").as("id1"), col("_s"))
       .join(inv.select(col("_id").as("id2"), col("_s")), "_s")
       .filter(col("id1") < col("id2"))
-      .groupBy("id1", "id2").agg(count(lit(1)).as("_i"))
-    inter
-      .join(sizes.select(col("_id").as("id1"), col("_n").as("_na")), "id1")
-      .join(sizes.select(col("_id").as("id2"), col("_n").as("_nb")), "id2")
+      .select("id1", "id2").distinct()
+    cands
+      .join(sh.select(col("_id").as("id1"), col("_sh").as("_sa")), "id1")
+      .join(sh.select(col("_id").as("id2"), col("_sh").as("_sb")), "id2")
       .select(col("id1"), col("id2"),
-        round(col("_i").cast("double") / (col("_na") + col("_nb") - col("_i")), 5)
-          .as("jaccard"))
+        round(size(array_intersect(col("_sa"), col("_sb")))
+          .cast("double") / size(array_union(col("_sa"), col("_sb"))), 5).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

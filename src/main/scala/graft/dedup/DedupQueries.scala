@@ -42,13 +42,17 @@ object DedupQueries {
 
   val dedupNgramOracle: String =
     s"""WITH $shinglePrelude,
+       |srt AS (SELECT doc_id, list_sort(s) AS ss FROM sh),
+       |pinv AS (SELECT doc_id,
+       |           unnest(ss[1 : CAST(len(ss) - ceil(0.8 * len(ss)) + 1 AS INT)]) AS shg
+       |         FROM srt),
        |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-       |         FROM inv a JOIN inv b ON a.shg = b.shg AND a.doc_id < b.doc_id)
+       |         FROM pinv a JOIN pinv b ON a.shg = b.shg AND a.doc_id < b.doc_id)
        |SELECT * FROM (
        |  SELECT id1, id2,
-       |    round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-       |          / len(list_distinct(a.s || b.s)), 5) AS jaccard
-       |  FROM cand JOIN sh a ON a.doc_id = id1 JOIN sh b ON b.doc_id = id2)
+       |    round(CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE)
+       |          / len(list_distinct(a.ss || b.ss)), 5) AS jaccard
+       |  FROM cand JOIN srt a ON a.doc_id = id1 JOIN srt b ON b.doc_id = id2)
        |WHERE jaccard >= 0.8
        |ORDER BY id1, id2""".stripMargin
 
