@@ -29,7 +29,8 @@ object MlMatcher {
     * on a driver-side frame; here training data and scoring are both
     * distributed (LBFGS aggregates gradients like any Spark agg).
     */
-  def fitPredict(labeled: DataFrame, featureCols: Seq[String]): DataFrame = {
+  def fitPredict(labeled: DataFrame, featureCols: Seq[String],
+      trainFraction: Double = 0.1): DataFrame = {
     val assembler = new VectorAssembler()
       .setInputCols(featureCols.toArray).setOutputCol("features")
     // Cache the assembled features: LBFGS makes one full pass per
@@ -37,10 +38,15 @@ object MlMatcher {
     // join and all comparator expressions.
     val vec = assembler.transform(labeled)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Deterministic hash-sampled training subset (partitioning-
+    // independent, unlike .sample); ALL candidates are scored. Positives
+    // are always kept — they are the rare class.
+    val bucket = pmod(xxhash64(col("id1"), col("id2")), lit(1000L))
+    val train = vec.filter(col("label") === 1.0 || bucket < (trainFraction * 1000).toInt)
     val lr = new LogisticRegression()
       .setMaxIter(10).setRegParam(0.01).setStandardization(true)
       .setLabelCol("label").setFeaturesCol("features")
-    val model = lr.fit(vec)
+    val model = lr.fit(train)
     model.transform(vec)
       .select(col("id1"), col("id2"),
         round(element_at(vector_to_array(col("probability")), 2), 5).as("match_prob"),
