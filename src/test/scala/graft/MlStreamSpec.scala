@@ -49,4 +49,17 @@ class MlStreamSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_bytes") > 0)
     }
   }
+
+  test("multimodal resize + frame sampling plumbing") {
+    import graft.multimodal.Multimodal
+    val media = Multimodal.syntheticMedia(
+      Tables.customer(spark, sf).limit(4), "c_custkey", "c_name")
+    val resized = Multimodal.resize(media, 32, 24).collect()
+    assert(resized.forall(r => r.width == 32 && r.height == 24 && r.media.length == 16))
+    // names are 18 chars → 4 frames of 5 bytes (last partial dropped by /)
+    val frames = Multimodal.frameSample(media, frameBytes = 5, everyN = 2).collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(_.getInt(2) % 2 == 0))
+    assert(frames.forall(_.getString(3).length <= 5))
+  }
 }
