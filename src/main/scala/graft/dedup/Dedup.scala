@@ -99,7 +99,11 @@ object Dedup {
     val bandCols = col("_id") +: (0 until bands).map { b =>
       concat_ws(":", (0 until rows).map(r => col(s"_h${b * rows + r}")): _*).as(s"_band$b")
     }
+    // One row per doc; persist so the per-band self-joins (2 branches ×
+    // `bands` unions) reuse the signatures instead of recomputing the
+    // k-way minhash aggregation for every branch.
     val banded = sigs.select(bandCols: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = (0 until bands).map { b =>
       banded.select(col("_id").as("id1"), col(s"_band$b").as("_bk"))
         .join(banded.select(col("_id").as("id2"), col(s"_band$b").as("_bk")), "_bk")
@@ -147,6 +151,7 @@ object Dedup {
       conv(col("simhash"), 2, 10).cast("long").as("_sig"),
       substring(col("simhash"), 1, 8).as("_b0"),
       substring(col("simhash"), 9, 8).as("_b1"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = (0 until 2).map { b =>
       halves.select(col("_id").as("id1"), col("_sig").as("_s1"), col(s"_b$b").as("_bk"))
         .join(halves.select(col("_id").as("id2"), col("_sig").as("_s2"), col(s"_b$b").as("_bk")), "_bk")
