@@ -1,0 +1,39 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.clustering.Clusterers
+
+/** Scale-behavior checks: not micro-benchmarks, but proofs that the
+  * algorithms keep their asymptotic promises where a naive
+  * implementation would blow up.
+  */
+class ScaleStressSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("connected components converges on a 100k-node path graph (diameter >> rounds)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val n = 100000
+    // one path 0-1-2-...-n: worst case for label propagation
+    // (O(n) rounds); large-star/small-star must do it in O(log n).
+    val edges = spark.range(n - 1).select(
+      org.apache.spark.sql.functions.col("id").as("id1"),
+      (org.apache.spark.sql.functions.col("id") + 1).as("id2"))
+    val labels = Clusterers.connectedComponents(edges, maxIter = 25)
+    val distinctClusters = labels.select("cluster").distinct().collect()
+    assert(distinctClusters.length == 1 && distinctClusters(0).getLong(0) == 0L)
+    assert(labels.count() == n)
+  }
+
+  test("token blocker cap keeps a pathological stop-word key sub-quadratic") {
+    val spark2 = spark
+    import spark2.implicits._
+    val l = spark.range(3000).selectExpr("id", "concat('common tok', id) AS t")
+    val r = spark.range(3000).selectExpr("id + 1000000 AS id", "concat('common tok', id) AS t")
+    // 'common' hits every row → 9M pairs uncapped; the cap prunes it and
+    // only the unique tokN tokens pair up.
+    val pairs = graft.blocking.Blockers.token(l.toDF(), r.toDF(), "t", "id",
+      minTokenLen = 2, maxPairsPerToken = Some(100000L))
+    assert(pairs.count() == 3000)
+  }
+}
