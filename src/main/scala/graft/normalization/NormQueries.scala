@@ -236,6 +236,40 @@ object NormQueries {
       |WHERE abs(v - mu) > 3.0 * sd
       |ORDER BY event_id""".stripMargin
 
+  // ---- norm_valuefns (PyDI/utils/normalization.py helpers) ----
+  def normValueFns(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val html = concat(lit("<p>Event <b>"), col("event_type"), lit("</b>  here</p>"))
+    val phone = concat(lit("(555) "), lpad((col("event_id") % 1000).cast("string"), 3, "0"),
+      lit("-"), lpad((col("event_id") % 10000).cast("string"), 4, "0"))
+    val curr = concat(lit("$"), format_number(centsL(col("value")) * 13, 0))
+    val pct = concat((col("event_id") % 200).cast("string"), lit(".5%"))
+    val accented = concat(lit("café àbc "), col("event_type"), lit(" ÑOÊL"))
+    e.select(col("event_id"),
+        Normalize.stripHtml(html).as("html_stripped"),
+        Normalize.normalizePhone(phone).as("phone"),
+        round(coalesce(Normalize.parseCurrency(curr), lit(-1.0)), 5).as("currency"),
+        round(Normalize.parsePercentage(pct), 5).as("pct"),
+        Normalize.removeAccents(accented).as("unaccented"),
+        round(coalesce(Normalize.extractNumeric(concat(lit("id="), col("event_id"),
+          lit(" v"))), lit(-1.0)), 5).as("first_num"))
+      .orderBy("event_id")
+  }
+  val normValueFnsOracle: String =
+    """SELECT event_id,
+      |  trim(regexp_replace(regexp_replace(
+      |    concat('<p>Event <b>', event_type, '</b>  here</p>'), '<[^>]*>', ' ', 'g'),
+      |    '\s+', ' ', 'g')) AS html_stripped,
+      |  concat('+1-555-', lpad(CAST(event_id % 1000 AS VARCHAR), 3, '0'), '-',
+      |         lpad(CAST(event_id % 10000 AS VARCHAR), 4, '0')) AS phone,
+      |  round(CAST(regexp_replace(concat('$', format('{:,}',
+      |        CAST(round(value*100) AS BIGINT) * 13)), '[$,]', '', 'g') AS DOUBLE), 5)
+      |    AS currency,
+      |  round(CAST(CAST(event_id % 200 AS VARCHAR) || '.5' AS DOUBLE) / 100.0, 5) AS pct,
+      |  concat('cafe abc ', event_type, ' NOEL') AS unaccented,
+      |  round(CAST(event_id AS DOUBLE), 5) AS first_num
+      |FROM events ORDER BY event_id""".stripMargin
+
   // ---- norm_detect_types ----
   def normDetectTypes(s: SparkSession, dir: String): DataFrame =
     Normalize.detectTypes(orders(s, dir))
@@ -334,6 +368,7 @@ object NormQueries {
     "norm_urls" -> (normUrls _),
     "norm_units" -> (normUnits _),
     "norm_units_multi" -> (normUnitsMulti _),
+    "norm_valuefns" -> (normValueFns _),
     "norm_outliers_zscore" -> (normOutliersZscore _),
     "norm_detect_types" -> (normDetectTypes _),
     "norm_outliers" -> (normOutliers _),
@@ -351,6 +386,7 @@ object NormQueries {
     "norm_urls" -> normUrlsOracle,
     "norm_units" -> normUnitsOracle,
     "norm_units_multi" -> normUnitsMultiOracle,
+    "norm_valuefns" -> normValueFnsOracle,
     "norm_outliers_zscore" -> normOutliersZscoreOracle,
     "norm_detect_types" -> normDetectTypesOracle,
     "norm_outliers" -> normOutliersOracle,

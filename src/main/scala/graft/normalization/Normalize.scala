@@ -178,6 +178,49 @@ object Normalize {
       .drop("_unit", "_factor")
   }
 
+  // ---- value functions (PyDI/utils/normalization.py) ----
+
+  /** remove_html_tags (:77). */
+  def stripHtml(c: Column): Column =
+    trim(regexp_replace(regexp_replace(c, "<[^>]*>", " "), "\\s+", " "))
+
+  /** normalize_phone_number (:106), US layout: 10 digits (optionally
+    * 1-prefixed) → "+1-XXX-XXX-XXXX"; anything else → NULL.
+    */
+  def normalizePhone(c: Column): Column = {
+    val digits = regexp_replace(c, "[^0-9]", "")
+    val ten = when(length(digits) === 11 && substring(digits, 1, 1) === "1",
+        substring(digits, 2, 10))
+      .when(length(digits) === 10, digits)
+    when(ten.isNotNull,
+      concat(lit("+1-"), substring(ten, 1, 3), lit("-"),
+        substring(ten, 4, 3), lit("-"), substring(ten, 7, 4)))
+  }
+
+  /** parse_currency (:145): "$1,234.56" → 1234.56; NULL if unparseable. */
+  def parseCurrency(c: Column): Column =
+    regexp_extract(regexp_replace(trim(c), "[$,\\s]", ""), "^(-?\\d+(?:\\.\\d+)?)$", 1)
+      .cast("double")
+
+  /** parse_percentage (:182): "12.5%" → 0.125. */
+  def parsePercentage(c: Column): Column =
+    (regexp_extract(trim(c), "^(-?\\d+(?:\\.\\d+)?)\\s*%$", 1).cast("double") / 100.0)
+
+  /** normalize_whitespace (:330). */
+  def normalizeWhitespace(c: Column): Column =
+    trim(regexp_replace(c, "\\s+", " "))
+
+  /** remove_accents (:353) for the Latin-1 accent range — a literal
+    * translate map, identical in any engine (no ICU dependency).
+    */
+  val AccentFrom = "àáâãäåèéêëìíîïòóôõöùúûüýçñÀÁÂÃÄÅÈÉÊËÌÍÎÏÒÓÔÕÖÙÚÛÜÝÇÑ"
+  val AccentTo = "aaaaaaeeeeiiiiooooouuuuycnAAAAAAEEEEIIIIOOOOOUUUUYCN"
+  def removeAccents(c: Column): Column = translate(c, AccentFrom, AccentTo)
+
+  /** extract_numeric (:295), first match. */
+  def extractNumeric(c: Column): Column =
+    nullif(regexp_extract(c, "(-?\\d+(?:\\.\\d+)?)", 1), lit("")).cast("double")
+
   // ---- coordinates (PyDI/normalization/coordinate_parser.py) ----
 
   /** "12.34N" / "56.78W" → signed double (S/W negative); NULL if
