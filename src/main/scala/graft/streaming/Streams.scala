@@ -111,6 +111,14 @@ object Streams {
         col("n_events"))
   }
 
+  /** Streaming exact dedup: drop repeated keys arriving within the
+    * watermark horizon — the streaming face of Dedup.exact for
+    * continuous ingest (state is bounded by the watermark; an unbounded
+    * dropDuplicates would grow state forever at 100 TB/day).
+    */
+  def dedupStream(events: DataFrame, keyCols: Seq[String]): DataFrame =
+    events.dropDuplicatesWithinWatermark(keyCols)
+
   /** Run the streaming windowed agg to completion (AvailableNow) into an
     * in-memory sink and return the result — used by the spec to prove
     * stream ≡ batch.

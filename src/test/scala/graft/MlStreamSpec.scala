@@ -50,6 +50,32 @@ class MlStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming dedup drops within-watermark duplicate keys") {
+    import org.apache.spark.sql.functions._
+    // dedicated stage dir with the source linked TWICE → every event
+    // arrives duplicated on the stream
+    val stage = java.nio.file.Files.createTempDirectory("graft_dedup_stream")
+    stage.toFile.deleteOnExit()
+    Seq("a.parquet", "b.parquet").foreach { n =>
+      java.nio.file.Files.createSymbolicLink(stage.resolve(n),
+        java.nio.file.Paths.get(s"$sf/events.parquet"))
+    }
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sf/events.parquet").schema
+    val raw = spark.readStream.schema(schema).parquet(stage.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "2 hours")
+    val q = Streams.dedupStream(raw, Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup_sink")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("dedup_sink").count()
+    val want = Tables.events(spark, sf).count()
+    assert(got == want, s"expected $want deduped events, got $got")
+  }
+
   test("multimodal resize + frame sampling plumbing") {
     import graft.multimodal.Multimodal
     val media = Multimodal.syntheticMedia(
