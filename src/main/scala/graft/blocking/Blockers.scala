@@ -43,6 +43,19 @@ object Blockers {
     lc.join(rc, "_bk").agg(coalesce(sum(col("nl") * col("nr")), lit(0L)).as("est_pairs"))
   }
 
+  /** Pair-count estimate for token blocking (token_blocking.py
+    * estimate_pairs shape): Σ_token |L_tok|·|R_tok| over surviving
+    * tokens — an upper bound (before the cross-token pair dedup).
+    */
+  def estimateTokenPairs(left: DataFrame, right: DataFrame, column: String,
+      minTokenLen: Int = 2): DataFrame = {
+    val lc = left.select(explode(tokens(col(column), minTokenLen)).as("_tok"))
+      .groupBy("_tok").agg(count(lit(1)).as("nl"))
+    val rc = right.select(explode(tokens(col(column), minTokenLen)).as("_tok"))
+      .groupBy("_tok").agg(count(lit(1)).as("nr"))
+    lc.join(rc, "_tok").agg(coalesce(sum(col("nl") * col("nr")), lit(0L)).as("est_pairs"))
+  }
+
   /** Skew-safe variant of [[standard]]: when a handful of block keys
     * hold most rows (the classic hot-key shuffle straggler), salt the
     * left side deterministically by id hash into `salt` sub-keys and

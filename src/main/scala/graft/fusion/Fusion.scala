@@ -160,6 +160,51 @@ object Fusion {
           .as(s"intersection_${k}_list"))
   }
 
+  /** FusionEngine.run (engine.py:356) as a reusable strategy-table API:
+    * one resolver name per attribute; resolvers join on the cluster id
+    * into a single fused record per cluster (each resolver is one
+    * aggregation — the join keys are tiny post-agg frames).
+    *
+    * Supported strategy names: voting, longest_string, shortest_string,
+    * most_complete, average, median, maximum, minimum, sum,
+    * most_recent, earliest, hash_pick (deterministic random_value).
+    */
+  def runEngine(records: DataFrame, cluster: String,
+      strategies: Seq[(String, String)]): DataFrame = {
+    val fusedCols = strategies.map { case (attr, strategy) =>
+      strategy match {
+        case "voting" =>
+          voting(records, cluster, attr).select(col(cluster), col(attr))
+        case "longest_string" | "shortest_string" | "most_complete" =>
+          val pick = strategy match {
+            case "longest_string" => "longest"
+            case "shortest_string" => "shortest"
+            case _ => "most_complete"
+          }
+          stringResolvers(records, cluster, attr)
+            .select(col(cluster), col(pick).as(attr))
+        case "average" | "median" | "maximum" | "minimum" | "sum" =>
+          val pick = strategy match {
+            case "average" => "avg_value"; case "median" => "median_value"
+            case "maximum" => "max_value"; case "minimum" => "min_value"
+            case _ => "sum_value"
+          }
+          numericResolvers(records, cluster, graft.Tables.cents(col(attr)))
+            .select(col(cluster), col(pick).as(attr))
+        case "most_recent" | "earliest" =>
+          val pick = if (strategy == "most_recent") "most_recent" else "earliest"
+          dateResolvers(records, cluster, col(attr))
+            .select(col(cluster), col(pick).as(attr))
+        case "hash_pick" =>
+          hashPick(records, cluster, attr).select(col(cluster), col(attr))
+        case other =>
+          throw new IllegalArgumentException(s"unknown fusion strategy: $other")
+      }
+    }
+    val counts = records.groupBy(col(cluster)).agg(count(lit(1)).as("n_records"))
+    (fusedCols :+ counts).reduce(_.join(_, cluster))
+  }
+
   /** Conflict share per attribute (fusion/analysis.py): fraction of
     * clusters holding >1 distinct valid value for the attribute.
     */

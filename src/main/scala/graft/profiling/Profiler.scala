@@ -38,6 +38,34 @@ object Profiler {
     stacked.reduce(_.unionByName(_))
   }
 
+  /** Scale-path profile: identical shape to [[profile]] but distinct
+    * counts via HyperLogLog (`approx_count_distinct`, rsd 5%) — exact
+    * count_distinct expands rows per aggregate and becomes the scan
+    * bottleneck at 100 TB; the sketch is one pass, mergeable, and
+    * bounded-memory.
+    */
+  def profileApprox(df: DataFrame): DataFrame = {
+    val metrics = df.columns.toSeq.flatMap { c =>
+      val sc = col(c).cast("string")
+      Seq(
+        count(lit(1)).as(s"__n_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
+        approx_count_distinct(col(c), 0.05).as(s"__dist_$c"),
+        min(sc).as(s"__min_$c"),
+        max(sc).as(s"__max_$c"))
+    }
+    val agg = df.agg(metrics.head, metrics.tail: _*)
+    df.columns.toSeq.map { c =>
+      agg.select(
+        lit(c).as("column_name"),
+        col(s"__n_$c").as("n_rows"),
+        col(s"__nulls_$c").as("n_nulls"),
+        col(s"__dist_$c").as("n_distinct_approx"),
+        col(s"__min_$c").as("min_value"),
+        col(s"__max_$c").as("max_value"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Top-k most frequent values per listed column (long form); ties on
     * count break by value asc.
     */
