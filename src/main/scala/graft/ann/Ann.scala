@@ -82,6 +82,48 @@ object Ann {
       .select(col("qid"), col("_id").as(id), round(col("_cos"), 5).as("cosine"), col("rank"))
   }
 
+  /** IVF top-k (the FAISS-style scale path): a k-means coarse quantizer
+    * partitions the corpus into `nlist` cells; each query probes its
+    * `nprobe` nearest centroids and ranks only those cells' vectors.
+    * Search cost drops from O(n) to O(n·nprobe/nlist) per query; the
+    * corpus join is an equi-join on the cell id (shuffle-partitioned by
+    * cell — exactly how a distributed IVF shards). Training is one
+    * spark.ml KMeans fit (seeded); recall is tuned via nprobe.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, id: String, vec: String,
+      dim: Int, k: Int, nlist: Int = 16, nprobe: Int = 3): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val c = withNorm(corpus, id, vec, dim)
+      .withColumn("_fv", array_to_vector(col("_v")))
+    val km = new KMeans().setK(nlist).setSeed(42).setMaxIter(10)
+      .setFeaturesCol("_fv").setPredictionCol("_cell")
+    val model = km.fit(c)
+    val assigned = model.transform(c).drop("_fv")
+    // centroid table is tiny → broadcast; queries pick nprobe cells
+    val centroids = model.clusterCenters.zipWithIndex.map { case (v, i) =>
+      (i, v.toArray)
+    }
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = spark.createDataset(centroids.toSeq).toDF("_cell", "_cv")
+    val q = withNorm(queries, id, vec, dim)
+      .select(col("_id").as("qid"), col("_v").as("_qv"), col("_n").as("_qn"))
+    val cellW = Window.partitionBy(col("qid")).orderBy(col("_d").desc, col("_cell"))
+    val qCells = broadcast(q).crossJoin(broadcast(cents))
+      .withColumn("_d", dot(col("_qv"), col("_cv"), dim))
+      .withColumn("_rn", row_number().over(cellW))
+      .filter(col("_rn") <= nprobe)
+      .select(col("qid"), col("_qv"), col("_qn"), col("_cell"))
+    val cos = dot(col("_qv"), col("_v"), dim) / (col("_qn") * col("_n"))
+    val w = Window.partitionBy(col("qid")).orderBy(round(cos, 7).desc, col("_id"))
+    qCells.join(assigned, Seq("_cell"))
+      .filter(col("qid") =!= col("_id"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("_id").as(id), round(cos, 5).as("cosine"), col("rank"))
+  }
+
   /** Embedding-cosine near-dup pairs (#57): LSH bucket join over the
     * corpus, verify round(cos,5) ≥ threshold within buckets.
     */

@@ -65,6 +65,22 @@ class DedupTextSpec extends AnyFunSuite {
     assert(byId(1L)._2 > 0)
   }
 
+  test("IVF top-k finds planted twins (recall@1 vs brute force)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val orig = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val twins = orig.select((col("vec_id") + 100000).as("vec_id"),
+      concat(array(element_at(col("v"), 1) + 0.2), slice(col("v"), 2, 63)).as("v"))
+    val corpus = orig.unionByName(twins)
+    val queries = orig.limit(20)
+    val ivf = Ann.ivfTopK(queries, corpus, "vec_id", "v", 64, k = 1,
+      nlist = 8, nprobe = 2).collect()
+    // each query's true nearest neighbor is its twin (cosine ≈ 0.98)
+    val hits = ivf.count(r => r.getLong(1) == r.getLong(0) + 100000)
+    assert(hits >= (ivf.length * 0.9).toInt, s"recall@1 too low: $hits/${ivf.length}")
+  }
+
   test("cosine helpers: unit vector self-similarity and bucket determinism") {
     val spark2 = spark
     import spark2.implicits._
