@@ -76,13 +76,23 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** MinHash signature columns: minhash_i = lexicographic min over the
-    * doc's shingles of the 8-hex-char prefix of md5(i‖'#'‖shingle).
-    * String min avoids engine-specific hex→int casts while keeping the
-    * uniform-permutation behavior of the hash family.
+  /** Hash families for the minhash signatures. md5 is the DuckDB-
+    * replayable oracle-parity default; xxhash64 is ~5-10× cheaper per
+    * shingle and the right choice on a real cluster (identical join
+    * shapes, no oracle).
     */
-  private def minhashAgg(i: Int): Column =
-    min(substring(md5(concat(lit(s"$i#"), col("_s"))), 1, 8)).as(s"_h$i")
+  val Md5Hash: (Int, Column) => Column =
+    (i, s) => substring(md5(concat(lit(s"$i#"), s)), 1, 8)
+  val XxHash: (Int, Column) => Column =
+    (i, s) => format_string("%016x", xxhash64(lit(i), s))
+
+  /** MinHash signature columns: minhash_i = lexicographic min over the
+    * doc's shingles of hashᵢ(shingle). String min avoids engine-
+    * specific hex→int casts while keeping the uniform-permutation
+    * behavior of the hash family.
+    */
+  private def minhashAgg(i: Int, hashHex: (Int, Column) => Column): Column =
+    min(hashHex(i, col("_s"))).as(s"_h$i")
 
   /** MinHash + LSH near-dup (#54): k hashes in `bands` bands of `rows`
     * rows; docs sharing any band signature become candidates (one
@@ -90,12 +100,13 @@ object Dedup {
     * candidates are verified with the true shingle Jaccard.
     */
   def minhashLsh(docs: DataFrame, id: String, text: String, n: Int = 3,
-      bands: Int = 4, rows: Int = 3, threshold: Double = 0.8): DataFrame = {
+      bands: Int = 4, rows: Int = 3, threshold: Double = 0.8,
+      hashHex: (Int, Column) => Column = Md5Hash): DataFrame = {
     val k = bands * rows
     val sh = docs.select(col(id).as("_id"), shingles(col(text), n).as("_sh"))
     val exploded = sh.select(col("_id"), explode(col("_sh")).as("_s"))
-    val sigs = exploded.groupBy("_id")
-      .agg((0 until k).map(minhashAgg).head, (0 until k).map(minhashAgg).tail: _*)
+    val aggs = (0 until k).map(i => minhashAgg(i, hashHex))
+    val sigs = exploded.groupBy("_id").agg(aggs.head, aggs.tail: _*)
     val bandCols = col("_id") +: (0 until bands).map { b =>
       concat_ws(":", (0 until rows).map(r => col(s"_h${b * rows + r}")): _*).as(s"_band$b")
     }
