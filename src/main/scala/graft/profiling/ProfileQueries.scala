@@ -38,12 +38,44 @@ object ProfileQueries {
       "\nORDER BY column_name, rnk"
   }
 
+  /** DataProfiler.compare over the EmScenario sources: shared schema,
+    * partially overlapping values (names diverge, seg/nat identical).
+    */
+  def profileCompare(s: SparkSession, dir: String): DataFrame = {
+    import graft.blocking.EmScenario
+    Profiler.compare(
+        EmScenario.custL(s, dir).select("name", "seg", "nat"),
+        EmScenario.custR(s, dir).select("name", "seg", "nat"))
+      .orderBy("column_name")
+  }
+
+  val profileCompareOracle: String = {
+    def side(t: String, c: String, p: String) =
+      s"""SELECT count(*) AS ${p}_rows,
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ${p}_nulls,
+         |  count(DISTINCT $c) AS ${p}_distinct FROM $t""".stripMargin
+    def one(c: String) =
+      s"""SELECT '$c' AS column_name, a.*, b.*,
+         |  round(CAST(i.ni AS DOUBLE) / greatest(a.a_distinct + b.b_distinct - i.ni, 1), 5)
+         |    AS value_jaccard
+         |FROM (${side("l", c, "a")}) a, (${side("r", c, "b")}) b,
+         |     (SELECT count(*) AS ni FROM
+         |        (SELECT DISTINCT CAST($c AS VARCHAR) AS v FROM l WHERE $c IS NOT NULL) x
+         |        JOIN (SELECT DISTINCT CAST($c AS VARCHAR) AS v FROM r WHERE $c IS NOT NULL) y
+         |        USING (v)) i""".stripMargin
+    s"""${graft.blocking.EmScenario.oracleWith}
+       |${Seq("name", "seg", "nat").map(one).mkString("\nUNION ALL\n")}
+       |ORDER BY column_name""".stripMargin
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "profile_columns" -> (profileColumns _),
-    "profile_topk" -> (profileTopk _)
+    "profile_topk" -> (profileTopk _),
+    "profile_compare" -> (profileCompare _)
   )
 
   def oracles: Map[String, String] = Map(
+    "profile_compare" -> profileCompareOracle,
     "profile_columns" -> profileColumnsOracle,
     "profile_topk" -> profileTopkOracle
   )

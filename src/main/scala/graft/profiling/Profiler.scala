@@ -66,6 +66,32 @@ object Profiler {
     }.reduce(_.unionByName(_))
   }
 
+  /** Two-dataset comparison (profiler.py `compare`, statistics core):
+    * per shared column — row/null/distinct counts on both sides plus
+    * the value-set Jaccard overlap (the drift signal).
+    */
+  def compare(a: DataFrame, b: DataFrame): DataFrame = {
+    val common = a.columns.toSeq.filter(b.columns.contains)
+    val pa = profile(a.select(common.map(col): _*))
+      .select(col("column_name"), col("n_rows").as("a_rows"),
+        col("n_nulls").as("a_nulls"), col("n_distinct").as("a_distinct"))
+    val pb = profile(b.select(common.map(col): _*))
+      .select(col("column_name"), col("n_rows").as("b_rows"),
+        col("n_nulls").as("b_nulls"), col("n_distinct").as("b_distinct"))
+    val overlap = common.map { c =>
+      val av = a.select(col(c).cast("string").as("v")).filter(col("v").isNotNull).distinct()
+      val bv = b.select(col(c).cast("string").as("v")).filter(col("v").isNotNull).distinct()
+      val i = av.join(bv, "v").agg(count(lit(1)).as("_i"))
+      val na = av.agg(count(lit(1)).as("_na"))
+      val nb = bv.agg(count(lit(1)).as("_nb"))
+      i.crossJoin(na).crossJoin(nb)
+        .select(lit(c).as("column_name"),
+          round(col("_i") / greatest(col("_na") + col("_nb") - col("_i"), lit(1L)), 5)
+            .as("value_jaccard"))
+    }.reduce(_.unionByName(_))
+    pa.join(pb, "column_name").join(overlap, "column_name")
+  }
+
   /** Top-k most frequent values per listed column (long form); ties on
     * count break by value asc.
     */
