@@ -62,10 +62,15 @@ object Dedup {
     val withPrefix = sh.withColumn("_pl",
       (size(col("_sh")) - ceil(lit(threshold) * size(col("_sh"))) + 1).cast("int"))
     val inv = withPrefix
-      .select(col("_id"), explode(slice(col("_sh"), lit(1), col("_pl"))).as("_s"))
-    val cands = inv.select(col("_id").as("id1"), col("_s"))
-      .join(inv.select(col("_id").as("id2"), col("_s")), "_s")
-      .filter(col("id1") < col("id2"))
+      .select(col("_id"), size(col("_sh")).as("_n"),
+        explode(slice(col("_sh"), lit(1), col("_pl"))).as("_s"))
+    // Size filter (also candidate-safe): J ≥ t forces t·|B| ≤ |A| ≤ |B|/t,
+    // so wildly different-sized docs never reach verification.
+    val cands = inv.select(col("_id").as("id1"), col("_n").as("_na"), col("_s"))
+      .join(inv.select(col("_id").as("id2"), col("_n").as("_nb"), col("_s")), "_s")
+      .filter(col("id1") < col("id2") &&
+        col("_na") >= lit(threshold) * col("_nb") &&
+        col("_nb") >= lit(threshold) * col("_na"))
       .select("id1", "id2").distinct()
     cands
       .join(sh.select(col("_id").as("id1"), col("_sh").as("_sa")), "id1")
