@@ -22,12 +22,17 @@ object Dedup {
   /** Whitespace word tokens of a text column. */
   def words(text: Column): Column = split(text, " ")
 
-  /** Distinct n-word shingles ("w1 w2 w3") of a text column. */
+  /** Distinct n-word shingles ("w1 w2 w3") of a text column. Documents
+    * shorter than n words yield an empty set (the trailing filter drops
+    * the partial shingle concat_ws would otherwise produce).
+    */
   def shingles(text: Column, n: Int = 3): Column = {
     val w = words(text)
-    array_distinct(transform(
-      sequence(lit(0), greatest(size(w) - n, lit(0))),
-      i => concat_ws(" ", (0 until n).map(o => element_at(w, i + o + 1)): _*)))
+    array_distinct(filter(
+      transform(
+        sequence(lit(0), greatest(size(w) - n, lit(0))),
+        i => concat_ws(" ", (0 until n).map(o => element_at(w, i + o + 1)): _*)),
+      s => size(split(s, " ")) === n))
   }
 
   /** Exact dedup (#53) after canonicalization: docs with the same sorted
