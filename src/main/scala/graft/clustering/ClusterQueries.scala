@@ -146,10 +146,64 @@ object ClusterQueries {
        |  SELECT unnest(outp) AS u FROM walk WHERE rn = (SELECT max(rn) FROM ranked)) u
        |ORDER BY id""".stripMargin
 
-  // ---- stable / bipartite / hierarchical (rows-only + specs) ----
+  // ---- stable matching (recursive-fold oracle) ----
 
   def clusterStable(s: SparkSession, dir: String): DataFrame =
     Clusterers.stableMatching(scoredEdges(s, dir)).orderBy("id1", "id2")
+
+  /** Replays ComponentKernels.stableMatching sequentially: left ids
+    * ascending; each takes its best available partner whose own
+    * preference list holds no better available option; pairs emitted in
+    * the ORIGINAL edge orientation. Global order equals the per-
+    * component run because decisions never cross components.
+    */
+  val stableOracle: String =
+    s"""WITH RECURSIVE $scoredEdgesSql,
+       |prefs AS (
+       |  SELECT id1 AS id, id2 AS partner, score FROM se
+       |  UNION ALL SELECT id2, id1, score FROM se),
+       |lefts AS (SELECT id1, row_number() OVER (ORDER BY id1) AS ln
+       |          FROM (SELECT DISTINCT id1 FROM se)),
+       |walk(i, matched, outp) AS (
+       |  SELECT CAST(0 AS BIGINT), CAST([] AS BIGINT[]),
+       |         CAST([] AS STRUCT(a BIGINT, b BIGINT)[])
+       |  UNION ALL
+       |  SELECT l.ln,
+       |    CASE WHEN ch.partner IS NOT NULL
+       |         THEN list_append(list_append(w.matched, CAST(l.id1 AS BIGINT)),
+       |                          CAST(ch.partner AS BIGINT))
+       |         ELSE w.matched END,
+       |    CASE WHEN ch.partner IS NOT NULL
+       |         THEN list_append(w.outp, {'a': CAST(l.id1 AS BIGINT),
+       |                                   'b': CAST(ch.partner AS BIGINT)})
+       |         ELSE w.outp END
+       |  FROM walk w
+       |  JOIN lefts l ON l.ln = w.i + 1
+       |  LEFT JOIN LATERAL (
+       |    SELECT p.partner
+       |    FROM prefs p
+       |    WHERE p.id = l.id1
+       |      AND NOT list_contains(w.matched, CAST(l.id1 AS BIGINT))
+       |      AND NOT list_contains(w.matched, CAST(p.partner AS BIGINT))
+       |      AND NOT EXISTS (
+       |        SELECT 1 FROM prefs q
+       |        WHERE q.id = p.partner
+       |          AND q.partner <> l.id1
+       |          AND NOT list_contains(w.matched, CAST(q.partner AS BIGINT))
+       |          AND (q.score > (SELECT r.score FROM prefs r
+       |                          WHERE r.id = p.partner AND r.partner = l.id1)
+       |               OR (q.score = (SELECT r.score FROM prefs r
+       |                              WHERE r.id = p.partner AND r.partner = l.id1)
+       |                   AND q.partner < l.id1)))
+       |    ORDER BY p.score DESC, p.partner
+       |    LIMIT 1) ch ON true),
+       |pairs AS (SELECT u.u.a AS a, u.u.b AS b FROM (
+       |  SELECT unnest(outp) AS u FROM walk
+       |  WHERE i = (SELECT max(ln) FROM lefts)) u)
+       |SELECT se.id1, se.id2, se.score
+       |FROM pairs JOIN se ON (se.id1 = pairs.a AND se.id2 = pairs.b)
+       |                   OR (se.id1 = pairs.b AND se.id2 = pairs.a)
+       |ORDER BY se.id1, se.id2""".stripMargin
 
   /** Bipartite input: cross-source candidates from the standard blocker
     * scored by name JW, kept at ≥ 0.95 — id1 (left) and id2 (right)
@@ -185,6 +239,7 @@ object ClusterQueries {
   def oracles: Map[String, String] = Map(
     "cluster_connected_components" -> ccOracle,
     "cluster_greedy_one_to_one" -> greedyOracle,
-    "cluster_centre" -> centreOracle
+    "cluster_centre" -> centreOracle,
+    "cluster_stable" -> stableOracle
   )
 }
