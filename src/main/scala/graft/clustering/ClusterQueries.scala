@@ -9,11 +9,11 @@ import graft.blocking.{Blockers, EmScenario}
 /** Clustering queries + DuckDB oracles (SURVEY §2.10).
   *
   * Oracle strategy: connected components via a recursive reachability CTE;
-  * the sequential-greedy algorithms (centre, greedy 1:1) via a recursive
-  * single-row FOLD over the score-ranked edge list — DuckDB replays the
-  * exact greedy walk. Stable / bipartite / hierarchical are not reasonably
-  * SQL-expressible → rows-only driver check + property specs in
-  * ClusterSpec (brute-force cross-checks on random graphs).
+  * the sequential algorithms (centre, greedy 1:1, stable matching) via a
+  * recursive single-row FOLD over the ranked edge/entity list — DuckDB
+  * replays the exact sequential walk. Bipartite (Hungarian) and
+  * hierarchical remain rows-only + property specs in ClusterSpec
+  * (brute-force cross-checks on random graphs).
   */
 object ClusterQueries {
 
