@@ -188,7 +188,50 @@ object MatchQueries {
       .orderBy("id1")
   }
 
+  /** Positional sims (prefix / postfix / longest-common-substring) over
+    * adjacent customer-name pairs, fully oracled: prefix equality is
+    * monotone, so DuckDB can count matching prefixes with a
+    * comprehension, and LCS-substring is a max over all (start, length)
+    * windows — O(n²) per pair but exact, fine at oracle scale.
+    */
+  def simPositional(s: SparkSession, dir: String): DataFrame = {
+    val c = customer(s, dir).select(col("c_custkey").as("id"), lower(col("c_name")).as("nm"))
+    val a = c.select(col("id").as("id1"), col("nm").as("na"))
+    val b = c.select(col("id").as("id2"), col("nm").as("nb"))
+    a.join(b, col("id2") === col("id1") + 1)
+      .select(col("id1"), col("id2"),
+        round(sims.prefixSim(col("na"), col("nb")), 5).as("prefix_sim"),
+        round(sims.postfixSim(col("na"), col("nb")), 5).as("postfix_sim"),
+        round(sims.lcsStrSim(col("na"), col("nb")), 5).as("lcsstr_sim"))
+      .orderBy("id1")
+  }
+
+  val simPositionalOracle: String =
+    """WITH c AS (SELECT c_custkey AS id, lower(c_name) AS nm FROM customer),
+      |pr AS (SELECT a.id AS id1, b.id AS id2, a.nm AS na, b.nm AS nb
+      |       FROM c a JOIN c b ON b.id = a.id + 1),
+      |m AS (SELECT id1, id2, na, nb,
+      |  greatest(length(na), length(nb)) AS mx,
+      |  len(list_filter(range(1, least(length(na), length(nb)) + 1),
+      |      i -> substr(na, 1, CAST(i AS INT)) = substr(nb, 1, CAST(i AS INT)))) AS cpl,
+      |  len(list_filter(range(1, least(length(na), length(nb)) + 1),
+      |      i -> substr(na, length(na) - CAST(i AS INT) + 1, CAST(i AS INT))
+      |           = substr(nb, length(nb) - CAST(i AS INT) + 1, CAST(i AS INT)))) AS csl,
+      |  coalesce(list_max(flatten(
+      |    [[CASE WHEN contains(nb, substr(na, CAST(i AS INT), CAST(L AS INT)))
+      |           THEN CAST(L AS INT) ELSE 0 END
+      |      for L in range(1, length(na) - i + 2)]
+      |     for i in range(1, length(na) + 1)])), 0) AS lcs
+      |FROM pr)
+      |SELECT id1, id2,
+      |  round(CASE WHEN mx = 0 THEN 1.0 ELSE CAST(cpl AS DOUBLE) / mx END, 5) AS prefix_sim,
+      |  round(CASE WHEN mx = 0 THEN 1.0 ELSE CAST(csl AS DOUBLE) / mx END, 5) AS postfix_sim,
+      |  round(CASE WHEN mx = 0 THEN 1.0 ELSE CAST(lcs AS DOUBLE) / mx END, 5) AS lcsstr_sim
+      |FROM m
+      |ORDER BY id1""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_positional" -> (simPositional _),
     "sim_token" -> (simToken _),
     "sim_numeric_date" -> (simNumericDate _),
     "sim_ngram" -> (simNgram _),
@@ -198,6 +241,7 @@ object MatchQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "sim_positional" -> simPositionalOracle,
     "sim_token" -> simTokenOracle,
     "sim_numeric_date" -> simNumericDateOracle,
     "sim_ngram" -> simNgramOracle,
