@@ -52,6 +52,26 @@ object ExtraQueries {
       |FROM customer
       |ORDER BY id""".stripMargin
 
+  /** Multimodal frame sampling: payload treated as consecutive 5-byte
+    * frames, every 2nd emitted — the explode-shaped video op; the
+    * oracle recomputes frames as substrings.
+    */
+  def mmFrameSample(s: SparkSession, dir: String): DataFrame =
+    Multimodal.frameSample(
+        Multimodal.syntheticMedia(customer(s, dir), "c_custkey", "c_name"),
+        frameBytes = 5, everyN = 2)
+      .orderBy("id", "frame_idx")
+
+  val mmFrameSampleOracle: String =
+    """WITH f AS (SELECT c_custkey AS id, 'image' AS kind, c_name AS payload,
+      |             CAST(unnest(range(0, greatest(length(c_name) // 5, 1), 2)) AS INT)
+      |               AS frame_idx
+      |           FROM customer)
+      |SELECT id, kind, frame_idx,
+      |       substr(payload, frame_idx * 5 + 1, 5) AS frame
+      |FROM f
+      |ORDER BY id, frame_idx""".stripMargin
+
   /** Streaming windowed agg, batch semantics (the stream ≡ batch
     * equivalence is proven in StreamSpec via an AvailableNow run).
     */
@@ -187,6 +207,7 @@ object ExtraQueries {
     "match_ml" -> (matchMl _),
     "match_text_format" -> (matchTextFormat _),
     "mm_binary_meta" -> (mmBinaryMeta _),
+    "mm_frame_sample" -> (mmFrameSample _),
     "stream_window_agg" -> (streamWindowAgg _),
     "stream_sessionize" -> (streamSessionize _)
   )
@@ -195,6 +216,7 @@ object ExtraQueries {
     "pipeline_e2e" -> pipelineE2eOracle,
     "match_text_format" -> matchTextFormatOracle,
     "mm_binary_meta" -> mmBinaryMetaOracle,
+    "mm_frame_sample" -> mmFrameSampleOracle,
     "stream_window_agg" -> streamWindowAggOracle,
     "stream_sessionize" -> streamSessionizeOracle
   )

@@ -227,6 +227,28 @@ object ClusterQueries {
   def clusterHierarchical(s: SparkSession, dir: String): DataFrame =
     Clusterers.hierarchicalCluster(scoredEdges(s, dir), "single", 0.9).orderBy("id")
 
+  /** Oracle for the SINGLE-linkage variant: agglomerative single-link
+    * at stop threshold θ is exactly connected components of the
+    * θ-thresholded similarity graph (merges happen iff some inter-
+    * cluster edge ≥ θ, transitively) — so DuckDB recomputes it as a
+    * reachability CTE over `se WHERE score ≥ 0.9`, with every node of
+    * the FULL graph kept (all-below-θ nodes stay singleton clusters).
+    * Complete/average linkage have no such closed form and would stay
+    * rows-only.
+    */
+  val hierarchicalOracle: String =
+    s"""WITH RECURSIVE $scoredEdgesSql,
+       |allnodes AS (SELECT DISTINCT id1 AS id FROM se
+       |             UNION SELECT DISTINCT id2 FROM se),
+       |hot AS (SELECT id1, id2 FROM se WHERE score >= 0.9),
+       |sym AS (SELECT id1 AS u, id2 AS v FROM hot UNION SELECT id2, id1 FROM hot),
+       |reach(node, rt) AS (
+       |  SELECT id, id FROM allnodes
+       |  UNION
+       |  SELECT s.v, reach.rt FROM reach JOIN sym s ON s.u = reach.node)
+       |SELECT node AS id, min(rt) AS cluster FROM reach GROUP BY node
+       |ORDER BY id""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cluster_connected_components" -> (clusterConnectedComponents _),
     "cluster_greedy_one_to_one" -> (clusterGreedyOneToOne _),
@@ -240,6 +262,7 @@ object ClusterQueries {
     "cluster_connected_components" -> ccOracle,
     "cluster_greedy_one_to_one" -> greedyOracle,
     "cluster_centre" -> centreOracle,
-    "cluster_stable" -> stableOracle
+    "cluster_stable" -> stableOracle,
+    "cluster_hierarchical" -> hierarchicalOracle
   )
 }
