@@ -64,6 +64,23 @@ class SimPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("alignment kernels: hand-computed textbook values") {
+    // NW(match 1, mismatch −1, gap −1), normalized (score+max)/(2·max):
+    // "gattaca" vs "gcatgcu" has optimal global score 0 → (0+7)/14 = 0.5
+    assert(math.abs(SimImpl.needlemanWunsch("gattaca", "gcatgcu") - 0.5) < 1e-9)
+    // disjoint alphabets: score = −maxLen → 0.0
+    assert(SimImpl.needlemanWunsch("aaa", "bbb") == 0.0)
+    // SW local alignment: best local match "bc" (score 2) / min len 3
+    assert(math.abs(SimImpl.smithWaterman("abc", "xbcy") - 2.0 / 3.0) < 1e-9)
+    assert(SimImpl.smithWaterman("abc", "xyz") == 0.0)
+    // Ratcliff–Obershelp vs Python difflib.SequenceMatcher.ratio():
+    // "mathematics"/"informatics" → 12/22; "abcde"/"abXde" → 0.8
+    assert(math.abs(SimImpl.ratcliffObershelp("mathematics", "informatics") - 12.0 / 22.0) < 1e-9)
+    assert(math.abs(SimImpl.ratcliffObershelp("abcde", "abXde") - 0.8) < 1e-9)
+    // lcsseq("ABCBDAB","BDCABA") = 4 ("BCAB")
+    assert(SimImpl.lcsSeq("ABCBDAB", "BDCABA") == 4.0)
+  }
+
   test("triangle-ish sanity: DL distance bounded by max length") {
     for ((a, b) <- cases) {
       val d = SimImpl.damerauLevenshtein(a, b)
