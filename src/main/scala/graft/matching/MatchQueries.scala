@@ -230,7 +230,89 @@ object MatchQueries {
       |FROM m
       |ORDER BY id1""".stripMargin
 
+  /** Alignment sims (Needleman–Wunsch, Smith–Waterman, LCS-subsequence)
+    * over adjacent customer-name pairs, FULLY oracled: all three share
+    * the dp[i][j] = f(up, left, diag) recurrence, so DuckDB replays the
+    * dynamic programs via an anti-diagonal recursive fold — cells of
+    * diagonal d depend only on diagonals d−1 / d−2, which a recursive
+    * CTE can carry (fresh diagonal + re-emitted previous one).
+    */
+  def simAlign(s: SparkSession, dir: String): DataFrame = {
+    val c = customer(s, dir).select(col("c_custkey").as("id"), lower(col("c_name")).as("nm"))
+    val a = c.select(col("id").as("id1"), col("nm").as("na"))
+    val b = c.select(col("id").as("id2"), col("nm").as("nb"))
+    a.join(b, col("id2") === col("id1") + 1)
+      .select(col("id1"), col("id2"),
+        round(sims.needlemanWunsch(col("na"), col("nb")), 5).as("nw_sim"),
+        round(sims.smithWaterman(col("na"), col("nb")), 5).as("sw_sim"),
+        round(sims.lcsSeqSim(col("na"), col("nb")), 5).as("lcsseq_sim"))
+      .orderBy("id1")
+  }
+
+  val simAlignOracle: String =
+    """WITH RECURSIVE c AS (SELECT c_custkey AS id, lower(c_name) AS nm FROM customer),
+      |pr AS (SELECT a.id AS pid, a.nm AS a, b.nm AS b,
+      |              length(a.nm) AS la, length(b.nm) AS lb
+      |       FROM c a JOIN c b ON b.id = a.id + 1),
+      |walk(d, pid, i, j, vnw, vsw, vlcs) AS (
+      |  SELECT 0, pid, 0, 0, 0, 0, 0 FROM pr
+      |  UNION ALL
+      |  SELECT * FROM (
+      |    WITH prev AS (SELECT * FROM walk),
+      |    md AS (SELECT pid, max(d) AS d FROM prev GROUP BY pid),
+      |    cur AS (SELECT p.* FROM prev p JOIN md ON md.pid = p.pid AND p.d = md.d),
+      |    old AS (SELECT p.* FROM prev p JOIN md ON md.pid = p.pid AND p.d = md.d - 1),
+      |    nd AS (
+      |      SELECT m.pid, m.d + 1 AS d, CAST(gi.i AS INT) AS i,
+      |             CAST(m.d + 1 - gi.i AS INT) AS j, pr.a, pr.b, pr.la, pr.lb
+      |      FROM md m JOIN pr ON pr.pid = m.pid
+      |      CROSS JOIN LATERAL (SELECT unnest(range(0, pr.la + 1)) AS i) gi
+      |      WHERE m.d + 1 <= pr.la + pr.lb
+      |        AND gi.i <= pr.la AND (m.d + 1 - gi.i) BETWEEN 0 AND pr.lb),
+      |    stepped AS (
+      |      SELECT nd.d, nd.pid, nd.i, nd.j,
+      |        greatest(coalesce(up.vnw, -99999) - 1, coalesce(lf.vnw, -99999) - 1,
+      |          CASE WHEN nd.i >= 1 AND nd.j >= 1 THEN
+      |            coalesce(dg.vnw, CASE WHEN nd.i = 1 AND nd.j = 1 THEN 0 ELSE -99999 END)
+      |            + CASE WHEN substr(nd.a, nd.i, 1) = substr(nd.b, nd.j, 1) THEN 1 ELSE -1 END
+      |          ELSE -99999 END) AS vnw,
+      |        greatest(0, coalesce(up.vsw, 0) - 1, coalesce(lf.vsw, 0) - 1,
+      |          CASE WHEN nd.i >= 1 AND nd.j >= 1 THEN
+      |            coalesce(dg.vsw, 0)
+      |            + CASE WHEN substr(nd.a, nd.i, 1) = substr(nd.b, nd.j, 1) THEN 1 ELSE -1 END
+      |          ELSE 0 END) AS vsw,
+      |        greatest(coalesce(up.vlcs, 0), coalesce(lf.vlcs, 0),
+      |          CASE WHEN nd.i >= 1 AND nd.j >= 1 THEN
+      |            coalesce(dg.vlcs, 0)
+      |            + CASE WHEN substr(nd.a, nd.i, 1) = substr(nd.b, nd.j, 1) THEN 1 ELSE 0 END
+      |          ELSE 0 END) AS vlcs
+      |      FROM nd
+      |      LEFT JOIN cur up ON up.pid = nd.pid AND up.i = nd.i - 1
+      |      LEFT JOIN cur lf ON lf.pid = nd.pid AND lf.i = nd.i
+      |      LEFT JOIN old dg ON dg.pid = nd.pid AND dg.i = nd.i - 1)
+      |    SELECT * FROM stepped
+      |    UNION ALL
+      |    SELECT p.d, p.pid, p.i, p.j, p.vnw, p.vsw, p.vlcs
+      |    FROM cur p JOIN pr ON pr.pid = p.pid
+      |    WHERE p.d + 1 <= pr.la + pr.lb)
+      |),
+      |fin AS (
+      |  SELECT w.pid,
+      |    max(CASE WHEN w.i = pr.la AND w.j = pr.lb THEN w.vnw END) AS nw,
+      |    max(w.vsw) AS sw,
+      |    max(CASE WHEN w.i = pr.la AND w.j = pr.lb THEN w.vlcs END) AS lcs,
+      |    max(pr.la) AS la, max(pr.lb) AS lb
+      |  FROM walk w JOIN pr ON pr.pid = w.pid
+      |  GROUP BY w.pid)
+      |SELECT pid AS id1, pid + 1 AS id2,
+      |  round((CAST(nw AS DOUBLE) + greatest(la, lb)) / (2.0 * greatest(la, lb)), 5) AS nw_sim,
+      |  round(CAST(sw AS DOUBLE) / least(la, lb), 5) AS sw_sim,
+      |  round(CAST(lcs AS DOUBLE) / greatest(la, lb), 5) AS lcsseq_sim
+      |FROM fin
+      |ORDER BY id1""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_align" -> (simAlign _),
     "sim_positional" -> (simPositional _),
     "sim_token" -> (simToken _),
     "sim_numeric_date" -> (simNumericDate _),
@@ -241,6 +323,7 @@ object MatchQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "sim_align" -> simAlignOracle,
     "sim_positional" -> simPositionalOracle,
     "sim_token" -> simTokenOracle,
     "sim_numeric_date" -> simNumericDateOracle,
