@@ -311,7 +311,60 @@ object MatchQueries {
       |FROM fin
       |ORDER BY id1""".stripMargin
 
+  /** Ratcliff–Obershelp over adjacent customer-name pairs, oracled by
+    * replaying the recursive partitioning in SQL: each step finds the
+    * longest common substring of every live segment (comprehension
+    * argmax, ties → smallest (i, j)), credits its length, and recurses
+    * on the left/right remainders. Segments carry a path id so
+    * identical sibling segments are never collapsed.
+    */
+  def simRatcliff(s: SparkSession, dir: String): DataFrame = {
+    val c = customer(s, dir).select(col("c_custkey").as("id"), lower(col("c_name")).as("nm"))
+    val a = c.select(col("id").as("id1"), col("nm").as("na"))
+    val b = c.select(col("id").as("id2"), col("nm").as("nb"))
+    a.join(b, col("id2") === col("id1") + 1)
+      .select(col("id1"), col("id2"),
+        round(sims.ratcliffObershelp(col("na"), col("nb")), 5).as("ro_sim"))
+      .orderBy("id1")
+  }
+
+  val simRatcliffOracle: String =
+    """WITH RECURSIVE c AS (SELECT c_custkey AS id, lower(c_name) AS nm FROM customer),
+      |pr AS (SELECT a.id AS pid, a.nm AS a, b.nm AS b
+      |       FROM c a JOIN c b ON b.id = a.id + 1),
+      |walk(pid, path, sa, sb, m) AS (
+      |  SELECT pid, '', a, b, 0 FROM pr
+      |  UNION ALL
+      |  SELECT * FROM (
+      |    WITH cur AS (SELECT * FROM walk WHERE length(sa) > 0 AND length(sb) > 0),
+      |    cand AS (
+      |      SELECT cu.pid, cu.path, cu.sa, cu.sb, ci.i, cj.j,
+      |        len(list_filter(range(1, least(length(cu.sa) - ci.i + 2,
+      |                                       length(cu.sb) - cj.j + 2)),
+      |            k -> substr(cu.sa, ci.i, CAST(k AS INT))
+      |                 = substr(cu.sb, cj.j, CAST(k AS INT)))) AS l
+      |      FROM cur cu
+      |      CROSS JOIN LATERAL (SELECT CAST(unnest(range(1, length(cu.sa) + 1)) AS INT) AS i) ci
+      |      CROSS JOIN LATERAL (SELECT CAST(unnest(range(1, length(cu.sb) + 1)) AS INT) AS j) cj),
+      |    best AS (
+      |      SELECT pid, path, sa, sb, i, j, l FROM (
+      |        SELECT *, row_number() OVER (PARTITION BY pid, path ORDER BY l DESC, i, j) AS rn
+      |        FROM cand) WHERE rn = 1 AND l > 0)
+      |    SELECT pid, path || 'L', substr(sa, 1, i - 1), substr(sb, 1, j - 1), 0 FROM best
+      |    UNION ALL
+      |    SELECT pid, path || 'R', substr(sa, i + l), substr(sb, j + l), 0 FROM best
+      |    UNION ALL
+      |    SELECT pid, path || 'M', '', '', l FROM best
+      |  )
+      |)
+      |SELECT w.pid AS id1, w.pid + 1 AS id2,
+      |       round(2.0 * sum(w.m) / (length(pr.a) + length(pr.b)), 5) AS ro_sim
+      |FROM walk w JOIN pr ON pr.pid = w.pid
+      |GROUP BY w.pid, pr.a, pr.b
+      |ORDER BY id1""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_ratcliff" -> (simRatcliff _),
     "sim_align" -> (simAlign _),
     "sim_positional" -> (simPositional _),
     "sim_token" -> (simToken _),
@@ -323,6 +376,7 @@ object MatchQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "sim_ratcliff" -> simRatcliffOracle,
     "sim_align" -> simAlignOracle,
     "sim_positional" -> simPositionalOracle,
     "sim_token" -> simTokenOracle,
