@@ -41,16 +41,35 @@ object Bench {
           case e: Throwable =>
             errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
             -1.0
+        } finally {
+          // Queries run back-to-back in ONE JVM: any cached plan or
+          // persisted/checkpointed RDD a query leaves behind slows every
+          // later query (round-3 verdict measured a ~20× blowup from
+          // accumulated blocks). Start each query with a clean block
+          // manager, like a fresh session would.
+          Bench.clearSessionState(spark)
         }
       name -> elapsed
     }
-    val qs = results.map { case (k, v) => "\"" + esc(k) + "\":" + v }
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    val qs = results.map { case (k, v) => "\"" + esc(k) + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_failed":${errors.size},"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errJson,"n_failed":${errors.size},"sf":"$sfDir"}"""
+    println(json)
+    // Belt and braces: the driver captures stdout (which has been
+    // truncated in past rounds); persist the full artifact to a file too.
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LAST.json"), json + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
+  }
+
+  /** Drop every cached plan and persisted/checkpointed RDD block. */
+  def clearSessionState(spark: SparkSession): Unit = {
+    spark.sharedState.cacheManager.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
   }
 }

@@ -2,6 +2,7 @@ package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Document deduplication for LLM-training-data pipelines (SURVEY §2.12
   * #53–56): exact (canonicalized hash), exact n-gram Jaccard via an
@@ -11,6 +12,11 @@ import org.apache.spark.sql.functions._
   * an equi-join — on the content hash (exact), on a shingle (n-gram), on
   * a band signature (MinHash), on a signature half (SimHash) — and
   * verification runs only on candidates surfaced by those joins.
+  *
+  * Resource discipline (round-3 verdict): every persist here is released
+  * in a `finally` after the (small) pair output is eagerly materialized
+  * with `localCheckpoint` — in a long-lived session, leaked blocks from
+  * one dedup run would otherwise crowd out every later job's memory.
   *
   * Hashes are md5-hex-prefix based so the DuckDB oracle can replay the
   * pipeline bit-for-bit; substituting xxhash64 for md5 is a one-line
@@ -22,17 +28,36 @@ object Dedup {
   /** Whitespace word tokens of a text column. */
   def words(text: Column): Column = split(text, " ")
 
-  /** Distinct n-word shingles ("w1 w2 w3") of a text column. Documents
-    * shorter than n words yield an empty set (the trailing filter drops
-    * the partial shingle concat_ws would otherwise produce).
+  /** Distinct n-word shingles ("w1 w2 w3") from a word-array column.
+    * Documents shorter than n words yield an empty set (the trailing
+    * filter drops the partial shingle concat_ws would otherwise
+    * produce). Pass a PRE-PROJECTED array attribute, not an inline
+    * split(...): inlined, every one of the ~n transform slots would
+    * re-evaluate the split — O(words²) work per document (round-3
+    * verdict: 6.7 s to shingle 584 KB of text, all in recomputed
+    * splits).
     */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val w = words(text)
+  def shinglesOf(w: Column, n: Int = 3): Column =
     array_distinct(filter(
       transform(
         sequence(lit(0), greatest(size(w) - n, lit(0))),
         i => concat_ws(" ", (0 until n).map(o => element_at(w, i + o + 1)): _*)),
       s => size(split(s, " ")) === n))
+
+  /** Backwards-compatible single-Column shingler (tests / ad-hoc use).
+    * Hot paths go through [[shingleFrame]] instead.
+    */
+  def shingles(text: Column, n: Int = 3): Column = shinglesOf(words(text), n)
+
+  /** (_id, _sh) — one row per doc with its distinct shingle set. The
+    * word array is materialized as its own projection step so split()
+    * runs once per document (see [[shinglesOf]]).
+    */
+  def shingleFrame(docs: DataFrame, id: String, text: String, n: Int,
+      sorted: Boolean = false): DataFrame = {
+    val withWords = docs.select(col(id).as("_id"), words(col(text)).as("_w"))
+    val sh = shinglesOf(col("_w"), n)
+    withWords.select(col("_id"), (if (sorted) array_sort(sh) else sh).as("_sh"))
   }
 
   /** Exact dedup (#53) after canonicalization: docs with the same sorted
@@ -48,11 +73,6 @@ object Dedup {
     withKey.join(groups, "_digest").select(col(id), col("dup_group"), col("n_dups"))
   }
 
-  /** Exact n-gram Jaccard dedup (#56): candidates share ≥1 shingle
-    * (inverted-index equi-join), then the true shingle-set Jaccard is
-    * verified ≥ threshold. Never all-pairs: the shingle join is the
-    * blocker.
-    */
   /** Exact n-gram Jaccard with PREFIX FILTERING (Chaudhuri et al.):
     * under a global (lexicographic) shingle order, any pair with
     * J ≥ t must share a shingle inside each side's first
@@ -60,30 +80,38 @@ object Dedup {
     * Candidates shrink from "share ANY shingle" to "share a PREFIX
     * shingle" (~(1−t)² of the naive volume) with zero false negatives;
     * the true Jaccard is then verified on the full sets.
+    *
+    * The shingle frame is persisted across its three uses (prefix index
+    * + two verification joins) and released before returning; the output
+    * (near-dup pairs over threshold) is small by definition and is
+    * materialized eagerly so the release is safe.
     */
   def ngramJaccard(docs: DataFrame, id: String, text: String, n: Int, threshold: Double): DataFrame = {
-    val sh = docs.select(col(id).as("_id"),
-      array_sort(shingles(col(text), n)).as("_sh"))
-    val withPrefix = sh.withColumn("_pl",
-      (size(col("_sh")) - ceil(lit(threshold) * size(col("_sh"))) + 1).cast("int"))
-    val inv = withPrefix
-      .select(col("_id"), size(col("_sh")).as("_n"),
-        explode(slice(col("_sh"), lit(1), col("_pl"))).as("_s"))
-    // Size filter (also candidate-safe): J ≥ t forces t·|B| ≤ |A| ≤ |B|/t,
-    // so wildly different-sized docs never reach verification.
-    val cands = inv.select(col("_id").as("id1"), col("_n").as("_na"), col("_s"))
-      .join(inv.select(col("_id").as("id2"), col("_n").as("_nb"), col("_s")), "_s")
-      .filter(col("id1") < col("id2") &&
-        col("_na") >= lit(threshold) * col("_nb") &&
-        col("_nb") >= lit(threshold) * col("_na"))
-      .select("id1", "id2").distinct()
-    cands
-      .join(sh.select(col("_id").as("id1"), col("_sh").as("_sa")), "id1")
-      .join(sh.select(col("_id").as("id2"), col("_sh").as("_sb")), "id2")
-      .select(col("id1"), col("id2"),
-        round(size(array_intersect(col("_sa"), col("_sb")))
-          .cast("double") / size(array_union(col("_sa"), col("_sb"))), 5).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    val sh = shingleFrame(docs, id, text, n, sorted = true)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val withPrefix = sh.withColumn("_pl",
+        (size(col("_sh")) - ceil(lit(threshold) * size(col("_sh"))) + 1).cast("int"))
+      val inv = withPrefix
+        .select(col("_id"), size(col("_sh")).as("_n"),
+          explode(slice(col("_sh"), lit(1), col("_pl"))).as("_s"))
+      // Size filter (also candidate-safe): J ≥ t forces t·|B| ≤ |A| ≤ |B|/t,
+      // so wildly different-sized docs never reach verification.
+      val cands = inv.select(col("_id").as("id1"), col("_n").as("_na"), col("_s"))
+        .join(inv.select(col("_id").as("id2"), col("_n").as("_nb"), col("_s")), "_s")
+        .filter(col("id1") < col("id2") &&
+          col("_na") >= lit(threshold) * col("_nb") &&
+          col("_nb") >= lit(threshold) * col("_na"))
+        .select("id1", "id2").distinct()
+      cands
+        .join(sh.select(col("_id").as("id1"), col("_sh").as("_sa")), "id1")
+        .join(sh.select(col("_id").as("id2"), col("_sh").as("_sb")), "id2")
+        .select(col("id1"), col("id2"),
+          round(size(array_intersect(col("_sa"), col("_sb")))
+            .cast("double") / size(array_union(col("_sa"), col("_sb"))), 5).as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+        .localCheckpoint(true)
+    } finally sh.unpersist(false)
   }
 
   /** Hash families for the minhash signatures. md5 is the DuckDB-
@@ -113,31 +141,35 @@ object Dedup {
       bands: Int = 4, rows: Int = 3, threshold: Double = 0.8,
       hashHex: (Int, Column) => Column = Md5Hash): DataFrame = {
     val k = bands * rows
-    val sh = docs.select(col(id).as("_id"), shingles(col(text), n).as("_sh"))
+    // Persisted: reused by the signature aggregation AND both
+    // verification joins. Released in the finally below.
+    val sh = shingleFrame(docs, id, text, n).persist(StorageLevel.MEMORY_AND_DISK)
+    // One row per doc; persisted so the per-band self-joins (2 branches ×
+    // `bands` unions) reuse the signatures instead of recomputing the
+    // k-way minhash aggregation for every branch.
     val exploded = sh.select(col("_id"), explode(col("_sh")).as("_s"))
     val aggs = (0 until k).map(i => minhashAgg(i, hashHex))
     val sigs = exploded.groupBy("_id").agg(aggs.head, aggs.tail: _*)
     val bandCols = col("_id") +: (0 until bands).map { b =>
       concat_ws(":", (0 until rows).map(r => col(s"_h${b * rows + r}")): _*).as(s"_band$b")
     }
-    // One row per doc; persist so the per-band self-joins (2 branches ×
-    // `bands` unions) reuse the signatures instead of recomputing the
-    // k-way minhash aggregation for every branch.
-    val banded = sigs.select(bandCols: _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cands = (0 until bands).map { b =>
-      banded.select(col("_id").as("id1"), col(s"_band$b").as("_bk"))
-        .join(banded.select(col("_id").as("id2"), col(s"_band$b").as("_bk")), "_bk")
-        .filter(col("id1") < col("id2"))
-        .select("id1", "id2")
-    }.reduce(_.unionByName(_)).distinct()
-    cands
-      .join(sh.select(col("_id").as("id1"), col("_sh").as("_sa")), "id1")
-      .join(sh.select(col("_id").as("id2"), col("_sh").as("_sb")), "id2")
-      .select(col("id1"), col("id2"),
-        round(size(array_intersect(col("_sa"), col("_sb")))
-          .cast("double") / size(array_union(col("_sa"), col("_sb"))), 5).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    val banded = sigs.select(bandCols: _*).persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cands = (0 until bands).map { b =>
+        banded.select(col("_id").as("id1"), col(s"_band$b").as("_bk"))
+          .join(banded.select(col("_id").as("id2"), col(s"_band$b").as("_bk")), "_bk")
+          .filter(col("id1") < col("id2"))
+          .select("id1", "id2")
+      }.reduce(_.unionByName(_)).distinct()
+      cands
+        .join(sh.select(col("_id").as("id1"), col("_sh").as("_sa")), "id1")
+        .join(sh.select(col("_id").as("id2"), col("_sh").as("_sb")), "id2")
+        .select(col("id1"), col("id2"),
+          round(size(array_intersect(col("_sa"), col("_sb")))
+            .cast("double") / size(array_union(col("_sa"), col("_sb"))), 5).as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+        .localCheckpoint(true)
+    } finally { banded.unpersist(false); sh.unpersist(false) }
   }
 
   /** 16-bit SimHash signature (#55) over distinct word tokens: bit j is
@@ -172,16 +204,19 @@ object Dedup {
       conv(col("simhash"), 2, 10).cast("long").as("_sig"),
       substring(col("simhash"), 1, 8).as("_b0"),
       substring(col("simhash"), 9, 8).as("_b1"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cands = (0 until 2).map { b =>
-      halves.select(col("_id").as("id1"), col("_sig").as("_s1"), col(s"_b$b").as("_bk"))
-        .join(halves.select(col("_id").as("id2"), col("_sig").as("_s2"), col(s"_b$b").as("_bk")), "_bk")
-        .filter(col("id1") < col("id2"))
-        .select("id1", "id2", "_s1", "_s2")
-    }.reduce(_.unionByName(_)).distinct()
-    cands
-      .select(col("id1"), col("id2"),
-        bit_count(col("_s1").bitwiseXOR(col("_s2"))).cast("int").as("hamming"))
-      .filter(col("hamming") <= maxHamming)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cands = (0 until 2).map { b =>
+        halves.select(col("_id").as("id1"), col("_sig").as("_s1"), col(s"_b$b").as("_bk"))
+          .join(halves.select(col("_id").as("id2"), col("_sig").as("_s2"), col(s"_b$b").as("_bk")), "_bk")
+          .filter(col("id1") < col("id2"))
+          .select("id1", "id2", "_s1", "_s2")
+      }.reduce(_.unionByName(_)).distinct()
+      cands
+        .select(col("id1"), col("id2"),
+          bit_count(col("_s1").bitwiseXOR(col("_s2"))).cast("int").as("hamming"))
+        .filter(col("hamming") <= maxHamming)
+        .localCheckpoint(true)
+    } finally halves.unpersist(false)
   }
 }

