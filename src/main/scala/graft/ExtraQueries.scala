@@ -113,6 +113,32 @@ object ExtraQueries {
       |FROM s GROUP BY user_id, session_idx
       |ORDER BY user_id, session_idx""".stripMargin
 
+  /** Streaming dedup-within-watermark (#66), run FOR REAL: readStream
+    * over the events dir → dropDuplicatesWithinWatermark(user_id,
+    * event_type) → AvailableNow into a memory sink. Only the key
+    * columns are emitted — which duplicate ROW survives inside a
+    * micro-batch is not deterministic, but the surviving key set is
+    * exactly the distinct keys, the property the operator guarantees —
+    * so the streaming result is fully SQL-oracle-able.
+    */
+  def streamDedup(s: SparkSession, dir: String): DataFrame = {
+    val name = "graft_stream_dedup_" + java.lang.Integer.toHexString(dir.hashCode)
+    val src = Streams.eventsStream(s, dir)
+      .select(col("ts"), col("user_id"), col("event_type"))
+    val q = Streams.dedupStream(src, Seq("user_id", "event_type"))
+      .select("user_id", "event_type")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name).orderBy("user_id", "event_type")
+  }
+
+  val streamDedupOracle: String =
+    """SELECT DISTINCT user_id, event_type FROM events
+      |ORDER BY user_id, event_type""".stripMargin
+
   /** TextFormatter (entitymatching/text_formatting.py): entity pairs →
     * "field … [SEP] field …" strings for PLM matchers, with a
     * missing-value placeholder.
@@ -209,7 +235,8 @@ object ExtraQueries {
     "mm_binary_meta" -> (mmBinaryMeta _),
     "mm_frame_sample" -> (mmFrameSample _),
     "stream_window_agg" -> (streamWindowAgg _),
-    "stream_sessionize" -> (streamSessionize _)
+    "stream_sessionize" -> (streamSessionize _),
+    "stream_dedup" -> (streamDedup _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -218,6 +245,7 @@ object ExtraQueries {
     "mm_binary_meta" -> mmBinaryMetaOracle,
     "mm_frame_sample" -> mmFrameSampleOracle,
     "stream_window_agg" -> streamWindowAggOracle,
-    "stream_sessionize" -> streamSessionizeOracle
+    "stream_sessionize" -> streamSessionizeOracle,
+    "stream_dedup" -> streamDedupOracle
   )
 }

@@ -135,10 +135,27 @@ object AnnQueries {
        |WHERE rank <= 3
        |ORDER BY id1, rank""".stripMargin
 
+  // ---- IVF top-k (the FAISS-style scale path) ----
+
+  /** IVF ANN over the same corpus/query split as ann_lsh. Rows-only in
+    * the driver gate (no SQL oracle: the coarse quantizer is a seeded
+    * spark.ml k-means fit, which no SQL engine replays); quality and
+    * recall-vs-brute-force are pinned by AnnSpec. The plan is the
+    * 100 TB shape: broadcast centroid table, nprobe cell equi-join,
+    * per-query window only over probed cells.
+    */
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val c = orig(s, dir)
+    Ann.ivfTopK(c.filter(col("vec_id") < 10), c, "vec_id", "v", Dim,
+        k = 5, nlist = 16, nprobe = 3)
+      .orderBy("qid", "rank")
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_embedding" -> (dedupEmbedding _),
     "ann_bruteforce" -> (annBruteforce _),
     "ann_lsh" -> (annLsh _),
+    "ann_ivf" -> (annIvf _),
     "block_embedding" -> (blockEmbedding _)
   )
 

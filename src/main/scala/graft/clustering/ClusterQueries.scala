@@ -205,6 +205,58 @@ object ClusterQueries {
        |                   OR (se.id1 = pairs.b AND se.id2 = pairs.a)
        |ORDER BY se.id1, se.id2""".stripMargin
 
+  // ---- cluster diagnostics (evaluation.py:1085, :656) ----
+
+  def clusterSizeDist(s: SparkSession, dir: String): DataFrame =
+    Clusterers.clusterSizeDistribution(edges(s, dir)).orderBy("cluster_size")
+
+  val sizeDistOracle: String =
+    s"""WITH RECURSIVE $edgesSql,
+       |sym AS (SELECT id1 AS u, id2 AS v FROM e UNION SELECT id2, id1 FROM e),
+       |nodes AS (SELECT DISTINCT u AS id FROM sym),
+       |reach(node, r) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT s.v, reach.r FROM reach JOIN sym s ON s.u = reach.node),
+       |lab AS (SELECT node AS id, min(r) AS cluster FROM reach GROUP BY node),
+       |sizes AS (SELECT cluster, count(*) AS cluster_size FROM lab GROUP BY cluster),
+       |dist AS (SELECT cluster_size, count(*) AS frequency FROM sizes GROUP BY cluster_size),
+       |tot AS (SELECT CAST(sum(frequency) AS BIGINT) AS t FROM dist)
+       |SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       |       CAST(frequency AS BIGINT) AS frequency,
+       |       frequency * 100.0 / tot.t AS percentage
+       |FROM dist, tot ORDER BY cluster_size""".stripMargin
+
+  def clusterConsistency(s: SparkSession, dir: String): DataFrame =
+    Clusterers.clusterConsistencyReport(scoredEdges(s, dir)).orderBy("cluster_id")
+
+  val consistencyOracle: String =
+    s"""WITH RECURSIVE $scoredEdgesSql,
+       |sym AS (SELECT id1 AS u, id2 AS v FROM se UNION SELECT id2, id1 FROM se),
+       |nodes AS (SELECT DISTINCT u AS id FROM sym),
+       |reach(node, r) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT s.v, reach.r FROM reach JOIN sym s ON s.u = reach.node),
+       |lab AS (SELECT node AS id, min(r) AS cluster FROM reach GROUP BY node),
+       |es AS (SELECT lab.cluster, CAST(round(se.score * 100000) AS BIGINT) AS e5
+       |       FROM se JOIN lab ON lab.id = se.id1),
+       |est AS (SELECT cluster, count(*) AS total_edges, CAST(sum(e5) AS BIGINT) AS s5,
+       |               min(e5) AS m5, max(e5) AS x5 FROM es GROUP BY cluster),
+       |sizes AS (SELECT cluster, count(*) AS cluster_size FROM lab GROUP BY cluster)
+       |SELECT sizes.cluster AS cluster_id,
+       |  CAST(cluster_size AS BIGINT) AS cluster_size,
+       |  CAST(total_edges AS BIGINT) AS total_edges,
+       |  CAST(cluster_size * (cluster_size - 1) // 2 AS BIGINT) AS expected_edges,
+       |  CAST(total_edges AS DOUBLE) / greatest(cluster_size * (cluster_size - 1) // 2, 1)
+       |    AS consistency_ratio,
+       |  total_edges >= cluster_size * (cluster_size - 1) // 2 AS is_consistent,
+       |  CAST(s5 AS DOUBLE) / (total_edges * 100000.0) AS avg_similarity,
+       |  CAST(m5 AS DOUBLE) / 100000.0 AS min_similarity,
+       |  CAST(x5 AS DOUBLE) / 100000.0 AS max_similarity
+       |FROM sizes JOIN est ON est.cluster = sizes.cluster
+       |ORDER BY cluster_id""".stripMargin
+
   /** Bipartite input: cross-source candidates from the standard blocker
     * scored by name JW, kept at ≥ 0.95 — id1 (left) and id2 (right)
     * partitions are disjoint by construction.
@@ -255,7 +307,9 @@ object ClusterQueries {
     "cluster_centre" -> (clusterCentre _),
     "cluster_stable" -> (clusterStable _),
     "cluster_max_bipartite" -> (clusterMaxBipartite _),
-    "cluster_hierarchical" -> (clusterHierarchical _)
+    "cluster_hierarchical" -> (clusterHierarchical _),
+    "cluster_size_dist" -> (clusterSizeDist _),
+    "cluster_consistency" -> (clusterConsistency _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -263,6 +317,8 @@ object ClusterQueries {
     "cluster_greedy_one_to_one" -> greedyOracle,
     "cluster_centre" -> centreOracle,
     "cluster_stable" -> stableOracle,
-    "cluster_hierarchical" -> hierarchicalOracle
+    "cluster_hierarchical" -> hierarchicalOracle,
+    "cluster_size_dist" -> sizeDistOracle,
+    "cluster_consistency" -> consistencyOracle
   )
 }

@@ -41,6 +41,53 @@ object Clusterers {
   private def freeRdds(spark: SparkSession, ids: Set[Int]): Unit =
     ids.foreach(id => spark.sparkContext.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
 
+  /** Cluster-size distribution (reference entitymatching/evaluation.py:
+    * 1085 create_cluster_size_distribution): connected components over
+    * the correspondence graph, then a two-level count — size per
+    * cluster, frequency per size. `percentage` is a RAW IEEE ratio of
+    * exact longs (identical bits in any engine); round(x, 5) on such
+    * ratios can land on decimal midpoints and diverge cross-engine.
+    */
+  def clusterSizeDistribution(edges: DataFrame): DataFrame = {
+    val labels = connectedComponents(edges)
+    val sizes = labels.groupBy(col("cluster")).agg(count(lit(1)).as("cluster_size"))
+    val dist = sizes.groupBy(col("cluster_size")).agg(count(lit(1)).as("frequency"))
+    val tot = dist.agg(sum(col("frequency")).as("_tot"))
+    dist.crossJoin(broadcast(tot))
+      .select(col("cluster_size"), col("frequency"),
+        (col("frequency") * 100.0 / col("_tot")).as("percentage"))
+  }
+
+  /** Cluster consistency report (evaluation.py:656
+    * create_cluster_consistency_report): per CC cluster — size, edge
+    * count vs complete-graph edge count (transitivity), and similarity
+    * stats. Scores aggregate as exact 1e5-scaled integers so sums are
+    * order-independent across shuffles; emitted ratios are raw IEEE
+    * divisions of exact values (same bits in any engine). One CC run +
+    * two aggregations — no per-cluster subgraph materialization.
+    */
+  def clusterConsistencyReport(scored: DataFrame): DataFrame = {
+    val labels = connectedComponents(scored.select("id1", "id2"))
+    val e5 = round(col("score") * 100000).cast("long")
+    val expected = ((col("cluster_size") * (col("cluster_size") - 1)) / 2).cast("long")
+    val edgeStats = scored
+      .join(labels.select(col("id").as("id1"), col("cluster")), "id1")
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("total_edges"), sum(e5).as("_s5"),
+        min(e5).as("_m5"), max(e5).as("_x5"))
+    labels.groupBy(col("cluster")).agg(count(lit(1)).as("cluster_size"))
+      .join(edgeStats, Seq("cluster"))
+      .select(
+        col("cluster").as("cluster_id"), col("cluster_size"), col("total_edges"),
+        expected.as("expected_edges"),
+        (col("total_edges").cast("double") / greatest(expected, lit(1L)))
+          .as("consistency_ratio"),
+        (col("total_edges") >= expected).as("is_consistent"),
+        (col("_s5").cast("double") / (col("total_edges") * 100000.0)).as("avg_similarity"),
+        (col("_m5").cast("double") / 100000.0).as("min_similarity"),
+        (col("_x5").cast("double") / 100000.0).as("max_similarity"))
+  }
+
   /** edges (id1, id2) → one row per non-isolated node: (id, cluster)
     * where cluster is the minimum node id in the component.
     */

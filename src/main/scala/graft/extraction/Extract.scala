@@ -49,6 +49,16 @@ object Extract {
     }.reduce(_.unionByName(_))
   }
 
+  /** ExtractorPipeline (base.py:215): chain extractors sequentially —
+    * each stage sees the previous stage's output columns (so later
+    * stages can parse/refine earlier extractions), and the whole chain
+    * still collapses into ONE Catalyst projection: a fold of column
+    * transforms, no per-stage materialization (the reference copies the
+    * frame per step).
+    */
+  def pipeline(df: DataFrame, stages: Seq[DataFrame => DataFrame]): DataFrame =
+    stages.foldLeft(df)((d, f) => f(d))
+
   /** InformationExtractionEvaluator (evaluation.py:121): micro P/R/F1 of
     * extracted vs gold field values. Per (record, field): tp if both
     * present and equal; fp if predicted present but wrong/spurious; fn

@@ -111,13 +111,45 @@ object ExtractQueries {
        |  round(CAST(tp AS DOUBLE) * 2.0 / greatest(tp * 2 + fp + fn, 1), 5) AS f1
        |FROM c""".stripMargin
 
+  /** ExtractorPipeline (base.py:215): three chained stages — (1) regex
+    * rules pull year + price strings out of the fixture text, (2) a
+    * typed FunctionExtractor-style stage PARSES stage-1's output
+    * (currency string → double, year string → decade), (3) a cleanup
+    * stage canonicalizes the extracted email. Later stages consuming
+    * earlier stages' columns is exactly what the chaining API is for.
+    */
+  def extractPipeline(s: SparkSession, dir: String): DataFrame = {
+    import graft.normalization.Normalize
+    val staged = Extract.pipeline(messyText(s, dir), Seq(
+      d => Extract.applyRules(d, "text", Extract.BuiltinRules),
+      d => d.withColumn("price_value", Normalize.parseCurrency(col("price")))
+        .withColumn("decade", ((col("year").cast("long") / 10).cast("long") * 10)),
+      d => d.withColumn("email", upper(col("email")))))
+    staged.select("id", "email", "year", "price", "price_value", "decade")
+      .orderBy("id")
+  }
+
+  val extractPipelineOracle: String =
+    s"""WITH $messyTextSql
+       |SELECT id,
+       |  CASE WHEN id % 2 = 0 THEN upper(concat('user', id, '@mail.com')) END AS email,
+       |  CAST(1990 + id % 30 AS VARCHAR) AS year,
+       |  CASE WHEN id % 5 = 0
+       |       THEN concat('$$', CAST(id % 90 + 10 AS VARCHAR), '.50') END AS price,
+       |  CASE WHEN id % 5 = 0
+       |       THEN CAST(CAST(id % 90 + 10 AS VARCHAR) || '.50' AS DOUBLE) END AS price_value,
+       |  (1990 + id % 30) // 10 * 10 AS decade
+       |FROM m ORDER BY id""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "extract_autorules" -> (extractAutorules _),
-    "extract_eval" -> (extractEval _)
+    "extract_eval" -> (extractEval _),
+    "extract_pipeline" -> (extractPipeline _)
   )
 
   def oracles: Map[String, String] = Map(
     "extract_autorules" -> extractAutorulesOracle,
-    "extract_eval" -> extractEvalOracle
+    "extract_eval" -> extractEvalOracle,
+    "extract_pipeline" -> extractPipelineOracle
   )
 }

@@ -194,18 +194,19 @@ object FuseQueries {
     */
   def fuseEngine(s: SparkSession, dir: String): DataFrame = {
     val src = sources(s, dir)
-    val v = Fusion.voting(src, "cluster", "status").select("cluster", "status")
-    val n = Fusion.numericResolvers(src, "cluster", cents(col("price")))
-      .select(col("cluster"), col("avg_value").as("price"))
-    val d = Fusion.dateResolvers(src, "cluster", col("odate"))
-      .select(col("cluster"), col("most_recent").as("odate"))
-    val st = Fusion.stringResolvers(src, "cluster", "prio")
-      .select(col("cluster"), col("longest").as("prio_longest"))
+    // Single-pass engine: price/odate/prio fold into ONE aggregation
+    // (runEngine), voting adds its two-level pass; favour_sources needs
+    // the source-preference args the strategy table can't carry → one
+    // more pass. 3 scans total (was 6 when every resolver re-scanned).
+    val core = Fusion.runEngine(src, "cluster", Seq(
+        "status" -> "voting", "price" -> "average",
+        "odate" -> "most_recent", "prio" -> "longest_string"))
+      .withColumnRenamed("prio", "prio_longest")
     val fs = Fusion.favourSources(src, "cluster", "prio", "src", Seq("C", "A"))
       .withColumnRenamed("prio", "prio_pref")
-    val cnt = src.groupBy("cluster").agg(count(lit(1)).as("n_records"))
-    v.join(n, "cluster").join(d, "cluster").join(st, "cluster")
-      .join(fs, "cluster").join(cnt, "cluster")
+    core.join(fs, "cluster")
+      .select(col("cluster"), col("status"), col("price"), col("odate"),
+        col("prio_longest"), col("prio_pref"), col("n_records"))
       .orderBy("cluster")
   }
 
@@ -257,7 +258,92 @@ object FuseQueries {
         count(lit(1)).as("n_clusters"))
   }
 
+  // ---- provenance (#52b, provenance.py:62) ----
+
+  def fuseProvenance(s: SparkSession, dir: String): DataFrame =
+    Fusion.provenance(sources(s, dir), "cluster", "src", Seq(
+        "status" -> "voting", "status" -> "hash_pick",
+        "prio" -> "longest_string", "prio" -> "shortest_string",
+        "odate" -> "most_recent", "odate" -> "earliest"))
+      .orderBy("cluster", "attribute", "strategy")
+
+  val fuseProvenanceOracle: String =
+    s"""WITH $sourcesSql,
+       |lo AS (SELECT cluster, 'prio' AS attribute, prio AS value, src AS source,
+       |              'longest_string' AS strategy FROM (
+       |  SELECT cluster, prio, src, row_number() OVER (PARTITION BY cluster
+       |         ORDER BY length(prio) DESC, prio, src) AS rn
+       |  FROM src WHERE prio IS NOT NULL) WHERE rn = 1),
+       |sh AS (SELECT cluster, 'prio' AS attribute, prio AS value, src AS source,
+       |              'shortest_string' AS strategy FROM (
+       |  SELECT cluster, prio, src, row_number() OVER (PARTITION BY cluster
+       |         ORDER BY length(prio), prio, src) AS rn
+       |  FROM src WHERE prio IS NOT NULL) WHERE rn = 1),
+       |mr AS (SELECT cluster, 'odate' AS attribute, CAST(odate AS VARCHAR) AS value,
+       |              src AS source, 'most_recent' AS strategy FROM (
+       |  SELECT cluster, odate, src, row_number() OVER (PARTITION BY cluster
+       |         ORDER BY odate DESC, CAST(odate AS VARCHAR), src) AS rn
+       |  FROM src) WHERE rn = 1),
+       |ea AS (SELECT cluster, 'odate' AS attribute, CAST(odate AS VARCHAR) AS value,
+       |              src AS source, 'earliest' AS strategy FROM (
+       |  SELECT cluster, odate, src, row_number() OVER (PARTITION BY cluster
+       |         ORDER BY odate, CAST(odate AS VARCHAR), src) AS rn
+       |  FROM src) WHERE rn = 1),
+       |hp AS (SELECT cluster, 'status' AS attribute, status AS value, src AS source,
+       |              'hash_pick' AS strategy FROM (
+       |  SELECT cluster, status, src, row_number() OVER (PARTITION BY cluster
+       |         ORDER BY md5(CAST(cluster AS VARCHAR) || '|' || status), status, src) AS rn
+       |  FROM src) WHERE rn = 1),
+       |vt AS (SELECT cluster, 'status' AS attribute, value, source,
+       |              'voting' AS strategy FROM (
+       |  SELECT cluster, status AS value, count(*) AS cnt, min(src) AS source,
+       |         row_number() OVER (PARTITION BY cluster
+       |           ORDER BY count(*) DESC, status) AS rn
+       |  FROM src GROUP BY cluster, status) WHERE rn = 1)
+       |SELECT * FROM (
+       |  SELECT * FROM lo UNION ALL SELECT * FROM sh UNION ALL SELECT * FROM mr
+       |  UNION ALL SELECT * FROM ea UNION ALL SELECT * FROM hp
+       |  UNION ALL SELECT * FROM vt)
+       |ORDER BY cluster, attribute, strategy""".stripMargin
+
+  // ---- attribute coverage (#52c, analysis.py:22) ----
+
+  def fuseCoverage(s: SparkSession, dir: String): DataFrame =
+    Fusion.attributeCoverage(sources(s, dir), "src",
+        Seq("status", "price", "odate", "prio"))
+      .orderBy("attribute", "dataset")
+
+  val fuseCoverageOracle: String =
+    s"""WITH $sourcesSql,
+       |vals AS (
+       |  SELECT src AS dataset, 'status' AS attribute,
+       |         CASE WHEN status IS NOT NULL THEN 1 ELSE 0 END AS nn FROM src
+       |  UNION ALL SELECT src, 'price',
+       |         CASE WHEN price IS NOT NULL THEN 1 ELSE 0 END FROM src
+       |  UNION ALL SELECT src, 'odate',
+       |         CASE WHEN odate IS NOT NULL THEN 1 ELSE 0 END FROM src
+       |  UNION ALL SELECT src, 'prio',
+       |         CASE WHEN prio IS NOT NULL THEN 1 ELSE 0 END FROM src),
+       |per AS (SELECT attribute, dataset, CAST(sum(nn) AS BIGINT) AS n_nonnull,
+       |               count(*) AS n_total
+       |        FROM vals GROUP BY attribute, dataset),
+       |roll AS (SELECT attribute,
+       |           CAST(sum(CASE WHEN n_nonnull > 0 THEN 1 ELSE 0 END) AS BIGINT) AS dwa,
+       |           CAST(sum(n_nonnull) AS BIGINT) AS snn,
+       |           CAST(sum(n_total) AS BIGINT) AS snt,
+       |           max(CAST(n_nonnull AS DOUBLE) / n_total) AS maxc
+       |         FROM per GROUP BY attribute)
+       |SELECT p.attribute, p.dataset, p.n_nonnull, p.n_total,
+       |  CAST(p.n_nonnull AS DOUBLE) / p.n_total AS coverage,
+       |  roll.dwa AS datasets_with_attribute,
+       |  CAST(roll.snn AS DOUBLE) / roll.snt AS avg_coverage,
+       |  roll.maxc AS max_coverage
+       |FROM per p JOIN roll USING (attribute)
+       |ORDER BY attribute, dataset""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fuse_provenance" -> (fuseProvenance _),
+    "fuse_coverage" -> (fuseCoverage _),
     "fuse_voting" -> (fuseVoting _),
     "fuse_strings" -> (fuseStrings _),
     "fuse_numeric" -> (fuseNumeric _),
@@ -284,6 +370,8 @@ object FuseQueries {
   }
 
   def oracles: Map[String, String] = Map(
+    "fuse_provenance" -> fuseProvenanceOracle,
+    "fuse_coverage" -> fuseCoverageOracle,
     "fuse_voting" -> fuseVotingOracle,
     "fuse_strings" -> fuseStringsOracle,
     "fuse_numeric" -> fuseNumericOracle,

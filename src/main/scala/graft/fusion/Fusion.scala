@@ -171,38 +171,150 @@ object Fusion {
     */
   def runEngine(records: DataFrame, cluster: String,
       strategies: Seq[(String, String)]): DataFrame = {
-    val fusedCols = strategies.map { case (attr, strategy) =>
+    val (votes, rest) = strategies.partition(_._2 == "voting")
+    // Every non-voting strategy compiles to aggregate expressions over
+    // the SAME groupBy — the whole strategy table is ONE scan + ONE
+    // shuffle (round-3 verdict: the per-attribute re-scan doubled the
+    // pass count at 100 TB). Null handling matches the per-resolver
+    // functions: struct-min aggregates wrap values in when(isNotNull, …)
+    // so null structs drop out exactly like the resolvers' filters.
+    val aggs = scala.collection.mutable.ArrayBuffer.empty[Column]
+    val posts = scala.collection.mutable.ArrayBuffer.empty[(String, Column)]
+    rest.zipWithIndex.foreach { case ((attr, strategy), i) =>
+      val v = col(attr)
       strategy match {
-        case "voting" =>
-          voting(records, cluster, attr).select(col(cluster), col(attr))
         case "longest_string" | "shortest_string" | "most_complete" =>
-          val pick = strategy match {
-            case "longest_string" => "longest"
-            case "shortest_string" => "shortest"
-            case _ => "most_complete"
+          val key = strategy match {
+            case "longest_string" => -length(v)
+            case "shortest_string" => length(v)
+            case _ => -length(regexp_replace(v, "[ \\t\\n]", ""))
           }
-          stringResolvers(records, cluster, attr)
-            .select(col(cluster), col(pick).as(attr))
+          aggs += min(when(v.isNotNull, struct(key.as("k"), v.as("v")))).as(s"_p$i")
+          posts += attr -> col(s"_p$i.v")
         case "average" | "median" | "maximum" | "minimum" | "sum" =>
-          val pick = strategy match {
-            case "average" => "avg_value"; case "median" => "median_value"
-            case "maximum" => "max_value"; case "minimum" => "min_value"
-            case _ => "sum_value"
-          }
-          numericResolvers(records, cluster, graft.Tables.cents(col(attr)))
-            .select(col(cluster), col(pick).as(attr))
-        case "most_recent" | "earliest" =>
-          val pick = if (strategy == "most_recent") "most_recent" else "earliest"
-          dateResolvers(records, cluster, col(attr))
-            .select(col(cluster), col(pick).as(attr))
+          val c = graft.Tables.cents(v)
+          aggs += sum(c).as(s"_sum$i")
+          aggs += count(when(c.isNotNull, lit(1))).as(s"_n$i")
+          aggs += percentile(c, lit(0.5)).as(s"_med$i")
+          aggs += max(c).as(s"_max$i")
+          aggs += min(c).as(s"_min$i")
+          posts += attr -> (strategy match {
+            case "average" => round(col(s"_sum$i") / 100.0 / col(s"_n$i"), 5)
+            case "median" => round(col(s"_med$i") / 100.0, 5)
+            case "maximum" => round(col(s"_max$i") / 100.0, 5)
+            case "minimum" => round(col(s"_min$i") / 100.0, 5)
+            case _ => round(col(s"_sum$i") / 100.0, 5)
+          })
+        case "most_recent" =>
+          aggs += max(v).as(s"_d$i"); posts += attr -> col(s"_d$i")
+        case "earliest" =>
+          aggs += min(v).as(s"_d$i"); posts += attr -> col(s"_d$i")
         case "hash_pick" =>
-          hashPick(records, cluster, attr).select(col(cluster), col(attr))
+          aggs += min(when(v.isNotNull, struct(
+            md5(concat_ws("|", col(cluster).cast("string"), v.cast("string"))).as("k"),
+            v.as("v")))).as(s"_h$i")
+          posts += attr -> col(s"_h$i.v")
         case other =>
           throw new IllegalArgumentException(s"unknown fusion strategy: $other")
       }
     }
-    val counts = records.groupBy(col(cluster)).agg(count(lit(1)).as("n_records"))
-    (fusedCols :+ counts).reduce(_.join(_, cluster))
+    aggs += count(lit(1)).as("n_records")
+    val main = records.groupBy(col(cluster)).agg(aggs.head, aggs.tail.toSeq: _*)
+      .select(col(cluster) +: posts.toSeq.map { case (a, c) => c.as(a) } :+ col("n_records"): _*)
+    // voting needs a (cluster, value) pre-aggregation of its own; one
+    // extra pass per voting attribute, joined on the tiny post-agg keys.
+    val withVotes = votes.foldLeft(main) { case (d, (attr, _)) =>
+      d.join(voting(records, cluster, attr).select(col(cluster), col(attr)), cluster)
+    }
+    withVotes.select(
+      col(cluster) +: strategies.map { case (a, _) => col(a) } :+ col("n_records"): _*)
+  }
+
+  /** Winning-source attribution (fusion/provenance.py:62
+    * ProvenanceTracker.track_fusion_result, per attribute): for each
+    * (attribute, strategy) pair emit (cluster, attribute, value, source,
+    * strategy) — whose value won the fusion. Pick-one strategies have a
+    * well-defined winner row; `voting` attributes the minimum source
+    * name among records holding the winning value (the reference
+    * records the full contributing-source set; one deterministic
+    * representative keeps this a flat frame). All pick strategies run
+    * in ONE stacked window pass (keys are precomputed per strategy at
+    * stack time), voting in one two-level aggregation.
+    */
+  def provenance(records: DataFrame, cluster: String, source: String,
+      strategies: Seq[(String, String)]): DataFrame = {
+    val pick = strategies.filterNot(_._2 == "voting")
+    val vote = strategies.filter(_._2 == "voting")
+    val parts = Seq.newBuilder[DataFrame]
+    if (pick.nonEmpty) {
+      val structs = pick.map { case (attr, strat) =>
+        val v = col(attr)
+        val vs = v.cast("string")
+        val (kNum, kStr): (Column, Column) = strat match {
+          case "longest_string" => (-length(vs).cast("double"), lit(""))
+          case "shortest_string" => (length(vs).cast("double"), lit(""))
+          case "most_complete" =>
+            (-length(regexp_replace(vs, "[ \\t\\n]", "")).cast("double"), lit(""))
+          case "most_recent" => (-unix_date(v.cast("date")).cast("double"), lit(""))
+          case "earliest" => (unix_date(v.cast("date")).cast("double"), lit(""))
+          case "hash_pick" =>
+            (lit(0.0), md5(concat_ws("|", col(cluster).cast("string"), vs)))
+          case other =>
+            throw new IllegalArgumentException(s"unsupported provenance strategy: $other")
+        }
+        struct(lit(attr).as("attribute"), lit(strat).as("strategy"),
+          vs.as("value"), col(source).cast("string").as("source"),
+          kNum.as("k_num"), kStr.as("k_str"))
+      }
+      val stacked = records
+        .select(col(cluster).as("_cl"), explode(array(structs: _*)).as("x"))
+        .select(col("_cl"), col("x.*"))
+        .filter(col("value").isNotNull)
+      val w = Window.partitionBy(col("_cl"), col("attribute"), col("strategy"))
+        .orderBy(col("k_num"), col("k_str"), col("value"), col("source"))
+      parts += stacked.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .select(col("_cl").as(cluster), col("attribute"), col("value"),
+          col("source"), col("strategy"))
+    }
+    vote.foreach { case (attr, _) =>
+      val counts = records.filter(col(attr).isNotNull)
+        .groupBy(col(cluster), col(attr).cast("string").as("value"))
+        .agg(count(lit(1)).as("_cnt"), min(col(source).cast("string")).as("source"))
+      val w = Window.partitionBy(col(cluster)).orderBy(col("_cnt").desc, col("value"))
+      parts += counts.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .select(col(cluster), lit(attr).as("attribute"), col("value"),
+          col("source"), lit("voting").as("strategy"))
+    }
+    parts.result().reduce(_.unionByName(_))
+  }
+
+  /** analyze_attribute_coverage (fusion/analysis.py:22): per (attribute,
+    * source) — non-null count, total, coverage ratio — plus per-
+    * attribute rollups: datasets_with_attribute, max_coverage, and
+    * MICRO-averaged avg_coverage (Σ non-null / Σ total — a deterministic
+    * integer ratio; the reference's macro-mean over per-source ratios is
+    * float-order-dependent and differs only when sources have unequal
+    * row counts — documented deviation). Ratios are raw IEEE divisions
+    * of exact longs, bit-identical in any engine.
+    */
+  def attributeCoverage(records: DataFrame, source: String,
+      attrs: Seq[String]): DataFrame = {
+    val stacked = records.select(col(source).as("dataset"),
+        explode(array(attrs.map(a => struct(lit(a).as("attribute"),
+          col(a).isNotNull.as("nn"))): _*)).as("x"))
+      .select(col("dataset"), col("x.attribute").as("attribute"), col("x.nn").as("nn"))
+    val per = stacked.groupBy("attribute", "dataset")
+      .agg(sum(col("nn").cast("long")).as("n_nonnull"), count(lit(1)).as("n_total"))
+    val w = Window.partitionBy("attribute")
+    per.select(col("attribute"), col("dataset"), col("n_nonnull"), col("n_total"),
+      (col("n_nonnull").cast("double") / col("n_total")).as("coverage"),
+      sum(when(col("n_nonnull") > 0, 1L).otherwise(0L)).over(w)
+        .as("datasets_with_attribute"),
+      (sum(col("n_nonnull")).over(w).cast("double") / sum(col("n_total")).over(w))
+        .as("avg_coverage"),
+      max(col("n_nonnull").cast("double") / col("n_total")).over(w).as("max_coverage"))
   }
 
   /** Conflict share per attribute (fusion/analysis.py): fraction of

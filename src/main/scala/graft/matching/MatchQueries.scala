@@ -136,6 +136,54 @@ object MatchQueries {
        |       round(CAST(tp AS DOUBLE) * 2.0 / greatest(np + ng, 1), 5) AS f1
        |FROM n""".stripMargin
 
+  /** threshold_sweep (evaluation.py:861) over the same rule + scenario
+    * as match_rule, but scored with threshold 0 so every candidate keeps
+    * its score; the sweep grid is 0.0 … 1.0 in 0.1 steps (the
+    * reference's default). Thresholding compares the ROUNDED (5 dp)
+    * score in both engines so boundary pairs agree bit-for-bit.
+    */
+  def matchThresholdSweep(s: SparkSession, dir: String): DataFrame = {
+    val l = EmScenario.custL(s, dir)
+    val r = EmScenario.custR(s, dir)
+    val cands = Blockers.standard(l, r, Seq("seg", "nat"), "id")
+    val scored = Matching.ruleMatch(cands, l, r, "id",
+      Seq(
+        sims.jaroWinkler(col("l_name"), col("r_name")) -> 0.6,
+        sims.exactSim(col("l_seg"), col("r_seg")) -> 0.2,
+        sims.numericAbsSim(col("l_bal"), col("r_bal"), 1000.0) -> 0.2),
+      threshold = 0.0)
+    Matching.thresholdSweep(scored, EmScenario.gold(s, dir),
+      (0 to 10).map(_ / 10.0))
+  }
+
+  val matchThresholdSweepOracle: String =
+    s"""${EmScenario.oracleWith},
+       |cand AS (SELECT l.id AS id1, r.id AS id2, l.name AS ln, r.name AS rn,
+       |                l.seg AS ls, r.seg AS rs, l.bal AS lb, r.bal AS rb
+       |         FROM l JOIN r ON l.seg = r.seg AND l.nat = r.nat),
+       |scored AS (SELECT id1, id2,
+       |  round(jaro_winkler_similarity(ln, rn) * 0.6
+       |        + (CASE WHEN ls = rs THEN 1.0 ELSE 0.0 END) * 0.2
+       |        + greatest(0.0, 1.0 - abs(lb - rb) / 1000.0) * 0.2, 5) AS score
+       |  FROM cand),
+       |lab AS (SELECT s.score AS score,
+       |               CASE WHEN g.id1 IS NOT NULL THEN 1 ELSE 0 END AS is_gold
+       |        FROM scored s FULL OUTER JOIN gold g
+       |          ON s.id1 = g.id1 AND s.id2 = g.id2),
+       |t AS (SELECT unnest([0.0,0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9,1.0]) AS threshold),
+       |agg AS (SELECT t.threshold,
+       |  sum(CASE WHEN lab.score >= t.threshold AND lab.is_gold = 1 THEN 1 ELSE 0 END) AS tp,
+       |  sum(CASE WHEN lab.score >= t.threshold AND lab.is_gold = 0 THEN 1 ELSE 0 END) AS fp,
+       |  sum(CASE WHEN (lab.score IS NULL OR lab.score < t.threshold)
+       |           AND lab.is_gold = 1 THEN 1 ELSE 0 END) AS fn
+       |  FROM lab CROSS JOIN t GROUP BY t.threshold)
+       |SELECT threshold, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       |  CAST(fn AS BIGINT) AS fn, CAST(tp + fp AS BIGINT) AS n_pred,
+       |  round(CAST(tp AS DOUBLE) / greatest(tp + fp, 1), 5) AS precision,
+       |  round(CAST(tp AS DOUBLE) / greatest(tp + fn, 1), 5) AS recall,
+       |  round(CAST(tp AS DOUBLE) * 2.0 / greatest(2 * tp + fp + fn, 1), 5) AS f1
+       |FROM agg ORDER BY threshold""".stripMargin
+
   /** Character n-gram Jaccard sims (similarity_registry ngram_2/3) over
     * adjacent part-name pairs — fully oracled via DuckDB set algebra.
     */
@@ -372,7 +420,8 @@ object MatchQueries {
     "sim_ngram" -> (simNgram _),
     "sim_registry" -> (simRegistry _),
     "match_rule" -> (matchRule _),
-    "match_eval" -> (matchEval _)
+    "match_eval" -> (matchEval _),
+    "match_threshold_sweep" -> (matchThresholdSweep _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -383,6 +432,7 @@ object MatchQueries {
     "sim_numeric_date" -> simNumericDateOracle,
     "sim_ngram" -> simNgramOracle,
     "match_rule" -> matchRuleSql,
-    "match_eval" -> matchEvalOracle
+    "match_eval" -> matchEvalOracle,
+    "match_threshold_sweep" -> matchThresholdSweepOracle
   )
 }

@@ -42,6 +42,40 @@ object Matching {
       .select(col("id1"), col("id2"), round(col("_score"), 5).as("score"))
   }
 
+  /** threshold_sweep (evaluation.py:861): P/R/F1 across a grid of
+    * matching-rule thresholds. The reference re-runs the evaluator once
+    * per θ; here candidates are scored ONCE, the (tiny) grid is exploded
+    * against the gold-outer-joined labels, and a single aggregation
+    * yields every sweep row — one scan + one shuffle no matter how many
+    * thresholds. `scored` must carry (id1, id2, score); comparisons use
+    * the score as given (round it consistently with the oracle first).
+    */
+  def thresholdSweep(scored: DataFrame, gold: DataFrame,
+      thresholds: Seq[Double]): DataFrame = {
+    val p = scored.groupBy("id1", "id2").agg(max(col("score")).as("_score"))
+    val g = gold.select("id1", "id2").distinct().withColumn("_gold", lit(1L))
+    val labeled = p.join(g, Seq("id1", "id2"), "full_outer")
+      .select(col("_score"), coalesce(col("_gold"), lit(0L)).as("_gold"))
+    labeled
+      .select(col("_score"), col("_gold"),
+        explode(array(thresholds.map(lit(_)): _*)).as("threshold"))
+      .groupBy("threshold")
+      .agg(
+        sum(when(col("_score") >= col("threshold") && col("_gold") === 1L, 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("_score") >= col("threshold") && col("_gold") === 0L, 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when((col("_score").isNull || col("_score") < col("threshold")) &&
+          col("_gold") === 1L, 1L).otherwise(0L)).as("fn"))
+      .select(col("threshold"), col("tp"), col("fp"), col("fn"),
+        (col("tp") + col("fp")).as("n_pred"),
+        round(col("tp") / greatest(col("tp") + col("fp"), lit(1L)), 5).as("precision"),
+        round(col("tp") / greatest(col("tp") + col("fn"), lit(1L)), 5).as("recall"),
+        round(col("tp") * 2.0 / greatest(lit(2L) * col("tp") + col("fp") + col("fn"), lit(1L)), 5)
+          .as("f1"))
+      .orderBy("threshold")
+  }
+
   /** P/R/F1 of predicted correspondences vs gold pairs
     * (evaluation.py:25 evaluate with all-positive test pairs).
     */

@@ -65,6 +65,188 @@ object NormQueries {
       |  toks[1] AS first_token, toks[-1] AS last_token
       |FROM t ORDER BY doc_id""".stripMargin
 
+  // ---- norm_webtable (text.py:502 WebTableNormalizer) ----
+
+  private def sqlq(s: String): String = s.replace("'", "''")
+
+  /** DuckDB replay of [[Normalize.webTableNormalize]] over expression
+    * `v` — the identical replace/regex chain, generated from the same
+    * entity map and null-token list so the two can never drift.
+    */
+  private def webChainSql(v: String): String = {
+    val sp = s"regexp_replace($v, '[\\n\\r\\t]', ' ', 'g')"
+    val ent = Normalize.HtmlEntities.foldLeft(sp) { case (acc, (e, r)) =>
+      s"replace($acc, '${sqlq(e)}', '${sqlq(r)}')"
+    }
+    val noNum = s"regexp_replace($ent, '[&\\\\?]#[0-9]{1,3};', ' ', 'g')"
+    val noTag = s"regexp_replace($noNum, '<.*?>', '', 'g')"
+    val low = s"trim(lower($noTag))"
+    val toks = Normalize.WebNullTokens.map(t => s"'${sqlq(t)}'").mkString(", ")
+    val nulled = s"CASE WHEN $low IN ($toks) THEN 'NULL' ELSE $low END"
+    val deb = s"trim(regexp_replace($nulled, '\\(.*?\\)', '', 'g'))"
+    val collapsed = s"trim(regexp_replace($deb, '\\s+', ' ', 'g'))"
+    s"CASE WHEN $v IS NULL THEN 'NULL' WHEN $collapsed = '' THEN 'NULL' ELSE $collapsed END"
+  }
+
+  def normWebtable(s: SparkSession, dir: String): DataFrame = {
+    val k = col("c_custkey") % 10
+    val raw = when(k === 0, concat(lit("  <b>"), col("c_name"), lit("</b>  ")))
+      .when(k === 1, concat(col("c_name"), lit(" &amp; Co&nbsp;Ltd")))
+      .when(k === 2, lit("n/a"))
+      .when(k === 3, lit(" ? "))
+      .when(k === 4, concat(col("c_name"), lit(" (formerly &quot;X&quot;)")))
+      .when(k === 5, lit("&euro; 100 &pound; 50"))
+      .when(k === 6, concat(col("c_name"), lit(" &#65; end")))
+      .when(k === 7, lit("---"))
+      .when(k === 8, concat(upper(col("c_name")), lit("\tX\nY")))
+      .otherwise(lit(null).cast("string"))
+    customer(s, dir).select(col("c_custkey"),
+        Normalize.webTableNormalize(raw, removeBrackets = true).as("cleaned"),
+        Normalize.removeBracketContent(
+          concat(col("c_name"), lit(" [tag] (note) {x}"))).as("debracketed"))
+      .orderBy("c_custkey")
+  }
+
+  val normWebtableOracle: String = {
+    val rawSql =
+      """CASE c_custkey % 10
+        |  WHEN 0 THEN '  <b>' || c_name || '</b>  '
+        |  WHEN 1 THEN c_name || ' &amp; Co&nbsp;Ltd'
+        |  WHEN 2 THEN 'n/a'
+        |  WHEN 3 THEN ' ? '
+        |  WHEN 4 THEN c_name || ' (formerly &quot;X&quot;)'
+        |  WHEN 5 THEN '&euro; 100 &pound; 50'
+        |  WHEN 6 THEN c_name || ' &#65; end'
+        |  WHEN 7 THEN '---'
+        |  WHEN 8 THEN upper(c_name) || chr(9) || 'X' || chr(10) || 'Y'
+        |  ELSE NULL END""".stripMargin
+    val debSql = "trim(regexp_replace(" +
+      "regexp_replace(regexp_replace(regexp_replace(c_name || ' [tag] (note) {x}'," +
+      " '\\(.*?\\)', '', 'g'), '\\[.*?\\]', '', 'g'), '\\{.*?\\}', '', 'g')," +
+      " '\\s+', ' ', 'g'))"
+    s"""WITH raw AS (SELECT c_custkey, $rawSql AS v, c_name FROM customer)
+       |SELECT c_custkey, ${webChainSql("v")} AS cleaned, $debSql AS debracketed
+       |FROM raw ORDER BY c_custkey""".stripMargin
+  }
+
+  // ---- norm_convert (units.py:483 UnitConverter + types.py:838
+  //      TypeConverter applied via detectTypes) ----
+
+  def normConvert(s: SparkSession, dir: String): DataFrame = {
+    val id = col("o_orderkey")
+    val o = orders(s, dir).select(id,
+      (id % 100 + 0.5).as("v"),
+      when(id % 5 === 0, "kg").when(id % 5 === 1, "km")
+        .when(id % 5 === 2, "F").when(id % 5 === 3, "C").otherwise("kg").as("fu"),
+      when(id % 5 === 0, "g").when(id % 5 === 1, "cm")
+        .when(id % 5 === 2, "C").when(id % 5 === 3, "K").otherwise("m").as("tu"),
+      when(id % 7 === 0, "x").otherwise(id.cast("string")).as("sl"),
+      when(id % 7 === 1, "?")
+        .otherwise(concat((id % 90).cast("string"), lit("."), (id % 10).cast("string"), lit("5")))
+        .as("sd"),
+      when(id % 7 === 2, "notadate")
+        .otherwise(concat(lit("2024-0"), (id % 9 + 1).cast("string"), lit("-1"),
+          (id % 10).cast("string"))).as("sdt"),
+      when(id % 7 === 3, "maybe")
+        .when(id % 2 === 0, "yes").otherwise("OFF").as("sb"))
+    // detection is deterministic by construction: 6/7 of each column
+    // parses as long / double / datetime / bool respectively.
+    val conv = Normalize.convertTypes(o,
+      Seq("sl" -> "long", "sd" -> "double", "sdt" -> "datetime", "sb" -> "bool"))
+    conv.select(col("o_orderkey"),
+        Normalize.convertUnit(col("v"), col("fu"), col("tu")).as("converted"),
+        col("sl").as("conv_long"), col("sd").as("conv_double"),
+        date_format(col("sdt"), "yyyy-MM-dd").as("conv_date"),
+        col("sb").as("conv_bool"))
+      .orderBy("o_orderkey")
+  }
+
+  val normConvertOracle: String =
+    """WITH o AS (SELECT o_orderkey AS id, o_orderkey % 100 + 0.5 AS v FROM orders)
+      |SELECT id AS o_orderkey,
+      |  CASE id % 5
+      |    WHEN 0 THEN v * 1000.0 / 1.0
+      |    WHEN 1 THEN v * 1000.0 / 0.01
+      |    WHEN 2 THEN (v - 32.0) * 5.0 / 9.0
+      |    WHEN 3 THEN v + 273.15
+      |    ELSE NULL END AS converted,
+      |  CASE WHEN id % 7 = 0 THEN NULL ELSE id END AS conv_long,
+      |  CASE WHEN id % 7 = 1 THEN NULL
+      |       ELSE CAST(CAST(id % 90 AS VARCHAR) || '.' || CAST(id % 10 AS VARCHAR) || '5'
+      |                 AS DOUBLE) END AS conv_double,
+      |  CASE WHEN id % 7 = 2 THEN NULL
+      |       ELSE '2024-0' || CAST(id % 9 + 1 AS VARCHAR) || '-1' || CAST(id % 10 AS VARCHAR)
+      |       END AS conv_date,
+      |  CASE WHEN id % 7 = 3 THEN NULL
+      |       WHEN id % 2 = 0 THEN true ELSE false END AS conv_bool
+      |FROM o ORDER BY o_orderkey""".stripMargin
+
+  // ---- norm_dup_detect (detectors.py:360 DuplicateDetector) ----
+
+  def normDupDetect(s: SparkSession, dir: String): DataFrame = {
+    val c = customer(s, dir).select(
+      col("c_name").as("name"),
+      when(col("c_custkey") % 2 === 0, upper(col("c_mktsegment")))
+        .otherwise(lower(col("c_mktsegment"))).as("seg_mixed"),
+      col("c_nationkey").as("nat"),
+      when(col("c_custkey") % 10 === 0, lit(null).cast("string"))
+        .otherwise((col("c_custkey") % 500).cast("string")).as("phoneish"))
+    Normalize.duplicateSummary(c, Seq("name", "seg_mixed", "nat", "phoneish"))
+      .orderBy("column")
+  }
+
+  val normDupDetectOracle: String =
+    """WITH tot AS (SELECT count(*) AS t FROM customer),
+      |vals AS (
+      |  SELECT 'name' AS col, lower(c_name) AS value FROM customer
+      |  UNION ALL
+      |  SELECT 'seg_mixed', lower(CASE WHEN c_custkey % 2 = 0
+      |    THEN upper(c_mktsegment) ELSE lower(c_mktsegment) END) FROM customer
+      |  UNION ALL
+      |  SELECT 'nat', lower(CAST(c_nationkey AS VARCHAR)) FROM customer
+      |  UNION ALL
+      |  SELECT 'phoneish', CASE WHEN c_custkey % 10 = 0 THEN NULL
+      |    ELSE lower(CAST(c_custkey % 500 AS VARCHAR)) END FROM customer),
+      |cnts AS (SELECT col, value, count(*) AS cnt FROM vals
+      |         WHERE value IS NOT NULL GROUP BY col, value),
+      |agg AS (SELECT col, count(*) AS unique_values,
+      |        CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT)
+      |          AS duplicate_values
+      |        FROM cnts GROUP BY col)
+      |SELECT col AS "column", CAST(tot.t AS BIGINT) AS total_values,
+      |  unique_values, duplicate_values,
+      |  round(duplicate_values * 100.0 / tot.t, 2) AS duplicate_percentage
+      |FROM agg, tot ORDER BY "column"""".stripMargin
+
+  // ---- norm_dataset (datasets.py:287 DatasetNormalizer strategy table) ----
+
+  def normDataset(s: SparkSession, dir: String): DataFrame = {
+    val df = customer(s, dir).select(col("c_custkey"),
+      concat(upper(col("c_name")), lit("  &X! ")).as("txt"),
+      when(col("c_custkey") % 4 === 0, lit("N/A")).otherwise(col("c_mktsegment")).as("seg"),
+      concat(lit("HTTPS://WWW.Example.com/"), col("c_custkey").cast("string"),
+        lit("/?q=1")).as("site"),
+      concat(lit("$"), (col("c_custkey") % 1000).cast("string"), lit(".25")).as("price"),
+      concat(lit("café "), col("c_mktsegment")).as("acc"))
+    Normalize.normalizeDataset(df, Seq(
+        "txt" -> "text", "seg" -> "nulls", "site" -> "url",
+        "price" -> "currency", "acc" -> "accents"))
+      .orderBy("c_custkey")
+  }
+
+  /** Oracle recomputes each strategy's TRUE value independently (not by
+    * replaying the Spark expressions).
+    */
+  val normDatasetOracle: String =
+    """SELECT c_custkey,
+      |  trim(regexp_replace(regexp_replace(lower(upper(c_name) || '  &X! '),
+      |    '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS txt,
+      |  CASE WHEN c_custkey % 4 = 0 THEN NULL ELSE c_mktsegment END AS seg,
+      |  'example.com/' || CAST(c_custkey AS VARCHAR) AS site,
+      |  CAST(CAST(c_custkey % 1000 AS VARCHAR) || '.25' AS DOUBLE) AS price,
+      |  'cafe ' || c_mktsegment AS acc
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
   // ---- norm_nulls ----
   def normNulls(s: SparkSession, dir: String): DataFrame = {
     val e = events(s, dir)
@@ -373,7 +555,11 @@ object NormQueries {
     "norm_detect_types" -> (normDetectTypes _),
     "norm_outliers" -> (normOutliers _),
     "norm_validate" -> (normValidate _),
-    "norm_coords" -> (normCoords _))
+    "norm_coords" -> (normCoords _),
+    "norm_webtable" -> (normWebtable _),
+    "norm_convert" -> (normConvert _),
+    "norm_dup_detect" -> (normDupDetect _),
+    "norm_dataset" -> (normDataset _))
 
   def oracles: Map[String, String] = Map(
     "norm_text" -> normTextOracle,
@@ -391,5 +577,9 @@ object NormQueries {
     "norm_detect_types" -> normDetectTypesOracle,
     "norm_outliers" -> normOutliersOracle,
     "norm_validate" -> normValidateOracle,
-    "norm_coords" -> normCoordsOracle)
+    "norm_coords" -> normCoordsOracle,
+    "norm_webtable" -> normWebtableOracle,
+    "norm_convert" -> normConvertOracle,
+    "norm_dup_detect" -> normDupDetectOracle,
+    "norm_dataset" -> normDatasetOracle)
 }

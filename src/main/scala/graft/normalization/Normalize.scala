@@ -178,6 +178,151 @@ object Normalize {
       .drop("_unit", "_factor")
   }
 
+  // ---- web tables (PyDI/normalization/text.py:502 WebTableNormalizer,
+  //      :676 BracketContentHandler) ----
+
+  /** The reference's literal entity→replacement map (text.py:546),
+    * applied in its insertion order — order matters: `&nbsp;` must fire
+    * before `&nbsp` before the bare `nbsp` fallback.
+    */
+  val HtmlEntities: Seq[(String, String)] = Seq(
+    "&nbsp;" -> " ", "&nbsp" -> " ", "nbsp" -> " ",
+    "&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
+    "&quot;" -> "\"", "&apos;" -> "'", "&ndash;" -> "-",
+    "&mdash;" -> "-", "&hellip;" -> "...", "&copy;" -> "(c)",
+    "&reg;" -> "(r)", "&trade;" -> "tm", "&cent;" -> "c",
+    "&pound;" -> "GBP", "&yen;" -> "JPY", "&euro;" -> "EUR")
+
+  /** Extended web-null tokens (text.py:533). */
+  val WebNullTokens: Seq[String] = Seq(
+    "", "__", "-", "_", "?", "unknown", "- -", "•", "- - -", ".",
+    "??", "(n/a)", "null", "none", "nil", "na", "n/a", "missing",
+    "undefined", "void", "tbd", "tba", "not available", "not applicable",
+    "no data", "no info", "---", "___", "...", "n.a.", "n.d.", "nd",
+    "n\\a")
+
+  /** WebTableNormalizer.normalize_value (text.py:561) as one codegen'd
+    * projection: newline/tab → space, entity map + decimal numeric
+    * entities (`&#65;`), strip tags (non-greedy, like the reference),
+    * lowercase + trim, web null tokens → `nullValue`, optional bracket-
+    * content removal, whitespace collapse; empty → `nullValue`.
+    * Deviation (documented): the reference ends with Python
+    * `html.unescape` over the FULL named-entity table; here the
+    * catch-all is the map above + decimal entities — the long tail of
+    * named entities is out of scope without an ICU-sized table.
+    */
+  def webTableNormalize(c: Column, nullValue: String = "NULL",
+      removeBrackets: Boolean = false): Column = {
+    val sp = regexp_replace(c, "[\\n\\r\\t]", " ")
+    val ent = HtmlEntities.foldLeft(sp) { case (acc, (e, r)) =>
+      replace(acc, lit(e), lit(r))
+    }
+    val noNum = regexp_replace(ent, "[&\\\\?]#[0-9]{1,3};", " ")
+    val noTag = regexp_replace(noNum, "<.*?>", "")
+    val low = trim(lower(noTag))
+    val nulled = when(low.isInCollection(WebNullTokens), lit(nullValue)).otherwise(low)
+    val deb =
+      if (removeBrackets) trim(regexp_replace(nulled, "\\(.*?\\)", ""))
+      else nulled
+    val collapsed = trim(regexp_replace(deb, "\\s+", " "))
+    when(c.isNull, lit(nullValue))
+      .when(collapsed === "", lit(nullValue))
+      .otherwise(collapsed)
+  }
+
+  /** BracketContentHandler.remove_content (text.py:676): strip the
+    * content of every requested bracket pair (non-greedy, like the
+    * reference's compiled patterns), then collapse whitespace.
+    */
+  def removeBracketContent(c: Column, types: String = "()[]{}"): Column = {
+    val pairs = Seq("(" -> ")", "[" -> "]", "{" -> "}", "<" -> ">")
+      .filter { case (o, cl) => types.contains(o) && types.contains(cl) }
+    val stripped = pairs.foldLeft(c) { case (acc, (o, cl)) =>
+      regexp_replace(acc, "\\" + o + ".*?" + "\\" + cl, "")
+    }
+    trim(regexp_replace(stripped, "\\s+", " "))
+  }
+
+  // ---- unit conversion (units.py:483 UnitConverter, :428 UnitDetector) ----
+
+  /** Conversion factor to the category base unit (when-chain over the
+    * registry — codegen'd, no join needed for scalar conversion).
+    */
+  def unitFactor(unit: Column,
+      registry: Seq[(String, String, Double)] = UnitRegistry): Column =
+    registry.foldLeft(lit(null).cast("double")) { case (acc, (u, _, f)) =>
+      when(unit === u, f).otherwise(acc)
+    }
+
+  /** Category name of a unit symbol; NULL if unknown (UnitDetector.
+    * detect_category over the registry, minus the free-text search).
+    */
+  def unitCategory(unit: Column,
+      registry: Seq[(String, String, Double)] = UnitRegistry): Column =
+    registry.foldLeft(lit(null).cast("string")) { case (acc, (u, c, _)) =>
+      when(unit === u, c).otherwise(acc)
+    }
+
+  private val TempUnits = Seq("c", "°c", "f", "°f", "k")
+
+  /** UnitConverter.convert (units.py:493): value × factor(from) /
+    * factor(to) within one category; NULL when categories differ
+    * (can_convert) or a unit is unknown. Temperature is the reference's
+    * special case (units.py:507): affine through Celsius — C/F/K cross-
+    * convert but never convert to/from linear categories. Arithmetic
+    * shape matches the reference exactly (((v−32)·5)/9 etc.) so the
+    * DuckDB oracle reproduces identical IEEE doubles.
+    */
+  def convertUnit(value: Column, fromUnit: Column, toUnit: Column,
+      registry: Seq[(String, String, Double)] = UnitRegistry): Column = {
+    val f = lower(trim(fromUnit))
+    val t = lower(trim(toUnit))
+    val celsius = when(f.isin("f", "°f"), (value - lit(32.0)) * lit(5.0) / lit(9.0))
+      .when(f === "k", value - lit(273.15))
+      .otherwise(value)
+    val fromTemp = when(t.isin("f", "°f"), celsius * lit(9.0) / lit(5.0) + lit(32.0))
+      .when(t === "k", celsius + lit(273.15))
+      .otherwise(celsius)
+    val fIsT = f.isInCollection(TempUnits)
+    val tIsT = t.isInCollection(TempUnits)
+    val ff = unitFactor(f, registry)
+    val tf = unitFactor(t, registry)
+    val sameCat = unitCategory(f, registry) === unitCategory(t, registry)
+    when(fIsT && tIsT, fromTemp)
+      .when(fIsT || tIsT, lit(null).cast("double"))
+      .when(sameCat, value * ff / tf)
+      .otherwise(lit(null).cast("double"))
+  }
+
+  // ---- applied type conversion (types.py:838 TypeConverter,
+  //      columns.py:405 ColumnTypeInference) ----
+
+  /** Apply a (column → detected type) table back onto the frame —
+    * the piece TypeConverter.convert_column adds on top of
+    * [[detectTypes]] (which only REPORTS). Parses are regex-guarded
+    * (same regexes as detection) so malformed rows go NULL instead of
+    * throwing under ANSI mode.
+    */
+  def convertTypes(df: DataFrame, detected: Seq[(String, String)]): DataFrame =
+    detected.foldLeft(df) { case (d, (c, t)) =>
+      val s = trim(col(c).cast("string"))
+      t match {
+        case "long" => d.withColumn(c, when(s.rlike("^-?\\d+$"), s.cast("long")))
+        case "double" =>
+          d.withColumn(c, when(s.rlike("^-?\\d+\\.\\d+([eE][+-]?\\d+)?$"), s.cast("double")))
+        case "datetime" => d.withColumn(c, parseDate(s, DefaultDateFormats))
+        case "bool" => d.withColumn(c, parseBoolean(s))
+        case _ => d
+      }
+    }
+
+  /** detect → apply in one call (DatasetNormalizer's auto mode). */
+  def applyDetectedTypes(df: DataFrame): DataFrame = {
+    val det = detectTypes(df).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    convertTypes(df, det)
+  }
+
   // ---- value functions (PyDI/utils/normalization.py) ----
 
   /** remove_html_tags (:77). */
@@ -220,6 +365,64 @@ object Normalize {
   /** extract_numeric (:295), first match. */
   def extractNumeric(c: Column): Column =
     nullif(regexp_extract(c, "(-?\\d+(?:\\.\\d+)?)", 1), lit("")).cast("double")
+
+  // ---- duplicate detection (detectors.py:360 DuplicateDetector) ----
+
+  /** duplicate_summary (detectors.py:392): per column — total rows,
+    * distinct non-null values, count of values belonging to any
+    * duplicate group (pandas `duplicated(keep=False)`, case-insensitive
+    * like the reference default), duplicate share as round(x, 2).
+    * ONE long-form pass over all listed columns (stack → two-level
+    * count), not a per-column loop. Deviation (documented): the
+    * reference also groups NaNs as duplicates of each other; here nulls
+    * are excluded from the duplicate count.
+    */
+  def duplicateSummary(df: DataFrame, columns: Seq[String]): DataFrame = {
+    val total = df.count()
+    val stacked = df.select(explode(array(columns.map(c =>
+        struct(lit(c).as("column_name"),
+          lower(col(c).cast("string")).as("value"))): _*)).as("cv"))
+      .select(col("cv.column_name").as("column_name"), col("cv.value").as("value"))
+      .filter(col("value").isNotNull)
+    stacked.groupBy("column_name", "value").agg(count(lit(1)).as("_cnt"))
+      .groupBy("column_name")
+      .agg(count(lit(1)).as("unique_values"),
+        sum(when(col("_cnt") > 1, col("_cnt")).otherwise(0L)).as("duplicate_values"))
+      .select(col("column_name").as("column"), lit(total).as("total_values"),
+        col("unique_values"), col("duplicate_values"),
+        round(col("duplicate_values") * 100.0 / lit(total.toDouble), 2)
+          .as("duplicate_percentage"))
+  }
+
+  // ---- dataset-level orchestration (datasets.py:287 DatasetNormalizer) ----
+
+  /** DatasetNormalizer.normalize_dataset as a declarative strategy
+    * table — (column → normalizer name), mirroring Fusion.runEngine's
+    * API shape. Every transform is a Column→Column projection, so the
+    * whole table folds into ONE codegen'd select: scan-speed at 100 TB,
+    * no per-column jobs (the reference loops columns in Python).
+    */
+  def normalizeDataset(df: DataFrame, strategies: Seq[(String, String)]): DataFrame =
+    strategies.foldLeft(df) { case (d, (c, strat)) =>
+      val fn: Column => Column = strat match {
+        case "text" => normalizeText
+        case "nulls" => cleanNulls(_, DefaultNullTokens)
+        case "boolean" => parseBoolean
+        case "numeric" => parseNumeric
+        case "date" => parseDate(_, DefaultDateFormats)
+        case "url" => canonicalizeUrl
+        case "phone" => normalizePhone
+        case "currency" => parseCurrency
+        case "percentage" => parsePercentage
+        case "whitespace" => normalizeWhitespace
+        case "accents" => removeAccents
+        case "html" => stripHtml
+        case "webtable" => webTableNormalize(_)
+        case other =>
+          throw new IllegalArgumentException(s"unknown normalizer: $other")
+      }
+      d.withColumn(c, fn(col(c)))
+    }
 
   // ---- coordinates (PyDI/normalization/coordinate_parser.py) ----
 
