@@ -124,6 +124,39 @@ object Ann {
       .select(col("qid"), col("_id").as(id), round(cos, 5).as("cosine"), col("rank"))
   }
 
+  /** Explicit Euclidean distance √Σ(a[i]−b[i])², left-associated. */
+  def euclidean(a: Column, b: Column, dim: Int): Column =
+    sqrt((1 to dim).map { i =>
+      val d = element_at(a, i) - element_at(b, i); d * d
+    }.reduce(_ + _))
+
+  /** Explicit Manhattan distance Σ|a[i]−b[i]|, left-associated. */
+  def manhattan(a: Column, b: Column, dim: Int): Column =
+    (1 to dim).map(i => abs(element_at(a, i) - element_at(b, i))).reduce(_ + _)
+
+  /** VectorFeatureExtractor (reference entitymatching/feature_extraction
+    * .py:230): cosine / euclidean / manhattan distance FEATURES for
+    * candidate pairs over a precomputed embedding column. The
+    * reference's sentence-transformer encode step is n/a (no egress,
+    * like the PLM matchers) — and at 100 TB embeddings are computed
+    * upstream once, while the per-pair feature side implemented here is
+    * the distributed work: pairs ⋈ embeddings twice (equi-joins), one
+    * codegen'd projection, explicit left-assoc sums for bit-identical
+    * doubles.
+    */
+  def vectorFeatures(pairs: DataFrame, emb: DataFrame, id: String, vec: String,
+      dim: Int): DataFrame = {
+    val e = withNorm(emb, id, vec, dim)
+    pairs.select("id1", "id2")
+      .join(e.select(col("_id").as("id1"), col("_v").as("_va"), col("_n").as("_na")), "id1")
+      .join(e.select(col("_id").as("id2"), col("_v").as("_vb"), col("_n").as("_nb")), "id2")
+      .select(col("id1"), col("id2"),
+        round(dot(col("_va"), col("_vb"), dim) / (col("_na") * col("_nb")), 5)
+          .as("cosine_sim"),
+        round(euclidean(col("_va"), col("_vb"), dim), 5).as("euclidean_dist"),
+        round(manhattan(col("_va"), col("_vb"), dim), 5).as("manhattan_dist"))
+  }
+
   /** Embedding-cosine near-dup pairs (#57): LSH bucket join over the
     * corpus, verify round(cos,5) ≥ threshold within buckets.
     */

@@ -135,6 +135,37 @@ object AnnQueries {
        |WHERE rank <= 3
        |ORDER BY id1, rank""".stripMargin
 
+  // ---- VectorFeatureExtractor distance features ----
+
+  /** Distance features over adjacent embedding pairs (feature_
+    * extraction.py:230 — the encode step is n/a, the pair-feature side
+    * is implemented; see Ann.vectorFeatures).
+    */
+  def matchVectorFeatures(s: SparkSession, dir: String): DataFrame = {
+    val e = orig(s, dir)
+    val pairs = e.select(col("vec_id").as("id1"))
+      .join(e.select(col("vec_id").as("id2")), col("id2") === col("id1") + 1)
+    Ann.vectorFeatures(pairs, e, "vec_id", "v", Dim).orderBy("id1")
+  }
+
+  private def euclidSql(a: String, b: String): String =
+    "sqrt(" + (1 to Dim).map(i => s"($a[$i]-$b[$i])*($a[$i]-$b[$i])").mkString(" + ") + ")"
+
+  private def manhattanSql(a: String, b: String): String =
+    (1 to Dim).map(i => s"abs($a[$i]-$b[$i])").mkString(" + ")
+
+  val matchVectorFeaturesOracle: String =
+    s"""WITH o AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |c AS (SELECT vec_id, v, ${normSql("v")} AS n FROM o),
+       |pr AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+       |              a.v AS va, a.n AS na, b.v AS vb, b.n AS nb
+       |       FROM c a JOIN c b ON b.vec_id = a.vec_id + 1)
+       |SELECT id1, id2,
+       |  round((${dotSql("va", "vb")}) / (na * nb), 5) AS cosine_sim,
+       |  round(${euclidSql("va", "vb")}, 5) AS euclidean_dist,
+       |  round(${manhattanSql("va", "vb")}, 5) AS manhattan_dist
+       |FROM pr ORDER BY id1""".stripMargin
+
   // ---- IVF top-k (the FAISS-style scale path) ----
 
   /** IVF ANN over the same corpus/query split as ann_lsh. Rows-only in
@@ -156,13 +187,15 @@ object AnnQueries {
     "ann_bruteforce" -> (annBruteforce _),
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
-    "block_embedding" -> (blockEmbedding _)
+    "block_embedding" -> (blockEmbedding _),
+    "match_vector_features" -> (matchVectorFeatures _)
   )
 
   def oracles: Map[String, String] = Map(
     "dedup_embedding" -> dedupEmbeddingOracle,
     "ann_bruteforce" -> annBruteforceOracle,
     "ann_lsh" -> annLshOracle,
-    "block_embedding" -> blockEmbeddingOracle
+    "block_embedding" -> blockEmbeddingOracle,
+    "match_vector_features" -> matchVectorFeaturesOracle
   )
 }
