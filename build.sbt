@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] runs driver+executors in ONE JVM: 8g forced constant full
+  // GCs once the suite passed ~85 queries (round-4 bench: match_rule 65s
+  // under GC thrash vs 2s with headroom). The box has 125G; 48g leaves
+  // room for the test JVM and the driver's DuckDB oracle side-by-side.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

@@ -27,7 +27,13 @@ object Bench {
     }
 
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=a,b,c restricts the run to the named queries (local
+    // iteration aid); absent/empty = full suite, which is what the driver runs.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+      .filter(_.nonEmpty)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val elapsed =
         try {
@@ -67,8 +73,17 @@ object Bench {
     spark.stop()
   }
 
-  /** Drop every cached plan and persisted/checkpointed RDD block. */
-  def clearSessionState(spark: SparkSession): Unit = {
+  /** Drop every cached plan and persisted/checkpointed RDD block.
+    *
+    * Harness-only contract: call ONLY between fully-consumed queries
+    * (Bench/Verify/Probe do). Invoking it mid-pipeline discards
+    * localCheckpoint blocks backing still-live DataFrames (e.g. a held
+    * Dedup or connectedComponents output), whose lineage is truncated —
+    * later reads fail with missing-checkpoint-block errors, they cannot
+    * recompute. `private[graft]` enforces that this never becomes
+    * library API.
+    */
+  private[graft] def clearSessionState(spark: SparkSession): Unit = {
     spark.sharedState.cacheManager.clearCache()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
   }

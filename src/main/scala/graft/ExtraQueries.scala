@@ -117,9 +117,14 @@ object ExtraQueries {
     * over the events dir → dropDuplicatesWithinWatermark(user_id,
     * event_type) → AvailableNow into a memory sink. Only the key
     * columns are emitted — which duplicate ROW survives inside a
-    * micro-batch is not deterministic, but the surviving key set is
-    * exactly the distinct keys, the property the operator guarantees —
-    * so the streaming result is fully SQL-oracle-able.
+    * micro-batch is not deterministic, but the surviving key set here
+    * equals the distinct keys. NOTE the operator only guarantees that
+    * WITHIN the watermark horizon (2 h): a key recurring in a later
+    * micro-batch after state expiry is legitimately re-emitted. The
+    * DISTINCT oracle matches because the single-file fixture loads as
+    * ONE AvailableNow micro-batch, so no state ever expires; a
+    * multi-batch source would need the sink aggregated with DISTINCT
+    * before comparing.
     */
   def streamDedup(s: SparkSession, dir: String): DataFrame = {
     val name = "graft_stream_dedup_" + java.lang.Integer.toHexString(dir.hashCode)

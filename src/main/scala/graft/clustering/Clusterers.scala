@@ -29,14 +29,25 @@ object Clusterers {
     * CC round can free the previous round's blocks (round-3 verdict: the
     * checkpoints were never released, and 82 back-to-back queries in one
     * JVM accumulated enough dead blocks to slow later queries ~20×).
-    * The id diff is safe here: the driver loop is single-threaded.
+    *
+    * The pinned RDD id is found by diffing `getPersistentRDDs` around the
+    * (eager, synchronous) checkpoint; Spark exposes no public handle to
+    * the internal RDD a Dataset checkpoint persists, and unpersisting the
+    * public `df.rdd` wrapper would not free it. The diff is guarded by a
+    * library-wide lock so two graft operators on the same session can
+    * never attribute each other's blocks; a caller persisting their OWN
+    * RDDs concurrently from another thread should not overlap that with
+    * clusterer calls (misattributed localCheckpoint blocks would be
+    * freed and are not recomputable).
     */
-  private def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
-    val sc = df.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet.toSet
-    val out = df.localCheckpoint(true)
-    (out, sc.getPersistentRDDs.keySet.toSet.diff(before))
-  }
+  private val checkpointLock = new Object
+  private def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) =
+    checkpointLock.synchronized {
+      val sc = df.sparkSession.sparkContext
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val out = df.localCheckpoint(true)
+      (out, sc.getPersistentRDDs.keySet.toSet.diff(before))
+    }
 
   private def freeRdds(spark: SparkSession, ids: Set[Int]): Unit =
     ids.foreach(id => spark.sparkContext.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
@@ -90,70 +101,88 @@ object Clusterers {
 
   /** edges (id1, id2) → one row per non-isolated node: (id, cluster)
     * where cluster is the minimum node id in the component.
+    *
+    * The iterative fixpoint runs on RDDs, not Datasets, deliberately:
+    * a Dataset loop re-analyzes, re-optimizes and re-Janino-compiles a
+    * fresh plan every round (the round-4 bench spent more time in
+    * per-round driver overhead than in the actual shuffles), and its
+    * plan TREE doubles per round without checkpoint truncation. The RDD
+    * DAG shares nodes instead of copying subtrees, so lineage stays
+    * linear with no checkpointing; one `HashPartitioner` is reused
+    * across every round so `reduceByKey`/`join` inside a star are
+    * narrow — each round is exactly three shuffles (large-star regroup,
+    * small-star regroup, dedup) regardless of graph size, still the
+    * O(log n)-round Kiveris et al. contraction that scales to 100 TB.
     */
   def connectedComponents(edgesIn: DataFrame, maxIter: Int = 25): DataFrame = {
     val spark = edgesIn.sparkSession
-    // localCheckpoint (eager) after every round: the star transforms
-    // reference their input twice, so without lineage truncation the
-    // logical plan doubles per iteration and the driver OOMs just
-    // stringifying it. On a cluster this also caps scheduler overhead.
-    var (edges, edgeRdds) = checkpointTracked(edgesIn
+    import spark.implicits._
+    val raw = edgesIn
       .select(col("id1").cast("long").as("u"), col("id2").cast("long").as("v"))
       .filter(col("u") =!= col("v"))
-      .distinct())
-    val (nodes, nodeRdds) = checkpointTracked(
-      edges.select(col("u").as("id")).union(edges.select(col("v").as("id"))).distinct())
+      .as[(Long, Long)].rdd
+    val part = new org.apache.spark.HashPartitioner(math.max(raw.getNumPartitions, 1))
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
 
-    def largeStar(e: DataFrame): DataFrame = {
-      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
-      val mins = sym.groupBy("u").agg(min("v").as("mn"))
-        .select(col("u"), least(col("mn"), col("u")).as("m"))
-      sym.join(mins, "u")
-        .filter(col("v") > col("u"))
-        .select(col("v").as("u"), col("m").as("v"))
-        .distinct()
+    // (node-keyed min) with the shared partitioner; input must already be
+    // partitioned by `part` so reduceByKey and join stay narrow.
+    def largeStar(e: org.apache.spark.rdd.RDD[(Long, Long)]) = {
+      val sym = e.flatMap { case (u, v) => Iterator((u, v), (v, u)) }.partitionBy(part)
+      val m = sym.reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
+        .mapPartitions(_.map { case (u, mn) => (u, math.min(mn, u)) },
+          preservesPartitioning = true)
+      sym.join(m).flatMap { case (u, (v, mv)) =>
+        if (v > u) Iterator((v, mv)) else Iterator.empty
+      }
     }
 
-    def smallStar(e: DataFrame): DataFrame = {
-      val or = e.select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
-      val mins = or.groupBy("u").agg(min("v").as("m"))
-      or.join(mins, "u")
-        .filter(col("v") =!= col("m"))
-        .select(col("v").as("u"), col("m").as("v"))
-        .union(mins.select(col("u"), col("m").as("v")))
-        .distinct()
+    def smallStar(e: org.apache.spark.rdd.RDD[(Long, Long)]) = {
+      val or = e.map { case (u, v) => if (u > v) (u, v) else (v, u) }.partitionBy(part)
+      val m = or.reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
+      or.join(m).flatMap { case (_, (v, mv)) =>
+        if (v != mv) Iterator((v, mv)) else Iterator.empty
+      } ++ m
     }
+
+    var edges = raw.map { case (u, v) => if (u > v) (u, v) else (v, u) }
+      .distinct(part.numPartitions).persist(lvl)
+    val nodes = edges.flatMap { case (u, v) => Iterator(u, v) }
+      .distinct(part.numPartitions).persist(lvl)
 
     var converged = false
     var it = 0
-    var prevSig: (Long, Long) = (-1L, -1L)
+    var prevSig = (-1L, -1L)
     while (!converged && it < maxIter) {
-      val (next, nextRdds) = checkpointTracked(smallStar(largeStar(edges)))
-      // The new round is materialized — the previous round's checkpoint
-      // blocks are now unreachable; free them instead of leaking one
-      // edge-sized block set per round.
-      freeRdds(spark, edgeRdds)
-      // Cheap fixpoint check: canonical edge multiset checksum + count.
-      val sig = next.agg(
-        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L)),
-        count(lit(1))).collect()(0)
-      val curSig = (sig.getLong(0), sig.getLong(1))
+      val next = smallStar(largeStar(edges)).distinct(part.numPartitions).persist(lvl)
+      // ONE job materializes the round and computes the fixpoint
+      // signature (order-independent xor of pair hashes + count).
+      val sig = next.mapPartitions { it =>
+        var x = 0L; var n = 0L
+        it.foreach { case (u, v) =>
+          x ^= scala.util.hashing.byteswap64(u * 0x9E3779B97F4A7C15L + v); n += 1
+        }
+        Iterator((x, n))
+      }.reduce((a, b) => (a._1 ^ b._1, a._2 + b._2))
+      val prev = edges
       edges = next
-      edgeRdds = nextRdds
-      converged = curSig == prevSig
-      prevSig = curSig
+      prev.unpersist(false)
+      converged = sig == prevSig
+      prevSig = sig
       it += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIter iterations")
 
-    // Post-fixpoint, edges are (node → component-min). Roots map to themselves.
-    val labels = edges.select(col("u").as("id"), col("v").as("cluster"))
-    // Materialize the labeling eagerly, then release the final round's
-    // edge blocks and the node list — callers see a clean block manager.
-    val (out, _) = checkpointTracked(nodes.join(labels, Seq("id"), "left")
-      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster")))
-    freeRdds(spark, edgeRdds)
-    freeRdds(spark, nodeRdds)
+    // Post-fixpoint, edges are (node → component-min); roots map to
+    // themselves via the left join. persist (not localCheckpoint): the
+    // lineage stays intact, so blocks are recomputable and the
+    // ContextCleaner reclaims them once the caller drops the frame.
+    val labels = nodes.map((_, ())).partitionBy(part)
+      .leftOuterJoin(edges)
+      .map { case (id, (_, root)) => (id, root.getOrElse(id)) }
+    val out = labels.toDF("id", "cluster").persist(lvl)
+    out.count()
+    edges.unpersist(false)
+    nodes.unpersist(false)
     out
   }
 

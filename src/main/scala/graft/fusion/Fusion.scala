@@ -223,8 +223,12 @@ object Fusion {
       .select(col(cluster) +: posts.toSeq.map { case (a, c) => c.as(a) } :+ col("n_records"): _*)
     // voting needs a (cluster, value) pre-aggregation of its own; one
     // extra pass per voting attribute, joined on the tiny post-agg keys.
+    // LEFT join: voting() filters nulls, so a cluster whose voting
+    // attribute is entirely null must still fuse (with null), exactly
+    // like every other strategy — and like the reference engine.
     val withVotes = votes.foldLeft(main) { case (d, (attr, _)) =>
-      d.join(voting(records, cluster, attr).select(col(cluster), col(attr)), cluster)
+      d.join(voting(records, cluster, attr).select(col(cluster), col(attr)),
+        Seq(cluster), "left")
     }
     withVotes.select(
       col(cluster) +: strategies.map { case (a, _) => col(a) } :+ col("n_records"): _*)
@@ -255,8 +259,11 @@ object Fusion {
           case "shortest_string" => (length(vs).cast("double"), lit(""))
           case "most_complete" =>
             (-length(regexp_replace(vs, "[ \\t\\n]", "")).cast("double"), lit(""))
-          case "most_recent" => (-unix_date(v.cast("date")).cast("double"), lit(""))
-          case "earliest" => (unix_date(v.cast("date")).cast("double"), lit(""))
+          // Key on full timestamp micros, not a date cast: a date cast
+          // truncates time-of-day, so the winner could disagree with
+          // runEngine's max/min on timestamp attributes.
+          case "most_recent" => (-unix_micros(v.cast("timestamp")).cast("double"), lit(""))
+          case "earliest" => (unix_micros(v.cast("timestamp")).cast("double"), lit(""))
           case "hash_pick" =>
             (lit(0.0), md5(concat_ws("|", col(cluster).cast("string"), vs)))
           case other =>
@@ -270,8 +277,12 @@ object Fusion {
         .select(col(cluster).as("_cl"), explode(array(structs: _*)).as("x"))
         .select(col("_cl"), col("x.*"))
         .filter(col("value").isNotNull)
+      // nulls LAST: an unparseable date/timestamp yields a null key, and
+      // Spark's default ascending sort puts nulls first — a malformed
+      // record must never beat every well-formed one.
       val w = Window.partitionBy(col("_cl"), col("attribute"), col("strategy"))
-        .orderBy(col("k_num"), col("k_str"), col("value"), col("source"))
+        .orderBy(col("k_num").asc_nulls_last, col("k_str").asc_nulls_last,
+          col("value"), col("source"))
       parts += stacked.withColumn("_rn", row_number().over(w))
         .filter(col("_rn") === 1)
         .select(col("_cl").as(cluster), col("attribute"), col("value"),
