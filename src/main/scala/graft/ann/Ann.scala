@@ -17,28 +17,29 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
-  /** Explicit dot product Σ a[i]·b[i], left-associated. */
+  /** Dot product Σ a[i]·b[i] — native single-loop kernel, accumulated
+    * strictly left-to-right (identical bits to the explicit
+    * left-associated sum the oracles replay). `dim` kept for API shape;
+    * the loop runs over the array length.
+    */
   def dot(a: Column, b: Column, dim: Int): Column =
-    (1 to dim).map(i => element_at(a, i) * element_at(b, i)).reduce(_ + _)
+    graft.functions.vecs.dot(a, b)
 
   def norm(a: Column, dim: Int): Column = sqrt(dot(a, a, dim))
 
-  def md5hex(s: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  def md5hex(s: String): String = graft.functions.VecKernels.md5hex(s)
 
   /** Hyperplane sign for (plane j, 1-based dim d): +1 iff the first md5
     * hex digit of "j-d" is ≥ '8'.
     */
-  def planeSign(j: Int, d: Int): Double =
-    if (md5hex(s"$j-$d").charAt(0) >= '8') 1.0 else -1.0
+  def planeSign(j: Int, d: Int): Double = graft.functions.VecKernels.planeSign(j, d)
 
-  /** 8-bit (default) random-hyperplane bucket id as a '0'/'1' string. */
+  /** 8-bit (default) random-hyperplane bucket id as a '0'/'1' string —
+    * one native loop over a memoized sign matrix instead of
+    * planes × dim `element_at` expression nodes.
+    */
   def lshBucket(v: Column, dim: Int, planes: Int = 8): Column =
-    concat((0 until planes).map { j =>
-      val dotJ = (1 to dim).map(d => element_at(v, d) * lit(planeSign(j, d))).reduce(_ + _)
-      when(dotJ > 0, "1").otherwise("0")
-    }: _*)
+    graft.functions.vecs.hyperplaneBits(v, planes, dim)
 
   /** Corpus (id, vec) with attached norm column. */
   private def withNorm(df: DataFrame, id: String, vec: String, dim: Int): DataFrame =
@@ -124,15 +125,13 @@ object Ann {
       .select(col("qid"), col("_id").as(id), round(cos, 5).as("cosine"), col("rank"))
   }
 
-  /** Explicit Euclidean distance √Σ(a[i]−b[i])², left-associated. */
+  /** Euclidean distance √Σ(a[i]−b[i])² — native left-assoc loop. */
   def euclidean(a: Column, b: Column, dim: Int): Column =
-    sqrt((1 to dim).map { i =>
-      val d = element_at(a, i) - element_at(b, i); d * d
-    }.reduce(_ + _))
+    sqrt(graft.functions.vecs.l2sq(a, b))
 
-  /** Explicit Manhattan distance Σ|a[i]−b[i]|, left-associated. */
+  /** Manhattan distance Σ|a[i]−b[i]| — native left-assoc loop. */
   def manhattan(a: Column, b: Column, dim: Int): Column =
-    (1 to dim).map(i => abs(element_at(a, i) - element_at(b, i))).reduce(_ + _)
+    graft.functions.vecs.l1(a, b)
 
   /** VectorFeatureExtractor (reference entitymatching/feature_extraction
     * .py:230): cosine / euclidean / manhattan distance FEATURES for

@@ -277,26 +277,38 @@ object Fusion {
         .select(col(cluster).as("_cl"), explode(array(structs: _*)).as("x"))
         .select(col("_cl"), col("x.*"))
         .filter(col("value").isNotNull)
-      // nulls LAST: an unparseable date/timestamp yields a null key, and
-      // Spark's default ascending sort puts nulls first — a malformed
-      // record must never beat every well-formed one.
-      val w = Window.partitionBy(col("_cl"), col("attribute"), col("strategy"))
-        .orderBy(col("k_num").asc_nulls_last, col("k_str").asc_nulls_last,
-          col("value"), col("source"))
-      parts += stacked.withColumn("_rn", row_number().over(w))
-        .filter(col("_rn") === 1)
-        .select(col("_cl").as(cluster), col("attribute"), col("value"),
-          col("source"), col("strategy"))
+      // min(struct(keys…, value, source)): struct ordering is exactly the
+      // old window orderBy, but an aggregate partial-combines map-side —
+      // one winner row per group leaves each task instead of the whole
+      // exploded frame being shuffled and sorted (the window version was
+      // the #1 bench query at 31 s; at 100 TB it is the difference
+      // between shuffling |records|·|strategies| rows and |clusters|).
+      // nulls LAST via coalesce-to-max: an unparseable date/timestamp
+      // yields a null key, and null-first struct ordering would let a
+      // malformed record beat every well-formed one.
+      parts += stacked
+        .groupBy(col("_cl"), col("attribute"), col("strategy"))
+        .agg(min(struct(
+          coalesce(col("k_num"), lit(Double.MaxValue)).as("k_num"),
+          col("k_str").as("k_str"),
+          col("value").as("value"),
+          col("source").as("source"))).as("w"))
+        .select(col("_cl").as(cluster), col("attribute"),
+          col("w.value").as("value"), col("w.source").as("source"),
+          col("strategy"))
     }
     vote.foreach { case (attr, _) =>
-      val counts = records.filter(col(attr).isNotNull)
+      // Two-level aggregate, no window: per-(cluster,value) counts, then
+      // per-cluster argmin over (-count, value) — both partial-combining.
+      parts += records.filter(col(attr).isNotNull)
         .groupBy(col(cluster), col(attr).cast("string").as("value"))
         .agg(count(lit(1)).as("_cnt"), min(col(source).cast("string")).as("source"))
-      val w = Window.partitionBy(col(cluster)).orderBy(col("_cnt").desc, col("value"))
-      parts += counts.withColumn("_rn", row_number().over(w))
-        .filter(col("_rn") === 1)
-        .select(col(cluster), lit(attr).as("attribute"), col("value"),
-          col("source"), lit("voting").as("strategy"))
+        .groupBy(col(cluster))
+        .agg(min(struct((-col("_cnt")).as("nc"), col("value").as("value"),
+          col("source").as("source"))).as("w"))
+        .select(col(cluster), lit(attr).as("attribute"),
+          col("w.value").as("value"), col("w.source").as("source"),
+          lit("voting").as("strategy"))
     }
     parts.result().reduce(_.unionByName(_))
   }
