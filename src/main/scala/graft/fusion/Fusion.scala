@@ -261,9 +261,11 @@ object Fusion {
             (-length(regexp_replace(vs, "[ \\t\\n]", "")).cast("double"), lit(""))
           // Key on full timestamp micros, not a date cast: a date cast
           // truncates time-of-day, so the winner could disagree with
-          // runEngine's max/min on timestamp attributes.
-          case "most_recent" => (-unix_micros(v.cast("timestamp")).cast("double"), lit(""))
-          case "earliest" => (unix_micros(v.cast("timestamp")).cast("double"), lit(""))
+          // runEngine's max/min on timestamp attributes. try_to_timestamp
+          // (not cast) because ANSI mode throws on malformed strings;
+          // malformed → null key → sorts last (coalesce below), never wins.
+          case "most_recent" => (-unix_micros(try_to_timestamp(vs)).cast("double"), lit(""))
+          case "earliest" => (unix_micros(try_to_timestamp(vs)).cast("double"), lit(""))
           case "hash_pick" =>
             (lit(0.0), md5(concat_ws("|", col(cluster).cast("string"), vs)))
           case other =>

@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ann.Ann
+import graft.clustering.Clusterers
+import graft.functions.{VecKernels, vecs}
+import graft.fusion.Fusion
+
+/** Round-5 guards: native vector kernels must be bit-identical to the
+  * explicit left-associated element_at sums they replaced (the oracle
+  * determinism contract), the RDD-based connected-components fixpoint
+  * must survive its edge cases, and the fusion-engine/provenance advice
+  * fixes must hold.
+  */
+class Round5Spec extends AnyFunSuite {
+  import TestSpark._
+
+  private def explicitDot(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column, dim: Int) =
+    (1 to dim).map(i => element_at(a, i) * element_at(b, i)).reduce(_ + _)
+
+  test("vec kernels are bit-identical to explicit left-associated sums") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(11)
+    val dim = 64
+    val rows = Seq.fill(200)((
+      Seq.fill(dim)(rnd.nextDouble() * 2 - 1),
+      Seq.fill(dim)(rnd.nextDouble() * 2 - 1)))
+    val df = rows.toDF("a", "b")
+    val cmp = df.select(
+      vecs.dot(col("a"), col("b")).as("nd"),
+      explicitDot(col("a"), col("b"), dim).as("ed"),
+      sqrt(vecs.l2sq(col("a"), col("b"))).as("nl2"),
+      sqrt((1 to dim).map { i =>
+        val d = element_at(col("a"), i) - element_at(col("b"), i); d * d
+      }.reduce(_ + _)).as("el2"),
+      vecs.l1(col("a"), col("b")).as("nl1"),
+      (1 to dim).map(i => abs(element_at(col("a"), i) - element_at(col("b"), i)))
+        .reduce(_ + _).as("el1"))
+      .collect()
+    cmp.foreach { r =>
+      // == on doubles: BIT-identical is the contract, not approximate.
+      assert(r.getDouble(0) == r.getDouble(1), "dot")
+      assert(r.getDouble(2) == r.getDouble(3), "l2")
+      assert(r.getDouble(4) == r.getDouble(5), "l1")
+    }
+  }
+
+  test("hyperplane bucket matches per-plane explicit signs; null vec → null") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(13)
+    val dim = 16
+    val planes = 8
+    val df = Seq.fill(100)(Seq.fill(dim)(rnd.nextDouble() * 2 - 1)).toDF("v")
+    val explicitBucket = concat((0 until planes).map { j =>
+      val dotJ = (1 to dim)
+        .map(d => element_at(col("v"), d) * lit(VecKernels.planeSign(j, d)))
+        .reduce(_ + _)
+      when(dotJ > 0, "1").otherwise("0")
+    }: _*)
+    val rows = df.select(vecs.hyperplaneBits(col("v"), planes, dim).as("n"),
+      explicitBucket.as("e")).collect()
+    rows.foreach(r => assert(r.getString(0) == r.getString(1)))
+
+    val withNull = Seq((1, Some(Seq.fill(dim)(0.5))), (2, None))
+      .toDF("id", "v")
+      .select(vecs.hyperplaneBits(col("v"), planes, dim).as("b"))
+      .collect()
+    assert(withNull.count(_.isNullAt(0)) == 1)
+  }
+
+  test("vec kernels: interpreted (no-codegen) path agrees with codegen") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(-1.0, 0.5, 2.0))).toDF("a", "b")
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      val r = df.select(vecs.dot(col("a"), col("b")),
+        vecs.l1(col("a"), col("b")), sqrt(vecs.l2sq(col("a"), col("b")))).collect()(0)
+      assert(r.getDouble(0) == (1.0 * -1.0 + 2.0 * 0.5 + 3.0 * 2.0))
+      assert(r.getDouble(1) == (2.0 + 1.5 + 1.0))
+    }
+  }
+
+  test("connectedComponents RDD fixpoint: chains, self-loops, dups, empties") {
+    val spark2 = spark
+    import spark2.implicits._
+    // chain 0-1-2-3-4, duplicate + reversed edges, self loop, isolated pair
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 3L), (2L, 2L),
+      (1L, 0L), (10L, 11L)).toDF("id1", "id2")
+    val got = Clusterers.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L,
+      10L -> 10L, 11L -> 10L))
+    // all-self-loop input → empty labeling (no non-isolated nodes)
+    val selfOnly = Seq((5L, 5L)).toDF("id1", "id2")
+    assert(Clusterers.connectedComponents(selfOnly).count() == 0)
+  }
+
+  test("runEngine keeps clusters whose voting attribute is entirely null") {
+    val spark2 = spark
+    import spark2.implicits._
+    val records = Seq(
+      (1L, Some("a"), 10.0), (1L, Some("a"), 20.0),
+      (2L, None: Option[String], 30.0), (2L, None, 50.0))
+      .toDF("cluster", "status", "price")
+    val fused = Fusion.runEngine(records, "cluster",
+      Seq("status" -> "voting", "price" -> "average"))
+      .orderBy("cluster").collect()
+    assert(fused.length == 2)
+    assert(fused(1).getLong(0) == 2L && fused(1).isNullAt(1))
+    assert(fused(1).getDouble(2) == 40.0)
+  }
+
+  test("provenance: malformed date loses; timestamp time-of-day respected") {
+    val spark2 = spark
+    import spark2.implicits._
+    val records = Seq(
+      (1L, "A", "2024-01-02 10:00:00"),
+      (1L, "B", "2024-01-02 23:59:00"), // same DATE, later time — must win
+      (1L, "C", "not-a-date"))
+      .toDF("cluster", "src", "ts")
+    val win = Fusion.provenance(records, "cluster", "src", Seq("ts" -> "most_recent"))
+      .collect()(0)
+    assert(win.getString(3) == "B", s"winner was ${win.getString(3)}")
+    val early = Fusion.provenance(records, "cluster", "src", Seq("ts" -> "earliest"))
+      .collect()(0)
+    assert(early.getString(3) == "A")
+  }
+
+  private def withSQLConf(kvs: (String, String)*)(f: => Unit): Unit = {
+    val conf = spark.conf
+    val olds = kvs.map { case (k, _) => k -> conf.getOption(k) }
+    kvs.foreach { case (k, v) => conf.set(k, v) }
+    try f finally olds.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+}
