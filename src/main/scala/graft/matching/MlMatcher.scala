@@ -33,30 +33,36 @@ object MlMatcher {
       trainFraction: Double = 0.1): DataFrame = {
     val assembler = new VectorAssembler()
       .setInputCols(featureCols.toArray).setOutputCol("features")
-    // Cache the assembled features: LBFGS makes one full pass per
-    // iteration — without this every iteration recomputes the blocking
-    // join and all comparator expressions.
-    val vec = assembler.transform(labeled)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // Cache the assembled features (scored twice: train materialization
+    // + final scoring) AND the hash-sampled training subset — LBFGS
+    // re-reads the latter ~2× per iteration, so it scans the small
+    // cache instead of filtering the full frame every pass.
+    val assembled = assembler.transform(labeled).persist(lvl)
+    // Deterministic hash-sampled training subset (partitioning-
+    // independent, unlike .sample); ALL candidates are scored. Positives
+    // are always kept — they are the rare class.
+    val bucket = pmod(xxhash64(col("id1"), col("id2")), lit(1000L))
+    val train = assembled
+      .filter(col("label") === 1.0 || bucket < (trainFraction * 1000).toInt)
+      .persist(lvl)
     try {
-      // Deterministic hash-sampled training subset (partitioning-
-      // independent, unlike .sample); ALL candidates are scored. Positives
-      // are always kept — they are the rare class.
-      val bucket = pmod(xxhash64(col("id1"), col("id2")), lit(1000L))
-      val train = vec.filter(col("label") === 1.0 || bucket < (trainFraction * 1000).toInt)
+      // standardization stays ON: with regParam 0.01 the unstandardized
+      // fit under-weights the name features and precision drops below
+      // the MlStreamSpec ≥0.99 gate (measured 0.90).
       val lr = new LogisticRegression()
         .setMaxIter(10).setRegParam(0.01).setStandardization(true)
         .setLabelCol("label").setFeaturesCol("features")
       val model = lr.fit(train)
       // Eager materialization (narrow 4-column scores) lets the finally
-      // release the cached feature vectors instead of leaking them into
+      // release the cached training vectors instead of leaking them into
       // the session (round-3 verdict: no persist was ever released).
-      model.transform(vec)
+      model.transform(assembled)
         .select(col("id1"), col("id2"),
           round(element_at(vector_to_array(col("probability")), 2), 5).as("match_prob"),
           col("prediction").cast("long").as("prediction"))
         .localCheckpoint(true)
-    } finally vec.unpersist(false)
+    } finally { train.unpersist(false); assembled.unpersist(false) }
   }
 
   private def vector_to_array(c: Column): Column =
