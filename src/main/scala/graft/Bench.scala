@@ -86,5 +86,12 @@ object Bench {
   private[graft] def clearSessionState(spark: SparkSession): Unit = {
     spark.sharedState.cacheManager.clearCache()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    // Spark's ContextCleaner releases shuffle files / broadcast blocks
+    // only when their weak references get collected — and a large heap
+    // may not GC for dozens of queries, so state from every prior query
+    // piles up until one giant mixed collection stalls whichever query
+    // happens to be running (observed as random 10-30 s spikes). One
+    // explicit GC per query keeps cleanup prompt and the cost bounded.
+    System.gc()
   }
 }

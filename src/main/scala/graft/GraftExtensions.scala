@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.graftbridge.Bridge
-import graft.functions.StringSim
+import graft.functions.{HyperplaneBits, StringSim, VecBinary}
 
 /** SQL surface for the graft similarity kernels.
   *
@@ -14,13 +14,20 @@ import graft.functions.StringSim
   * installs the same functions at runtime.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, kernel) =>
       ext.injectFunction((
         new FunctionIdentifier(name),
         new ExpressionInfo(classOf[StringSim].getName, name),
         (children: Seq[Expression]) => StringSim(children(0), children(1), kernel)))
     }
+    GraftFunctions.vecAll.foreach { case (name, builder) =>
+      ext.injectFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo(classOf[VecBinary].getName, name),
+        builder))
+    }
+  }
 }
 
 object GraftFunctions {
@@ -37,9 +44,25 @@ object GraftFunctions {
     "graft_ratcliff_obershelp" -> "ratcliffObershelp",
     "graft_lcs_seq" -> "lcsSeq")
 
-  def register(spark: SparkSession): Unit =
+  /** Vector-kernel SQL functions. graft_hyperplane_bits takes literal
+    * int plane/dim args (folded at plan time — the sign matrix is a
+    * plan constant, not per-row state).
+    */
+  val vecAll: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_vec_dot" -> ((c: Seq[Expression]) => VecBinary(c(0), c(1), "dot")),
+    "graft_vec_l2sq" -> ((c: Seq[Expression]) => VecBinary(c(0), c(1), "l2sq")),
+    "graft_vec_l1" -> ((c: Seq[Expression]) => VecBinary(c(0), c(1), "l1")),
+    "graft_hyperplane_bits" -> ((c: Seq[Expression]) => HyperplaneBits(c(0),
+      c(1).eval().asInstanceOf[Number].intValue(),
+      c(2).eval().asInstanceOf[Number].intValue())))
+
+  def register(spark: SparkSession): Unit = {
     all.foreach { case (name, kernel) =>
       Bridge.registerFunction(spark, name,
         children => StringSim(children(0), children(1), kernel))
     }
+    vecAll.foreach { case (name, builder) =>
+      Bridge.registerFunction(spark, name, builder)
+    }
+  }
 }

@@ -20,6 +20,24 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getDouble(3) == 1.0)
   }
 
+  test("graft_vec_* SQL functions register and evaluate") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
+        |       graft_vec_l2sq(array(0.0d, 0.0d), array(3.0d, 4.0d)) AS l2,
+        |       graft_vec_l1(array(1.0d, -1.0d), array(-1.0d, 1.0d)) AS l1,
+        |       graft_hyperplane_bits(array(1.0d, 1.0d, 1.0d, 1.0d), 4, 4) AS b
+        |""".stripMargin).collect()(0)
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getDouble(1) == 25.0)
+    assert(r.getDouble(2) == 4.0)
+    val expect = (0 until 4).map { j =>
+      val s = (1 to 4).map(d => graft.functions.VecKernels.planeSign(j, d)).sum
+      if (s > 0) '1' else '0'
+    }.mkString
+    assert(r.getString(3) == expect)
+  }
+
   test("salted standard blocker produces exactly the unsalted pair set") {
     val l = EmScenario.custL(spark, sf)
     val r = EmScenario.custR(spark, sf)
