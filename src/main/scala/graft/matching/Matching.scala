@@ -56,17 +56,26 @@ object Matching {
     val g = gold.select("id1", "id2").distinct().withColumn("_gold", lit(1L))
     val labeled = p.join(g, Seq("id1", "id2"), "full_outer")
       .select(col("_score"), coalesce(col("_gold"), lit(0L)).as("_gold"))
-    labeled
-      .select(col("_score"), col("_gold"),
-        explode(array(thresholds.map(lit(_)): _*)).as("threshold"))
-      .groupBy("threshold")
-      .agg(
-        sum(when(col("_score") >= col("threshold") && col("_gold") === 1L, 1L)
-          .otherwise(0L)).as("tp"),
-        sum(when(col("_score") >= col("threshold") && col("_gold") === 0L, 1L)
-          .otherwise(0L)).as("fp"),
-        sum(when((col("_score").isNull || col("_score") < col("threshold")) &&
-          col("_gold") === 1L, 1L).otherwise(0L)).as("fn"))
+    // ONE conditional-aggregation pass: 3 counters per θ as columns of a
+    // single global aggregate (map-side partial to one row per task),
+    // then the tiny grid unpacks to rows. The previous explode-per-θ
+    // multiplied the labeled frame |grid|× before the shuffle — the
+    // wrong shape when candidates are 10¹⁰ rows and the grid is 11.
+    val counters = thresholds.zipWithIndex.flatMap { case (t, i) =>
+      Seq(
+        sum(when(col("_score") >= t && col("_gold") === 1L, 1L).otherwise(0L))
+          .as(s"_tp$i"),
+        sum(when(col("_score") >= t && col("_gold") === 0L, 1L).otherwise(0L))
+          .as(s"_fp$i"),
+        sum(when((col("_score").isNull || col("_score") < t) && col("_gold") === 1L, 1L)
+          .otherwise(0L)).as(s"_fn$i"))
+    }
+    val wide = labeled.agg(counters.head, counters.tail: _*)
+    val rows = explode(array(thresholds.zipWithIndex.map { case (t, i) =>
+      struct(lit(t).as("threshold"), col(s"_tp$i").as("tp"),
+        col(s"_fp$i").as("fp"), col(s"_fn$i").as("fn"))
+    }: _*)).as("r")
+    wide.select(rows).select(col("r.*"))
       .select(col("threshold"), col("tp"), col("fp"), col("fn"),
         (col("tp") + col("fp")).as("n_pred"),
         round(col("tp") / greatest(col("tp") + col("fp"), lit(1L)), 5).as("precision"),
