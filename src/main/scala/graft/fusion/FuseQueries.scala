@@ -341,7 +341,93 @@ object FuseQueries {
        |FROM per p JOIN roll USING (attribute)
        |ORDER BY attribute, dataset""".stripMargin
 
+  /** DataFusionEvaluator with per-attribute match functions
+    * (evaluation.py:46–251): the engine's fused row vs gold (= source
+    * A's values) under exact / numeric_tolerance / year_only /
+    * tokenized / boolean rules — one (attribute, rule, accuracy) row
+    * each, all in one aggregation pass.
+    */
+  def fuseEvalRules(s: SparkSession, dir: String): DataFrame = {
+    val fused = fuseEngine(s, dir)
+    val gold = sources(s, dir).filter(col("src") === "A")
+      .select(col("cluster"), col("status"), col("price"), col("odate"),
+        col("prio").as("prio_longest"), col("prio").as("prio_pref"))
+    Fusion.evaluateWithRules(fused, gold, "cluster", Seq(
+        "status" -> "exact",
+        "price" -> "numeric_tolerance:5.0",
+        "odate" -> "year_only",
+        "prio_longest" -> "tokenized:0.5",
+        "prio_pref" -> "boolean"))
+      .orderBy("attribute", "rule")
+  }
+
+  val fuseEvalRulesOracle: String =
+    s"""WITH $sourcesSql,
+       |counts AS (SELECT cluster, status, count(*) AS cnt FROM src GROUP BY cluster, status),
+       |vote AS (SELECT cluster, status FROM (
+       |  SELECT cluster, status,
+       |         row_number() OVER (PARTITION BY cluster ORDER BY cnt DESC, status) AS rn
+       |  FROM counts) WHERE rn = 1),
+       |num AS (SELECT cluster,
+       |          round(CAST(sum(CAST(round(price * 100) AS BIGINT)) AS DOUBLE) / 100.0
+       |                / count(*), 5) AS price
+       |        FROM src GROUP BY cluster),
+       |dt AS (SELECT cluster, max(odate) AS odate FROM src GROUP BY cluster),
+       |lo AS (SELECT cluster, prio AS prio_longest FROM (
+       |  SELECT cluster, prio, row_number() OVER (PARTITION BY cluster
+       |         ORDER BY length(prio) DESC, prio) AS rn
+       |  FROM src WHERE prio IS NOT NULL) WHERE rn = 1),
+       |fs AS (SELECT cluster, prio AS prio_pref FROM (
+       |  SELECT cluster, prio, row_number() OVER (PARTITION BY cluster
+       |         ORDER BY CASE src WHEN 'C' THEN 0 WHEN 'A' THEN 1 ELSE 2 END, src) AS rn
+       |  FROM src WHERE prio IS NOT NULL) WHERE rn = 1),
+       |gold AS (SELECT cluster, status AS g_status, price AS g_price, odate AS g_odate,
+       |                prio AS g_prio FROM src WHERE src = 'A'),
+       |j AS (SELECT * FROM vote JOIN num USING (cluster) JOIN dt USING (cluster)
+       |      JOIN lo USING (cluster) JOIN fs USING (cluster) JOIN gold USING (cluster)),
+       |tok AS (SELECT cluster,
+       |  list_distinct(list_filter(list_transform(
+       |    string_split_regex(lower(prio_longest), '\\s+'),
+       |    t -> regexp_replace(t, '[!-/:-@\\[-`{-~]', '', 'g')), t -> length(t) > 0)) AS ta,
+       |  list_distinct(list_filter(list_transform(
+       |    string_split_regex(lower(g_prio), '\\s+'),
+       |    t -> regexp_replace(t, '[!-/:-@\\[-`{-~]', '', 'g')), t -> length(t) > 0)) AS tb
+       |  FROM j),
+       |m AS (SELECT
+       |  CASE WHEN j.status IS NULL AND j.g_status IS NULL THEN 1
+       |       WHEN j.status IS NULL OR j.g_status IS NULL THEN 0
+       |       WHEN j.status = j.g_status THEN 1 ELSE 0 END AS m_status,
+       |  CASE WHEN j.price IS NULL AND j.g_price IS NULL THEN 1
+       |       WHEN j.price IS NULL OR j.g_price IS NULL THEN 0
+       |       WHEN abs(j.price - j.g_price) <= 5.0 THEN 1 ELSE 0 END AS m_price,
+       |  CASE WHEN j.odate IS NULL AND j.g_odate IS NULL THEN 1
+       |       WHEN j.odate IS NULL OR j.g_odate IS NULL THEN 0
+       |       WHEN year(j.odate) = year(j.g_odate) THEN 1 ELSE 0 END AS m_odate,
+       |  CASE WHEN len(t.ta) = 0 AND len(t.tb) = 0 THEN 1
+       |       WHEN len(t.ta) = 0 OR len(t.tb) = 0 THEN 0
+       |       WHEN CAST(len(list_intersect(t.ta, t.tb)) AS DOUBLE)
+       |            / len(list_distinct(t.ta || t.tb)) >= 0.5 THEN 1 ELSE 0 END AS m_tok,
+       |  CASE WHEN j.prio_pref IS NULL AND j.g_prio IS NULL THEN 1
+       |       WHEN j.prio_pref IS NULL OR j.g_prio IS NULL THEN 0
+       |       WHEN trim(lower(j.prio_pref)) = trim(lower(j.g_prio)) THEN 1 ELSE 0 END AS m_bool,
+       |  1 AS one
+       |  FROM j JOIN tok t USING (cluster)),
+       |agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(m_status) AS BIGINT) AS c_status, CAST(sum(m_price) AS BIGINT) AS c_price,
+       |  CAST(sum(m_odate) AS BIGINT) AS c_odate, CAST(sum(m_tok) AS BIGINT) AS c_tok,
+       |  CAST(sum(m_bool) AS BIGINT) AS c_bool FROM m)
+       |SELECT attribute, rule, n_evaluated, n_correct,
+       |       round(CAST(n_correct AS DOUBLE) / greatest(n_evaluated, 1), 5) AS accuracy
+       |FROM (
+       |  SELECT 'odate' AS attribute, 'year_only' AS rule, n AS n_evaluated, c_odate AS n_correct FROM agg
+       |  UNION ALL SELECT 'price', 'numeric_tolerance:5.0', n, c_price FROM agg
+       |  UNION ALL SELECT 'prio_longest', 'tokenized:0.5', n, c_tok FROM agg
+       |  UNION ALL SELECT 'prio_pref', 'boolean', n, c_bool FROM agg
+       |  UNION ALL SELECT 'status', 'exact', n, c_status FROM agg)
+       |ORDER BY attribute, rule""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fuse_eval_rules" -> (fuseEvalRules _),
     "fuse_provenance" -> (fuseProvenance _),
     "fuse_coverage" -> (fuseCoverage _),
     "fuse_voting" -> (fuseVoting _),
@@ -370,6 +456,7 @@ object FuseQueries {
   }
 
   def oracles: Map[String, String] = Map(
+    "fuse_eval_rules" -> fuseEvalRulesOracle,
     "fuse_provenance" -> fuseProvenanceOracle,
     "fuse_coverage" -> fuseCoverageOracle,
     "fuse_voting" -> fuseVotingOracle,

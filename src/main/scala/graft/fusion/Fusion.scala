@@ -358,4 +358,119 @@ object Fusion {
     }
     perAttr.reduce(_.unionByName(_))
   }
+
+  // ---- per-attribute evaluation rules (fusion/evaluation.py:46–251) ----
+
+  /** ASCII punctuation (Python `string.punctuation`) as a regex class:
+    * codes 33–47, 58–64, 91–96, 123–126.
+    */
+  private val PunctClass = "[!-/:-@\\[-`{-~]"
+
+  /** Cleaned token set of a string: lowercase, whitespace-split, ASCII
+    * punctuation stripped per token, empties dropped (tokenized_match's
+    * clean_tokens, evaluation.py:101).
+    */
+  def cleanTokens(c: Column): Column =
+    array_distinct(filter(
+      transform(split(lower(c), "\\s+"), t => regexp_replace(t, PunctClass, "")),
+      t => length(t) > 0))
+
+  /** One boolean match column per rule (fusion/evaluation.py): `exact`,
+    * `tokenized[:θ]`, `year_only`, `numeric_tolerance[:tol]`,
+    * `set_equality`, `boolean`. All follow the evaluator's missing-value
+    * protocol: both missing → correct, one missing → incorrect.
+    */
+  def matchRule(rule: String, f: Column, g: Column): Column = {
+    val bothNull = f.isNull && g.isNull
+    val oneNull = f.isNull || g.isNull
+    def guarded(core: Column): Column =
+      when(bothNull, lit(true)).when(oneNull, lit(false)).otherwise(core)
+    val parts = rule.split(":")
+    parts(0) match {
+      case "exact" => guarded(f === g)
+      case "tokenized" =>
+        val thr = if (parts.length > 1) parts(1).toDouble else 1.0
+        val ta = cleanTokens(f)
+        val tb = cleanTokens(g)
+        // both token sets empty → true; one empty → false; else Jaccard ≥ θ
+        guarded(
+          when(size(ta) === 0 && size(tb) === 0, lit(true))
+            .when(size(ta) === 0 || size(tb) === 0, lit(false))
+            .otherwise(size(array_intersect(ta, tb)).cast("double")
+              / size(array_union(ta, tb)) >= thr))
+      case "year_only" =>
+        // unparseable → false (the reference logs an error and fails the row)
+        val ya = year(try_to_timestamp(f.cast("string")))
+        val yb = year(try_to_timestamp(g.cast("string")))
+        guarded(coalesce(ya === yb, lit(false)))
+      case "numeric_tolerance" =>
+        val tol = if (parts.length > 1) parts(1).toDouble else 0.01
+        val na = try_cast_double(f)
+        val nb = try_cast_double(g)
+        // non-numeric on either side → trimmed string equality fallback
+        guarded(
+          when(na.isNotNull && nb.isNotNull, abs(na - nb) <= tol)
+            .otherwise(trim(f.cast("string")) === trim(g.cast("string"))))
+      case "set_equality" =>
+        // array inputs compare as sets; scalars fall back to equality
+        guarded(f === g)
+      case "boolean" =>
+        val ba = boolNorm(f)
+        val bb = boolNorm(g)
+        guarded(
+          when(ba.isNotNull && bb.isNotNull, ba === bb)
+            .otherwise(trim(lower(f.cast("string"))) === trim(lower(g.cast("string")))))
+      case other =>
+        throw new IllegalArgumentException(s"unknown evaluation rule: $other")
+    }
+  }
+
+  /** set_equality over ARRAY columns: order-independent distinct-set
+    * comparison (matchRule's scalar branch handles everything else).
+    */
+  def matchSetEquality(f: Column, g: Column): Column =
+    when(f.isNull && g.isNull, lit(true))
+      .when(f.isNull || g.isNull, lit(false))
+      .otherwise(array_sort(array_distinct(f)) === array_sort(array_distinct(g)))
+
+  private def try_cast_double(c: Column): Column =
+    trim(c.cast("string")).try_cast("double")
+
+  /** normalize_boolean (evaluation.py:218): recognized true/false tokens
+    * → boolean, none/null/nan and everything else → null (callers fall
+    * back to string comparison).
+    */
+  private def boolNorm(c: Column): Column = {
+    val s = trim(lower(c.cast("string")))
+    when(s.isin("true", "yes", "1", "y", "t"), lit(true))
+      .when(s.isin("false", "no", "0", "n", "f", ""), lit(false))
+      .otherwise(lit(null).cast("boolean"))
+  }
+
+  /** DataFusionEvaluator.evaluate (evaluation.py:266) with per-attribute
+    * evaluation functions: fused ⋈ gold on the cluster id, one boolean
+    * match column per (attribute, rule), then ONE aggregation emitting a
+    * row per attribute: (attribute, rule, n_evaluated, n_correct,
+    * accuracy). Attributes where BOTH sides are missing count as correct
+    * (the reference's protocol); n_evaluated counts joined clusters.
+    */
+  def evaluateWithRules(fused: DataFrame, gold: DataFrame, cluster: String,
+      rules: Seq[(String, String)]): DataFrame = {
+    val g = gold.columns.filter(_ != cluster).foldLeft(gold) {
+      (d, c) => d.withColumnRenamed(c, s"_g_$c")
+    }
+    val joined = fused.join(g, cluster)
+    val counters = rules.zipWithIndex.flatMap { case ((attr, rule), i) =>
+      val ok = matchRule(rule, col(attr), col(s"_g_$attr"))
+      Seq(sum(ok.cast("long")).as(s"_c$i"), count(lit(1)).as(s"_n$i"))
+    }
+    val wide = joined.agg(counters.head, counters.tail: _*)
+    val rows = explode(array(rules.zipWithIndex.map { case ((attr, rule), i) =>
+      struct(lit(attr).as("attribute"), lit(rule).as("rule"),
+        col(s"_n$i").as("n_evaluated"), col(s"_c$i").as("n_correct"),
+        round(col(s"_c$i").cast("double") / greatest(col(s"_n$i"), lit(1L)), 5)
+          .as("accuracy"))
+    }: _*)).as("r")
+    wide.select(rows).select(col("r.*"))
+  }
 }

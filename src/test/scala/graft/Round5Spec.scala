@@ -131,6 +131,54 @@ class Round5Spec extends AnyFunSuite {
     assert(early.getString(3) == "A")
   }
 
+  test("fusion evaluation rules: null protocol, fallbacks, token cleaning") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(
+      // (fused, gold) string pairs exercising each rule's branches
+      ("The Matrix!", "matrix, the"),       // tokenized: punct stripped → equal sets
+      ("a b", "a c"),                        // tokenized: J=1/3 < 0.5? (1 shared of 3)
+      (null, null),                          // both missing → correct everywhere
+      ("yes", "TRUE"),                       // boolean: both → true
+      ("maybe", "maybe"),                    // boolean: unparseable → string fallback equal
+      ("12.004", "12.01"),                   // numeric tol 0.01: diff 0.006 ≤ tol
+      ("abc", "abc"),                        // numeric: non-numeric → string fallback
+      ("2024-03-01", "2024-12-31"))          // year_only: same year
+      .toDF("f", "g")
+    def acc(rule: String) = df.agg(
+      sum(Fusion.matchRule(rule, col("f"), col("g")).cast("long"))).collect()(0).getLong(0)
+    // correct rows: matrix/matrix, null-null, maybe/maybe, abc/abc
+    assert(acc("tokenized:0.99") == 4)
+    assert(acc("boolean") >= 4)
+    assert(acc("numeric_tolerance:0.01") >= 4)
+    assert(acc("year_only") >= 2)
+
+    // precise per-rule single checks
+    def one(rule: String, f: Any, g: Any): Boolean = {
+      val r = Seq((Option(f).map(_.toString), Option(g).map(_.toString)))
+        .toDF("f", "g")
+        .select(Fusion.matchRule(rule, col("f"), col("g")).as("m")).collect()(0)
+      r.getBoolean(0)
+    }
+    assert(one("tokenized:1.0", "The Matrix!", "matrix, the"))
+    assert(!one("tokenized:0.5", "a b x", "a c y"))   // J = 1/5 < 0.5
+    assert(one("tokenized:0.2", "a b x", "a c y"))    // J = 1/5 ≥ 0.2
+    assert(one("boolean", "yes", "TRUE") && one("boolean", "0", "n"))
+    assert(!one("boolean", "yes", "no"))
+    assert(one("boolean", "maybe", "  MAYBE "))       // fallback trims + lowers
+    assert(one("numeric_tolerance:0.01", "12.004", "12.01"))
+    assert(!one("numeric_tolerance:0.001", "12.004", "12.01"))
+    assert(one("numeric_tolerance:0.01", "abc", "abc"))
+    assert(one("year_only", "2024-03-01", "2024-12-31"))
+    assert(!one("year_only", "2024-03-01", "2023-03-01"))
+    assert(!one("year_only", "not-a-date", "2024-01-01"))
+    assert(one("exact", null, null) && !one("exact", "x", null))
+
+    val arrs = Seq((Seq("b", "a", "a"), Seq("a", "b"))).toDF("f", "g")
+      .select(Fusion.matchSetEquality(col("f"), col("g")).as("m")).collect()(0)
+    assert(arrs.getBoolean(0))
+  }
+
   private def withSQLConf(kvs: (String, String)*)(f: => Unit): Unit = {
     val conf = spark.conf
     val olds = kvs.map { case (k, _) => k -> conf.getOption(k) }
