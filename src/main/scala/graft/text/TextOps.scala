@@ -74,6 +74,57 @@ object TextOps {
         .as("regex_tokens"),
       length(col(text)).cast("long").as("n_chars"))
 
+  /** Gopher/C4-style repetition signals (training-data quality filters;
+    * Rae et al. 2021 §A1.1, Raffel et al. 2020 §2.2): per document —
+    * word counts, most-common-word share, duplicate word-n-gram
+    * fractions, and a keep/drop verdict under the standard thresholds.
+    *
+    * Scale shape: word stats run as explode → (doc, word) count →
+    * per-doc aggregate (two partial-aggregable shuffles — the mode of a
+    * 10⁹-word document never materializes a per-doc list); the n-gram
+    * duplicate fractions are per-row HOFs over the pre-split word array
+    * (scan-shaped). Ratios are exact integer basis points: their raw
+    * rationals land on decimal midpoints, where cross-engine round(x,5)
+    * is not reproducible.
+    *
+    * Thresholds (keep iff all hold): ≥ 20 words, distinct-word ratio
+    * ≥ 20 bp·0.01, top-word share ≤ 20%, duplicate-3-gram fraction
+    * ≤ 50%.
+    */
+  def repetitionSignals(docs: DataFrame, id: String, text: String): DataFrame = {
+    val withWords = docs.select(col(id), split(lower(col(text)), " ").as("_w"))
+    def ngrams(n: Int) = expr(
+      s"transform(sequence(1, greatest(size(_w) - ${n - 1}, 1)), " +
+        s"i -> array_join(slice(_w, i, $n), ' '))")
+    val grams = withWords.select(col(id),
+      size(col("_w")).cast("long").as("n_words"),
+      ngrams(2).as("_g2"), ngrams(3).as("_g3"))
+      .select(col(id), col("n_words"),
+        // `div` (exact integer floor), not `/` (double): basis points
+        // must be bit-stable at any count magnitude
+        expr("CAST(size(_g2) - size(array_distinct(_g2)) AS BIGINT) * 10000" +
+          " div greatest(size(_g2), 1)").as("dup_2gram_bp"),
+        expr("CAST(size(_g3) - size(array_distinct(_g3)) AS BIGINT) * 10000" +
+          " div greatest(size(_g3), 1)").as("dup_3gram_bp"))
+    val words = withWords.select(col(id), explode(col("_w")).as("_word"))
+    val counts = words.groupBy(col(id), col("_word")).agg(count(lit(1)).as("_cnt"))
+    // argmax via min(struct(-cnt, word)): deterministic mode (ties → word asc)
+    val stats = counts.groupBy(col(id)).agg(
+      sum(col("_cnt")).as("_n"),
+      count(lit(1)).as("n_distinct_words"),
+      min(struct((-col("_cnt")).as("nc"), col("_word").as("w"))).as("_top"))
+      .select(col(id), col("n_distinct_words"),
+        col("_top.w").as("top_word"),
+        expr("(-_top.nc) * 10000 div _n").as("top_word_bp"),
+        expr("n_distinct_words * 10000 div _n").as("distinct_bp"))
+    grams.join(stats, id)
+      .select(col(id), col("n_words"), col("n_distinct_words"),
+        col("distinct_bp"), col("top_word"), col("top_word_bp"),
+        col("dup_2gram_bp"), col("dup_3gram_bp"),
+        (col("n_words") >= 20 && col("distinct_bp") >= 2000 &&
+          col("top_word_bp") <= 2000 && col("dup_3gram_bp") <= 5000).as("keep"))
+  }
+
   /** Winnowing fingerprints (#63, Schleimer et al.): char 5-gram rolling
     * hashes (md5-prefix), per-window (w=4) minima, distinct + sorted →
     * count and digest per document.

@@ -84,17 +84,54 @@ object TextQueries {
       |FROM m
       |ORDER BY doc_id""".stripMargin
 
+  def textRepetition(s: SparkSession, dir: String): DataFrame =
+    TextOps.repetitionSignals(documents(s, dir), "doc_id", "text").orderBy("doc_id")
+
+  val textRepetitionOracle: String =
+    """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      |g AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+      |  [array_to_string(w[i:i+1], ' ')
+      |   for i in range(1, greatest(len(w) - 1, 1) + 1)] AS g2,
+      |  [array_to_string(w[i:i+2], ' ')
+      |   for i in range(1, greatest(len(w) - 2, 1) + 1)] AS g3
+      |  FROM t),
+      |gd AS (SELECT doc_id, n_words,
+      |  CAST((len(g2) - len(list_distinct(g2))) * 10000 // greatest(len(g2), 1) AS BIGINT)
+      |    AS dup_2gram_bp,
+      |  CAST((len(g3) - len(list_distinct(g3))) * 10000 // greatest(len(g3), 1) AS BIGINT)
+      |    AS dup_3gram_bp
+      |  FROM g),
+      |wrd AS (SELECT doc_id, unnest(w) AS word FROM t),
+      |cnt AS (SELECT doc_id, word, count(*) AS c FROM wrd GROUP BY doc_id, word),
+      |top AS (SELECT doc_id, word, c, row_number() OVER (
+      |          PARTITION BY doc_id ORDER BY c DESC, word) AS rn FROM cnt),
+      |st AS (SELECT cnt.doc_id, CAST(sum(cnt.c) AS BIGINT) AS n,
+      |         CAST(count(*) AS BIGINT) AS n_distinct_words
+      |       FROM cnt GROUP BY cnt.doc_id)
+      |SELECT st.doc_id, gd.n_words, st.n_distinct_words,
+      |  CAST(st.n_distinct_words * 10000 // st.n AS BIGINT) AS distinct_bp,
+      |  top.word AS top_word,
+      |  CAST(top.c * 10000 // st.n AS BIGINT) AS top_word_bp,
+      |  gd.dup_2gram_bp, gd.dup_3gram_bp,
+      |  gd.n_words >= 20 AND st.n_distinct_words * 10000 // st.n >= 2000
+      |    AND top.c * 10000 // st.n <= 2000 AND gd.dup_3gram_bp <= 5000 AS keep
+      |FROM st JOIN top ON top.doc_id = st.doc_id AND top.rn = 1
+      |        JOIN gd ON gd.doc_id = st.doc_id
+      |ORDER BY st.doc_id""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_langid" -> (textLangid _),
     "text_quality" -> (textQuality _),
     "text_tokens" -> (textTokens _),
-    "text_fingerprint" -> (textFingerprint _)
+    "text_fingerprint" -> (textFingerprint _),
+    "text_repetition" -> (textRepetition _)
   )
 
   def oracles: Map[String, String] = Map(
     "text_langid" -> textLangidOracle,
     "text_quality" -> textQualityOracle,
     "text_tokens" -> textTokensOracle,
-    "text_fingerprint" -> textFingerprintOracle
+    "text_fingerprint" -> textFingerprintOracle,
+    "text_repetition" -> textRepetitionOracle
   )
 }
