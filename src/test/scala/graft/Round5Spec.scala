@@ -179,6 +179,40 @@ class Round5Spec extends AnyFunSuite {
     assert(arrs.getBoolean(0))
   }
 
+  test("streaming dedup re-emits a key after watermark expiry (multi-batch)") {
+    // Documents the REAL dropDuplicatesWithinWatermark contract behind
+    // stream_dedup's single-batch oracle assumption: once the watermark
+    // passes a key's expiry, the key's state is gone and a recurrence is
+    // legitimately re-emitted — a multi-batch sink does NOT equal
+    // SELECT DISTINCT.
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark2.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[(String, java.sql.Timestamp)]
+    val src = input.toDF().toDF("k", "ts").withWatermark("ts", "2 hours")
+    val name = "graft_r5_dedup_expiry"
+    val q = graft.streaming.Streams.dedupStream(src, Seq("k"))
+      .select("k")
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    try {
+      // batch 1: k twice within the horizon → exactly one emission
+      input.addData(("k", t("2024-01-01 00:00:00")), ("k", t("2024-01-01 00:01:00")))
+      q.processAllAvailable()
+      // batch 2: unrelated key 10 h later → watermark advances to 08:00,
+      // k's state (expiry 02:00) is evicted
+      input.addData(("w", t("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      // batch 3: k again at 11:00 → state gone → re-emitted
+      input.addData(("k", t("2024-01-01 11:00:00")))
+      q.processAllAvailable()
+      val ks = spark2.table(name).filter(col("k") === "k").count()
+      assert(ks == 2L, s"expected k emitted twice (pre+post expiry), got $ks")
+      assert(spark2.table(name).count() == 3L)
+    } finally q.stop()
+  }
+
   private def withSQLConf(kvs: (String, String)*)(f: => Unit): Unit = {
     val conf = spark.conf
     val olds = kvs.map { case (k, _) => k -> conf.getOption(k) }
