@@ -125,6 +125,81 @@ object TextOps {
           col("top_word_bp") <= 2000 && col("dup_3gram_bp") <= 5000).as("keep"))
   }
 
+  /** PII scrubbing (training-data hygiene): regexp-replace emails,
+    * dashed/dotted phone numbers, and IPv4 addresses with typed
+    * placeholder tokens, and count each per document. Patterns stay in
+    * the common Java-regex ∩ RE2 dialect (no lookaround) so the DuckDB
+    * oracle replays them verbatim. Scan-shaped — no shuffle.
+    */
+  val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val PhoneRe = "\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b"
+  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  def piiScrub(docs: DataFrame, id: String, text: String): DataFrame = {
+    val t = col(text)
+    // Order matters: IPs would otherwise match inside dotted phone-like
+    // strings; emails first (they can contain digits), then phones, IPs.
+    val scrubbed = regexp_replace(
+      regexp_replace(regexp_replace(t, EmailRe, "[EMAIL]"), PhoneRe, "[PHONE]"),
+      Ipv4Re, "[IP]")
+    docs.select(col(id),
+      regexp_count(t, lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(t, lit(PhoneRe)).cast("long").as("n_phones"),
+      regexp_count(t, lit(Ipv4Re)).cast("long").as("n_ips"),
+      scrubbed.as("scrubbed"))
+  }
+
+  /** Benchmark-contamination detection (The Pile / GPT-3 style
+    * decontamination): word n-grams of each document are equi-joined
+    * against the distinct n-gram set of an eval corpus; per document,
+    * the count and share of contaminated n-grams. The probe set is the
+    * small side (an eval benchmark) → broadcast; the corpus side is one
+    * explode + one partial-aggregable groupBy — never all-pairs.
+    */
+  def contamination(docs: DataFrame, probes: DataFrame, id: String,
+      text: String, n: Int = 3): DataFrame = {
+    def docGrams(d: DataFrame, idc: Option[String]): DataFrame = {
+      val base = d.select((idc.map(col).toSeq :+ split(lower(col(text)), " ").as("_w")): _*)
+      val g = expr(
+        s"transform(sequence(1, greatest(size(_w) - ${n - 1}, 1)), " +
+          s"i -> array_join(slice(_w, i, $n), ' '))")
+      base.select((idc.map(col).toSeq :+ explode(g).as("_g")): _*)
+    }
+    val probeSet = docGrams(probes, None).select("_g").distinct()
+    val grams = docGrams(docs, Some(id))
+    val total = grams.groupBy(col(id)).agg(count(lit(1)).as("n_ngrams"))
+    val hit = grams.join(broadcast(probeSet), "_g")
+      .groupBy(col(id)).agg(count(lit(1)).as("n_contaminated"))
+    total.join(hit, Seq(id), "left")
+      .select(col(id), col("n_ngrams"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        expr("coalesce(n_contaminated, 0) * 10000 div n_ngrams").as("contaminated_bp"))
+  }
+
+  /** Deterministic stratified sampling for training-data mixtures: keep
+    * a row iff the first 4 hex chars of md5(key) fall below the
+    * stratum's fraction threshold — partitioning-independent,
+    * replayable in any engine with md5 (hex STRING comparison, no
+    * hex→int casts), and exactly the per-source/per-language mixture
+    * weighting a data-mix pipeline applies at 100 TB (a pure filter:
+    * no shuffle, no sample() nondeterminism).
+    */
+  def stratifiedSample(df: DataFrame, stratum: Column, key: Column,
+      fractions: Map[String, Double]): DataFrame = {
+    val thresholds = fractions.toSeq.sortBy(_._1).foldLeft(lit(null).cast("string")) {
+      case (acc, (s, f)) =>
+        // 'zzzz' > every hex string → keep-all; else 4-hex-digit cutoff
+        val hexThr =
+          if (f >= 1.0) "zzzz"
+          else f"${math.min(math.round(f * 65536).toInt, 65535)}%04x"
+        when(stratum === s, lit(hexThr)).otherwise(acc)
+    }
+    df.withColumn("_thr", thresholds)
+      .filter(col("_thr").isNotNull &&
+        substring(md5(key.cast("string")), 1, 4) < col("_thr"))
+      .drop("_thr")
+  }
+
   /** Winnowing fingerprints (#63, Schleimer et al.): char 5-gram rolling
     * hashes (md5-prefix), per-window (w=4) minima, distinct + sorted →
     * count and digest per document.

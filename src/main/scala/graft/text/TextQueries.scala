@@ -119,7 +119,95 @@ object TextQueries {
       |        JOIN gd ON gd.doc_id = st.doc_id
       |ORDER BY st.doc_id""".stripMargin
 
+  /** PII scrub over documents salted with deterministic synthetic PII
+    * (the generated corpus has none): every 5th doc gains an email,
+    * every 7th a dashed phone, every 11th an IPv4 — then scrub+count.
+    */
+  def textPiiScrub(s: SparkSession, dir: String): DataFrame = {
+    val salted = documents(s, dir).select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" contact user"), col("doc_id"), lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" call 555-01"), format_string("%02d", col("doc_id") % 100),
+            lit("-1234"))).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" host 10.0."), (col("doc_id") % 256).cast("string"),
+            lit(".7"))).otherwise(lit(""))).as("text"))
+    TextOps.piiScrub(salted, "doc_id", "text").orderBy("doc_id")
+  }
+
+  val textPiiScrubOracle: String =
+    s"""WITH t AS (SELECT doc_id,
+       |  text
+       |  || CASE WHEN doc_id % 5 = 0 THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+       |  || CASE WHEN doc_id % 7 = 0 THEN ' call 555-01' || format('{:02d}', doc_id % 100) || '-1234' ELSE '' END
+       |  || CASE WHEN doc_id % 11 = 0 THEN ' host 10.0.' || (doc_id % 256) || '.7' ELSE '' END
+       |  AS text FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '${TextOps.EmailRe}')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(text, '${TextOps.PhoneRe}')) AS BIGINT) AS n_phones,
+       |  CAST(len(regexp_extract_all(text, '${TextOps.Ipv4Re}')) AS BIGINT) AS n_ips,
+       |  regexp_replace(regexp_replace(regexp_replace(
+       |    text, '${TextOps.EmailRe}', '[EMAIL]', 'g'),
+       |    '${TextOps.PhoneRe}', '[PHONE]', 'g'),
+       |    '${TextOps.Ipv4Re}', '[IP]', 'g') AS scrubbed
+       |FROM t ORDER BY doc_id""".stripMargin
+
+  /** Contamination of the corpus against an "eval set" (every 100th
+    * doc): per-doc 3-gram overlap count + basis-point share.
+    */
+  def textContamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    val probes = docs.filter(col("doc_id") % 100 === 0)
+    TextOps.contamination(docs, probes, "doc_id", "text", 3).orderBy("doc_id")
+  }
+
+  val textContaminationOracle: String =
+    """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      |g AS (SELECT doc_id, unnest(
+      |        [array_to_string(w[i:i+2], ' ')
+      |         for i in range(1, greatest(len(w) - 2, 1) + 1)]) AS gram FROM t),
+      |probe AS (SELECT DISTINCT gram FROM g WHERE doc_id % 100 = 0),
+      |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams FROM g GROUP BY doc_id),
+      |hit AS (SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
+      |        FROM g JOIN probe USING (gram) GROUP BY g.doc_id)
+      |SELECT tot.doc_id, tot.n_ngrams,
+      |  coalesce(hit.n_contaminated, 0) AS n_contaminated,
+      |  coalesce(hit.n_contaminated, 0) * 10000 // tot.n_ngrams AS contaminated_bp
+      |FROM tot LEFT JOIN hit ON hit.doc_id = tot.doc_id
+      |ORDER BY tot.doc_id""".stripMargin
+
+  /** Deterministic mixture sampling: per-(lang, source) stratum keep
+    * fractions via the md5-hex threshold filter.
+    */
+  def textMixture(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        concat_ws("|", col("lang"), col("source")).as("_st"))
+    TextOps.stratifiedSample(docs, col("_st"), col("doc_id"),
+        Map("en|src0" -> 1.0, "en|src1" -> 0.5, "en|src2" -> 0.25,
+          "de|src0" -> 0.5, "de|src1" -> 0.25, "de|src2" -> 0.125))
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+  }
+
+  val textMixtureOracle: String =
+    """WITH t AS (SELECT doc_id, lang, source,
+      |  CASE lang || '|' || source
+      |    WHEN 'en|src0' THEN 'zzzz' WHEN 'en|src1' THEN '8000'
+      |    WHEN 'en|src2' THEN '4000' WHEN 'de|src0' THEN '8000'
+      |    WHEN 'de|src1' THEN '4000' WHEN 'de|src2' THEN '2000'
+      |    ELSE NULL END AS thr
+      |  FROM documents)
+      |SELECT doc_id, lang, source FROM t
+      |WHERE thr IS NOT NULL AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < thr
+      |ORDER BY doc_id""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_pii_scrub" -> (textPiiScrub _),
+    "text_contamination" -> (textContamination _),
+    "text_mixture" -> (textMixture _),
     "text_langid" -> (textLangid _),
     "text_quality" -> (textQuality _),
     "text_tokens" -> (textTokens _),
@@ -128,6 +216,9 @@ object TextQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "text_pii_scrub" -> textPiiScrubOracle,
+    "text_contamination" -> textContaminationOracle,
+    "text_mixture" -> textMixtureOracle,
     "text_langid" -> textLangidOracle,
     "text_quality" -> textQualityOracle,
     "text_tokens" -> textTokensOracle,
