@@ -213,6 +213,48 @@ class Round5Spec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("pii scrub: all three pattern kinds, replacement order, counts") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(
+      (1L, "mail a.b+c@x-corp.io and x@y.io call 555-123-4567 host 10.0.0.7 end"),
+      (2L, "clean text only")).toDF("id", "text")
+    val rows = graft.text.TextOps.piiScrub(df, "id", "text")
+      .orderBy("id").collect()
+    assert(rows(0).getLong(1) == 2 && rows(0).getLong(2) == 1 && rows(0).getLong(3) == 1)
+    assert(rows(0).getString(4) ==
+      "mail [EMAIL] and [EMAIL] call [PHONE] host [IP] end")
+    assert(rows(1).getLong(1) == 0 && rows(1).getString(4) == "clean text only")
+  }
+
+  test("contamination: zero-hit docs kept with 0 bp; full overlap = 10000 bp") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq((1L, "a b c d"), (2L, "x y z w")).toDF("doc_id", "text")
+    val probes = Seq(Tuple1("a b c d")).toDF("text")
+    val got = graft.text.TextOps.contamination(docs, probes, "doc_id", "text", 3)
+      .orderBy("doc_id").collect()
+    // doc 1: grams {a b c, b c d} both in probe → 10000 bp
+    assert(got(0).getLong(1) == 2 && got(0).getLong(2) == 2 && got(0).getLong(3) == 10000)
+    assert(got(1).getLong(2) == 0 && got(1).getLong(3) == 0)
+  }
+
+  test("stratified sample: f=1 keeps all, f=0 drops all, unmapped dropped, deterministic") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = (1L to 400L).map(i => (i, if (i % 2 == 0) "a" else "b")).toDF("id", "st")
+    def run() = graft.text.TextOps.stratifiedSample(df, col("st"), col("id"),
+      Map("a" -> 1.0, "b" -> 0.25)).collect().map(_.getLong(0)).toSet
+    val s1 = run(); val s2 = run()
+    assert(s1 == s2)
+    assert((1L to 400L).filter(_ % 2 == 0).forall(s1.contains)) // f=1.0 stratum complete
+    val bKept = s1.count(_ % 2 == 1)
+    assert(bKept > 20 && bKept < 80, s"~25% of 200 expected, got $bKept")
+    val none = graft.text.TextOps.stratifiedSample(df, col("st"), col("id"),
+      Map("a" -> 0.0)).count()
+    assert(none == 0)
+  }
+
   private def withSQLConf(kvs: (String, String)*)(f: => Unit): Unit = {
     val conf = spark.conf
     val olds = kvs.map { case (k, _) => k -> conf.getOption(k) }
