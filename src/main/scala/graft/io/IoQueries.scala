@@ -65,7 +65,31 @@ object IoQueries {
       |FROM part
       |ORDER BY p_partkey, word""".stripMargin
 
+  /** Fixed-width round-trip: render customer rows as fixed-width lines
+    * in-engine (no file side effects in the gate), then parse back with
+    * the fwf column specs — exercises exactly load_fwf's slicing.
+    */
+  def ioFwf(s: SparkSession, dir: String): DataFrame = {
+    val lines = customer(s, dir).select(
+      concat(
+        rpad(col("c_name"), 25, " "),
+        lpad(col("c_custkey").cast("string"), 11, " "),
+        rpad(col("c_mktsegment"), 12, " ")).as("line"))
+    Loaders.parseFwf(lines, "line", Seq(
+        ("name", 1, 25), ("custkey", 26, 11), ("segment", 37, 12)))
+      .orderBy("custkey", "name")
+  }
+
+  val ioFwfOracle: String =
+    """WITH t AS (SELECT rpad(c_name, 25, ' ') || lpad(CAST(c_custkey AS VARCHAR), 11, ' ')
+      |             || rpad(c_mktsegment, 12, ' ') AS line FROM customer)
+      |SELECT trim(substr(line, 1, 25)) AS name,
+      |       trim(substr(line, 26, 11)) AS custkey,
+      |       trim(substr(line, 37, 12)) AS segment
+      |FROM t ORDER BY custkey, name""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "io_fwf" -> (ioFwf _),
     "io_load_parquet" -> (ioLoadParquet _),
     "io_provenance" -> (ioProvenance _),
     "io_flatten" -> (ioFlatten _),
@@ -73,6 +97,7 @@ object IoQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "io_fwf" -> ioFwfOracle,
     "io_load_parquet" -> ioLoadParquetOracle,
     "io_provenance" -> ioProvenanceOracle,
     "io_flatten" -> ioFlattenOracle,

@@ -61,4 +61,21 @@ object Loaders {
     */
   def explodeDelimited(df: DataFrame, column: String, sep: String, as: String): DataFrame =
     df.withColumn(as, explode(transform(split(col(column), sep), x => trim(x))))
+
+  /** Fixed-width parsing (load_fwf, loaders.py:365): slice `lineCol` by
+    * (name, 1-based start, width) specs into trimmed string columns —
+    * pandas read_fwf's colspec semantics. A short line yields "" (→
+    * empty after trim), like pandas' NaN-ish padding. Pure substring
+    * projection: codegen'd, scan-shaped.
+    */
+  def parseFwf(df: DataFrame, lineCol: String,
+      specs: Seq[(String, Int, Int)]): DataFrame =
+    df.select(specs.map { case (name, start, width) =>
+      trim(substring(col(lineCol), start, width)).as(name)
+    }: _*)
+
+  /** load_fwf for files: each text line sliced per `specs`. */
+  def loadFwf(spark: SparkSession, path: String,
+      specs: Seq[(String, Int, Int)]): DataFrame =
+    parseFwf(spark.read.text(path), "value", specs)
 }

@@ -255,6 +255,23 @@ class Round5Spec extends AnyFunSuite {
     assert(none == 0)
   }
 
+  test("loadFwf: real file, short-line padding, trim semantics") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fwf")
+    dir.toFile.deleteOnExit()
+    val f = dir.resolve("data.txt")
+    java.nio.file.Files.writeString(f,
+      "alice     00042 berlin\n" +
+      "bob       7\n" +          // short line: missing trailing fields
+      "carol     00003 nyc   \n")
+    val got = graft.io.Loaders.loadFwf(spark, f.toString, Seq(
+        ("name", 1, 10), ("num", 11, 6), ("city", 17, 6)))
+      .orderBy("name").collect()
+    assert(got.map(_.getString(0)).toSeq == Seq("alice", "bob", "carol"))
+    assert(got(0).getString(1) == "00042" && got(0).getString(2) == "berlin")
+    assert(got(1).getString(1) == "7" && got(1).getString(2) == "")
+    assert(got(2).getString(2) == "nyc")
+  }
+
   private def withSQLConf(kvs: (String, String)*)(f: => Unit): Unit = {
     val conf = spark.conf
     val olds = kvs.map { case (k, _) => k -> conf.getOption(k) }
