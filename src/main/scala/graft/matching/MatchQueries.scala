@@ -421,8 +421,48 @@ object MatchQueries {
     "sim_registry" -> (simRegistry _),
     "match_rule" -> (matchRule _),
     "match_eval" -> (matchEval _),
+    "match_eval_labeled" -> (matchEvalLabeled _),
     "match_threshold_sweep" -> (matchThresholdSweep _)
   )
+
+  /** Labeled-pair evaluation (evaluation.py:415 with a 0/1 label
+    * column): positives = scenario gold; negatives = deliberate
+    * off-by-one cross-source pairs — yields tn + accuracy.
+    */
+  def matchEvalLabeled(s: SparkSession, dir: String): DataFrame = {
+    val pos = EmScenario.gold(s, dir).select(col("id1"), col("id2"), lit(1L).as("label"))
+    val neg = EmScenario.gold(s, dir)
+      .filter(col("id1") % 3 === 0)
+      .select(col("id1"), (col("id2") + 1).as("id2"), lit(0L).as("label"))
+    Matching.evaluateLabeled(matchRule(s, dir), pos.unionByName(neg))
+  }
+
+  val matchEvalLabeledOracle: String =
+    s"""${EmScenario.oracleWith},
+       |cand AS (SELECT l.id AS id1, r.id AS id2, l.name AS ln, r.name AS rn,
+       |                l.seg AS ls, r.seg AS rs, l.bal AS lb, r.bal AS rb
+       |         FROM l JOIN r ON l.seg = r.seg AND l.nat = r.nat),
+       |pred AS (SELECT DISTINCT id1, id2 FROM cand
+       |         WHERE jaro_winkler_similarity(ln, rn) * 0.6
+       |               + (CASE WHEN ls = rs THEN 1.0 ELSE 0.0 END) * 0.2
+       |               + greatest(0.0, 1.0 - abs(lb - rb) / 1000.0) * 0.2 >= 0.97),
+       |tpairs AS (
+       |  SELECT id1, id2, 1 AS l FROM gold
+       |  UNION SELECT id1, id2 + 1, 0 FROM gold WHERE id1 % 3 = 0),
+       |j AS (SELECT t.l, CASE WHEN p.id1 IS NOT NULL THEN 1 ELSE 0 END AS p
+       |      FROM tpairs t LEFT JOIN pred p ON p.id1 = t.id1 AND p.id2 = t.id2),
+       |agg AS (SELECT
+       |  CAST(sum(CASE WHEN l = 1 AND p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |  CAST(sum(CASE WHEN l = 0 AND p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |  CAST(sum(CASE WHEN l = 1 AND p = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       |  CAST(sum(CASE WHEN l = 0 AND p = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+       |  FROM j)
+       |SELECT tp, fp, fn, tn,
+       |  round(CAST(tp AS DOUBLE) / greatest(tp + fp, 1), 5) AS precision,
+       |  round(CAST(tp AS DOUBLE) / greatest(tp + fn, 1), 5) AS recall,
+       |  round(CAST(tp AS DOUBLE) * 2.0 / greatest(2 * tp + fp + fn, 1), 5) AS f1,
+       |  round(CAST(tp + tn AS DOUBLE) / greatest(tp + fp + fn + tn, 1), 5) AS accuracy
+       |FROM agg""".stripMargin
 
   def oracles: Map[String, String] = Map(
     "sim_ratcliff" -> simRatcliffOracle,
@@ -433,6 +473,7 @@ object MatchQueries {
     "sim_ngram" -> simNgramOracle,
     "match_rule" -> matchRuleSql,
     "match_eval" -> matchEvalOracle,
+    "match_eval_labeled" -> matchEvalLabeledOracle,
     "match_threshold_sweep" -> matchThresholdSweepOracle
   )
 }

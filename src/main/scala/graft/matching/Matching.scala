@@ -102,4 +102,30 @@ object Matching {
       round(col("tp") / greatest(col("n_gold"), lit(1L)), 5).as("recall"),
       round(col("tp") * 2.0 / greatest(col("n_pred") + col("n_gold"), lit(1L)), 5).as("f1"))
   }
+
+  /** evaluate_matching with LABELED test pairs (evaluation.py:415):
+    * `testPairs` carries a 0/1 `label`; metrics are computed over the
+    * test-pair universe (the reference's semantics — predictions
+    * outside the labeled pairs are ignored), so negatives yield tn and
+    * accuracy in addition to P/R/F1. One left join + one aggregate.
+    */
+  def evaluateLabeled(predicted: DataFrame, testPairs: DataFrame): DataFrame = {
+    val p = predicted.select("id1", "id2").distinct().withColumn("_pred", lit(1L))
+    val joined = testPairs.select(col("id1"), col("id2"), col("label").cast("long").as("_l"))
+      .distinct()
+      .join(p, Seq("id1", "id2"), "left")
+      .select(col("_l"), coalesce(col("_pred"), lit(0L)).as("_p"))
+    joined.agg(
+        sum(when(col("_l") === 1L && col("_p") === 1L, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("_l") === 0L && col("_p") === 1L, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("_l") === 1L && col("_p") === 0L, 1L).otherwise(0L)).as("fn"),
+        sum(when(col("_l") === 0L && col("_p") === 0L, 1L).otherwise(0L)).as("tn"))
+      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+        round(col("tp") / greatest(col("tp") + col("fp"), lit(1L)), 5).as("precision"),
+        round(col("tp") / greatest(col("tp") + col("fn"), lit(1L)), 5).as("recall"),
+        round(col("tp") * 2.0 / greatest(lit(2L) * col("tp") + col("fp") + col("fn"), lit(1L)), 5)
+          .as("f1"),
+        round((col("tp") + col("tn")) /
+          greatest(col("tp") + col("fp") + col("fn") + col("tn"), lit(1L)), 5).as("accuracy"))
+  }
 }
