@@ -25,6 +25,25 @@ class ScaleStressSpec extends AnyFunSuite {
     assert(labels.count() == n)
   }
 
+  test("connected components handles a 100k-degree hub (no per-node adjacency list)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val n = 100000
+    // star: node 0 ↔ every other node, plus a tail chain to force mixing.
+    // The min per node is a partial-aggregable reduceByKey — a collect_set
+    // formulation would materialize a 100k-element list for the hub.
+    val star = spark.range(1, n).select(
+      org.apache.spark.sql.functions.lit(0L).as("id1"),
+      org.apache.spark.sql.functions.col("id").as("id2"))
+    val tail = spark.range(n, n + 1000).select(
+      org.apache.spark.sql.functions.col("id").as("id1"),
+      (org.apache.spark.sql.functions.col("id") + 1).as("id2"))
+    val bridge = Seq((0L, n.toLong)).toDF("id1", "id2")
+    val labels = Clusterers.connectedComponents(star.union(tail).union(bridge))
+    assert(labels.select("cluster").distinct().count() == 1)
+    assert(labels.count() == n + 1001)
+  }
+
   test("token blocker cap keeps a pathological stop-word key sub-quadratic") {
     val spark2 = spark
     import spark2.implicits._
