@@ -539,6 +539,158 @@ object NormQueries {
       |  round(latc / 100.0, 5) AS lat, round(lonc / 100.0, 5) AS lon
       |FROM t ORDER BY event_id""".stripMargin
 
+  // ---- norm_country (utils/normalization.py:246 standardize_country_name) ----
+
+  private val CountryVariants = Seq("usa", " US ", "Great Britain", "deutschland",
+    "br", "new zealand", "JAPAN", "  united STATES of america ")
+
+  def normCountry(s: SparkSession, dir: String): DataFrame = {
+    val raw = element_at(array(CountryVariants.map(lit): _*),
+      (col("c_custkey") % 8).cast("int") + 1)
+    customer(s, dir).select(col("c_custkey"), raw.as("raw_country"),
+        Normalize.standardizeCountry(raw).as("standardized"))
+      .orderBy("c_custkey")
+  }
+  /** Oracle hard-codes the expected standardization per variant —
+    * recomputed by hand from the reference semantics (direct map hit,
+    * first partial match in map order, title-case fallback), NOT by
+    * replaying the Spark expression.
+    */
+  val normCountryOracle: String = {
+    val expected = Seq("United States", "United States", "United Kingdom",
+      "Germany", "United Kingdom", "New Zealand", "Japan", "United States")
+    val rawCase = CountryVariants.zipWithIndex
+      .map { case (v, i) => s"WHEN $i THEN '${sqlq(v)}'" }.mkString(" ")
+    val stdCase = expected.zipWithIndex
+      .map { case (v, i) => s"WHEN $i THEN '${sqlq(v)}'" }.mkString(" ")
+    s"""SELECT c_custkey,
+       |  CASE c_custkey % 8 $rawCase END AS raw_country,
+       |  CASE c_custkey % 8 $stdCase END AS standardized
+       |FROM customer ORDER BY c_custkey""".stripMargin
+  }
+
+  // ---- norm_encoding (utils/normalization.py:411 detect / :441 fix) ----
+
+  private def encodingCases: Seq[String] = {
+    val moji = Normalize.EncodingFixes.map(_._1)
+    Seq(
+      "caf" + moji(5), // mojibake e-acute -> "café"
+      "it" + moji(0) + "s fine", // curly apostrophe -> "it's fine"
+      "plain text", // untouched, has_issue = false
+      moji(1) + "quoted" + moji(2), // quote pair -> "\"quoted\""
+      "a" + moji(3) + "b") // em-dash mojibake: the bare right-quote rule
+                           // eats its prefix first (reference quirk)
+  }
+
+  def normEncoding(s: SparkSession, dir: String): DataFrame = {
+    val cases = encodingCases
+    val raw = element_at(array(cases.map(lit): _*),
+      (col("event_id") % cases.size).cast("int") + 1)
+    events(s, dir).select(col("event_id"), raw.as("raw"),
+        Normalize.fixEncoding(raw).as("fixed"),
+        Normalize.detectEncodingIssues(raw).as("has_issue"))
+      .orderBy("event_id")
+  }
+  /** Oracle replays the fix chain with java.lang.String.replace folds
+    * (sequential semantics, same as Python's) at SQL-build time — an
+    * independent execution path from Spark's replace() expressions.
+    */
+  val normEncodingOracle: String = {
+    val cases = encodingCases
+    def replay(x: String): String =
+      Normalize.EncodingFixes.foldLeft(x) { case (a, (bad, good)) => a.replace(bad, good) }
+    def hasIssue(x: String): Boolean = Normalize.EncodingIssueTokens.exists(x.contains)
+    val rawCase = cases.zipWithIndex
+      .map { case (v, i) => s"WHEN $i THEN '${sqlq(v)}'" }.mkString(" ")
+    val fixCase = cases.zipWithIndex
+      .map { case (v, i) => s"WHEN $i THEN '${sqlq(replay(v))}'" }.mkString(" ")
+    val issCase = cases.zipWithIndex
+      .map { case (v, i) => s"WHEN $i THEN ${hasIssue(v)}" }.mkString(" ")
+    s"""SELECT event_id,
+       |  CASE event_id % ${cases.size} $rawCase END AS raw,
+       |  CASE event_id % ${cases.size} $fixCase END AS fixed,
+       |  CASE event_id % ${cases.size} $issCase END AS has_issue
+       |FROM events ORDER BY event_id""".stripMargin
+  }
+
+  // ---- norm_quality_report (columns.py:526 analyze_column_quality +
+  //      :575 get_column_recommendations) ----
+
+  private def qualityFixture(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir).select(
+      col("o_orderkey"),
+      centsL(col("o_totalprice")).as("price_c"),
+      when(col("o_orderkey") % 3 === 0, lit("N/A"))
+        .otherwise(col("o_orderpriority")).as("priority"),
+      col("o_orderdate").cast("string").as("orderdate_str"))
+
+  def normQualityReport(s: SparkSession, dir: String): DataFrame = {
+    val df = qualityFixture(s, dir)
+    val quality = Normalize.columnQuality(df, df.columns.toSeq)
+    val types = Normalize.detectTypes(df).select(col("column"), col("detected"))
+    quality.join(types, Seq("column"))
+      .withColumn("recommendation", concat_ws("; ",
+        when(col("null_percentage") > 20.0,
+          lit("high null rate - consider imputation")),
+        when(col("detected") === "string",
+          lit("text data - consider text normalization")),
+        when(col("detected") === "datetime",
+          lit("date data - consider date standardization"))))
+      .orderBy("column")
+  }
+  val normQualityReportOracle: String =
+    """WITH src AS (
+      |  SELECT 'o_orderkey' AS column_name, CAST(o_orderkey AS VARCHAR) AS v FROM orders
+      |  UNION ALL SELECT 'price_c',
+      |    CAST(CAST(round(o_totalprice*100) AS BIGINT) AS VARCHAR) FROM orders
+      |  UNION ALL SELECT 'priority',
+      |    CASE WHEN o_orderkey % 3 = 0 THEN 'N/A' ELSE o_orderpriority END FROM orders
+      |  UNION ALL SELECT 'orderdate_str', CAST(o_orderdate AS VARCHAR) FROM orders),
+      |n AS (SELECT column_name,
+      |  CASE WHEN lower(trim(v)) IN
+      |    ('', 'null', 'none', 'n/a', 'na', 'nan', '-', '?', 'unknown')
+      |    THEN NULL ELSE v END AS value FROM src),
+      |t AS (SELECT column_name, value,
+      |  CASE WHEN regexp_matches(value, '^-?\d+(\.\d+)?([eE][+-]?\d+)?$')
+      |    THEN CAST(value AS DOUBLE) END AS num FROM n),
+      |base AS (SELECT column_name,
+      |  count(*) AS total_values,
+      |  CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_count,
+      |  count(DISTINCT value) AS unique_count,
+      |  sum(CAST(num AS DECIMAL(38,6))) AS sx,
+      |  sum(CAST(num*num AS DECIMAL(38,6))) AS sxx,
+      |  count(num) AS n,
+      |  min(num) AS min_value, max(num) AS max_value,
+      |  quantile_cont(num, 0.25) AS q1, quantile_cont(num, 0.75) AS q3
+      |  FROM t GROUP BY 1),
+      |outl AS (SELECT t.column_name, count(*) AS outlier_count
+      |  FROM t JOIN base b USING (column_name)
+      |  WHERE t.num < b.q1 - 1.5*(b.q3-b.q1) OR t.num > b.q3 + 1.5*(b.q3-b.q1)
+      |  GROUP BY 1),
+      |rep AS (SELECT b.column_name,
+      |  b.total_values, b.null_count,
+      |  b.null_count * CAST(100.0 AS DOUBLE) / b.total_values AS null_percentage,
+      |  b.unique_count,
+      |  b.unique_count / CAST(b.total_values AS DOUBLE) AS uniqueness_ratio,
+      |  (b.total_values - b.null_count) / CAST(b.total_values AS DOUBLE) AS completeness,
+      |  CAST(coalesce(o.outlier_count, 0) AS BIGINT) AS outlier_count,
+      |  CAST(CAST(b.sx AS VARCHAR) AS DOUBLE) / b.n AS mean,
+      |  CASE WHEN b.n > 1 THEN sqrt((CAST(CAST(b.sxx AS VARCHAR) AS DOUBLE)
+      |    - CAST(CAST(b.sx AS VARCHAR) AS DOUBLE) * CAST(CAST(b.sx AS VARCHAR) AS DOUBLE) / b.n) / (b.n - 1)) END AS std,
+      |  b.min_value, b.max_value,
+      |  CASE b.column_name WHEN 'o_orderkey' THEN 'long' WHEN 'price_c' THEN 'long'
+      |    WHEN 'priority' THEN 'string' WHEN 'orderdate_str' THEN 'datetime' END AS detected
+      |  FROM base b LEFT JOIN outl o USING (column_name))
+      |SELECT column_name AS "column", total_values, null_count, null_percentage,
+      |  unique_count, uniqueness_ratio, completeness, outlier_count, mean, std,
+      |  min_value, max_value, detected,
+      |  concat_ws('; ',
+      |    CASE WHEN null_percentage > 20.0 THEN 'high null rate - consider imputation' END,
+      |    CASE WHEN detected = 'string' THEN 'text data - consider text normalization' END,
+      |    CASE WHEN detected = 'datetime' THEN 'date data - consider date standardization' END)
+      |    AS recommendation
+      |FROM rep ORDER BY "column"""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "norm_text" -> (normText _),
     "norm_headers" -> (normHeaders _),
@@ -559,7 +711,10 @@ object NormQueries {
     "norm_webtable" -> (normWebtable _),
     "norm_convert" -> (normConvert _),
     "norm_dup_detect" -> (normDupDetect _),
-    "norm_dataset" -> (normDataset _))
+    "norm_dataset" -> (normDataset _),
+    "norm_country" -> (normCountry _),
+    "norm_encoding" -> (normEncoding _),
+    "norm_quality_report" -> (normQualityReport _))
 
   def oracles: Map[String, String] = Map(
     "norm_text" -> normTextOracle,
@@ -581,5 +736,8 @@ object NormQueries {
     "norm_webtable" -> normWebtableOracle,
     "norm_convert" -> normConvertOracle,
     "norm_dup_detect" -> normDupDetectOracle,
-    "norm_dataset" -> normDatasetOracle)
+    "norm_dataset" -> normDatasetOracle,
+    "norm_country" -> normCountryOracle,
+    "norm_encoding" -> normEncodingOracle,
+    "norm_quality_report" -> normQualityReportOracle)
 }

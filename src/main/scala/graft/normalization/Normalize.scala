@@ -366,6 +366,158 @@ object Normalize {
   def extractNumeric(c: Column): Column =
     nullif(regexp_extract(c, "(-?\\d+(?:\\.\\d+)?)", 1), lit("")).cast("double")
 
+  // ---- country standardization (utils/normalization.py:246) ----
+
+  /** Default map of standardize_country_name (:266). Order matters —
+    * the reference returns the FIRST partial match in dict order.
+    */
+  val DefaultCountryMap: Seq[(String, String)] = Seq(
+    "usa" -> "United States", "us" -> "United States",
+    "united states of america" -> "United States",
+    "uk" -> "United Kingdom", "britain" -> "United Kingdom",
+    "great britain" -> "United Kingdom", "england" -> "United Kingdom",
+    "deutschland" -> "Germany", "de" -> "Germany")
+
+  /** Per-space-token ucfirst — the deterministic title-case both engines
+    * replay identically (Python str.title additionally capitalizes after
+    * ANY non-letter; documented deviation).
+    */
+  def titleCase(c: Column): Column =
+    array_join(transform(split(trim(c), " "),
+      w => concat(upper(w.substr(lit(1), lit(1))),
+        lower(w.substr(lit(2), length(w))))), " ")
+
+  /** standardize_country_name (:246): direct map hit first, then the
+    * first substring match in map order (either containment direction),
+    * else title-cased passthrough. The bounded map compiles to one
+    * codegen'd when-chain — scan work, no join, no broadcast.
+    */
+  def standardizeCountry(c: Column,
+      mapping: Seq[(String, String)] = DefaultCountryMap): Column = {
+    val cleaned = lower(trim(c))
+    val start: Column = when(lit(false), lit(null).cast("string"))
+    val direct = mapping.foldLeft(start) { case (acc, (k, v)) =>
+      acc.when(cleaned === k, lit(v))
+    }
+    val full = mapping.foldLeft(direct) { case (acc, (k, v)) =>
+      acc.when(cleaned.contains(k) || lit(k).contains(cleaned), lit(v))
+    }
+    when(c.isNotNull, coalesce(full, titleCase(c)))
+  }
+
+  // ---- encoding issues (utils/normalization.py:411 detect, :441 fix) ----
+
+  /** The reference's mojibake literals (exact codepoints from
+    * normalization.py fixes dict), in dict order — replacements apply
+    * SEQUENTIALLY, so the bare "â€" rule consumes the prefix of the
+    * em-dash pattern before that later rule can fire; replicated
+    * faithfully by the ordered fold below.
+    */
+  val EncodingFixes: Seq[(String, String)] = Seq(
+    "\u00e2\u20ac\u2122" -> "'", // mojibake curly apostrophe
+    "\u00e2\u20ac\u0153" -> "\"", // mojibake left double quote
+    "\u00e2\u20ac" -> "\"", // mojibake right double quote (prefix of the next)
+    "\u00e2\u20ac\u0022" -> "\u2014", // mojibake em dash (dead after the rule above)
+    "\u00c3\u00a1" -> "\u00e1", // mojibake a-acute
+    "\u00c3\u00a9" -> "\u00e9", // mojibake e-acute
+    "\u00c3\u00ad" -> "\u00ed", // mojibake i-acute (key ends in soft hyphen)
+    "\u00c3\u00b3" -> "\u00f3", // mojibake o-acute
+    "\u00c3\u00ba" -> "\u00fa") // mojibake u-acute
+
+  /** detect_encoding_issues tokens (:427): U+FFFD plus the fix keys. */
+  val EncodingIssueTokens: Seq[String] = "\ufffd" +: EncodingFixes.map(_._1)
+
+  /** detect_encoding_issues (:411): any mojibake token present
+    * (false for NULL, matching the reference's non-string guard).
+    */
+  def detectEncodingIssues(c: Column): Column =
+    coalesce(EncodingIssueTokens.map(t => c.contains(t)).reduce(_ || _), lit(false))
+
+  /** fix_encoding (:441) fallback chain (ftfy absent by design — this
+    * is a zero-dependency build): ordered literal replaces, identical
+    * in any engine.
+    */
+  def fixEncoding(c: Column): Column =
+    EncodingFixes.foldLeft(c) { case (acc, (bad, good)) =>
+      replace(acc, lit(bad), lit(good))
+    }
+
+  // ---- column quality (normalization/columns.py:526 analyze_column_quality) ----
+
+  /** analyze_column_quality for ALL listed columns in one stacked pass
+    * (+ one quantile-fence pass for the IQR outlier count — quartiles
+    * inherently need their own scan). Null semantics = NullDetector
+    * (web null sentinels count as null). Numeric stats come from exact
+    * moment sums (Σx, Σx²) with the sample-std formula evaluated in raw
+    * IEEE arithmetic: on integer-scaled inputs (ids, money in cents)
+    * this is bit-identical under any partitioning, unlike builtin
+    * stddev whose partial-merge order varies with the shuffle.
+    * Ratios are raw IEEE divisions of exact longs (SURVEY §4 rule).
+    */
+  /** Numeric-literal gate shared with the oracle replay: ANSI casts
+    * throw on junk, and TRY_CAST dialects disagree on 'inf'/'1e999' —
+    * an explicit regex keeps both engines on the identical domain.
+    */
+  val NumericLiteral = "^-?\\d+(\\.\\d+)?([eE][+-]?\\d+)?$"
+
+  /** Decimal → double through a string round-trip: string→double parse
+    * is correctly rounded in every engine, while direct decimal→double
+    * casts are not (DuckDB divides the unscaled int by 10^scale in
+    * floats — off by an ulp from Spark's BigDecimal path; observed as a
+    * 3-ulp std divergence before this).
+    */
+  private def decToDouble(c: Column): Column = c.cast("string").cast("double")
+
+  def columnQuality(df: DataFrame, columns: Seq[String]): DataFrame = {
+    val stacked = df.select(explode(array(columns.map { c =>
+        struct(lit(c).as("column_name"),
+          cleanNulls(col(c).cast("string")).as("value"))
+      }: _*)).as("cv"))
+      .select(col("cv.column_name").as("column_name"), col("cv.value").as("value"))
+      .withColumn("num",
+        when(col("value").rlike(NumericLiteral), col("value").cast("double")))
+    val base = stacked.groupBy("column_name").agg(
+      count(lit(1)).as("total_values"),
+      sum(col("value").isNull.cast("long")).as("null_count"),
+      count_distinct(col("value")).as("unique_count"),
+      // Moment sums in exact decimal: a double running sum past 2^53
+      // would round differently per partition fold order (the
+      // invariance gate would catch it); decimal addition is exact and
+      // associative, and the one decimal→double cast at the end is a
+      // single deterministic rounding.
+      sum(col("num").cast("decimal(38,6)")).as("_sx"),
+      sum((col("num") * col("num")).cast("decimal(38,6)")).as("_sxx"),
+      count(col("num")).as("_n"),
+      min("num").as("min_value"),
+      max("num").as("max_value"),
+      percentile(col("num"), lit(0.25)).as("_q1"),
+      percentile(col("num"), lit(0.75)).as("_q3"))
+    // Quartile fences are one tiny row per column — broadcast them back
+    // over the stacked frame; no second wide shuffle.
+    val fences = broadcast(base.select("column_name", "_q1", "_q3"))
+    val iqr = col("_q3") - col("_q1")
+    val outliers = stacked.join(fences, "column_name")
+      .filter(col("num") < col("_q1") - lit(1.5) * iqr ||
+              col("num") > col("_q3") + lit(1.5) * iqr)
+      .groupBy("column_name").agg(count(lit(1)).as("outlier_count"))
+    base.join(outliers, Seq("column_name"), "left")
+      .select(col("column_name").as("column"),
+        col("total_values"), col("null_count"),
+        (col("null_count") * lit(100.0) / col("total_values")).as("null_percentage"),
+        col("unique_count"),
+        (col("unique_count") / col("total_values").cast("double")).as("uniqueness_ratio"),
+        ((col("total_values") - col("null_count")) / col("total_values").cast("double"))
+          .as("completeness"),
+        coalesce(col("outlier_count"), lit(0L)).as("outlier_count"),
+        (decToDouble(col("_sx")) / col("_n")).as("mean"),
+        when(col("_n") > 1,
+          sqrt((decToDouble(col("_sxx"))
+            - decToDouble(col("_sx")) * decToDouble(col("_sx")) / col("_n"))
+            / (col("_n") - 1)))
+          .as("std"),
+        col("min_value"), col("max_value"))
+  }
+
   // ---- duplicate detection (detectors.py:360 DuplicateDetector) ----
 
   /** duplicate_summary (detectors.py:392): per column — total rows,
