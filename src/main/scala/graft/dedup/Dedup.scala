@@ -128,9 +128,16 @@ object Dedup {
     * doc's shingles of hashᵢ(shingle). String min avoids engine-
     * specific hex→int casts while keeping the uniform-permutation
     * behavior of the hash family.
+    *
+    * Computed PER ROW with a higher-order array_min(transform(...)) —
+    * the former explode → groupBy(k min-aggs) shape shuffled the whole
+    * exploded shingle frame (docs × shingles rows); this computes the
+    * same k minima inside the scan stage with ZERO shuffle, which at
+    * 100 TB removes the largest exchange of the minhash pipeline. The
+    * md5 evaluation count is identical; only the data movement is gone.
     */
-  private def minhashAgg(i: Int, hashHex: (Int, Column) => Column): Column =
-    min(hashHex(i, col("_s"))).as(s"_h$i")
+  private def minhashSig(i: Int, hashHex: (Int, Column) => Column): Column =
+    array_min(transform(col("_sh"), s => hashHex(i, s))).as(s"_h$i")
 
   /** MinHash + LSH near-dup (#54): k hashes in `bands` bands of `rows`
     * rows; docs sharing any band signature become candidates (one
@@ -146,10 +153,12 @@ object Dedup {
     val sh = shingleFrame(docs, id, text, n).persist(StorageLevel.MEMORY_AND_DISK)
     // One row per doc; persisted so the per-band self-joins (2 branches ×
     // `bands` unions) reuse the signatures instead of recomputing the
-    // k-way minhash aggregation for every branch.
-    val exploded = sh.select(col("_id"), explode(col("_sh")).as("_s"))
-    val aggs = (0 until k).map(i => minhashAgg(i, hashHex))
-    val sigs = exploded.groupBy("_id").agg(aggs.head, aggs.tail: _*)
+    // k-way minhash per branch. Docs with no shingle (< n words) are
+    // excluded exactly as the former explode → groupBy shape excluded
+    // them (they emitted no exploded row); without the filter their
+    // all-null band signatures would spuriously bucket together.
+    val sigs = sh.filter(size(col("_sh")) > 0)
+      .select(col("_id") +: (0 until k).map(i => minhashSig(i, hashHex)): _*)
     val bandCols = col("_id") +: (0 until bands).map { b =>
       concat_ws(":", (0 until rows).map(r => col(s"_h${b * rows + r}")): _*).as(s"_band$b")
     }
@@ -177,6 +186,14 @@ object Dedup {
     * +1 vote) than not. Returned as a 16-char '0'/'1' string.
     */
   def simhashSig(docs: DataFrame, id: String, text: String): DataFrame = {
+    // Deliberately explode → groupBy(16 sums), NOT a per-row HOF fold:
+    // without a materialization boundary Catalyst's CollapseProject
+    // inlines the md5 array into all 16 vote expressions — md5 runs 16×
+    // per token (measured 3× slower end-to-end). Here md5 is evaluated
+    // once per token row and hash aggregation partials combine map-side,
+    // so the exchange carries one partial row per doc per partition —
+    // already the right shape at 100 TB. (minhashSig CAN fold per-row
+    // because its shingle frame is persisted — a real boundary.)
     val toks = docs
       .select(col(id).as("_id"), explode(array_distinct(words(lower(col(text))))).as("_t"))
       .withColumn("_md5", md5(col("_t")))

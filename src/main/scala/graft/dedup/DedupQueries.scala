@@ -127,17 +127,85 @@ object DedupQueries {
        |ORDER BY id1, id2""".stripMargin
   }
 
+  /** Doc-level near-dup clustering — the production dedup shape: LSH
+    * candidate pairs → connected components → one canonical doc per
+    * component (min id), every other member dropped. Reference has no
+    * equivalent; this is the MinHash+CC pipeline of large-scale corpus
+    * dedup (e.g. the C4/Gopher recipe). Each stage is an equi-join or
+    * the O(log n) star fixpoint — never all-pairs, scales to 100 TB.
+    */
+  def dedupCluster(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+      n = 3, bands = 4, rows = 3, threshold = 0.8)
+    val comp = graft.clustering.Clusterers.connectedComponents(
+      pairs.select("id1", "id2"))
+    docs.select("doc_id")
+      .join(comp, docs("doc_id") === comp("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster"), col("doc_id")).as("canonical_id"))
+      .withColumn("keep", (col("canonical_id") === col("doc_id")).cast("boolean"))
+      .orderBy("doc_id")
+  }
+
+  /** Pairs CTE identical to dedupMinhashOracle, then the recursive
+    * reachability CC + min-reachable canonical (same CTE shape as
+    * ClusterQueries.ccOracle).
+    */
+  val dedupClusterOracle: String = {
+    val hashes = (0 until 12)
+      .map(i => s"  min(substr(md5('$i#' || shg), 1, 8)) AS h$i")
+      .mkString(",\n")
+    val bandCols = (0 until 4)
+      .map(b => s"  h${b * 3} || ':' || h${b * 3 + 1} || ':' || h${b * 3 + 2} AS b$b")
+      .mkString(",\n")
+    val bandJoins = (0 until 4)
+      .map(b => s"  SELECT a.doc_id AS id1, b.doc_id AS id2 FROM banded a " +
+        s"JOIN banded b ON a.b$b = b.b$b AND a.doc_id < b.doc_id")
+      .mkString("\n  UNION\n")
+    s"""WITH RECURSIVE $shinglePrelude,
+       |sigs AS (SELECT doc_id,
+       |$hashes
+       |FROM inv GROUP BY doc_id),
+       |banded AS (SELECT doc_id,
+       |$bandCols
+       |FROM sigs),
+       |cand AS (
+       |$bandJoins),
+       |pairs AS (SELECT id1, id2 FROM (
+       |  SELECT id1, id2,
+       |    round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |          / len(list_distinct(a.s || b.s)), 5) AS jaccard
+       |  FROM cand JOIN sh a ON a.doc_id = id1 JOIN sh b ON b.doc_id = id2)
+       |  WHERE jaccard >= 0.8),
+       |sym AS (SELECT id1 AS u, id2 AS v FROM pairs
+       |        UNION SELECT id2, id1 FROM pairs),
+       |nodes AS (SELECT DISTINCT u AS id FROM sym),
+       |reach(node, r) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT s.v, reach.r FROM reach JOIN sym s ON s.u = reach.node),
+       |comp AS (SELECT node AS id, min(r) AS cluster FROM reach GROUP BY node)
+       |SELECT d.doc_id,
+       |  coalesce(c.cluster, d.doc_id) AS canonical_id,
+       |  coalesce(c.cluster, d.doc_id) = d.doc_id AS keep
+       |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+       |ORDER BY doc_id""".stripMargin
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
-    "dedup_simhash" -> (dedupSimhash _)
+    "dedup_simhash" -> (dedupSimhash _),
+    "dedup_cluster" -> (dedupCluster _)
   )
 
   def oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactOracle,
     "dedup_ngram_jaccard" -> dedupNgramOracle,
     "dedup_minhash_lsh" -> dedupMinhashOracle,
-    "dedup_simhash" -> dedupSimhashOracle
+    "dedup_simhash" -> dedupSimhashOracle,
+    "dedup_cluster" -> dedupClusterOracle
   )
 }

@@ -19,7 +19,9 @@ object Extract {
     "url" -> "(https?://[^\\s<>\"]+)",
     "year" -> "\\b((?:19|20)\\d{2})\\b",
     "price" -> "(\\$\\d+(?:\\.\\d{2})?)",
-    "isbn13" -> "\\b(97[89]\\d{10})\\b")
+    "isbn13" -> "\\b(97[89]\\d{10})\\b",
+    // extract_domain (rules.py:55): the registrable host of a URL
+    "domain" -> "https?://(?:www\\.)?([a-zA-Z0-9.-]+)")
 
   /** RegexExtractor (regex.py:16): one new column per rule; empty match
     * → NULL.

@@ -50,7 +50,8 @@ object ExtractQueries {
       "url" -> "(https?://[^\\s<>\"]+)",
       "year" -> "\\b((?:19|20)\\d{2})\\b",
       "price" -> "(\\$\\d+(?:\\.\\d{2})?)",
-      "isbn13" -> "\\b(97[89]\\d{10})\\b")
+      "isbn13" -> "\\b(97[89]\\d{10})\\b",
+      "domain" -> "https?://(?:www\\.)?([a-zA-Z0-9.-]+)")
     // DuckDB single-quoted strings keep backslashes literal — the regex
     // goes in verbatim (only quotes need escaping).
     val parts = duckPatterns.map { case (name, p) =>

@@ -426,7 +426,78 @@ object FuseQueries {
        |  UNION ALL SELECT 'status', 'exact', n, c_status FROM agg)
        |ORDER BY attribute, rule""".stripMargin
 
+  // ---- fuse_schema_compare (analysis.py:133 compare_dataset_schemas +
+  //      :190 detect_attribute_conflicts) ----
+  /** Three schema-divergent views of orders, all columns as strings (the
+    * CSV-world inference scenario): B drops prio and corrupts price to
+    * text ("... USD"), C drops price and adds clerk.
+    */
+  def fuseSchemaCompare(s: SparkSession, dir: String): DataFrame = {
+    val base = orders(s, dir).select(
+      col("o_orderkey").cast("string").as("cluster"),
+      col("o_orderstatus").as("status"),
+      col("o_totalprice").cast("string").as("price"),
+      col("o_orderdate").cast("date").cast("string").as("odate"),
+      col("o_orderpriority").as("prio"),
+      // no clerk column in the synthetic table — derive a text-class one
+      concat(lit("Clerk#"), col("o_custkey").cast("string")).as("clerk"))
+    val a = base.select("cluster", "status", "price", "odate", "prio")
+    val b = base.select(col("cluster"), col("status"),
+      concat(col("price"), lit(" USD")).as("price"), col("odate"))
+    val c = base.select("cluster", "status", "odate", "prio", "clerk")
+    SchemaAnalysis.compareSchemas(Seq("A" -> a, "B" -> b, "C" -> c))
+  }
+
+  val fuseSchemaCompareOracle: String = {
+    val frames = Seq(
+      ("a", Seq("cluster", "status", "price", "odate", "prio")),
+      ("b", Seq("cluster", "status", "price", "odate")),
+      ("c", Seq("cluster", "status", "odate", "prio", "clerk")))
+    def aggSql(f: String, cols: Seq[String]) = {
+      val aggs = cols.map(cc =>
+        s"count($cc) AS n_$cc, " +
+          s"sum(CASE WHEN try_cast($cc AS DOUBLE) IS NOT NULL THEN 1 ELSE 0 END) AS num_$cc, " +
+          s"sum(CASE WHEN coalesce(try_strptime($cc, '%Y-%m-%d'), " +
+          s"try_strptime($cc, '%Y-%m-%d %H:%M:%S')) IS NOT NULL THEN 1 ELSE 0 END) AS dt_$cc")
+        .mkString(",\n    ")
+      s"agg_$f AS (SELECT $aggs FROM f_$f)"
+    }
+    def clsSql(f: String, cols: Seq[String]) = cols.map(cc =>
+      s"SELECT upper('$f') AS source, '$cc' AS column_name, " +
+        s"CASE WHEN n_$cc = 0 THEN 'empty' WHEN num_$cc = n_$cc THEN 'numeric' " +
+        s"WHEN dt_$cc = n_$cc THEN 'date' ELSE 'text' END AS cls FROM agg_$f")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH fr AS (SELECT CAST(o_orderkey AS VARCHAR) AS cluster,
+       |  o_orderstatus AS status, CAST(o_totalprice AS VARCHAR) AS price,
+       |  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS odate,
+       |  o_orderpriority AS prio,
+       |  'Clerk#' || CAST(o_custkey AS VARCHAR) AS clerk FROM orders),
+       |f_a AS (SELECT cluster, status, price, odate, prio FROM fr),
+       |f_b AS (SELECT cluster, status, price || ' USD' AS price, odate FROM fr),
+       |f_c AS (SELECT cluster, status, odate, prio, clerk FROM fr),
+       |${frames.map { case (f, cs) => aggSql(f, cs) }.mkString(",\n")},
+       |cls AS (
+       |  ${frames.map { case (f, cs) => clsSql(f, cs) }.mkString("\n  UNION ALL\n  ")}),
+       |per AS (SELECT source, count(*) AS n_cols FROM cls GROUP BY source),
+       |inter AS (SELECT x.source AS name1, y.source AS name2,
+       |            count(*) AS n_common,
+       |            CAST(sum(CASE WHEN x.cls <> y.cls THEN 1 ELSE 0 END) AS BIGINT)
+       |              AS n_type_conflicts
+       |          FROM cls x JOIN cls y ON x.column_name = y.column_name
+       |          GROUP BY x.source, y.source)
+       |SELECT p1.source AS name1, p2.source AS name2,
+       |  p1.n_cols AS n_cols1, p2.n_cols AS n_cols2,
+       |  coalesce(i.n_common, 0) AS n_common,
+       |  CAST(coalesce(i.n_common, 0) AS DOUBLE)
+       |    / (p1.n_cols + p2.n_cols - coalesce(i.n_common, 0)) AS overlap,
+       |  coalesce(i.n_type_conflicts, 0) AS n_type_conflicts
+       |FROM per p1 CROSS JOIN per p2
+       |LEFT JOIN inter i ON i.name1 = p1.source AND i.name2 = p2.source
+       |ORDER BY name1, name2""".stripMargin
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fuse_schema_compare" -> (fuseSchemaCompare _),
     "fuse_eval_rules" -> (fuseEvalRules _),
     "fuse_provenance" -> (fuseProvenance _),
     "fuse_coverage" -> (fuseCoverage _),
@@ -456,6 +527,7 @@ object FuseQueries {
   }
 
   def oracles: Map[String, String] = Map(
+    "fuse_schema_compare" -> fuseSchemaCompareOracle,
     "fuse_eval_rules" -> fuseEvalRulesOracle,
     "fuse_provenance" -> fuseProvenanceOracle,
     "fuse_coverage" -> fuseCoverageOracle,

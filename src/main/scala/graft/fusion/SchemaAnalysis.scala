@@ -1,0 +1,77 @@
+package graft.fusion
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dataset schema comparison — the Spark rendering of
+  * `compare_dataset_schemas` (PyDI/fusion/analysis.py:133) and
+  * `detect_attribute_conflicts` (analysis.py:190).
+  *
+  * The reference compares pandas dtypes, which for CSV-world data are
+  * themselves the product of per-column inference. Spark schemas are
+  * typed at load, so the faithful analogue for string-loaded data is a
+  * DATA-DRIVEN type class per column (all-numeric / all-date / text /
+  * empty) — one aggregation pass per frame, every per-column counter in
+  * the same job (documented deviation: metadata-only dtype equality
+  * would be trivially vacuous for frames loaded through one engine).
+  *
+  * Output: one row per ordered (name1, name2) pair — column-set overlap
+  * (Jaccard over column NAMES, exactly `_calculate_schema_overlap`,
+  * analysis.py:763) plus the number of common columns whose inferred
+  * type class disagrees (`_detect_dtype_conflicts`, analysis.py:783).
+  * Everything after the per-frame aggregation runs on frames whose row
+  * count is bounded by the column count — never by the data.
+  */
+object SchemaAnalysis {
+
+  /** (column, type_class) long frame for one dataset: one aggregation,
+    * then a literal-driven unpivot of the single result row.
+    */
+  def columnClasses(df: DataFrame): DataFrame = {
+    val cols = df.columns.toSeq
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"n_$c"),
+        sum(expr(s"try_cast(`$c` AS DOUBLE)").isNotNull.cast("long")).as(s"num_$c"),
+        sum(coalesce(
+            try_to_timestamp(col(c).cast("string"), lit("yyyy-MM-dd")),
+            try_to_timestamp(col(c).cast("string"), lit("yyyy-MM-dd HH:mm:ss")))
+          .isNotNull.cast("long")).as(s"dt_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val structs = cols.map { c =>
+      s"named_struct('column_name', '$c', 'type_class', " +
+        s"CASE WHEN `n_$c` = 0 THEN 'empty' " +
+        s"WHEN `num_$c` = `n_$c` THEN 'numeric' " +
+        s"WHEN `dt_$c` = `n_$c` THEN 'date' ELSE 'text' END)"
+    }.mkString(", ")
+    one.select(expr(s"inline(array($structs))"))
+  }
+
+  /** Full pairwise comparison over named frames. */
+  def compareSchemas(frames: Seq[(String, DataFrame)]): DataFrame = {
+    val cols = frames.map { case (n, df) =>
+      columnClasses(df).withColumn("source", lit(n))
+    }.reduce(_.unionByName(_))
+    val perSrc = cols.groupBy("source").agg(count(lit(1)).as("n_cols"))
+    val x = cols.select(col("source").as("name1"),
+      col("column_name").as("c"), col("type_class").as("t1"))
+    val y = cols.select(col("source").as("name2"),
+      col("column_name").as("c"), col("type_class").as("t2"))
+    val inter = x.join(y, "c")
+      .groupBy("name1", "name2")
+      .agg(count(lit(1)).as("n_common"),
+        sum((col("t1") =!= col("t2")).cast("long")).as("n_type_conflicts"))
+    // Cross of all source pairs so zero-overlap pairs still appear.
+    perSrc.select(col("source").as("name1"), col("n_cols").as("n_cols1"))
+      .crossJoin(perSrc.select(col("source").as("name2"), col("n_cols").as("n_cols2")))
+      .join(inter, Seq("name1", "name2"), "left")
+      .select(col("name1"), col("name2"), col("n_cols1"), col("n_cols2"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        (coalesce(col("n_common"), lit(0L)).cast("double") /
+          (col("n_cols1") + col("n_cols2") - coalesce(col("n_common"), lit(0L))))
+          .as("overlap"),
+        coalesce(col("n_type_conflicts"), lit(0L)).as("n_type_conflicts"))
+      .orderBy("name1", "name2")
+  }
+}

@@ -691,6 +691,58 @@ object NormQueries {
       |    AS recommendation
       |FROM rep ORDER BY "column"""".stripMargin
 
+  // ---- norm_transforms (transforms.py registry) ----
+  /** Exercises the whole `Transforms` surface: a declarative per-column
+    * chain via `applyChains` (one projection for the whole table), the
+    * parameterized factories, and the registry catalog (as a literal
+    * crosscheck column count).
+    */
+  def normTransforms(s: SparkSession, dir: String): DataFrame = {
+    // The synthetic orders table has no clerk/comment — derive messy
+    // stand-ins deterministically (clerk zero-padded from custkey; the
+    // comment embeds a non-ASCII char so drop_non_ascii has real work).
+    val o = orders(s, dir).select(
+      col("o_orderkey"),
+      concat(lit("  "), col("o_orderstatus"), lit("   x  y ")).as("status"),
+      col("o_orderpriority").as("prio"),
+      concat(lit("Clerk#"), lpad(col("o_custkey").cast("string"), 9, "0")).as("clerk"),
+      col("o_orderdate").cast("string").as("odate"),
+      concat(col("o_orderpriority"), lit(" é  "), col("o_orderstatus")).as("comment"))
+    val chained = Transforms.applyChains(o, Seq(
+      "status" -> Seq("strip", "lower", "normalize_whitespace"),
+      "comment" -> Seq("drop_non_ascii", "normalize_whitespace", "upper"),
+      "odate" -> Seq("to_datetime")))
+    chained.select(
+        col("o_orderkey"),
+        col("status"), col("comment"), col("odate"),
+        Transforms.replaceValues(Map(
+          "1-URGENT" -> "P1", "2-HIGH" -> "P2"))(col("prio")).as("prio"),
+        Transforms.regexReplace("[^0-9]", "")(col("clerk")).as("clerk_digits"),
+        Normalize.parseNumeric(
+          Transforms.regexReplace("[^0-9]", "")(col("clerk"))).as("clerk_num"),
+        Transforms.fillNa("n/a")(nullif(col("prio"), lit("3-MEDIUM"))).as("prio_filled"),
+        lit(Transforms.registry.size.toLong
+          + 3L /* parameterized factories */).as("n_transforms"))
+      .orderBy("o_orderkey")
+  }
+
+  val normTransformsOracle: String =
+    """WITH o AS (SELECT o_orderkey, o_orderstatus, o_orderpriority, o_orderdate,
+      |    'Clerk#' || lpad(CAST(o_custkey AS VARCHAR), 9, '0') AS clerk,
+      |    o_orderpriority || ' é  ' || o_orderstatus AS comment
+      |  FROM orders)
+      |SELECT o_orderkey,
+      |  regexp_replace(trim(lower(trim(concat('  ', o_orderstatus, '   x  y ')))), '\s+', ' ', 'g') AS status,
+      |  upper(regexp_replace(trim(regexp_replace(comment, '[^\x00-\x7F]', '', 'g')), '\s+', ' ', 'g')) AS comment,
+      |  CAST(o_orderdate AS DATE) AS odate,
+      |  CASE o_orderpriority WHEN '1-URGENT' THEN 'P1' WHEN '2-HIGH' THEN 'P2'
+      |    ELSE o_orderpriority END AS prio,
+      |  regexp_replace(clerk, '[^0-9]', '', 'g') AS clerk_digits,
+      |  CAST(regexp_replace(clerk, '[^0-9]', '', 'g') AS DOUBLE) AS clerk_num,
+      |  coalesce(nullif(o_orderpriority, '3-MEDIUM'), 'n/a') AS prio_filled,
+      |  CAST(10 AS BIGINT) AS n_transforms
+      |FROM o ORDER BY o_orderkey""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "norm_text" -> (normText _),
     "norm_headers" -> (normHeaders _),
@@ -714,7 +766,8 @@ object NormQueries {
     "norm_dataset" -> (normDataset _),
     "norm_country" -> (normCountry _),
     "norm_encoding" -> (normEncoding _),
-    "norm_quality_report" -> (normQualityReport _))
+    "norm_quality_report" -> (normQualityReport _),
+    "norm_transforms" -> (normTransforms _))
 
   def oracles: Map[String, String] = Map(
     "norm_text" -> normTextOracle,
@@ -739,5 +792,6 @@ object NormQueries {
     "norm_dataset" -> normDatasetOracle,
     "norm_country" -> normCountryOracle,
     "norm_encoding" -> normEncodingOracle,
-    "norm_quality_report" -> normQualityReportOracle)
+    "norm_quality_report" -> normQualityReportOracle,
+    "norm_transforms" -> normTransformsOracle)
 }

@@ -156,7 +156,11 @@ object Normalize {
     ("mg", "mass", 0.001), ("g", "mass", 1.0), ("kg", "mass", 1000.0), ("t", "mass", 1e6),
     ("mm", "length", 0.001), ("cm", "length", 0.01), ("m", "length", 1.0), ("km", "length", 1000.0),
     ("ms", "time", 0.001), ("s", "time", 1.0), ("min", "time", 60.0), ("h", "time", 3600.0),
-    ("b", "data", 1.0), ("kb", "data", 1024.0), ("mb", "data", 1048576.0), ("gb", "data", 1073741824.0))
+    ("b", "data", 1.0), ("kb", "data", 1024.0), ("mb", "data", 1048576.0), ("gb", "data", 1073741824.0),
+    // rules.py:121 parse_power_w / :147 parse_frequency_hz categories
+    ("w", "power", 1.0), ("kw", "power", 1000.0), ("mw", "power", 1e6),
+    ("hz", "frequency", 1.0), ("khz", "frequency", 1000.0),
+    ("mhz", "frequency", 1e6), ("ghz", "frequency", 1e9))
 
   /** General quantity parser: "12.5 kg" → value, unit, category and
     * base_value columns (broadcast registry join; unknown unit → NULLs).

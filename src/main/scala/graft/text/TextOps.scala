@@ -200,6 +200,39 @@ object TextOps {
       .drop("_thr")
   }
 
+  /** Corpus token statistics for mixture planning: per-(lang, source)
+    * stratum doc/token/char counts plus each stratum's token share and
+    * the cumulative share in descending-token order — the table a
+    * training-data pipeline reads to set sampling weights against a
+    * token budget. One aggregation over the corpus; the global windows
+    * run on the post-agg strata frame, whose row count is the number of
+    * distinct (lang, source) pairs — bounded and tiny at any corpus
+    * size. Shares are raw IEEE divisions of exact longs (bit-identical
+    * across engines).
+    */
+  def corpusStats(docs: DataFrame, lang: String, source: String, text: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val agg = docs
+      .select(col(lang).as("lang"), col(source).as("source"),
+        size(split(col(text), " ")).cast("long").as("_tok"),
+        length(col(text)).cast("long").as("_nc"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("_tok").as("n_tokens"),
+        sum("_nc").as("n_chars"))
+    val all = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = Window.partitionBy(lit(1))
+      .orderBy(col("n_tokens").desc, col("lang"), col("source"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    agg
+      .withColumn("token_share",
+        col("n_tokens").cast("double") / sum("n_tokens").over(all))
+      .withColumn("cum_token_share",
+        sum("n_tokens").over(cum).cast("double") / sum("n_tokens").over(all))
+      .orderBy(col("n_tokens").desc, col("lang"), col("source"))
+  }
+
   /** Winnowing fingerprints (#63, Schleimer et al.): char 5-gram rolling
     * hashes (md5-prefix), per-window (w=4) minima, distinct + sorted →
     * count and digest per document.

@@ -204,6 +204,26 @@ object TextQueries {
       |WHERE thr IS NOT NULL AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < thr
       |ORDER BY doc_id""".stripMargin
 
+  def textCorpusStats(s: SparkSession, dir: String): DataFrame =
+    TextOps.corpusStats(documents(s, dir), "lang", "source", "text")
+
+  val textCorpusStatsOracle: String =
+    """WITH b AS (SELECT lang, source,
+      |             CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+      |             CAST(length(text) AS BIGINT) AS nc
+      |           FROM documents),
+      |a AS (SELECT lang, source, count(*) AS n_docs,
+      |        CAST(sum(tok) AS BIGINT) AS n_tokens,
+      |        CAST(sum(nc) AS BIGINT) AS n_chars
+      |      FROM b GROUP BY lang, source)
+      |SELECT lang, source, n_docs, n_tokens, n_chars,
+      |  CAST(n_tokens AS DOUBLE) / (SELECT CAST(sum(n_tokens) AS BIGINT) FROM a) AS token_share,
+      |  CAST(CAST(sum(n_tokens) OVER (ORDER BY n_tokens DESC, lang, source
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS DOUBLE)
+      |    / (SELECT CAST(sum(n_tokens) AS BIGINT) FROM a) AS cum_token_share
+      |FROM a
+      |ORDER BY n_tokens DESC, lang, source""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_pii_scrub" -> (textPiiScrub _),
     "text_contamination" -> (textContamination _),
@@ -212,7 +232,8 @@ object TextQueries {
     "text_quality" -> (textQuality _),
     "text_tokens" -> (textTokens _),
     "text_fingerprint" -> (textFingerprint _),
-    "text_repetition" -> (textRepetition _)
+    "text_repetition" -> (textRepetition _),
+    "text_corpus_stats" -> (textCorpusStats _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -223,6 +244,7 @@ object TextQueries {
     "text_quality" -> textQualityOracle,
     "text_tokens" -> textTokensOracle,
     "text_fingerprint" -> textFingerprintOracle,
-    "text_repetition" -> textRepetitionOracle
+    "text_repetition" -> textRepetitionOracle,
+    "text_corpus_stats" -> textCorpusStatsOracle
   )
 }

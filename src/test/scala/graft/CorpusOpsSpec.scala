@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.fusion.SchemaAnalysis
+import graft.normalization.Transforms
+import graft.text.TextOps
+
+/** Round-5 additions: transform registry semantics, schema comparison
+  * on frames with known overlap/conflicts, corpus token statistics
+  * invariants, and canonical-doc near-dup clustering on planted dups.
+  */
+class CorpusOpsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("Transforms.chain folds left-to-right; unknown name fails fast") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq("  A  b  C ", "xéy").toDF("v")
+    val out = df.select(
+      Transforms.chain(Seq("strip", "lower", "normalize_whitespace"))(col("v")).as("a"),
+      Transforms.registry("drop_non_ascii")(col("v")).as("b"))
+      .collect()
+    assert(out(0).getString(0) == "a b c")
+    assert(out(1).getString(1) == "xy")
+    intercept[IllegalArgumentException] { Transforms.chain(Seq("nope")) }
+  }
+
+  test("Transforms factories: fill_na, replace, regex_replace, to_datetime") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(Some("keep"), None).toDF("v")
+    val filled = df.select(Transforms.fillNa("d")(col("v"))).as[String].collect()
+    assert(filled.toSet == Set("keep", "d"))
+    val rep = Seq("a", "b", "z").toDF("v")
+      .select(Transforms.replaceValues(Map("a" -> "1", "b" -> "2"))(col("v")))
+      .as[String].collect()
+    assert(rep.toSeq == Seq("1", "2", "z"))
+    val dt = Seq("2021-03-04", "2021-03-04 05:06:07", "garbage").toDF("v")
+      .select(Transforms.registry("to_datetime")(col("v")).cast("string"))
+      .as[String].collect()
+    assert(dt.toSeq == Seq("2021-03-04", "2021-03-04", null))
+  }
+
+  test("applyChains folds the whole strategy table into one projection") {
+    val df = graft.Tables.customer(spark, sf)
+    val out = Transforms.applyChains(df, Seq(
+      "c_name" -> Seq("strip", "lower", "normalize_whitespace"),
+      "c_mktsegment" -> Seq("lower")))
+    // one projection over the parquet scan: no exchange, no extra passes
+    assert(out.queryExecution.optimizedPlan.collect {
+      case p: org.apache.spark.sql.catalyst.plans.logical.Project => p
+    }.size == 1)
+    val r = out.select("c_name").limit(1).collect()(0).getString(0)
+    assert(r == r.trim.toLowerCase)
+  }
+
+  test("SchemaAnalysis: overlap matrix and type conflicts on known frames") {
+    val spark2 = spark
+    import spark2.implicits._
+    val a = Seq(("1", "x", "2020-01-02")).toDF("id", "name", "d")
+    val b = Seq(("1", "notnum")).toDF("id", "name")
+    val c = Seq(("zzz", "9")).toDF("other", "name")
+    val m = SchemaAnalysis.compareSchemas(Seq("A" -> a, "B" -> b, "C" -> c))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val ab = m(("A", "B"))
+    assert(ab.getLong(4) == 2)                        // id, name common
+    assert(ab.getDouble(5) == 2.0 / 3.0)              // |{id,name}| / |{id,name,d}|
+    assert(ab.getLong(6) == 0)                        // same classes
+    val ac = m(("A", "C"))
+    assert(ac.getLong(4) == 1 && ac.getLong(6) == 1)  // name: text vs numeric
+    val aa = m(("A", "A"))
+    assert(aa.getDouble(5) == 1.0 && aa.getLong(6) == 0)
+  }
+
+  test("SchemaAnalysis.columnClasses: empty/numeric/date/text classes") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(
+      ("1.5", "2020-01-02", "txt", Option.empty[String]),
+      ("-2", "2021-12-31 10:00:00", "9", Option.empty[String]))
+      .toDF("num", "dt", "mixed", "nul")
+    val cls = SchemaAnalysis.columnClasses(df)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(cls == Map("num" -> "numeric", "dt" -> "date",
+      "mixed" -> "text", "nul" -> "empty"))
+  }
+
+  test("corpusStats: shares sum to 1, cumulative is monotone to 1.0") {
+    val docs = graft.Tables.documents(spark, sf)
+    val rows = TextOps.corpusStats(docs, "lang", "source", "text").collect()
+    val shares = rows.map(_.getDouble(5))
+    assert(math.abs(shares.sum - 1.0) < 1e-9)
+    val cums = rows.map(_.getDouble(6))
+    assert(cums.zip(cums.tail).forall { case (x, y) => x <= y + 1e-12 })
+    assert(math.abs(cums.last - 1.0) < 1e-9)
+    // strata counts match a direct distinct count
+    assert(rows.length == docs.select("lang", "source").distinct().count())
+  }
+
+  test("dedupCluster: planted near-dup chain collapses to one canonical") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 3 mutually-similar docs (one word swapped), 2 unrelated docs
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, base),
+      (2L, base.replace("w7", "q7")),
+      (3L, base.replace("w31", "q31")),
+      (10L, (100 to 140).map(i => s"z$i").mkString(" ")),
+      (11L, (200 to 240).map(i => s"y$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val pairs = graft.dedup.Dedup.minhashLsh(docs, "doc_id", "text",
+      n = 3, bands = 4, rows = 3, threshold = 0.8)
+    val comp = graft.clustering.Clusterers.connectedComponents(
+      pairs.select("id1", "id2"))
+    val canon = docs.select("doc_id")
+      .join(comp, docs("doc_id") === comp("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster"), col("doc_id")).as("canonical_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(canon(1L) == 1L && canon(2L) == 1L && canon(3L) == 1L)
+    assert(canon(10L) == 10L && canon(11L) == 11L)
+  }
+}
