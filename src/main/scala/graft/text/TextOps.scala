@@ -233,6 +233,56 @@ object TextOps {
       .orderBy(col("n_tokens").desc, col("lang"), col("source"))
   }
 
+  /** Token-budget selection: keep the highest-scoring documents whose
+    * running token total stays within `budget` — the "fill the training
+    * mix up to N tokens, best docs first" primitive.
+    *
+    * The naive form is a cumulative sum over a GLOBAL window, which
+    * funnels the whole corpus through one task (the profile_topk
+    * scale-killer shape). This computes the same prefix sum
+    * distributed: (1) range-repartition + sort by (score desc, id) —
+    * Spark's sampled range exchange, no single-task stage; (2) one
+    * small pass collects per-partition token totals (bounded by the
+    * partition count) and prefix-scans them on the driver; (3) each
+    * partition streams its rows adding its broadcast offset. Total is
+    * exact longs, so the result is bit-identical under any partition
+    * count (the invariance gate checks 3 vs 7).
+    */
+  def budgetSelect(docs: DataFrame, id: String, scoreCol: Column,
+      tokensCol: Column, budget: Long): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sorted = docs
+      .select(col(id).cast("long").as("_id"),
+        scoreCol.cast("long").as("_score"), tokensCol.cast("long").as("_tok"))
+      .repartitionByRange(col("_score").desc, col("_id"))
+      .sortWithinPartitions(col("_score").desc, col("_id"))
+      .as[(Long, Long, Long)].rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val sums = sorted
+        .mapPartitionsWithIndex { (i, it) =>
+          var s = 0L; it.foreach(s += _._3); Iterator((i, s))
+        }
+        .collect().sortBy(_._1).map(_._2)
+      val offsets = sums.scanLeft(0L)(_ + _) // offsets(i) = tokens before partition i
+      val bc = spark.sparkContext.broadcast(offsets)
+      val kept = sorted.mapPartitionsWithIndex { (i, it) =>
+        // whole partition over budget → nothing to emit
+        if (bc.value(i) >= budget) Iterator.empty
+        else {
+          var run = bc.value(i)
+          it.flatMap { case (d, sc, tk) =>
+            run += tk
+            if (run <= budget) Iterator.single((d, sc, tk, run)) else Iterator.empty
+          }
+        }
+      }
+      val out = kept.toDF(id, "quality_bp", "n_tokens", "cum_tokens")
+      out.localCheckpoint(true)
+    } finally sorted.unpersist(false)
+  }
+
   /** Winnowing fingerprints (#63, Schleimer et al.): char 5-gram rolling
     * hashes (md5-prefix), per-window (w=4) minima, distinct + sorted →
     * count and digest per document.

@@ -224,6 +224,35 @@ object TextQueries {
       |FROM a
       |ORDER BY n_tokens DESC, lang, source""".stripMargin
 
+  /** Fill a 15k-token budget with the best-quality docs first. */
+  def textBudgetSelect(s: SparkSession, dir: String): DataFrame =
+    TextOps.budgetSelect(
+      TextOps.quality(documents(s, dir), "doc_id", "text"),
+      "doc_id", col("quality_bp"), col("n_words"), 15000L)
+      .orderBy("cum_tokens")
+
+  val textBudgetSelectOracle: String = {
+    val en = TextOps.LangProfiles.toMap.apply("en").map(w => s"'$w'").mkString(", ")
+    """WITH t AS (SELECT doc_id, lower(text) AS t, string_split(lower(text), ' ') AS toks
+      |           FROM documents),
+      |b AS (SELECT doc_id,
+      |  CAST(len(toks) AS BIGINT) AS nw,
+      |  CAST(length(t) AS BIGINT) AS nc,
+      |  CAST(length(regexp_replace(t, '[a-z0-9 ]', '', 'g')) AS BIGINT) AS np,
+      |  CAST(len(list_filter(toks, x -> list_contains([__EN__], x))) AS BIGINT) AS nstop
+      |FROM t),
+      |q AS (SELECT doc_id, nw AS n_tokens,
+      |  least(nw, 50) * 8 + (nc - np) * 300 // nc + nstop * 300 // nw AS quality_bp
+      |FROM b),
+      |c AS (SELECT doc_id, quality_bp, n_tokens,
+      |  CAST(sum(n_tokens) OVER (ORDER BY quality_bp DESC, doc_id
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+      |FROM q)
+      |SELECT doc_id, quality_bp, n_tokens, cum_tokens
+      |FROM c WHERE cum_tokens <= 15000
+      |ORDER BY cum_tokens""".stripMargin.replace("__EN__", en)
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_pii_scrub" -> (textPiiScrub _),
     "text_contamination" -> (textContamination _),
@@ -233,7 +262,8 @@ object TextQueries {
     "text_tokens" -> (textTokens _),
     "text_fingerprint" -> (textFingerprint _),
     "text_repetition" -> (textRepetition _),
-    "text_corpus_stats" -> (textCorpusStats _)
+    "text_corpus_stats" -> (textCorpusStats _),
+    "text_budget_select" -> (textBudgetSelect _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -245,6 +275,7 @@ object TextQueries {
     "text_tokens" -> textTokensOracle,
     "text_fingerprint" -> textFingerprintOracle,
     "text_repetition" -> textRepetitionOracle,
-    "text_corpus_stats" -> textCorpusStatsOracle
+    "text_corpus_stats" -> textCorpusStatsOracle,
+    "text_budget_select" -> textBudgetSelectOracle
   )
 }

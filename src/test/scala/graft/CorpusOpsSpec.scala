@@ -98,6 +98,30 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(rows.length == docs.select("lang", "source").distinct().count())
   }
 
+  test("budgetSelect: straddling doc excluded, order by score desc, exact prefix") {
+    val spark2 = spark
+    import spark2.implicits._
+    // (id, score, tokens): budget 100 → ids 5 (40), 3 (30), 7 (30) fill
+    // it exactly; next-best id 1 (score 70) would straddle → excluded,
+    // and so is everything after.
+    val df = Seq(
+      (1L, 70L, 50L), (3L, 90L, 30L), (5L, 95L, 40L),
+      (7L, 80L, 30L), (9L, 60L, 10L))
+      .toDF("doc_id", "score", "tokens")
+    val out = TextOps.budgetSelect(df, "doc_id", col("score"), col("tokens"), 100L)
+      .orderBy("cum_tokens")
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    assert(out.toSeq == Seq((5L, 40L), (3L, 70L), (7L, 100L)))
+    // stability under a different partitioning
+    val out7 = TextOps.budgetSelect(df.repartition(7), "doc_id",
+      col("score"), col("tokens"), 100L)
+      .orderBy("cum_tokens").collect().map(r => (r.getLong(0), r.getLong(3)))
+    assert(out7.toSeq == out.toSeq)
+    // budget larger than the corpus keeps everything
+    assert(TextOps.budgetSelect(df, "doc_id", col("score"), col("tokens"), 1000L)
+      .count() == 5)
+  }
+
   test("dedupCluster: planted near-dup chain collapses to one canonical") {
     val spark2 = spark
     import spark2.implicits._
