@@ -50,9 +50,12 @@ object SchemaAnalysis {
 
   /** Full pairwise comparison over named frames. */
   def compareSchemas(frames: Seq[(String, DataFrame)]): DataFrame = {
+    // Materialize once: the frame is tiny (one row per column) but is
+    // consumed by three joins below — without a boundary every branch
+    // re-runs the per-frame aggregation scans (6+ full scans at scale).
     val cols = frames.map { case (n, df) =>
       columnClasses(df).withColumn("source", lit(n))
-    }.reduce(_.unionByName(_))
+    }.reduce(_.unionByName(_)).localCheckpoint(true)
     val perSrc = cols.groupBy("source").agg(count(lit(1)).as("n_cols"))
     val x = cols.select(col("source").as("name1"),
       col("column_name").as("c"), col("type_class").as("t1"))
