@@ -15,9 +15,12 @@ class BucketingSpec extends AnyFunSuite {
   private def shuffles(df: org.apache.spark.sql.DataFrame): Int = {
     df.collect() // materialize so AQE finalizes the plan
     // The final adaptive plan nests exchanges inside query stages whose
-    // `children` is empty — the rendered tree is the reliable view.
-    "ShuffleQueryStage|Exchange hashpartitioning".r
-      .findAllIn(df.queryExecution.executedPlan.toString).size
+    // `children` is empty — the rendered tree is the reliable view. The
+    // rendering appends an "== Initial Plan ==" section that would
+    // double-count, so only the final section is scanned.
+    val plan = df.queryExecution.executedPlan.toString
+    val finalOnly = plan.split("== Initial Plan ==")(0)
+    "ShuffleQueryStage".r.findAllIn(finalOnly).size
   }
 
   test("bucketed equi-join runs with zero shuffle exchanges") {
@@ -47,6 +50,47 @@ class BucketingSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
       spark.sql("DROP TABLE IF EXISTS b_cust")
       spark.sql("DROP TABLE IF EXISTS b_ord")
+    }
+  }
+
+  test("incremental exact dedup: new batch joins the bucketed digest index without shuffling it") {
+    // The recurring-ingestion shape: the corpus digest index is written
+    // bucketed ONCE; each day's batch bucket-joins against it — the
+    // 100 TB index side never re-shuffles, only the new batch hashes
+    // into the index's bucketing.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val docs = Tables.documents(spark, sf)
+      val digest = sha2(array_join(array_sort(array_distinct(
+        split(lower(col("text")), " "))), " "), 256)
+      val existing = docs.filter(col("doc_id") % 3 =!= 0)
+        .select(col("doc_id"), digest.as("digest"))
+        .groupBy("digest").agg(min("doc_id").as("dup_of"))
+      Bucketing.saveBucketed(existing, "b_digest_idx", "digest", 4)
+
+      val batch = docs.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), digest.as("digest"))
+      val flagged = batch
+        .join(spark.table("b_digest_idx"), Seq("digest"), "left")
+        .select(col("doc_id"), col("dup_of"),
+          col("dup_of").isNotNull.as("is_dup"))
+      flagged.collect()
+      // exactly ONE shuffle: the batch side repartitioning into the
+      // index's bucketing; the index itself reads in place.
+      val plan = flagged.queryExecution.executedPlan.toString
+      assert(shuffles(flagged) <= 1)
+      // the index scan itself must be the bucketed, in-place read
+      assert(plan.contains("Bucketed: true"))
+      // correctness vs a direct anti-join-free computation
+      val expect = docs.filter(col("doc_id") % 3 === 0).count()
+      assert(flagged.count() == expect)
+      val dups = flagged.filter(col("is_dup")).count()
+      val truth = batch.join(existing, Seq("digest")).count()
+      assert(dups == truth)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS b_digest_idx")
     }
   }
 
