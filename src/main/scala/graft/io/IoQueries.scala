@@ -88,7 +88,48 @@ object IoQueries {
       |       trim(substr(line, 37, 12)) AS segment
       |FROM t ORDER BY custkey, name""".stripMargin
 
+  /** Round-trip: per-nation HTML tables built deterministically from
+    * customer (header row + sorted data rows), parsed back by the
+    * regex table reader.
+    */
+  def ioHtml(s: SparkSession, dir: String): DataFrame = {
+    val docs = customer(s, dir)
+      .select(col("c_nationkey"),
+        concat(lit("<tr><td> "), col("c_name"), lit(" </td><td>"),
+          col("c_custkey").cast("string"), lit("</td></tr>")).as("_tr"))
+      .groupBy("c_nationkey")
+      .agg(concat(lit("<table><tr><th>name</th><th>id</th></tr>"),
+        array_join(array_sort(collect_list(col("_tr"))), ""),
+        lit("</table>")).as("html"))
+    Loaders.parseHtmlTable(docs, "html")
+      .select(col("c_nationkey"), col("row_idx").cast("long").as("row_idx"),
+        element_at(col("cells"), 1).as("name"),
+        element_at(col("cells"), 2).as("id"))
+      .orderBy("c_nationkey", "row_idx")
+  }
+
+  val ioHtmlOracle: String =
+    """WITH tr AS (SELECT c_nationkey,
+      |    '<tr><td> ' || c_name || ' </td><td>' || CAST(c_custkey AS VARCHAR)
+      |      || '</td></tr>' AS tr
+      |  FROM customer),
+      |doc AS (SELECT c_nationkey,
+      |    '<table><tr><th>name</th><th>id</th></tr>'
+      |      || array_to_string(list_sort(list(tr)), '') || '</table>' AS html
+      |  FROM tr GROUP BY c_nationkey),
+      |ex AS (SELECT c_nationkey,
+      |    unnest(regexp_extract_all(html, '(?s)<tr[^>]*>(.*?)</tr>', 1)) AS row_html,
+      |    generate_subscripts(regexp_extract_all(html, '(?s)<tr[^>]*>(.*?)</tr>', 1), 1) AS rix
+      |  FROM doc),
+      |cells AS (SELECT c_nationkey, CAST(rix - 1 AS BIGINT) AS row_idx,
+      |    [trim(regexp_replace(x, '<[^>]*>', '', 'g'))
+      |     for x in regexp_extract_all(row_html, '(?s)<t[dh][^>]*>(.*?)</t[dh]>', 1)] AS cs
+      |  FROM ex)
+      |SELECT c_nationkey, row_idx, cs[1] AS name, cs[2] AS id
+      |FROM cells ORDER BY c_nationkey, row_idx""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "io_html" -> (ioHtml _),
     "io_fwf" -> (ioFwf _),
     "io_load_parquet" -> (ioLoadParquet _),
     "io_provenance" -> (ioProvenance _),
@@ -97,6 +138,7 @@ object IoQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "io_html" -> ioHtmlOracle,
     "io_fwf" -> ioFwfOracle,
     "io_load_parquet" -> ioLoadParquetOracle,
     "io_provenance" -> ioProvenanceOracle,

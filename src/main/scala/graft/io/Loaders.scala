@@ -78,4 +78,27 @@ object Loaders {
   def loadFwf(spark: SparkSession, path: String,
       specs: Seq[(String, Int, Int)]): DataFrame =
     parseFwf(spark.read.text(path), "value", specs)
+
+  /** HTML-table parsing (load_html, io/__init__ export): each input row
+    * holds one HTML document; emits (input cols, row_idx, cells) — one
+    * output row per <tr>, cells as trimmed tag-stripped strings from
+    * its <td>/<th> elements. Regex-based over well-formed tables (the
+    * reference delegates to lxml, absent in a zero-egress build —
+    * documented simplification); all work is codegen'd projections +
+    * one posexplode, scan-shaped. Combine with
+    * `Normalize.webTableNormalize` for entity/null handling.
+    */
+  def parseHtmlTable(df: DataFrame, htmlCol: String): DataFrame =
+    df.select(col("*"),
+        posexplode(expr(
+          s"regexp_extract_all(`$htmlCol`, '(?s)<tr[^>]*>(.*?)</tr>', 1)"))
+          .as(Seq("row_idx", "_row_html")))
+      .withColumn("cells", expr(
+        "transform(regexp_extract_all(_row_html, '(?s)<t[dh][^>]*>(.*?)</t[dh]>', 1), " +
+          "c -> trim(regexp_replace(c, '<[^>]*>', '')))"))
+      .drop("_row_html")
+
+  /** load_html for files: one document per file (wholetext). */
+  def loadHtml(spark: SparkSession, path: String): DataFrame =
+    parseHtmlTable(spark.read.option("wholetext", "true").text(path), "value")
 }

@@ -122,6 +122,26 @@ class CorpusOpsSpec extends AnyFunSuite {
       .count() == 5)
   }
 
+  test("parseHtmlTable: attributes, nested tags, ragged rows, file load") {
+    val spark2 = spark
+    import spark2.implicits._
+    val html =
+      """<table class="t"><tr><th>a</th><th>b</th></tr>
+        |<tr class="odd"><td> x <b>bold</b> </td><td>1</td></tr>
+        |<tr><td>y</td></tr></table>""".stripMargin
+    val out = graft.io.Loaders.parseHtmlTable(Seq(html).toDF("html"), "html")
+      .orderBy("row_idx")
+      .collect().map(r => r.getSeq[String](r.fieldIndex("cells")).toList)
+    assert(out.toList == List(List("a", "b"), List("x bold", "1"), List("y")))
+
+    val f = java.nio.file.Files.createTempDirectory("html").resolve("t.html")
+    java.nio.file.Files.writeString(f, html)
+    val loaded = graft.io.Loaders.loadHtml(spark, f.toString)
+    assert(loaded.count() == 3)
+    assert(loaded.filter(col("row_idx") === 1)
+      .select(element_at(col("cells"), 2)).collect()(0).getString(0) == "1")
+  }
+
   test("dedupCluster: planted near-dup chain collapses to one canonical") {
     val spark2 = spark
     import spark2.implicits._
