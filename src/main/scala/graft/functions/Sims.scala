@@ -169,4 +169,25 @@ object sims {
   /** 1 - |days(l)-days(r)|/maxDays, floored at 0. */
   def dateSim(l: Column, r: Column, maxDays: Double): Column =
     greatest(lit(0.0), lit(1.0) - abs(datediff(l, r)).cast("double") / lit(maxDays))
+
+  /** date_within_years (utils/__init__.py:71): binary — 1.0 iff both
+    * dates parse and |days|/365.25 ≤ years (the reference's exact
+    * divisor), else 0.0.
+    */
+  def dateWithinYears(l: Column, r: Column, years: Int): Column =
+    when(l.isNull || r.isNull, 0.0)
+      .otherwise(when(abs(datediff(l, r)).cast("double") / lit(365.25) <= lit(years.toDouble),
+        1.0).otherwise(0.0))
+
+  /** Tokenset Jaccard comparator (utils/__init__.py:45): \w+ tokens of
+    * the lowercased values as SETS; both-empty → 1.0 (the reference's
+    * convention).
+    */
+  def tokensetJaccard(l: Column, r: Column): Column = {
+    def toks(c: Column) = array_distinct(regexp_extract_all(lower(c), lit("\\w+"), lit(0)))
+    val (ta, tb) = (toks(l), toks(r))
+    when(size(ta) === 0 && size(tb) === 0, 1.0)
+      .otherwise(size(array_intersect(ta, tb)).cast("double") /
+        size(array_union(ta, tb)))
+  }
 }

@@ -82,6 +82,50 @@ object MatchQueries {
       |FROM pr
       |ORDER BY id1""".stripMargin
 
+  /** utils/__init__ comparator factories over adjacent order pairs:
+    * tokenset jaccard (:45), date_within_years (:71), and
+    * remove_punctuation (:116). lowercase/strip live in the Transforms
+    * registry; `coerce` is engine-typed casting (Column.cast).
+    */
+  def simUtils(s: SparkSession, dir: String): DataFrame = {
+    val o = orders(s, dir).select(col("o_orderkey").as("id"),
+      col("o_orderpriority").as("prio"), col("o_orderstatus").as("st"),
+      col("o_orderdate").as("d"))
+    val a = o.select(col("id").as("id1"), col("prio").as("prioa"), col("d").as("da"))
+    val b = o.select(col("id").as("id2"), col("prio").as("priob"),
+      col("st").as("stb"), col("d").as("db"))
+    a.join(b, col("id2") === col("id1") + 1)
+      .select(
+        col("id1"), col("id2"),
+        round(sims.tokensetJaccard(col("prioa"), col("priob")), 5).as("tok_jaccard"),
+        sims.dateWithinYears(col("da"), col("db"), 1).as("within_1y"),
+        graft.normalization.Normalize.removePunctuation(
+          concat(col("prioa"), lit("?!"), col("stb"))).as("depunct"))
+      .orderBy("id1")
+  }
+
+  val simUtilsOracle: String =
+    """WITH o AS (SELECT o_orderkey AS id, o_orderpriority AS prio,
+      |             o_orderstatus AS st, o_orderdate AS d FROM orders),
+      |pr AS (SELECT a.id AS id1, b.id AS id2, a.prio AS prioa, b.prio AS priob,
+      |              b.st AS stb, a.d AS da, b.d AS db
+      |       FROM o a JOIN o b ON b.id = a.id + 1),
+      |tk AS (SELECT *,
+      |         list_distinct(regexp_extract_all(lower(prioa), '\w+')) AS ta,
+      |         list_distinct(regexp_extract_all(lower(priob), '\w+')) AS tb
+      |       FROM pr)
+      |SELECT id1, id2,
+      |  round(CASE WHEN len(ta) = 0 AND len(tb) = 0 THEN 1.0
+      |        ELSE CAST(len(list_intersect(ta, tb)) AS DOUBLE)
+      |             / len(list_distinct(ta || tb)) END, 5) AS tok_jaccard,
+      |  CASE WHEN da IS NULL OR db IS NULL THEN 0.0
+      |       WHEN CAST(abs(date_diff('day', CAST(db AS DATE), CAST(da AS DATE))) AS DOUBLE)
+      |            / 365.25 <= 1.0 THEN 1.0 ELSE 0.0 END AS within_1y,
+      |  translate(prioa || '?!' || stb,
+      |            '!"#$%&''()*+,-./:;<=>?@[\]^_`{|}~', '') AS depunct
+      |FROM tk
+      |ORDER BY id1""".stripMargin
+
   /** RuleBasedMatcher over the standard-blocked EmScenario candidates:
     * 0.6·jw(name) + 0.2·exact(seg) + 0.2·absSim(bal, 1000) ≥ 0.97.
     */
@@ -417,6 +461,7 @@ object MatchQueries {
     "sim_positional" -> (simPositional _),
     "sim_token" -> (simToken _),
     "sim_numeric_date" -> (simNumericDate _),
+    "sim_utils" -> (simUtils _),
     "sim_ngram" -> (simNgram _),
     "sim_registry" -> (simRegistry _),
     "match_rule" -> (matchRule _),
@@ -470,6 +515,7 @@ object MatchQueries {
     "sim_positional" -> simPositionalOracle,
     "sim_token" -> simTokenOracle,
     "sim_numeric_date" -> simNumericDateOracle,
+    "sim_utils" -> simUtilsOracle,
     "sim_ngram" -> simNgramOracle,
     "match_rule" -> matchRuleSql,
     "match_eval" -> matchEvalOracle,

@@ -356,6 +356,12 @@ object Normalize {
     (regexp_extract(trim(c), "^(-?\\d+(?:\\.\\d+)?)\\s*%$", 1).cast("double") / 100.0)
 
   /** normalize_whitespace (:330). */
+  /** remove_punctuation (utils/__init__.py:116): translate out the ASCII
+    * string.punctuation set, nothing else (no space insertion).
+    */
+  val PunctChars: String = """!"#$%&'()*+,-./:;<=>?@[\]^_`{|}~"""
+  def removePunctuation(c: Column): Column = translate(c, PunctChars, "")
+
   def normalizeWhitespace(c: Column): Column =
     trim(regexp_replace(c, "\\s+", " "))
 
