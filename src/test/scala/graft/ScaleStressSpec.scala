@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.clustering.Clusterers
 
@@ -42,6 +43,40 @@ class ScaleStressSpec extends AnyFunSuite {
     val labels = Clusterers.connectedComponents(star.union(tail).union(bridge))
     assert(labels.select("cluster").distinct().count() == 1)
     assert(labels.count() == n + 1001)
+  }
+
+  test("salted standard blocker: identical pairs on a hot key, spread over salt reducers") {
+    val spark2 = spark
+    import spark2.implicits._
+    // one hot block key holding 20k left rows (the straggler shape) +
+    // a small right side — exactly the case standardSalted is for.
+    val l = spark.range(20000).selectExpr("id", "'hot' AS k")
+      .union(spark.range(500).selectExpr("id + 100000 AS id", "concat('k', id) AS k"))
+    val r = spark.range(50).selectExpr("id + 500000 AS id", "'hot' AS k")
+      .union(spark.range(500).selectExpr("id + 600000 AS id", "concat('k', id) AS k"))
+    val plain = graft.blocking.Blockers.standard(l.toDF(), r.toDF(), Seq("k"), "id")
+    val salted = graft.blocking.Blockers.standardSalted(l.toDF(), r.toDF(), Seq("k"), "id", 8)
+    assert(salted.count() == plain.count())
+    val h1 = plain.agg(expr("bit_xor(xxhash64(id1, id2))")).collect()(0).getLong(0)
+    val h2 = salted.agg(expr("bit_xor(xxhash64(id1, id2))")).collect()(0).getLong(0)
+    assert(h1 == h2, "salting must not change the candidate set")
+    // the hot key really is spread: left rows hash across all 8 salts
+    val spread = l.toDF().filter(col("k") === "hot")
+      .select(pmod(xxhash64(col("id")), lit(8L))).distinct().count()
+    assert(spread == 8)
+  }
+
+  test("fusion voting survives one giant cluster (hot-cluster two-stage aggregate)") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 200k records in cluster 0 (60% 'A', 40% 'B') + 1k singleton clusters
+    val big = spark.range(200000).selectExpr("CAST(0 AS BIGINT) AS cluster",
+      "CASE WHEN id % 5 < 3 THEN 'A' ELSE 'B' END AS v")
+    val small = spark.range(1000).selectExpr("id + 1 AS cluster", "'C' AS v")
+    val out = graft.fusion.Fusion.voting(big.union(small).toDF(), "cluster", "v")
+    assert(out.count() == 1001)
+    val winner = out.filter(col("cluster") === 0).select("v").collect()(0).getString(0)
+    assert(winner == "A")
   }
 
   test("token blocker cap keeps a pathological stop-word key sub-quadratic") {
