@@ -457,8 +457,12 @@ object FuseQueries {
       val aggs = cols.map(cc =>
         s"count($cc) AS n_$cc, " +
           s"sum(CASE WHEN try_cast($cc AS DOUBLE) IS NOT NULL THEN 1 ELSE 0 END) AS num_$cc, " +
-          s"sum(CASE WHEN coalesce(try_strptime($cc, '%Y-%m-%d'), " +
-          s"try_strptime($cc, '%Y-%m-%d %H:%M:%S')) IS NOT NULL THEN 1 ELSE 0 END) AS dt_$cc")
+          // same rlike fast-path as the Spark side (exact parity)
+          s"sum(CASE WHEN CASE WHEN regexp_matches($cc, '^\\d{4}-\\d{2}-\\d{2}$$') " +
+          s"THEN try_strptime($cc, '%Y-%m-%d') " +
+          s"WHEN regexp_matches($cc, '^\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2}$$') " +
+          s"THEN try_strptime($cc, '%Y-%m-%d %H:%M:%S') ELSE NULL END " +
+          s"IS NOT NULL THEN 1 ELSE 0 END) AS dt_$cc")
         .mkString(",\n    ")
       s"agg_$f AS (SELECT $aggs FROM f_$f)"
     }

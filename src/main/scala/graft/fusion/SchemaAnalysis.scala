@@ -30,13 +30,21 @@ object SchemaAnalysis {
   def columnClasses(df: DataFrame): DataFrame = {
     val cols = df.columns.toSeq
     val aggs = cols.flatMap { c =>
+      // rlike fast-path: try_to_timestamp is an order of magnitude more
+      // expensive than a regex reject, and most values in most columns
+      // are not dates — only shape-plausible strings reach the parser.
+      // The oracle applies the identical guard, so parity is exact.
+      val s = col(c).cast("string")
+      val dateLike =
+        when(s.rlike("^\\d{4}-\\d{2}-\\d{2}$"),
+          try_to_timestamp(s, lit("yyyy-MM-dd")))
+        .when(s.rlike("^\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2}$"),
+          try_to_timestamp(s, lit("yyyy-MM-dd HH:mm:ss")))
+        .otherwise(lit(null))
       Seq(
         count(col(c)).as(s"n_$c"),
         sum(expr(s"try_cast(`$c` AS DOUBLE)").isNotNull.cast("long")).as(s"num_$c"),
-        sum(coalesce(
-            try_to_timestamp(col(c).cast("string"), lit("yyyy-MM-dd")),
-            try_to_timestamp(col(c).cast("string"), lit("yyyy-MM-dd HH:mm:ss")))
-          .isNotNull.cast("long")).as(s"dt_$c"))
+        sum(dateLike.isNotNull.cast("long")).as(s"dt_$c"))
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
     val structs = cols.map { c =>
