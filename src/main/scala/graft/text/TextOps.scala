@@ -283,6 +283,58 @@ object TextOps {
     } finally sorted.unpersist(false)
   }
 
+  /** Sliding-window document chunking: split each document's word
+    * sequence into fixed-size token windows with overlap (the
+    * context-window packing step before tokenization). Chunk i covers
+    * words [i·stride, i·stride + chunkTokens); the tail chunk may be
+    * shorter. Pure per-row HOF over the pre-projected word array —
+    * scan-shaped, zero shuffle.
+    */
+  def chunk(docs: DataFrame, id: String, text: String,
+      chunkTokens: Int = 64, overlap: Int = 16): DataFrame = {
+    require(overlap < chunkTokens, "overlap must be < chunkTokens")
+    val stride = chunkTokens - overlap
+    docs.select(col(id), split(col(text), " ").as("_w"))
+      .withColumn("_n",
+        greatest(ceil(size(col("_w")).cast("double") / stride), lit(1)).cast("int"))
+      .select(col(id),
+        posexplode(expr(s"transform(sequence(0, _n - 1), i -> slice(_w, i * $stride + 1, $chunkTokens))"))
+          .as(Seq("chunk_idx", "_cw")))
+      .select(col(id), col("chunk_idx").cast("long").as("chunk_idx"),
+        array_join(col("_cw"), " ").as("chunk_text"),
+        size(col("_cw")).cast("long").as("n_tokens"))
+  }
+
+  /** Top-k corpus vocabulary with coverage: word counts, frequency
+    * rank (count desc, word asc), per-word share and cumulative
+    * coverage share — the table a tokenizer-training / OOV analysis
+    * reads. One shuffle for the counts; the global top-k is Spark's
+    * TakeOrdered (per-partition heaps, no full sort); rank/cum windows
+    * run on the k-row result only. The counts frame is persisted so
+    * the total and the top-k don't re-scan the corpus.
+    */
+  def vocab(docs: DataFrame, text: String, k: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs
+      .select(explode(split(lower(col(text)), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val tot = counts.agg(sum("cnt").cast("long").as("_t"))
+      val topk = counts.orderBy(col("cnt").desc, col("word")).limit(k)
+      val ord = Window.orderBy(col("cnt").desc, col("word"))
+      val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val out = topk
+        .withColumn("rank", row_number().over(ord).cast("long"))
+        .crossJoin(broadcast(tot))
+        .select(col("word"), col("cnt"), col("rank"),
+          (col("cnt").cast("double") / col("_t")).as("share"),
+          (sum("cnt").over(cum).cast("double") / col("_t")).as("cum_share"))
+        .orderBy("rank")
+      out.localCheckpoint(true)
+    } finally counts.unpersist(false)
+  }
+
   /** Winnowing fingerprints (#63, Schleimer et al.): char 5-gram rolling
     * hashes (md5-prefix), per-window (w=4) minima, distinct + sorted →
     * count and digest per document.

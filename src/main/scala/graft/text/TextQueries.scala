@@ -253,6 +253,43 @@ object TextQueries {
       |ORDER BY cum_tokens""".stripMargin.replace("__EN__", en)
   }
 
+  /** 64-token chunks with 16-token overlap (stride 48). */
+  def textChunk(s: SparkSession, dir: String): DataFrame =
+    TextOps.chunk(documents(s, dir), "doc_id", "text", 64, 16)
+      .orderBy("doc_id", "chunk_idx")
+
+  val textChunkOracle: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |n AS (SELECT doc_id, w,
+      |        greatest(CAST(ceil(CAST(len(w) AS DOUBLE) / 48) AS INT), 1) AS nch
+      |      FROM t),
+      |e AS (SELECT doc_id,
+      |        unnest([{'i': i, 's': w[i*48+1 : i*48+64]}
+      |                for i in range(0, nch)], recursive := true)
+      |      FROM n)
+      |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+      |       array_to_string(s, ' ') AS chunk_text,
+      |       CAST(len(s) AS BIGINT) AS n_tokens
+      |FROM e ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** Top-1000 vocabulary with cumulative coverage. */
+  def textVocab(s: SparkSession, dir: String): DataFrame =
+    TextOps.vocab(documents(s, dir), "text", 1000)
+
+  val textVocabOracle: String =
+    """WITH w AS (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents),
+      |c AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM w GROUP BY word),
+      |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM c),
+      |k AS (SELECT word, cnt,
+      |        CAST(row_number() OVER (ORDER BY cnt DESC, word) AS BIGINT) AS rank
+      |      FROM c ORDER BY cnt DESC, word LIMIT 1000)
+      |SELECT word, cnt, rank,
+      |  CAST(cnt AS DOUBLE) / t.t AS share,
+      |  CAST(CAST(sum(cnt) OVER (ORDER BY rank
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS DOUBLE)
+      |    / t.t AS cum_share
+      |FROM k, tot t ORDER BY rank""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_pii_scrub" -> (textPiiScrub _),
     "text_contamination" -> (textContamination _),
@@ -263,7 +300,9 @@ object TextQueries {
     "text_fingerprint" -> (textFingerprint _),
     "text_repetition" -> (textRepetition _),
     "text_corpus_stats" -> (textCorpusStats _),
-    "text_budget_select" -> (textBudgetSelect _)
+    "text_budget_select" -> (textBudgetSelect _),
+    "text_chunk" -> (textChunk _),
+    "text_vocab" -> (textVocab _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -276,6 +315,8 @@ object TextQueries {
     "text_fingerprint" -> textFingerprintOracle,
     "text_repetition" -> textRepetitionOracle,
     "text_corpus_stats" -> textCorpusStatsOracle,
-    "text_budget_select" -> textBudgetSelectOracle
+    "text_budget_select" -> textBudgetSelectOracle,
+    "text_chunk" -> textChunkOracle,
+    "text_vocab" -> textVocabOracle
   )
 }

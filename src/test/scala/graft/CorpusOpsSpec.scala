@@ -142,6 +142,40 @@ class CorpusOpsSpec extends AnyFunSuite {
       .select(element_at(col("cells"), 2)).collect()(0).getString(0) == "1")
   }
 
+  test("chunk: overlap windows, ragged tail, short-doc single chunk") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq(
+      (1L, (1 to 10).map("w" + _).mkString(" ")), // 10 words
+      (2L, "a b")) // shorter than one chunk
+      .toDF("doc_id", "text")
+    val out = TextOps.chunk(docs, "doc_id", "text", chunkTokens = 4, overlap = 2)
+      .orderBy("doc_id", "chunk_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val d1 = out.filter(_._1 == 1L)
+    // stride 2: starts at w1, w3, w5, w7, w9 → 5 chunks, tail has 2 words
+    assert(d1.length == 5)
+    assert(d1(0)._3 == "w1 w2 w3 w4" && d1(1)._3 == "w3 w4 w5 w6")
+    assert(d1(4)._3 == "w9 w10" && d1(4)._4 == 2L)
+    // consecutive chunks overlap by exactly `overlap` words
+    assert(d1(0)._3.split(" ").takeRight(2).toSeq == d1(1)._3.split(" ").take(2).toSeq)
+    val d2 = out.filter(_._1 == 2L)
+    assert(d2.length == 1 && d2(0)._3 == "a b")
+  }
+
+  test("vocab: ranks, shares and cumulative coverage are exact") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq("x x x y y z", "x y q").toDF("text")
+    val v = TextOps.vocab(docs, "text", 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    // counts: x=4, y=3, z=1, q=1 (total 9); top-3 tie z/q broken by word
+    assert(v.map(t => (t._1, t._2, t._3)).toSeq ==
+      Seq(("x", 4L, 1L), ("y", 3L, 2L), ("q", 1L, 3L)))
+    assert(v(0)._4 == 4.0 / 9 && v(1)._5 == 7.0 / 9 && v(2)._5 == 8.0 / 9)
+  }
+
   test("dedupCluster: planted near-dup chain collapses to one canonical") {
     val spark2 = spark
     import spark2.implicits._
