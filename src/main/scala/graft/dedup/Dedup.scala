@@ -114,6 +114,26 @@ object Dedup {
     } finally sh.unpersist(false)
   }
 
+  /** Pick one canonical doc per near-dup component by an arbitrary
+    * quality score (highest wins, ties by lowest id) instead of the
+    * min-id default — the "keep the best copy, not the first copy"
+    * retention policy. `comp` is connectedComponents output (id,
+    * cluster); `scored` carries (idCol, scoreCol). One aggregation on
+    * the cluster id: max(struct(score, -id)) — no window, partial
+    * aggregation map-side.
+    */
+  def canonicalByScore(comp: DataFrame, scored: DataFrame,
+      idCol: String, scoreCol: String): DataFrame = {
+    val joined = comp.join(scored.select(col(idCol).as("id"), col(scoreCol).as("_sc")), "id")
+    val best = joined
+      .groupBy("cluster")
+      .agg(max(struct(col("_sc"), (-col("id")).as("_negid"))).as("_b"))
+      .select(col("cluster"), (-col("_b._negid")).cast("long").as("canonical_id"))
+    joined.join(best, "cluster")
+      .select(col("id").as(idCol), col("canonical_id"),
+        (col("id") === col("canonical_id")).as("keep"))
+  }
+
   /** Hash families for the minhash signatures. md5 is the DuckDB-
     * replayable oracle-parity default; xxhash64 is ~5-10× cheaper per
     * shingle and the right choice on a real cluster (identical join

@@ -176,6 +176,39 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(v(0)._4 == 4.0 / 9 && v(1)._5 == 7.0 / 9 && v(2)._5 == 8.0 / 9)
   }
 
+  test("canonicalByScore: highest quality wins the cluster, ties by lowest id") {
+    val spark2 = spark
+    import spark2.implicits._
+    val comp = Seq((1L, 1L), (2L, 1L), (3L, 1L), (9L, 9L))
+      .toDF("id", "cluster")
+    val scored = Seq((1L, 10L), (2L, 50L), (3L, 50L), (9L, 7L))
+      .toDF("doc_id", "q")
+    val out = graft.dedup.Dedup.canonicalByScore(comp, scored, "doc_id", "q")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    // cluster 1: q=50 tie between 2 and 3 → lowest id (2) wins
+    assert(out(1L) == (2L, false) && out(2L) == (2L, true) && out(3L) == (2L, false))
+    assert(out(9L) == (9L, true))
+  }
+
+  test("text kernels compose with Structured Streaming (stateless scan ops)") {
+    // quality scoring + PII scrub + chunking are pure projections, so
+    // the same TextOps transforms must run unchanged on a readStream.
+    val stage = java.nio.file.Files.createTempDirectory("stream_text")
+    val docs = graft.Tables.documents(spark, sf).limit(100)
+    docs.write.mode("overwrite").parquet(stage.toString)
+    val streamed = spark.readStream.schema(docs.schema).parquet(stage.toString)
+    val q = TextOps.chunk(TextOps.piiScrub(streamed, "doc_id", "text")
+        .withColumnRenamed("scrubbed", "text2"), "doc_id", "text2", 32, 8)
+      .writeStream.format("memory").queryName("text_stream_sink")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.table("text_stream_sink")
+    val want = TextOps.chunk(TextOps.piiScrub(docs, "doc_id", "text")
+      .withColumnRenamed("scrubbed", "text2"), "doc_id", "text2", 32, 8)
+    assert(got.count() == want.count() && got.count() > 0)
+  }
+
   test("dedupCluster: planted near-dup chain collapses to one canonical") {
     val spark2 = spark
     import spark2.implicits._
