@@ -233,7 +233,43 @@ object ExtraQueries {
        |     JOIN rest USING (cluster)
        |ORDER BY nm.cluster""".stripMargin
 
+  /** Backward as-of join (graft.operators.AsofJoin): every purchase
+    * event aligned to the user's latest view at-or-before it. Times
+    * are µs longs on BOTH engines (events.ts is ns parquet; Spark
+    * reads µs — comparing on the same truncated values removes the
+    * precision boundary from the semantics). Views pre-deduped per
+    * (user, tsu) — "latest of several right rows at one instant" is
+    * undefined in any engine. Oracle = DuckDB's native ASOF JOIN.
+    */
+  def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("tsu"),
+        col("event_id").as("purchase_id"),
+        cents(col("value")).as("purchase_cents"))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), unix_micros(col("ts")).as("tsu"), col("event_id"))
+      .groupBy("user_id", "tsu").agg(max("event_id").as("view_id"))
+      .withColumn("view_tsu", col("tsu"))
+    graft.operators.AsofJoin.asofBackward(
+        purchases.withColumnRenamed("tsu", "ts"),
+        views.withColumnRenamed("tsu", "ts"), "user_id", "ts")
+      .orderBy("purchase_id")
+  }
+
+  val asofJoinOracle: String =
+    """WITH p AS (SELECT user_id, epoch_us(ts) AS ts, event_id AS purchase_id,
+      |             CAST(round(value * 100) AS BIGINT) AS purchase_cents
+      |           FROM events WHERE event_type = 'purchase'),
+      |v AS (SELECT user_id, epoch_us(ts) AS ts, max(event_id) AS view_id
+      |      FROM events WHERE event_type = 'view' GROUP BY user_id, epoch_us(ts)),
+      |v2 AS (SELECT user_id, ts, view_id, ts AS view_tsu FROM v)
+      |SELECT p.user_id, p.ts, p.purchase_id, p.purchase_cents, v2.view_id, v2.view_tsu
+      |FROM p ASOF LEFT JOIN v2 ON p.user_id = v2.user_id AND p.ts >= v2.ts
+      |ORDER BY purchase_id""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "asof_join" -> (asofJoin _),
     "pipeline_e2e" -> (pipelineE2e _),
     "match_ml" -> (matchMl _),
     "match_text_format" -> (matchTextFormat _),
@@ -245,6 +281,7 @@ object ExtraQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "asof_join" -> asofJoinOracle,
     "pipeline_e2e" -> pipelineE2eOracle,
     "match_text_format" -> matchTextFormatOracle,
     "mm_binary_meta" -> mmBinaryMetaOracle,

@@ -209,6 +209,21 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got.count() == want.count() && got.count() > 0)
   }
 
+  test("asofBackward: tie matches, no-prior gives nulls, latest-of-many wins") {
+    val spark2 = spark
+    import spark2.implicits._
+    val left = Seq((1L, 100L, "p1"), (1L, 200L, "p2"), (1L, 50L, "p0"), (2L, 10L, "q"))
+      .toDF("k", "ts", "pname")
+    val right = Seq((1L, 60L, "v60"), (1L, 100L, "v100"), (1L, 150L, "v150"))
+      .toDF("k", "ts", "vname")
+    val out = graft.operators.AsofJoin.asofBackward(left, right, "k", "ts")
+      .collect().map(r => (r.getString(2), Option(r.getString(3)))).toMap
+    assert(out("p0").isEmpty)               // nothing at or before ts 50
+    assert(out("p1").contains("v100"))      // equal ts matches
+    assert(out("p2").contains("v150"))      // latest of several priors
+    assert(out("q").isEmpty)                // key with no right rows at all
+  }
+
   test("dedupCluster: planted near-dup chain collapses to one canonical") {
     val spark2 = spark
     import spark2.implicits._
