@@ -193,7 +193,90 @@ object DedupQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** dedup_cluster with the "keep the BEST copy" retention policy:
+    * canonical = the component member with the highest quality score
+    * (ties → lowest id) instead of the lowest id.
+    */
+  def dedupClusterQuality(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+      n = 3, bands = 4, rows = 3, threshold = 0.8)
+    val comp = graft.clustering.Clusterers.connectedComponents(
+      pairs.select("id1", "id2"))
+    val quality = graft.text.TextOps.quality(docs, "doc_id", "text")
+      .select(col("doc_id"), col("quality_bp"))
+    val flagged = Dedup.canonicalByScore(comp, quality, "doc_id", "quality_bp")
+      .select(col("doc_id").as("_id"), col("canonical_id"))
+    docs.select("doc_id")
+      .join(flagged, docs("doc_id") === flagged("_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("canonical_id"), col("doc_id")).as("canonical_id"))
+      .withColumn("keep", (col("canonical_id") === col("doc_id")).cast("boolean"))
+      .orderBy("doc_id")
+  }
+
+  val dedupClusterQualityOracle: String = {
+    val en = graft.text.TextOps.LangProfiles.toMap.apply("en")
+      .map(w => s"'$w'").mkString(", ")
+    val hashes = (0 until 12)
+      .map(i => s"  min(substr(md5('$i#' || shg), 1, 8)) AS h$i")
+      .mkString(",\n")
+    val bandCols = (0 until 4)
+      .map(b => s"  h${b * 3} || ':' || h${b * 3 + 1} || ':' || h${b * 3 + 2} AS b$b")
+      .mkString(",\n")
+    val bandJoins = (0 until 4)
+      .map(b => s"  SELECT a.doc_id AS id1, b.doc_id AS id2 FROM banded a " +
+        s"JOIN banded b ON a.b$b = b.b$b AND a.doc_id < b.doc_id")
+      .mkString("\n  UNION\n")
+    s"""WITH RECURSIVE $shinglePrelude,
+       |sigs AS (SELECT doc_id,
+       |$hashes
+       |FROM inv GROUP BY doc_id),
+       |banded AS (SELECT doc_id,
+       |$bandCols
+       |FROM sigs),
+       |cand AS (
+       |$bandJoins),
+       |pairs AS (SELECT id1, id2 FROM (
+       |  SELECT id1, id2,
+       |    round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |          / len(list_distinct(a.s || b.s)), 5) AS jaccard
+       |  FROM cand JOIN sh a ON a.doc_id = id1 JOIN sh b ON b.doc_id = id2)
+       |  WHERE jaccard >= 0.8),
+       |sym AS (SELECT id1 AS u, id2 AS v FROM pairs
+       |        UNION SELECT id2, id1 FROM pairs),
+       |nodes AS (SELECT DISTINCT u AS id FROM sym),
+       |reach(node, r) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT s.v, reach.r FROM reach JOIN sym s ON s.u = reach.node),
+       |comp AS (SELECT node AS id, min(r) AS cluster FROM reach GROUP BY node),
+       |qt AS (SELECT doc_id, lower(text) AS t, string_split(lower(text), ' ') AS toks
+       |       FROM documents),
+       |qb AS (SELECT doc_id,
+       |  CAST(len(toks) AS BIGINT) AS nw,
+       |  CAST(length(t) AS BIGINT) AS nc,
+       |  CAST(length(regexp_replace(t, '[a-z0-9 ]', '', 'g')) AS BIGINT) AS np,
+       |  CAST(len(list_filter(toks, x -> list_contains([$en], x))) AS BIGINT) AS nstop
+       |FROM qt),
+       |q AS (SELECT doc_id,
+       |  least(nw, 50) * 8 + (nc - np) * 300 // nc + nstop * 300 // nw AS quality_bp
+       |FROM qb),
+       |rk AS (SELECT comp.cluster, comp.id,
+       |         row_number() OVER (PARTITION BY comp.cluster
+       |           ORDER BY q.quality_bp DESC, comp.id) AS rn
+       |       FROM comp JOIN q ON q.doc_id = comp.id),
+       |can AS (SELECT cluster, id AS canonical_id FROM rk WHERE rn = 1),
+       |mem AS (SELECT comp.id, can.canonical_id FROM comp JOIN can USING (cluster))
+       |SELECT d.doc_id,
+       |  coalesce(m.canonical_id, d.doc_id) AS canonical_id,
+       |  coalesce(m.canonical_id, d.doc_id) = d.doc_id AS keep
+       |FROM documents d LEFT JOIN mem m ON m.id = d.doc_id
+       |ORDER BY doc_id""".stripMargin
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_cluster_quality" -> (dedupClusterQuality _),
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
@@ -202,6 +285,7 @@ object DedupQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "dedup_cluster_quality" -> dedupClusterQualityOracle,
     "dedup_exact" -> dedupExactOracle,
     "dedup_ngram_jaccard" -> dedupNgramOracle,
     "dedup_minhash_lsh" -> dedupMinhashOracle,

@@ -27,12 +27,19 @@ import org.apache.spark.sql.functions._
   */
 object AsofJoin {
 
+  /** `tolerance`: maximum allowed staleness `l.ts - r.ts` (same unit
+    * as the ts column); a match older than that is nulled out — "don't
+    * enrich with a quote from last year". None = unbounded (pure ASOF).
+    */
   def asofBackward(left: DataFrame, right: DataFrame,
-      key: String, ts: String): DataFrame = {
+      key: String, ts: String, tolerance: Option[Long] = None): DataFrame = {
     val leftCols = left.columns.toSeq.filterNot(c => c == key || c == ts)
     val rightCols = right.columns.toSeq.filterNot(c => c == key || c == ts)
     val overlap = leftCols.toSet & rightCols.toSet
     require(overlap.isEmpty, s"overlapping payload columns: $overlap")
+    require(tolerance.isEmpty ||
+      left.schema(ts).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      "tolerance requires a numeric ts column (e.g. unix_micros)")
 
     def nullAs(df: DataFrame, c: String): Column =
       lit(null).cast(df.schema(c).dataType).as(c)
@@ -47,9 +54,21 @@ object AsofJoin {
     val w = Window.partitionBy(key)
       .orderBy(col(ts), col("_tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the matched right row's own ts rides along to drive the
+    // staleness check (and is dropped again afterwards)
+    val matchTs = last(when(col("_tag") === 0, col(ts)), ignoreNulls = true)
+      .over(w).as("_rts")
     val carried = l.unionByName(r)
-      .select((Seq(col(key), col(ts), col("_tag")) ++ leftCols.map(col) ++
+      .select((Seq(col(key), col(ts), col("_tag"), matchTs) ++ leftCols.map(col) ++
         rightCols.map(c => last(col(c), ignoreNulls = true).over(w).as(c))): _*)
-    carried.filter(col("_tag") === 1).drop("_tag")
+    val fresh = tolerance match {
+      case None => carried
+      case Some(tol) =>
+        val stale = col("_rts").isNull || (col(ts) - col("_rts")) > tol
+        carried.select((Seq(col(key), col(ts), col("_tag"), col("_rts")) ++
+          leftCols.map(col) ++
+          rightCols.map(c => when(stale, nullAs(right, c)).otherwise(col(c)).as(c))): _*)
+    }
+    fresh.filter(col("_tag") === 1).drop("_tag", "_rts")
   }
 }

@@ -222,6 +222,16 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out("p1").contains("v100"))      // equal ts matches
     assert(out("p2").contains("v150"))      // latest of several priors
     assert(out("q").isEmpty)                // key with no right rows at all
+    // tolerance: p2 (ts 200) matched v150 at staleness 50 — a tolerance
+    // of 40 nulls it, 50 keeps it (inclusive bound)
+    val tol40 = graft.operators.AsofJoin
+      .asofBackward(left, right, "k", "ts", tolerance = Some(40L))
+      .collect().map(r => (r.getString(2), Option(r.getString(3)))).toMap
+    assert(tol40("p2").isEmpty && tol40("p1").contains("v100"))
+    val tol50 = graft.operators.AsofJoin
+      .asofBackward(left, right, "k", "ts", tolerance = Some(50L))
+      .collect().map(r => (r.getString(2), Option(r.getString(3)))).toMap
+    assert(tol50("p2").contains("v150"))
   }
 
   test("dedupCluster: planted near-dup chain collapses to one canonical") {
