@@ -139,15 +139,44 @@ object CoreQueries {
       |FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 1
       |ORDER BY id1""".stripMargin
 
+  /** Bin-bucketed range join (graft.operators.RangeJoin): customer
+    * balances (exact cents) against 25 nation-derived bands tiling
+    * [-100000, 2099999]. The equi-join on the bin id replaces the
+    * BroadcastNestedLoopJoin Spark would otherwise plan for BETWEEN.
+    */
+  def rangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val points = customer(s, dir)
+      .select(col("c_custkey"), cents(col("c_acctbal")).as("bal_c"))
+    val bands = nation(s, dir).select(col("n_nationkey"),
+      (col("n_nationkey") * 88000L - 100000L).as("lo"),
+      (col("n_nationkey") * 88000L - 12001L).as("hi"))
+    graft.operators.RangeJoin.pointInInterval(points, bands,
+        "bal_c", "lo", "hi", binWidth = 50000L)
+      .orderBy("c_custkey", "n_nationkey")
+  }
+
+  val rangeJoinOracle: String =
+    """WITH p AS (SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+      |           FROM customer),
+      |iv AS (SELECT n_nationkey,
+      |         CAST(n_nationkey * 88000 - 100000 AS BIGINT) AS lo,
+      |         CAST(n_nationkey * 88000 - 12001 AS BIGINT) AS hi
+      |       FROM nation)
+      |SELECT p.c_custkey, p.bal_c, iv.n_nationkey, iv.lo, iv.hi
+      |FROM p JOIN iv ON p.bal_c BETWEEN iv.lo AND iv.hi
+      |ORDER BY c_custkey, n_nationkey""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_nation_revenue" -> (q2NationRevenue _),
-    "sim_functions" -> (simFunctions _)
+    "sim_functions" -> (simFunctions _),
+    "range_join" -> (rangeJoin _)
   )
 
   def oracles: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Oracle,
     "q2_nation_revenue" -> q2Oracle,
-    "sim_functions" -> simOracle
+    "sim_functions" -> simOracle,
+    "range_join" -> rangeJoinOracle
   )
 }

@@ -234,6 +234,20 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(tol50("p2").contains("v150"))
   }
 
+  test("rangeJoin: overlapping intervals, negatives, bin-boundary exactness, no nested loop") {
+    val spark2 = spark
+    import spark2.implicits._
+    val pts = Seq((1L, -50L), (2L, 0L), (3L, 10L), (4L, 999L)).toDF("pid", "p")
+    val ivs = Seq((10L, -100L, 0L), (20L, 0L, 10L), (30L, 5L, 10L)).toDF("iid", "lo", "hi")
+    val out = graft.operators.RangeJoin.pointInInterval(pts, ivs, "p", "lo", "hi", 7L)
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    // point 0 hits both [-100,0] and [0,10]; 10 hits [0,10] and [5,10];
+    // -50 only the negative interval; 999 nothing
+    assert(got == Set((1L, 10L), (2L, 10L), (2L, 20L), (3L, 20L), (3L, 30L)))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"))
+  }
+
   test("dedupCluster: planted near-dup chain collapses to one canonical") {
     val spark2 = spark
     import spark2.implicits._
