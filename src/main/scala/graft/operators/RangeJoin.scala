@@ -26,10 +26,16 @@ object RangeJoin {
       pointCol: String, loCol: String, hiCol: String,
       binWidth: Long): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
-    val p = points.withColumn("_bin", floor(col(pointCol) / binWidth))
+    // exact integer floor division — subtract the non-negative mod then
+    // integral `div`; everything stays in long arithmetic and is correct
+    // for negatives. floor(x / w) would round through a double and
+    // mis-bin values beyond 2^53.
+    def binSql(c: String) =
+      s"(`$c` - ((`$c` % $binWidth + $binWidth) % $binWidth)) div $binWidth"
+    val p = points.withColumn("_bin", expr(binSql(pointCol)))
     val iv = intervals
       .withColumn("_bin", explode(sequence(
-        floor(col(loCol) / binWidth), floor(col(hiCol) / binWidth))))
+        expr(binSql(loCol)), expr(binSql(hiCol)))))
     p.join(iv, "_bin")
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("_bin")

@@ -237,13 +237,17 @@ class CorpusOpsSpec extends AnyFunSuite {
   test("rangeJoin: overlapping intervals, negatives, bin-boundary exactness, no nested loop") {
     val spark2 = spark
     import spark2.implicits._
-    val pts = Seq((1L, -50L), (2L, 0L), (3L, 10L), (4L, 999L)).toDF("pid", "p")
-    val ivs = Seq((10L, -100L, 0L), (20L, 0L, 10L), (30L, 5L, 10L)).toDF("iid", "lo", "hi")
+    val big = 1L << 60 // beyond double's 2^53 exact-integer range
+    val pts = Seq((1L, -50L), (2L, 0L), (3L, 10L), (4L, 999L), (5L, big))
+      .toDF("pid", "p")
+    val ivs = Seq((10L, -100L, 0L), (20L, 0L, 10L), (30L, 5L, 10L),
+      (40L, big - 1, big + 1)).toDF("iid", "lo", "hi")
     val out = graft.operators.RangeJoin.pointInInterval(pts, ivs, "p", "lo", "hi", 7L)
     val got = out.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     // point 0 hits both [-100,0] and [0,10]; 10 hits [0,10] and [5,10];
-    // -50 only the negative interval; 999 nothing
-    assert(got == Set((1L, 10L), (2L, 10L), (2L, 20L), (3L, 20L), (3L, 30L)))
+    // -50 only the negative interval; 999 nothing; the 2^60 point must
+    // bin exactly (integer div, no double rounding)
+    assert(got == Set((1L, 10L), (2L, 10L), (2L, 20L), (3L, 20L), (3L, 30L), (5L, 40L)))
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"))
   }
