@@ -27,6 +27,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[VecBinary].getName, name),
         builder))
     }
+    // Opt-in range-join rewrite (no-op until the binWidth conf is set).
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRule)
   }
 }
 

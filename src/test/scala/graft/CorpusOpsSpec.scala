@@ -252,6 +252,38 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"))
   }
 
+  test("RangeJoinRule: BETWEEN join rewritten to bin equi-join, same result") {
+    val spark2 = spark
+    import spark2.implicits._
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.RangeJoinRule
+    try {
+      val pts = Tables.customer(spark, sf)
+        .select(col("c_custkey"), Tables.cents(col("c_acctbal")).as("p"))
+      val ivs = Tables.nation(spark, sf).select(col("n_nationkey"),
+        (col("n_nationkey") * 88000L - 100000L).as("lo"),
+        (col("n_nationkey") * 88000L - 12001L).as("hi"))
+      val q = pts.join(ivs, col("p") >= col("lo") && col("p") <= col("hi"))
+
+      // rule off: Spark has no equi-key → nested loop
+      spark.conf.unset(graft.plans.RangeJoinRule.ConfKey)
+      val before = q.queryExecution.executedPlan.toString
+      assert(before.contains("BroadcastNestedLoop") || before.contains("CartesianProduct"))
+      val expect = q.collect().map(_.toSeq).toSet
+
+      // rule on: equi-join on the bin, no nested loop, identical rows
+      spark.conf.set(graft.plans.RangeJoinRule.ConfKey, "50000")
+      val q2 = pts.join(ivs, col("p") >= col("lo") && col("p") <= col("hi"))
+      val after = q2.queryExecution.executedPlan.toString
+      assert(!after.contains("BroadcastNestedLoop") && !after.contains("CartesianProduct"))
+      assert(q2.collect().map(_.toSeq).toSet == expect)
+    } finally {
+      spark.conf.unset(graft.plans.RangeJoinRule.ConfKey)
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == graft.plans.RangeJoinRule)
+    }
+  }
+
   test("dedupCluster: planted near-dup chain collapses to one canonical") {
     val spark2 = spark
     import spark2.implicits._
