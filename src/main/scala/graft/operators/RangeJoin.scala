@@ -40,4 +40,33 @@ object RangeJoin {
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("_bin")
   }
+
+  /** Interval-overlap join — `l.lo <= r.hi AND r.lo <= l.hi` — via the
+    * same discretization on BOTH sides. Two overlapping intervals share
+    * at least one bin, so the bin equi-join is again a necessary
+    * condition; `distinct` on the exact-filtered pairs removes the
+    * multi-bin double matches (unlike points, an interval pair can
+    * co-occupy several bins). Join output is the two id columns only —
+    * re-join payloads by id afterwards (cheaper than dragging payload
+    * through the replicated frames).
+    */
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+      leftId: String, leftLo: String, leftHi: String,
+      rightId: String, rightLo: String, rightHi: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    def binSql(c: String) =
+      s"(`$c` - ((`$c` % $binWidth + $binWidth) % $binWidth)) div $binWidth"
+    def binned(df: DataFrame, id: String, lo: String, hi: String) =
+      df.select(col(id), col(lo), col(hi),
+        explode(sequence(expr(binSql(lo)), expr(binSql(hi)))).as("_bin"))
+    val l = binned(left, leftId, leftLo, leftHi)
+    val r = binned(right, rightId, rightLo, rightHi)
+      .withColumnRenamed(rightLo, s"_r_$rightLo")
+      .withColumnRenamed(rightHi, s"_r_$rightHi")
+    l.join(r, "_bin")
+      .filter(col(leftLo) <= col(s"_r_$rightHi") && col(s"_r_$rightLo") <= col(leftHi))
+      .select(col(leftId), col(rightId))
+      .distinct()
+  }
 }

@@ -252,6 +252,21 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"))
   }
 
+  test("intervalOverlap: touching/contained/disjoint pairs, multi-bin dedup") {
+    val spark2 = spark
+    import spark2.implicits._
+    val l = Seq((1L, 0L, 100L), (2L, 200L, 210L), (3L, -30L, -20L)).toDF("lid", "lo", "hi")
+    val r = Seq((10L, 100L, 150L),  // touches interval 1 at a point
+      (20L, 10L, 20L),              // contained in 1, spans bins
+      (30L, 300L, 310L),            // disjoint from all
+      (40L, -25L, -22L))            // inside the negative interval
+      .toDF("rid", "lo", "hi")
+    val got = graft.operators.RangeJoin
+      .intervalOverlap(l, r, "lid", "lo", "hi", "rid", "lo", "hi", 7L)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got == Set((1L, 10L), (1L, 20L), (3L, 40L)))
+  }
+
   test("RangeJoinRule: BETWEEN join rewritten to bin equi-join, same result") {
     val spark2 = spark
     import spark2.implicits._
