@@ -71,4 +71,19 @@ object AsofJoin {
     }
     fresh.filter(col("_tag") === 1).drop("_tag", "_rts")
   }
+
+  /** Forward as-of: the EARLIEST right row with `r.ts >= l.ts` — the
+    * mirror image, implemented by negating the ts on both sides and
+    * delegating (tolerance then bounds `r.ts - l.ts`). Requires a
+    * numeric ts column.
+    */
+  def asofForward(left: DataFrame, right: DataFrame,
+      key: String, ts: String, tolerance: Option[Long] = None): DataFrame = {
+    require(left.schema(ts).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      "asofForward requires a numeric ts column (e.g. unix_micros)")
+    asofBackward(
+        left.withColumn(ts, -col(ts)),
+        right.withColumn(ts, -col(ts)), key, ts, tolerance)
+      .withColumn(ts, -col(ts))
+  }
 }

@@ -232,6 +232,12 @@ class CorpusOpsSpec extends AnyFunSuite {
       .asofBackward(left, right, "k", "ts", tolerance = Some(50L))
       .collect().map(r => (r.getString(2), Option(r.getString(3)))).toMap
     assert(tol50("p2").contains("v150"))
+    // forward: earliest right AT or after each left ts
+    val fwd = graft.operators.AsofJoin.asofForward(left, right, "k", "ts")
+      .collect().map(r => (r.getString(2), Option(r.getString(3)))).toMap
+    assert(fwd("p0").contains("v60"))   // 50 → earliest ≥ is 60
+    assert(fwd("p1").contains("v100"))  // equal ts matches forward too
+    assert(fwd("p2").isEmpty)           // nothing at or after 200
   }
 
   test("rangeJoin: overlapping intervals, negatives, bin-boundary exactness, no nested loop") {
