@@ -268,7 +268,66 @@ object ExtraQueries {
       |FROM p ASOF LEFT JOIN v2 ON p.user_id = v2.user_id AND p.ts >= v2.ts
       |ORDER BY purchase_id""".stripMargin
 
+  /** As-of with a 6-hour staleness bound: views older than that are
+    * nulled out. Oracle: native ASOF JOIN + the same staleness CASE.
+    */
+  def asofJoinTol(s: SparkSession, dir: String): DataFrame = {
+    val tolUs = 6L * 3600 * 1000000
+    val e = events(s, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts"),
+        col("event_id").as("purchase_id"))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts"), col("event_id"))
+      .groupBy("user_id", "ts").agg(max("event_id").as("view_id"))
+    graft.operators.AsofJoin.asofBackward(purchases, views, "user_id", "ts",
+        tolerance = Some(tolUs))
+      .orderBy("purchase_id")
+  }
+
+  val asofJoinTolOracle: String =
+    """WITH p AS (SELECT user_id, epoch_us(ts) AS ts, event_id AS purchase_id
+      |           FROM events WHERE event_type = 'purchase'),
+      |v AS (SELECT user_id, epoch_us(ts) AS ts, max(event_id) AS view_id
+      |      FROM events WHERE event_type = 'view' GROUP BY user_id, epoch_us(ts)),
+      |j AS (SELECT p.user_id, p.ts, p.purchase_id, v.view_id, v.ts AS vts
+      |      FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts)
+      |SELECT user_id, ts, purchase_id,
+      |  CASE WHEN vts IS NULL OR ts - vts > 21600000000 THEN NULL
+      |       ELSE view_id END AS view_id
+      |FROM j ORDER BY purchase_id""".stripMargin
+
+  /** Interval-overlap join: nation price bands × per-customer balance
+    * windows (±5000 cents). Oracle: the plain overlap theta join.
+    */
+  def intervalOverlap(s: SparkSession, dir: String): DataFrame = {
+    val bands = nation(s, dir).select(col("n_nationkey"),
+      (col("n_nationkey") * 88000L - 100000L).as("lo"),
+      (col("n_nationkey") * 88000L - 12001L).as("hi"))
+    val windows = customer(s, dir).select(col("c_custkey"),
+      (cents(col("c_acctbal")) - 5000L).as("lo"),
+      (cents(col("c_acctbal")) + 5000L).as("hi"))
+    graft.operators.RangeJoin.intervalOverlap(bands, windows,
+        "n_nationkey", "lo", "hi", "c_custkey", "lo", "hi", binWidth = 50000L)
+      .orderBy("n_nationkey", "c_custkey")
+  }
+
+  val intervalOverlapOracle: String =
+    """WITH iv AS (SELECT n_nationkey,
+      |         CAST(n_nationkey * 88000 - 100000 AS BIGINT) AS lo,
+      |         CAST(n_nationkey * 88000 - 12001 AS BIGINT) AS hi
+      |       FROM nation),
+      |w AS (SELECT c_custkey,
+      |        CAST(round(c_acctbal * 100) AS BIGINT) - 5000 AS lo,
+      |        CAST(round(c_acctbal * 100) AS BIGINT) + 5000 AS hi
+      |      FROM customer)
+      |SELECT iv.n_nationkey, w.c_custkey
+      |FROM iv JOIN w ON iv.lo <= w.hi AND w.lo <= iv.hi
+      |ORDER BY n_nationkey, c_custkey""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "asof_join_tol" -> (asofJoinTol _),
+    "interval_overlap" -> (intervalOverlap _),
     "asof_join" -> (asofJoin _),
     "pipeline_e2e" -> (pipelineE2e _),
     "match_ml" -> (matchMl _),
@@ -281,6 +340,8 @@ object ExtraQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "asof_join_tol" -> asofJoinTolOracle,
+    "interval_overlap" -> intervalOverlapOracle,
     "asof_join" -> asofJoinOracle,
     "pipeline_e2e" -> pipelineE2eOracle,
     "match_text_format" -> matchTextFormatOracle,
