@@ -79,6 +79,23 @@ class ScaleStressSpec extends AnyFunSuite {
     assert(winner == "A")
   }
 
+  test("as-of join survives a hot key (100k left + 100k right on one user)") {
+    val spark2 = spark
+    import spark2.implicits._
+    // one user owns the whole history — the window sorts one partition,
+    // it must not blow up into anything pairwise (naive as-of is O(L·R)
+    // per key; this is O((L+R) log(L+R)))
+    val left = spark.range(100000).selectExpr("CAST(1 AS BIGINT) AS k",
+      "id * 10 AS ts", "id AS lid")
+    val right = spark.range(100000).selectExpr("CAST(1 AS BIGINT) AS k",
+      "id * 10 + 5 AS ts", "id AS rid")
+    val out = graft.operators.AsofJoin.asofBackward(left.toDF(), right.toDF(), "k", "ts")
+    assert(out.count() == 100000)
+    // spot-check: left ts=1000 (lid 100) matches right ts=995 (rid 99)
+    val hit = out.filter(col("lid") === 100).select("rid").collect()(0).getLong(0)
+    assert(hit == 99L)
+  }
+
   test("token blocker cap keeps a pathological stop-word key sub-quadratic") {
     val spark2 = spark
     import spark2.implicits._
