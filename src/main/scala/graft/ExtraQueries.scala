@@ -297,6 +297,55 @@ object ExtraQueries {
       |       ELSE view_id END AS view_id
       |FROM j ORDER BY purchase_id""".stripMargin
 
+  /** Forward as-of: each view event aligned to the user's EARLIEST
+    * purchase at-or-after it. Oracle: DuckDB native ASOF on negated
+    * timestamps (backward over -ts ≡ forward over ts).
+    */
+  def asofJoinFwd(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts"),
+        col("event_id").as("view_id"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts"), col("event_id"))
+      .groupBy("user_id", "ts").agg(max("event_id").as("purchase_id"))
+    graft.operators.AsofJoin.asofForward(views, purchases, "user_id", "ts")
+      .orderBy("view_id")
+  }
+
+  val asofJoinFwdOracle: String =
+    """WITH v AS (SELECT user_id, epoch_us(ts) AS ts, event_id AS view_id
+      |           FROM events WHERE event_type = 'view'),
+      |p AS (SELECT user_id, epoch_us(ts) AS ts, max(event_id) AS purchase_id
+      |      FROM events WHERE event_type = 'purchase'
+      |      GROUP BY user_id, epoch_us(ts)),
+      |vn AS (SELECT user_id, -ts AS nts, ts, view_id FROM v),
+      |pn AS (SELECT user_id, -ts AS nts, purchase_id FROM p)
+      |SELECT vn.user_id, vn.ts, vn.view_id, pn.purchase_id
+      |FROM vn ASOF LEFT JOIN pn ON vn.user_id = pn.user_id AND vn.nts >= pn.nts
+      |ORDER BY view_id""".stripMargin
+
+  /** The hot-key-safe chunked as-of on the SAME inputs (and the same
+    * DuckDB oracle) as `asof_join`: 1-hour time chunks, so one user's
+    * history spans many (key, chunk) window partitions instead of one
+    * partition's sort.
+    */
+  def asofJoinChunked(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts"),
+        col("event_id").as("purchase_id"),
+        cents(col("value")).as("purchase_cents"))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), unix_micros(col("ts")).as("tsu"), col("event_id"))
+      .groupBy("user_id", "tsu").agg(max("event_id").as("view_id"))
+      .withColumn("view_tsu", col("tsu"))
+      .withColumnRenamed("tsu", "ts")
+    graft.operators.AsofJoin.asofBackwardChunked(purchases, views,
+        "user_id", "ts", chunkWidth = 3600L * 1000000)
+      .orderBy("purchase_id")
+  }
+
   /** Interval-overlap join: nation price bands × per-customer balance
     * windows (±5000 cents). Oracle: the plain overlap theta join.
     */
@@ -327,6 +376,8 @@ object ExtraQueries {
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "asof_join_tol" -> (asofJoinTol _),
+    "asof_join_fwd" -> (asofJoinFwd _),
+    "asof_join_chunked" -> (asofJoinChunked _),
     "interval_overlap" -> (intervalOverlap _),
     "asof_join" -> (asofJoin _),
     "pipeline_e2e" -> (pipelineE2e _),
@@ -341,6 +392,8 @@ object ExtraQueries {
 
   def oracles: Map[String, String] = Map(
     "asof_join_tol" -> asofJoinTolOracle,
+    "asof_join_fwd" -> asofJoinFwdOracle,
+    "asof_join_chunked" -> asofJoinOracle,
     "interval_overlap" -> intervalOverlapOracle,
     "asof_join" -> asofJoinOracle,
     "pipeline_e2e" -> pipelineE2eOracle,

@@ -119,16 +119,21 @@ object Dedup {
     * min-id default — the "keep the best copy, not the first copy"
     * retention policy. `comp` is connectedComponents output (id,
     * cluster); `scored` carries (idCol, scoreCol). One aggregation on
-    * the cluster id: max(struct(score, -id)) — no window, partial
-    * aggregation map-side.
+    * the cluster id: min(struct(-score, id)) — no window, partial
+    * aggregation map-side. The SCORE (numeric by contract) is negated,
+    * never the id, so any orderable id type (string, long, …) passes
+    * through untouched.
     */
   def canonicalByScore(comp: DataFrame, scored: DataFrame,
       idCol: String, scoreCol: String): DataFrame = {
+    require(scored.schema(scoreCol).dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"score column $scoreCol must be numeric")
     val joined = comp.join(scored.select(col(idCol).as("id"), col(scoreCol).as("_sc")), "id")
     val best = joined
       .groupBy("cluster")
-      .agg(max(struct(col("_sc"), (-col("id")).as("_negid"))).as("_b"))
-      .select(col("cluster"), (-col("_b._negid")).cast("long").as("canonical_id"))
+      .agg(min(struct((-col("_sc")).as("_negsc"), col("id"))).as("_b"))
+      .select(col("cluster"), col("_b.id").as("canonical_id"))
     joined.join(best, "cluster")
       .select(col("id").as(idCol), col("canonical_id"),
         (col("id") === col("canonical_id")).as("keep"))

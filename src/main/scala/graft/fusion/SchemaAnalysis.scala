@@ -29,12 +29,18 @@ object SchemaAnalysis {
     */
   def columnClasses(df: DataFrame): DataFrame = {
     val cols = df.columns.toSeq
-    val aggs = cols.flatMap { c =>
+    // Positional rename first (toDF never parses names, so even
+    // backticks are safe): every internal reference below uses the
+    // fixed safe names _c0.._cN, and a user column name containing
+    // quotes, backticks or commas can never reach a SQL string — the
+    // original name only ever appears as a lit() value.
+    val safe = df.toDF(cols.indices.map(i => s"_c$i"): _*)
+    val aggs = cols.indices.flatMap { i =>
       // rlike fast-path: try_to_timestamp is an order of magnitude more
       // expensive than a regex reject, and most values in most columns
       // are not dates — only shape-plausible strings reach the parser.
       // The oracle applies the identical guard, so parity is exact.
-      val s = col(c).cast("string")
+      val s = col(s"_c$i").cast("string")
       val dateLike =
         when(s.rlike("^\\d{4}-\\d{2}-\\d{2}$"),
           try_to_timestamp(s, lit("yyyy-MM-dd")))
@@ -42,18 +48,21 @@ object SchemaAnalysis {
           try_to_timestamp(s, lit("yyyy-MM-dd HH:mm:ss")))
         .otherwise(lit(null))
       Seq(
-        count(col(c)).as(s"n_$c"),
-        sum(expr(s"try_cast(`$c` AS DOUBLE)").isNotNull.cast("long")).as(s"num_$c"),
-        sum(dateLike.isNotNull.cast("long")).as(s"dt_$c"))
+        count(col(s"_c$i")).as(s"n_$i"),
+        sum(expr(s"try_cast(_c$i AS DOUBLE)").isNotNull.cast("long")).as(s"num_$i"),
+        sum(dateLike.isNotNull.cast("long")).as(s"dt_$i"))
     }
-    val one = df.agg(aggs.head, aggs.tail: _*)
-    val structs = cols.map { c =>
-      s"named_struct('column_name', '$c', 'type_class', " +
-        s"CASE WHEN `n_$c` = 0 THEN 'empty' " +
-        s"WHEN `num_$c` = `n_$c` THEN 'numeric' " +
-        s"WHEN `dt_$c` = `n_$c` THEN 'date' ELSE 'text' END)"
-    }.mkString(", ")
-    one.select(expr(s"inline(array($structs))"))
+    val one = safe.agg(aggs.head, aggs.tail: _*)
+    val structs = cols.zipWithIndex.map { case (c, i) =>
+      struct(
+        lit(c).as("column_name"),
+        when(col(s"n_$i") === 0, "empty")
+          .when(col(s"num_$i") === col(s"n_$i"), "numeric")
+          .when(col(s"dt_$i") === col(s"n_$i"), "date")
+          .otherwise("text").as("type_class"))
+    }
+    one.select(explode(array(structs: _*)).as("_s"))
+      .select(col("_s.column_name"), col("_s.type_class"))
   }
 
   /** Full pairwise comparison over named frames. */

@@ -34,11 +34,16 @@ object Transforms {
   /** fill_na(value): NULL → the given value. */
   def fillNa(value: String): Column => Column = c => coalesce(c, lit(value))
 
-  /** replace(mapping): exact-value substitutions, non-matches pass through. */
+  /** replace(mapping): exact-value substitutions, non-matches pass
+    * through. All branches test the ORIGINAL column (pandas
+    * `Series.replace` semantics): a mapping like A→B, B→C never
+    * cascades A to C, and map iteration order cannot change results.
+    */
   def replaceValues(mapping: Map[String, String]): Column => Column = c =>
-    mapping.foldLeft(c) { case (acc, (from, to)) =>
-      when(acc === lit(from), lit(to)).otherwise(acc)
-    }
+    if (mapping.isEmpty) c
+    else mapping.tail.foldLeft(when(c === lit(mapping.head._1), lit(mapping.head._2))) {
+      case (acc, (from, to)) => acc.when(c === lit(from), lit(to))
+    }.otherwise(c)
 
   /** regex_replace(pattern, repl). Pattern must be valid Java regex. */
   def regexReplace(pattern: String, repl: String): Column => Column =

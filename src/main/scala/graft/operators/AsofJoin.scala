@@ -1,8 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.NumericType
 
 /** Backward as-of join — for each left row, the latest right row of the
   * same key with `r.ts <= l.ts` (DuckDB/kdb `ASOF JOIN` semantics,
@@ -11,21 +12,62 @@ import org.apache.spark.sql.functions._
   * Spark-first design: NOT a range join (which degenerates toward
   * per-key cross products and is why the naive `l.ts >= r.ts` theta
   * join dies at scale). Both sides are tagged and UNIONED, then one
-  * window per key ordered by (ts, tag) carries the last non-null right
-  * value forward onto each left row:
+  * window per key ordered by (ts, tag) carries the last right ROW
+  * (as a single struct — atomically, so a NULL payload field in the
+  * matched row stays NULL instead of borrowing an older row's value)
+  * forward onto each left row:
   *
   *   - exactly ONE shuffle (hash on the key) + an in-partition sort —
   *     the same cost as any keyed aggregation, regardless of how many
   *     right rows precede each left row;
   *   - ties (r.ts == l.ts) match, because right rows sort before left
   *     rows at equal ts (tag 0 < 1);
-  *   - a hot key is one partition's sort — salt upstream or split by
-  *     time range if a single key's history exceeds a partition.
+  *   - a hot key is one partition's sort — salt upstream, or use
+  *     [[asofBackwardChunked]] to split one key's history across
+  *     partitions by coarse time range with boundary-state carry.
   *
   * Right must be unique per (key, ts) — on duplicates "the" latest row
   * is undefined in any engine; pre-aggregate first.
   */
 object AsofJoin {
+
+  /** The matched right row rides the window as one struct; its own ts
+    * is the first field so the staleness check and the payload can
+    * never disagree.
+    */
+  private def rightStruct(right: DataFrame, ts: String, rightCols: Seq[String]): Column =
+    struct((col(ts).as("_mts") +: rightCols.map(col)): _*)
+
+  private def checkCols(left: DataFrame, right: DataFrame,
+      key: String, ts: String): (Seq[String], Seq[String]) = {
+    val leftCols = left.columns.toSeq.filterNot(c => c == key || c == ts)
+    val rightCols = right.columns.toSeq.filterNot(c => c == key || c == ts)
+    val overlap = leftCols.toSet & rightCols.toSet
+    require(overlap.isEmpty, s"overlapping payload columns: $overlap")
+    val reserved = Set("_tag", "_row", "_m", "_ck", "_mts")
+    require((leftCols ++ rightCols).forall(!reserved(_)),
+      s"column names ${reserved.mkString(", ")} are reserved")
+    (leftCols, rightCols)
+  }
+
+  /** Shared tail: carry the last right struct over `w`, apply the
+    * staleness gate, keep left rows, expand the struct fields.
+    */
+  private def finish(u: DataFrame, w: WindowSpec, key: String, ts: String,
+      leftCols: Seq[String], rightCols: Seq[String],
+      tolerance: Option[Long]): DataFrame = {
+    val carried = u.withColumn("_m", last(col("_row"), ignoreNulls = true).over(w))
+    val gated = tolerance match {
+      case None => carried
+      case Some(tol) =>
+        carried.withColumn("_m",
+          when(col("_m").isNull || (col(ts) - col("_m")("_mts")) > tol, lit(null))
+            .otherwise(col("_m")))
+    }
+    gated.filter(col("_tag") === 1)
+      .select((Seq(col(key), col(ts)) ++ leftCols.map(col) ++
+        rightCols.map(c => col("_m")(c).as(c))): _*)
+  }
 
   /** `tolerance`: maximum allowed staleness `l.ts - r.ts` (same unit
     * as the ts column); a match older than that is nulled out — "don't
@@ -33,53 +75,95 @@ object AsofJoin {
     */
   def asofBackward(left: DataFrame, right: DataFrame,
       key: String, ts: String, tolerance: Option[Long] = None): DataFrame = {
-    val leftCols = left.columns.toSeq.filterNot(c => c == key || c == ts)
-    val rightCols = right.columns.toSeq.filterNot(c => c == key || c == ts)
-    val overlap = leftCols.toSet & rightCols.toSet
-    require(overlap.isEmpty, s"overlapping payload columns: $overlap")
+    val (leftCols, rightCols) = checkCols(left, right, key, ts)
     require(tolerance.isEmpty ||
-      left.schema(ts).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      left.schema(ts).dataType.isInstanceOf[NumericType],
       "tolerance requires a numeric ts column (e.g. unix_micros)")
 
-    def nullAs(df: DataFrame, c: String): Column =
-      lit(null).cast(df.schema(c).dataType).as(c)
-
     val l = left.select(
-      (Seq(col(key), col(ts), lit(1).as("_tag")) ++
-        leftCols.map(col) ++ rightCols.map(nullAs(right, _))): _*)
-    val r = right.select(
-      (Seq(col(key), col(ts), lit(0).as("_tag")) ++
-        leftCols.map(nullAs(left, _)) ++ rightCols.map(col)): _*)
-
+      (Seq(col(key), col(ts), lit(1).as("_tag")) ++ leftCols.map(col)): _*)
+    val r = right.select(col(key), col(ts), lit(0).as("_tag"),
+      rightStruct(right, ts, rightCols).as("_row"))
+    val u = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(key)
       .orderBy(col(ts), col("_tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // the matched right row's own ts rides along to drive the
-    // staleness check (and is dropped again afterwards)
-    val matchTs = last(when(col("_tag") === 0, col(ts)), ignoreNulls = true)
-      .over(w).as("_rts")
-    val carried = l.unionByName(r)
-      .select((Seq(col(key), col(ts), col("_tag"), matchTs) ++ leftCols.map(col) ++
-        rightCols.map(c => last(col(c), ignoreNulls = true).over(w).as(c))): _*)
-    val fresh = tolerance match {
-      case None => carried
-      case Some(tol) =>
-        val stale = col("_rts").isNull || (col(ts) - col("_rts")) > tol
-        carried.select((Seq(col(key), col(ts), col("_tag"), col("_rts")) ++
-          leftCols.map(col) ++
-          rightCols.map(c => when(stale, nullAs(right, c)).otherwise(col(c)).as(c))): _*)
+    finish(u, w, key, ts, leftCols, rightCols, tolerance)
+  }
+
+  /** Hot-key-safe backward as-of: the time axis is pre-bucketed into
+    * `chunkWidth`-wide ranges, the carry window partitions on
+    * (key, chunk) — so ONE key's history spans MANY partitions — and a
+    * small per-(key, chunk) summary frame carries the latest right row
+    * across chunk boundaries (the distributed prefix idiom: the carry
+    * window's row count is bounded by the number of chunks, not rows).
+    *
+    * Same result as [[asofBackward]] (spec-enforced); use when a single
+    * key's history exceeds one partition's sort. Requires numeric ts.
+    */
+  def asofBackwardChunked(left: DataFrame, right: DataFrame,
+      key: String, ts: String, chunkWidth: Long,
+      tolerance: Option[Long] = None): DataFrame = {
+    require(chunkWidth > 0, "chunkWidth must be positive")
+    require(left.schema(ts).dataType.isInstanceOf[NumericType] &&
+      right.schema(ts).dataType.isInstanceOf[NumericType],
+      "asofBackwardChunked requires a numeric ts column (e.g. unix_micros)")
+    val (leftCols, rightCols) = checkCols(left, right, key, ts)
+    val tsType = left.schema(ts).dataType
+
+    // wrap-safe floorDiv chunk id (exact for the full long domain —
+    // truncating `div` corrected by the remainder sign; no mod-subtract
+    // that could underflow near Long.MinValue)
+    def chunkOf(df: DataFrame): Column = {
+      val x = col(ts).cast("long")
+      val q = expr(s"(CAST(`${ts.replace("`", "``")}` AS LONG) div ${chunkWidth}L)")
+      when(x % chunkWidth < 0, q - 1).otherwise(q).as("_ck")
     }
-    fresh.filter(col("_tag") === 1).drop("_tag", "_rts")
+
+    val l = left.select(
+      (Seq(col(key), col(ts), chunkOf(left), lit(1).as("_tag")) ++ leftCols.map(col)): _*)
+    val r = right.select(col(key), col(ts), chunkOf(right), lit(0).as("_tag"),
+      rightStruct(right, ts, rightCols).as("_row"))
+
+    // per-(key, chunk) latest right row — map-side-combining aggregation
+    val perChunk = r.groupBy(col(key), col("_ck"))
+      .agg(max_by(col("_row"), col(ts)).as("_row"))
+
+    // boundary state per LEFT chunk: latest right row from STRICTLY
+    // earlier chunks. Left chunk markers sort before the same chunk's
+    // right summary, and the window ends one row back — so a chunk's
+    // own right rows are never in its boundary (they are handled by the
+    // main in-chunk window below).
+    val leftChunks = l.select(col(key), col("_ck")).distinct()
+      .withColumn("_pos", lit(0))
+    val rsum = perChunk.withColumn("_pos", lit(1))
+    val wrun = Window.partitionBy(key).orderBy(col("_ck"), col("_pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val boundary = rsum.unionByName(leftChunks, allowMissingColumns = true)
+      .withColumn("_b", last(col("_row"), ignoreNulls = true).over(wrun))
+      .filter(col("_pos") === 0 && col("_b").isNotNull)
+      .select(col(key), col("_ck"), lit(null).cast(tsType).as(ts),
+        lit(-1).as("_tag"), col("_b").as("_row"))
+
+    val u = l.unionByName(r, allowMissingColumns = true)
+      .unionByName(boundary, allowMissingColumns = true)
+    // boundary rows (tag -1) first regardless of their null ts, then
+    // time order with right-before-left on ties — per (key, chunk)
+    val w = Window.partitionBy(col(key), col("_ck"))
+      .orderBy(when(col("_tag") === -1, 0).otherwise(1), col(ts), col("_tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    finish(u, w, key, ts, leftCols, rightCols, tolerance)
   }
 
   /** Forward as-of: the EARLIEST right row with `r.ts >= l.ts` — the
     * mirror image, implemented by negating the ts on both sides and
     * delegating (tolerance then bounds `r.ts - l.ts`). Requires a
-    * numeric ts column.
+    * numeric ts column with values > Long.MinValue (negation of
+    * Long.MinValue is itself).
     */
   def asofForward(left: DataFrame, right: DataFrame,
       key: String, ts: String, tolerance: Option[Long] = None): DataFrame = {
-    require(left.schema(ts).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+    require(left.schema(ts).dataType.isInstanceOf[NumericType],
       "asofForward requires a numeric ts column (e.g. unix_micros)")
     asofBackward(
         left.withColumn(ts, -col(ts)),

@@ -22,20 +22,26 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** Exact floor(x / w) bin index in pure long arithmetic, wrap-safe
+    * over the FULL long domain: truncating `div` corrected by the
+    * remainder sign. (floor via double mis-bins beyond 2^53; the
+    * mod-subtract form `x - pmod(x, w)` underflows near Long.MinValue
+    * with ANSI off — the quotient form has neither failure mode, since
+    * |x div w| ≤ |x| and the remainder stays in (-w, w).)
+    */
+  private[graft] def binSql(c: String, w: Long): String = {
+    val q = "`" + c.replace("`", "``") + "`"
+    s"(($q div ${w}L) + (CASE WHEN $q % ${w}L < 0 THEN -1 ELSE 0 END))"
+  }
+
   def pointInInterval(points: DataFrame, intervals: DataFrame,
       pointCol: String, loCol: String, hiCol: String,
       binWidth: Long): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
-    // exact integer floor division — subtract the non-negative mod then
-    // integral `div`; everything stays in long arithmetic and is correct
-    // for negatives. floor(x / w) would round through a double and
-    // mis-bin values beyond 2^53.
-    def binSql(c: String) =
-      s"(`$c` - ((`$c` % $binWidth + $binWidth) % $binWidth)) div $binWidth"
-    val p = points.withColumn("_bin", expr(binSql(pointCol)))
+    val p = points.withColumn("_bin", expr(binSql(pointCol, binWidth)))
     val iv = intervals
       .withColumn("_bin", explode(sequence(
-        expr(binSql(loCol)), expr(binSql(hiCol)))))
+        expr(binSql(loCol, binWidth)), expr(binSql(hiCol, binWidth)))))
     p.join(iv, "_bin")
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("_bin")
@@ -55,11 +61,10 @@ object RangeJoin {
       rightId: String, rightLo: String, rightHi: String,
       binWidth: Long): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
-    def binSql(c: String) =
-      s"(`$c` - ((`$c` % $binWidth + $binWidth) % $binWidth)) div $binWidth"
     def binned(df: DataFrame, id: String, lo: String, hi: String) =
       df.select(col(id), col(lo), col(hi),
-        explode(sequence(expr(binSql(lo)), expr(binSql(hi)))).as("_bin"))
+        explode(sequence(
+          expr(binSql(lo, binWidth)), expr(binSql(hi, binWidth)))).as("_bin"))
     val l = binned(left, leftId, leftLo, leftHi)
     val r = binned(right, rightId, rightLo, rightHi)
       .withColumnRenamed(rightLo, s"_r_$rightLo")

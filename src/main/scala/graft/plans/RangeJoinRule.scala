@@ -49,11 +49,17 @@ object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
   private def integral(e: Expression): Boolean =
     e.dataType == LongType || e.dataType == IntegerType
 
-  /** Exact floor(x / w) in long arithmetic. */
+  /** Exact floor(x / w) in long arithmetic, wrap-safe over the full
+    * long domain: truncating `div` corrected by the remainder sign
+    * (the former mod-subtract form underflowed for x near
+    * Long.MinValue with ANSI off, silently mis-binning).
+    */
   private def bin(x: Expression, w: Long): Expression = {
     val wl = Literal(w, LongType)
     val xl = if (x.dataType == LongType) x else Cast(x, LongType)
-    IntegralDivide(Subtract(xl, Pmod(xl, wl)), wl)
+    val q = IntegralDivide(xl, wl)
+    If(LessThan(Remainder(xl, wl), Literal(0L, LongType)),
+      Subtract(q, Literal(1L, LongType)), q)
   }
 
   private def rewrite(l: LogicalPlan, r: LogicalPlan, cond: Expression,

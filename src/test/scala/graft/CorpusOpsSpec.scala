@@ -329,4 +329,112 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(canon(1L) == 1L && canon(2L) == 1L && canon(3L) == 1L)
     assert(canon(10L) == 10L && canon(11L) == 11L)
   }
+
+  test("asofBackward: NULL payload field in the matched row stays NULL (atomic row carry)") {
+    val spark2 = spark
+    import spark2.implicits._
+    // right rows: at ts 10 both fields set; at ts 20 field b is NULL.
+    // A left row at ts 25 matches the ts-20 row — its b must be NULL,
+    // not borrowed from the ts-10 row.
+    val left = Seq((1L, 25L, "p")).toDF("k", "ts", "pname")
+    val right = Seq((1L, 10L, Some("a10"), Some("b10")),
+      (1L, 20L, Some("a20"), Option.empty[String]))
+      .toDF("k", "ts", "a", "b")
+    val row = graft.operators.AsofJoin.asofBackward(left, right, "k", "ts")
+      .select("a", "b").collect().head
+    assert(row.getString(0) == "a20" && row.isNullAt(1))
+    // same through the chunked path
+    val rowC = graft.operators.AsofJoin
+      .asofBackwardChunked(left, right, "k", "ts", chunkWidth = 7L)
+      .select("a", "b").collect().head
+    assert(rowC.getString(0) == "a20" && rowC.isNullAt(1))
+  }
+
+  test("asofBackwardChunked ≡ asofBackward on random data (hot key spans many chunks, gap chunks, tolerance)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(42)
+    // key 1 is hot (all rows); keys 2-4 sparse with big time gaps so
+    // many chunks contain left rows but no right rows (boundary carry
+    // across empty chunks), and some contain right rows only.
+    val left = (1 to 400).map { i =>
+      val k = if (i % 4 == 0) 1L + rnd.nextInt(4) else 1L
+      (k, rnd.nextLong() % 2000L, s"l$i")
+    }
+    val right = (1 to 300).map { i =>
+      val k = if (i % 4 == 0) 1L + rnd.nextInt(4) else 1L
+      (k, rnd.nextLong() % 2000L, s"r$i")
+    }.groupBy(t => (t._1, t._2)).map(_._2.maxBy(_._3)).toSeq // unique (k, ts)
+    val l = left.toDF("k", "ts", "pname")
+    val r = right.toDF("k", "ts", "vname")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(x => (x.getLong(0), x.getLong(1), x.getString(2),
+        Option(x.getString(3)))).toSeq.sorted
+    for (tol <- Seq(None, Some(100L)); cw <- Seq(37L, 500L)) {
+      val a = canon(graft.operators.AsofJoin.asofBackward(l, r, "k", "ts", tol))
+      val b = canon(graft.operators.AsofJoin
+        .asofBackwardChunked(l, r, "k", "ts", cw, tol))
+      assert(a == b, s"chunked mismatch at tol=$tol cw=$cw")
+    }
+    // the hot key genuinely spans many chunks at cw=37
+    val nChunks = l.filter(col("k") === 1L)
+      .select((col("ts") - ((col("ts") % 37 + 37) % 37)).as("c"))
+      .distinct().count()
+    assert(nChunks > 10)
+  }
+
+  test("replaceValues does not cascade: branches test the original value") {
+    val spark2 = spark
+    import spark2.implicits._
+    // A->B, B->C: pandas Series.replace semantics — A becomes B (not C)
+    val out = Seq("A", "B", "C").toDF("v")
+      .select(Transforms.replaceValues(
+        scala.collection.immutable.ListMap("A" -> "B", "B" -> "C"))(col("v")))
+      .as[String].collect().toSeq
+    assert(out == Seq("B", "C", "C"))
+    // and reversed insertion order gives the identical result
+    val out2 = Seq("A", "B", "C").toDF("v")
+      .select(Transforms.replaceValues(
+        scala.collection.immutable.ListMap("B" -> "C", "A" -> "B"))(col("v")))
+      .as[String].collect().toSeq
+    assert(out2 == Seq("B", "C", "C"))
+  }
+
+  test("canonicalByScore works with STRING ids (no numeric coercion)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val comp = Seq(("d1", 1L), ("d2", 1L), ("d3", 1L), ("x9", 2L))
+      .toDF("id", "cluster")
+    val scored = Seq(("d1", 0.5), ("d2", 0.9), ("d3", 0.9), ("x9", 0.1))
+      .toDF("doc_id", "q")
+    val out = graft.dedup.Dedup.canonicalByScore(comp, scored, "doc_id", "q")
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getBoolean(2))).toMap
+    // top score 0.9 tie between d2/d3 → lowest id d2 wins
+    assert(out("d1") == ("d2", false) && out("d2") == ("d2", true) &&
+      out("d3") == ("d2", false))
+    assert(out("x9") == ("x9", true))
+  }
+
+  test("columnClasses is safe for hostile column names (quotes, backticks, commas)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(("1", "x"), ("2", "y")).toDF("o'brien, `a`", "plain")
+    val cls = SchemaAnalysis.columnClasses(df)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(cls("o'brien, `a`") == "numeric" && cls("plain") == "text")
+  }
+
+  test("rangeJoin bins are wrap-safe at the Long.MinValue edge") {
+    val spark2 = spark
+    import spark2.implicits._
+    val lo = Long.MinValue
+    val pts = Seq((1L, lo), (2L, lo + 3), (3L, lo + 10), (4L, Long.MaxValue))
+      .toDF("pid", "p")
+    val ivs = Seq((10L, lo, lo + 5), (20L, Long.MaxValue - 2, Long.MaxValue))
+      .toDF("iid", "lo", "hi")
+    val got = graft.operators.RangeJoin
+      .pointInInterval(pts, ivs, "p", "lo", "hi", 7L)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(got == Set((1L, 10L), (2L, 10L), (4L, 20L)))
+  }
 }
