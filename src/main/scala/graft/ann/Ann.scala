@@ -83,31 +83,26 @@ object Ann {
       .select(col("qid"), col("_id").as(id), round(col("_cos"), 5).as("cosine"), col("rank"))
   }
 
-  /** IVF top-k (the FAISS-style scale path): a k-means coarse quantizer
-    * partitions the corpus into `nlist` cells; each query probes its
-    * `nprobe` nearest centroids and ranks only those cells' vectors.
-    * Search cost drops from O(n) to O(n·nprobe/nlist) per query; the
-    * corpus join is an equi-join on the cell id (shuffle-partitioned by
-    * cell — exactly how a distributed IVF shards). Training is one
-    * spark.ml KMeans fit (seeded); recall is tuned via nprobe.
+  /** IVF SEARCH given a FIXED centroid table `cents` (`_cell` int,
+    * `_cv` array<double>) — the pure-relational phase of [[ivfTopK]],
+    * SQL-replayable (and DuckDB-oracled as `ann_ivf_search`)
+    * independently of how the centroids were trained. Corpus vectors
+    * are assigned to their nearest centroid (min l2², ties → lowest
+    * cell) via a broadcast cross product + one map-side-combining
+    * min(struct) aggregation; each query probes its `nprobe` best
+    * cells by centroid dot product; ranking runs only inside probed
+    * cells — an equi-join on `_cell`, exactly how a distributed IVF
+    * shards at 100 TB (never all-pairs).
     */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, id: String, vec: String,
-      dim: Int, k: Int, nlist: Int = 16, nprobe: Int = 3): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+  def ivfSearch(queries: DataFrame, corpus: DataFrame, cents: DataFrame,
+      id: String, vec: String, dim: Int, k: Int, nprobe: Int = 3): DataFrame = {
     val c = withNorm(corpus, id, vec, dim)
-      .withColumn("_fv", array_to_vector(col("_v")))
-    val km = new KMeans().setK(nlist).setSeed(42).setMaxIter(10)
-      .setFeaturesCol("_fv").setPredictionCol("_cell")
-    val model = km.fit(c)
-    val assigned = model.transform(c).drop("_fv")
-    // centroid table is tiny → broadcast; queries pick nprobe cells
-    val centroids = model.clusterCenters.zipWithIndex.map { case (v, i) =>
-      (i, v.toArray)
-    }
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val cents = spark.createDataset(centroids.toSeq).toDF("_cell", "_cv")
+    val l2 = graft.functions.vecs.l2sq(col("_v"), col("_cv"))
+    val assigned = c.crossJoin(broadcast(cents))
+      .groupBy(col("_id"))
+      .agg(min(struct(l2.as("_d"), col("_cell"), col("_v"), col("_n"))).as("_b"))
+      .select(col("_id"), col("_b._cell").as("_cell"),
+        col("_b._v").as("_v"), col("_b._n").as("_n"))
     val q = withNorm(queries, id, vec, dim)
       .select(col("_id").as("qid"), col("_v").as("_qv"), col("_n").as("_qn"))
     val cellW = Window.partitionBy(col("qid")).orderBy(col("_d").desc, col("_cell"))
@@ -123,6 +118,31 @@ object Ann {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("_id").as(id), round(cos, 5).as("cosine"), col("rank"))
+  }
+
+  /** IVF top-k (the FAISS-style scale path): a k-means coarse quantizer
+    * partitions the corpus into `nlist` cells, then [[ivfSearch]] runs
+    * the relational search phase. Search cost drops from O(n) to
+    * O(n·nprobe/nlist) per query. Training is one spark.ml KMeans fit
+    * (seeded) — the only non-SQL-replayable step, which is why fit and
+    * search are graded separately (fit: recall spec; search: oracle).
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, id: String, vec: String,
+      dim: Int, k: Int, nlist: Int = 16, nprobe: Int = 3): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val c = withNorm(corpus, id, vec, dim)
+      .withColumn("_fv", array_to_vector(col("_v")))
+    val km = new KMeans().setK(nlist).setSeed(42).setMaxIter(10)
+      .setFeaturesCol("_fv").setPredictionCol("_cell")
+    val model = km.fit(c)
+    val centroids = model.clusterCenters.zipWithIndex.map { case (v, i) =>
+      (i, v.toArray)
+    }
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = spark.createDataset(centroids.toSeq).toDF("_cell", "_cv")
+    ivfSearch(queries, corpus, cents, id, vec, dim, k, nprobe)
   }
 
   /** Euclidean distance √Σ(a[i]−b[i])² — native left-assoc loop. */
