@@ -341,6 +341,99 @@ object FuseQueries {
        |FROM per p JOIN roll USING (attribute)
        |ORDER BY attribute, dataset""".stripMargin
 
+  // ---- FusionReport (reporting.py:94–211) ----
+
+  /** FusionReport as one frame (see [[Reporting.fusionReport]]).
+    * Sources are thinned (B only on even clusters, C only off
+    * multiples of 3) so group sizes, source combinations, and
+    * per-attribute conflict counts all vary.
+    */
+  def fuseReport(s: SparkSession, dir: String): DataFrame = {
+    val src = sources(s, dir).filter(
+      col("src") === "A" ||
+        (col("src") === "B" && col("cluster") % 2 === 0) ||
+        (col("src") === "C" && col("cluster") % 3 =!= 0))
+    Reporting.fusionReport(src, "cluster", "src",
+        Seq("status", "price", "odate", "prio"), "status")
+      .orderBy("section", "metric", "attribute")
+  }
+
+  val fuseReportOracle: String =
+    s"""WITH $sourcesSql,
+       |fsrc AS (SELECT * FROM src
+       |         WHERE src = 'A' OR (src = 'B' AND cluster % 2 = 0)
+       |            OR (src = 'C' AND cluster % 3 <> 0)),
+       |per AS (SELECT cluster, count(*) AS sz,
+       |          string_agg(DISTINCT src, '+' ORDER BY src) AS combo,
+       |          count(DISTINCT status) AS cd_status,
+       |          count(DISTINCT price) AS cd_price,
+       |          count(DISTINCT odate) AS cd_odate,
+       |          count(DISTINCT prio) AS cd_prio
+       |        FROM fsrc GROUP BY cluster),
+       |g AS (SELECT count(*) AS tg,
+       |        CAST(sum(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS BIGINT) AS multi,
+       |        CAST(sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS BIGINT) AS single,
+       |        max(sz) AS largest, CAST(sum(sz) AS BIGINT) AS sumsz,
+       |        CAST(sum(CASE WHEN cd_status >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS ncf_status,
+       |        CAST(sum(CASE WHEN cd_price >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS ncf_price,
+       |        CAST(sum(CASE WHEN cd_odate >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS ncf_odate,
+       |        CAST(sum(CASE WHEN cd_prio >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS ncf_prio
+       |      FROM per),
+       |f AS (SELECT count(*) AS n, count(status) AS nn_status, count(price) AS nn_price,
+       |             count(odate) AS nn_odate, count(prio) AS nn_prio FROM fsrc),
+       |counts AS (SELECT cluster, status, count(*) AS cnt FROM fsrc GROUP BY cluster, status),
+       |rankd AS (SELECT cluster, cnt,
+       |          row_number() OVER (PARTITION BY cluster ORDER BY cnt DESC, status) AS rn
+       |          FROM counts),
+       |vote AS (SELECT cluster,
+       |           max(CASE WHEN rn = 1 THEN cnt END) AS w,
+       |           max(CASE WHEN rn = 2 THEN cnt END) AS s,
+       |           sum(cnt) AS n, count(*) AS d
+       |         FROM rankd GROUP BY cluster),
+       |conf AS (SELECT round(CASE WHEN d = 1 THEN 1.0
+       |                  WHEN w > s THEN 0.5 + CAST(w - s AS DOUBLE) / n * 0.5
+       |                  ELSE 0.5 END, 5) AS c
+       |         FROM vote),
+       |confagg AS (SELECT count(*) AS n,
+       |              CAST(sum(CASE WHEN c >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS res,
+       |              CAST(sum(CASE WHEN c < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS unres,
+       |              CAST(sum(CAST(round(c * 100000) AS BIGINT)) AS BIGINT) AS csum
+       |            FROM conf),
+       |bins AS (SELECT CASE WHEN c <= 0.2 THEN 'very_low' WHEN c <= 0.4 THEN 'low'
+       |                WHEN c <= 0.6 THEN 'medium' WHEN c <= 0.8 THEN 'high'
+       |                ELSE 'very_high' END AS bin, count(*) AS ng
+       |         FROM conf GROUP BY 1),
+       |report AS (
+       |  SELECT 'group' AS section, 'total_groups' AS metric, '' AS attribute,
+       |         CAST(tg AS DOUBLE) AS value FROM g
+       |  UNION ALL SELECT 'group', 'multi_record_groups', '', CAST(multi AS DOUBLE) FROM g
+       |  UNION ALL SELECT 'group', 'singleton_groups', '', CAST(single AS DOUBLE) FROM g
+       |  UNION ALL SELECT 'group', 'largest_group_size', '', CAST(largest AS DOUBLE) FROM g
+       |  UNION ALL SELECT 'group', 'average_group_size', '', CAST(sumsz AS DOUBLE) / tg FROM g
+       |  UNION ALL SELECT 'attribute', 'fill_rate', 'status', CAST(nn_status AS DOUBLE) / n FROM f
+       |  UNION ALL SELECT 'attribute', 'fill_rate', 'price', CAST(nn_price AS DOUBLE) / n FROM f
+       |  UNION ALL SELECT 'attribute', 'fill_rate', 'odate', CAST(nn_odate AS DOUBLE) / n FROM f
+       |  UNION ALL SELECT 'attribute', 'fill_rate', 'prio', CAST(nn_prio AS DOUBLE) / n FROM f
+       |  UNION ALL SELECT 'attribute', 'n_conflict_groups', 'status', CAST(ncf_status AS DOUBLE) FROM g
+       |  UNION ALL SELECT 'attribute', 'n_conflict_groups', 'price', CAST(ncf_price AS DOUBLE) FROM g
+       |  UNION ALL SELECT 'attribute', 'n_conflict_groups', 'odate', CAST(ncf_odate AS DOUBLE) FROM g
+       |  UNION ALL SELECT 'attribute', 'n_conflict_groups', 'prio', CAST(ncf_prio AS DOUBLE) FROM g
+       |  UNION ALL SELECT 'attribute', 'conflict_rate', 'status', CAST(ncf_status AS DOUBLE) / tg FROM g
+       |  UNION ALL SELECT 'attribute', 'conflict_rate', 'price', CAST(ncf_price AS DOUBLE) / tg FROM g
+       |  UNION ALL SELECT 'attribute', 'conflict_rate', 'odate', CAST(ncf_odate AS DOUBLE) / tg FROM g
+       |  UNION ALL SELECT 'attribute', 'conflict_rate', 'prio', CAST(ncf_prio AS DOUBLE) / tg FROM g
+       |  UNION ALL SELECT 'group_size_dist', 'n_groups', CAST(sz AS VARCHAR),
+       |                   CAST(count(*) AS DOUBLE) FROM per GROUP BY sz
+       |  UNION ALL SELECT 'conflict_pattern', 'n_groups', combo,
+       |                   CAST(count(*) AS DOUBLE) FROM per WHERE sz > 1 GROUP BY combo
+       |  UNION ALL SELECT 'confidence', 'resolved_conflicts', '', CAST(res AS DOUBLE) FROM confagg
+       |  UNION ALL SELECT 'confidence', 'unresolved_conflicts', '', CAST(unres AS DOUBLE) FROM confagg
+       |  UNION ALL SELECT 'confidence', 'mean_confidence', '',
+       |                   CAST(csum AS DOUBLE) / 100000.0 / n FROM confagg
+       |  UNION ALL SELECT 'confidence', 'bin_count', bin, CAST(ng AS DOUBLE) FROM bins)
+       |SELECT section, metric, attribute, value FROM report
+       |ORDER BY section, metric, attribute""".stripMargin
+
   /** DataFusionEvaluator with per-attribute match functions
     * (evaluation.py:46–251): the engine's fused row vs gold (= source
     * A's values) under exact / numeric_tolerance / year_only /
@@ -511,6 +604,7 @@ object FuseQueries {
     "fuse_dates" -> (fuseDates _),
     "fuse_lists" -> (fuseLists _),
     "fuse_engine" -> (fuseEngine _),
+    "fuse_report" -> (fuseReport _),
     "fuse_eval" -> (fuseEval _),
     "fuse_consistency" -> (fuseConsistency _)
   )
@@ -541,6 +635,7 @@ object FuseQueries {
     "fuse_dates" -> fuseDatesOracle,
     "fuse_lists" -> fuseListsOracle,
     "fuse_engine" -> fuseEngineOracle,
+    "fuse_report" -> fuseReportOracle,
     "fuse_eval" -> fuseEvalRealOracle,
     "fuse_consistency" -> fuseConsistencyOracle
   )
