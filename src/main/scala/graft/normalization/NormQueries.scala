@@ -464,6 +464,73 @@ object NormQueries {
       |  ('o_orderstatus', 'string', 0.0), ('o_totalprice', 'double', 1.0))
       |AS t("column", detected, share_parsed) ORDER BY "column"""".stripMargin
 
+  // ---- norm_recommend (columns.py:446/:575) ----
+  /** Advisory layer demo: orders with 25% of prices nulled (imputation
+    * advice) and a 'mixed' column that is 80% numeric (low-confidence
+    * advice); strings/dates pick up their normalization advice.
+    */
+  def normRecommend(s: SparkSession, dir: String): DataFrame = {
+    val o = orders(s, dir).select(
+      col("o_orderkey"), col("o_orderstatus"),
+      when(col("o_orderkey") % 4 === 0, lit(null)).otherwise(col("o_totalprice"))
+        .as("o_totalprice"),
+      col("o_orderdate"), col("o_orderpriority"),
+      when(col("o_orderkey") % 5 === 0, lit("n/a"))
+        .otherwise(col("o_orderkey").cast("string")).as("mixed"))
+    Normalize.columnRecommendations(o)
+      .withColumn("share_parsed", round(col("share_parsed"), 5))
+      .withColumn("null_share", round(col("null_share"), 5))
+      .orderBy("column", "recommendation")
+  }
+  val normRecommendOracle: String =
+    """WITH o AS (SELECT o_orderkey, o_orderstatus,
+      |    CASE WHEN o_orderkey % 4 = 0 THEN NULL ELSE o_totalprice END AS o_totalprice,
+      |    o_orderdate, o_orderpriority,
+      |    CASE WHEN o_orderkey % 5 = 0 THEN 'n/a'
+      |         ELSE CAST(o_orderkey AS VARCHAR) END AS mixed
+      |  FROM orders),
+      |mx AS (SELECT round(avg(CASE WHEN regexp_matches(mixed, '^-?\d+$')
+      |                 THEN 1.0 ELSE 0.0 END), 5) AS sp FROM o),
+      |det AS (SELECT * FROM (VALUES
+      |    ('o_orderkey', 'long', 1.0), ('o_orderstatus', 'string', 0.0),
+      |    ('o_totalprice', 'double', 1.0), ('o_orderdate', 'datetime', 1.0),
+      |    ('o_orderpriority', 'string', 0.0))
+      |  AS t("column", detected, share_parsed)
+      |  UNION ALL SELECT 'mixed', 'long', sp FROM mx),
+      |ns AS (
+      |  SELECT 'o_orderkey' AS "column", round(avg(CASE WHEN o_orderkey IS NULL
+      |    THEN 1.0 ELSE 0.0 END), 5) AS null_share FROM o
+      |  UNION ALL SELECT 'o_orderstatus', round(avg(CASE WHEN o_orderstatus IS NULL
+      |    THEN 1.0 ELSE 0.0 END), 5) FROM o
+      |  UNION ALL SELECT 'o_totalprice', round(avg(CASE WHEN o_totalprice IS NULL
+      |    THEN 1.0 ELSE 0.0 END), 5) FROM o
+      |  UNION ALL SELECT 'o_orderdate', round(avg(CASE WHEN o_orderdate IS NULL
+      |    THEN 1.0 ELSE 0.0 END), 5) FROM o
+      |  UNION ALL SELECT 'o_orderpriority', round(avg(CASE WHEN o_orderpriority IS NULL
+      |    THEN 1.0 ELSE 0.0 END), 5) FROM o
+      |  UNION ALL SELECT 'mixed', round(avg(CASE WHEN mixed IS NULL
+      |    THEN 1.0 ELSE 0.0 END), 5) FROM o),
+      |joined AS (SELECT d."column" AS "column", d.detected, d.share_parsed,
+      |                  ns.null_share
+      |           FROM det d JOIN ns ON ns."column" = d."column"),
+      |r AS (
+      |  SELECT "column", detected, share_parsed, null_share,
+      |         'high null rate - consider imputation' AS recommendation
+      |  FROM joined WHERE null_share > 0.2
+      |  UNION ALL SELECT "column", detected, share_parsed, null_share,
+      |         'text data - consider text normalization'
+      |  FROM joined WHERE detected = 'string'
+      |  UNION ALL SELECT "column", detected, share_parsed, null_share,
+      |         'date data - consider date standardization'
+      |  FROM joined WHERE detected = 'datetime'
+      |  UNION ALL SELECT "column", detected, share_parsed, null_share,
+      |         'low parse confidence - verify data type'
+      |  FROM joined WHERE detected <> 'string' AND share_parsed < 0.9),
+      |fin AS (SELECT * FROM r
+      |  UNION ALL SELECT j."column", j.detected, j.share_parsed, j.null_share, 'ok'
+      |  FROM joined j WHERE NOT EXISTS (SELECT 1 FROM r WHERE r."column" = j."column"))
+      |SELECT * FROM fin ORDER BY "column", recommendation""".stripMargin
+
   // ---- norm_outliers ----
   def normOutliers(s: SparkSession, dir: String): DataFrame = {
     val e = events(s, dir)
@@ -757,6 +824,7 @@ object NormQueries {
     "norm_valuefns" -> (normValueFns _),
     "norm_outliers_zscore" -> (normOutliersZscore _),
     "norm_detect_types" -> (normDetectTypes _),
+    "norm_recommend" -> (normRecommend _),
     "norm_outliers" -> (normOutliers _),
     "norm_validate" -> (normValidate _),
     "norm_coords" -> (normCoords _),
@@ -783,6 +851,7 @@ object NormQueries {
     "norm_valuefns" -> normValueFnsOracle,
     "norm_outliers_zscore" -> normOutliersZscoreOracle,
     "norm_detect_types" -> normDetectTypesOracle,
+    "norm_recommend" -> normRecommendOracle,
     "norm_outliers" -> normOutliersOracle,
     "norm_validate" -> normValidateOracle,
     "norm_coords" -> normCoordsOracle,

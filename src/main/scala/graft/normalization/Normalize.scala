@@ -626,6 +626,37 @@ object Normalize {
     out.toSeq.toDF("column", "detected", "share_parsed")
   }
 
+  /** Column recommendations (PyDI/normalization/columns.py:446
+    * `get_normalization_recommendations`, :575
+    * `get_column_recommendations`): the advisory layer over
+    * [[detectTypes]] + per-column null profiling. One extra aggregation
+    * pass (driver result bounded by column count, like detectTypes)
+    * computes null shares; the rule set mirrors the reference's: null
+    * rate >20% → imputation; string → text normalization; datetime →
+    * date standardization; parsed-majority <0.9 on a non-string type →
+    * verify ("low confidence"). Columns with no findings emit an
+    * explicit 'ok' row so every column appears in the frame.
+    */
+  def columnRecommendations(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nullAggs = df.columns.map(c => avg(col(c).isNull.cast("double")).as(s"_n_$c"))
+    val row = df.agg(nullAggs.head, nullAggs.tail.toIndexedSeq: _*).collect()(0)
+    val nulls = df.columns.zipWithIndex.map { case (c, i) =>
+      (c, Option(row.get(i)).map(_.asInstanceOf[Double]).getOrElse(0.0))
+    }.toSeq.toDF("column", "null_share")
+    val recsArr = array(
+      when(col("null_share") > 0.2, lit("high null rate - consider imputation")),
+      when(col("detected") === "string", lit("text data - consider text normalization")),
+      when(col("detected") === "datetime", lit("date data - consider date standardization")),
+      when(col("detected") =!= "string" && col("share_parsed") < 0.9,
+        lit("low parse confidence - verify data type")))
+    detectTypes(df).join(nulls, "column")
+      .withColumn("recommendation", explode_outer(filter(recsArr, x => x.isNotNull)))
+      .select(col("column"), col("detected"), col("share_parsed"), col("null_share"),
+        coalesce(col("recommendation"), lit("ok")).as("recommendation"))
+  }
+
   // ---- outliers (PyDI/normalization/outlier_detector.py) ----
 
   /** Rows outside [q1 - k·iqr, q3 + k·iqr] on `valueCol` (exact

@@ -23,7 +23,11 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   *            Inner, _graft_bin = _graft_bin_r)))
   *
   * Opt-in: set `spark.graft.rangeJoin.binWidth` to a positive long
-  * (≈ the typical interval width). Guards: exactly the two range
+  * (≈ the typical interval width), or to `auto` to estimate it at
+  * planning time as median(hi−lo)+1 over a bounded sample of the
+  * interval side (manual value = override; unset = rule off). The
+  * rewrite is exact for ANY width, so a bad estimate only costs
+  * performance. Guards: exactly the two range
   * conjuncts (nothing else — so a re-pushed filter can never re-match),
   * integral types only, deterministic expressions, point side = left.
   * Floor division is exact long arithmetic (mod-subtract + integral
@@ -37,12 +41,48 @@ object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
   val ConfKey = "spark.graft.rangeJoin.binWidth"
 
+  /** Rows sampled from the interval side when the conf is `auto`. */
+  private val SampleRows = 10000
+
+  /** Re-entrancy guard: the auto-width sample query runs through the
+    * optimizer too — without this it could recurse into the rule.
+    */
+  private val estimating: ThreadLocal[java.lang.Boolean] =
+    ThreadLocal.withInitial(() => java.lang.Boolean.FALSE)
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val w = conf.getConfString(ConfKey, "0").toLong
-    if (w <= 0) plan
+    if (estimating.get()) return plan
+    val confVal = conf.getConfString(ConfKey, "0").trim
+    val manual = scala.util.Try(confVal.toLong).toOption
+    if (confVal != "auto" && manual.forall(_ <= 0)) plan
     else plan.transformUp {
       case j @ Join(l, r, Inner, Some(cond), hint) =>
-        rewrite(l, r, cond, hint, w).getOrElse(j)
+        rewrite(l, r, cond, hint, confVal).getOrElse(j)
+    }
+  }
+
+  /** `auto` width: median (hi − lo) + 1 over a bounded sample of the
+    * interval side, executed as its own tiny query (the guard above
+    * keeps the optimizer from re-entering). Estimation cost is one
+    * LIMIT-10000 scan at planning time; the rewrite stays EXACT for
+    * any width, so a bad estimate only costs performance, never rows.
+    */
+  private def estimateBinWidth(r: LogicalPlan, lo: Expression, hi: Expression): Option[Long] = {
+    org.apache.spark.sql.SparkSession.getActiveSession.flatMap { spark =>
+      estimating.set(true)
+      try {
+        def asLong(e: Expression) = if (e.dataType == LongType) e else Cast(e, LongType)
+        val w = Alias(Subtract(asLong(hi), asLong(lo)), "_graft_w")()
+        val plan = Limit(Literal(SampleRows), Project(Seq(w), r))
+        val qe = new org.apache.spark.sql.execution.QueryExecution(
+          spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+        val widths = qe.executedPlan.executeCollect()
+          .filter(!_.isNullAt(0)).map(_.getLong(0)).sorted
+        if (widths.isEmpty) None
+        else Some(math.max(1L, widths(widths.length / 2) + 1))
+      } catch {
+        case scala.util.control.NonFatal(_) => None
+      } finally estimating.set(false)
     }
   }
 
@@ -63,7 +103,7 @@ object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   private def rewrite(l: LogicalPlan, r: LogicalPlan, cond: Expression,
-      hint: JoinHint, w: Long): Option[LogicalPlan] = {
+      hint: JoinHint, confVal: String): Option[LogicalPlan] = {
     val conjuncts = splitConjunctivePredicates(cond)
     if (conjuncts.size != 2) return None
 
@@ -83,17 +123,24 @@ object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     }
 
     (classify(conjuncts(0)), classify(conjuncts(1))) match {
-      case (Some((p1, lo, true)), Some((p2, hi, false))) => build(l, r, cond, hint, w, p1, p2, lo, hi)
-      case (Some((p1, hi, false)), Some((p2, lo, true))) => build(l, r, cond, hint, w, p1, p2, lo, hi)
+      case (Some((p1, lo, true)), Some((p2, hi, false))) => build(l, r, cond, hint, confVal, p1, p2, lo, hi)
+      case (Some((p1, hi, false)), Some((p2, lo, true))) => build(l, r, cond, hint, confVal, p1, p2, lo, hi)
       case _ => None
     }
   }
 
   private def build(l: LogicalPlan, r: LogicalPlan, cond: Expression,
-      hint: JoinHint, w: Long, p1: Expression, p2: Expression,
+      hint: JoinHint, confVal: String, p1: Expression, p2: Expression,
       lo: Expression, hi: Expression): Option[LogicalPlan] = {
     if (!p1.semanticEquals(p2)) return None
     if (!Seq(p1, lo, hi).forall(e => integral(e) && e.deterministic)) return None
+    // width AFTER all structural guards, so `auto` never samples for a
+    // join the rule would not rewrite anyway
+    val w = (if (confVal == "auto") estimateBinWidth(r, lo, hi)
+             else scala.util.Try(confVal.toLong).toOption.filter(_ > 0)) match {
+      case Some(v) => v
+      case None => return None
+    }
 
     val binL = Alias(bin(p1, w), "_graft_bin")()
     val leftB = Project(l.output :+ binL, l)

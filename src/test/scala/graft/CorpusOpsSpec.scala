@@ -305,6 +305,33 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("RangeJoinRule auto binWidth: no hand-set width, still no nested loop, same rows") {
+    val spark2 = spark
+    import spark2.implicits._
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.RangeJoinRule
+    try {
+      val pts = Tables.customer(spark, sf)
+        .select(col("c_custkey"), Tables.cents(col("c_acctbal")).as("p"))
+      val ivs = Tables.nation(spark, sf).select(col("n_nationkey"),
+        (col("n_nationkey") * 88000L - 100000L).as("lo"),
+        (col("n_nationkey") * 88000L - 12001L).as("hi"))
+      spark.conf.unset(graft.plans.RangeJoinRule.ConfKey)
+      val expect = pts.join(ivs, col("p") >= col("lo") && col("p") <= col("hi"))
+        .collect().map(_.toSeq).toSet
+
+      spark.conf.set(graft.plans.RangeJoinRule.ConfKey, "auto")
+      val q = pts.join(ivs, col("p") >= col("lo") && col("p") <= col("hi"))
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"))
+      assert(q.collect().map(_.toSeq).toSet == expect)
+    } finally {
+      spark.conf.unset(graft.plans.RangeJoinRule.ConfKey)
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == graft.plans.RangeJoinRule)
+    }
+  }
+
   test("dedupCluster: planted near-dup chain collapses to one canonical") {
     val spark2 = spark
     import spark2.implicits._
