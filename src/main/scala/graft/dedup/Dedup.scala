@@ -149,6 +149,21 @@ object Dedup {
   val XxHash: (Int, Column) => Column =
     (i, s) => format_string("%016x", xxhash64(lit(i), s))
 
+  val HashFamilyConf = "spark.graft.dedup.hashFamily"
+
+  /** Session-configured hash family: `spark.graft.dedup.hashFamily` =
+    * `md5` (default — oracle parity) or `xxhash64` (the production
+    * choice once hashing is scan-bound). One conf flips every minhash
+    * site; the LSH join shapes are identical either way.
+    */
+  def hashFamily(spark: org.apache.spark.sql.SparkSession): (Int, Column) => Column =
+    spark.conf.get(HashFamilyConf, "md5") match {
+      case "md5" => Md5Hash
+      case "xxhash64" => XxHash
+      case other => throw new IllegalArgumentException(
+        s"$HashFamilyConf must be md5 or xxhash64, got: $other")
+    }
+
   /** MinHash signature columns: minhash_i = lexicographic min over the
     * doc's shingles of hashᵢ(shingle). String min avoids engine-
     * specific hex→int casts while keeping the uniform-permutation
@@ -171,7 +186,9 @@ object Dedup {
     */
   def minhashLsh(docs: DataFrame, id: String, text: String, n: Int = 3,
       bands: Int = 4, rows: Int = 3, threshold: Double = 0.8,
-      hashHex: (Int, Column) => Column = Md5Hash): DataFrame = {
+      hashHex: (Int, Column) => Column = null): DataFrame = {
+    // null = resolve from the session conf (md5 unless overridden)
+    val hh = Option(hashHex).getOrElse(hashFamily(docs.sparkSession))
     val k = bands * rows
     // Persisted: reused by the signature aggregation AND both
     // verification joins. Released in the finally below.
@@ -183,7 +200,7 @@ object Dedup {
     // them (they emitted no exploded row); without the filter their
     // all-null band signatures would spuriously bucket together.
     val sigs = sh.filter(size(col("_sh")) > 0)
-      .select(col("_id") +: (0 until k).map(i => minhashSig(i, hashHex)): _*)
+      .select(col("_id") +: (0 until k).map(i => minhashSig(i, hh)): _*)
     val bandCols = col("_id") +: (0 until bands).map { b =>
       concat_ws(":", (0 until rows).map(r => col(s"_h${b * rows + r}")): _*).as(s"_band$b")
     }

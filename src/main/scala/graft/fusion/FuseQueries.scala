@@ -434,6 +434,52 @@ object FuseQueries {
        |SELECT section, metric, attribute, value FROM report
        |ORDER BY section, metric, attribute""".stripMargin
 
+  /** Pre-fusion conflict preview (analysis.py:270): the first 50 A↔B
+    * pairs with every attribute whose stringified values differ. Price
+    * goes through DECIMAL(18,2) so both engines render the identical
+    * string (raw double→string is engine-formatted).
+    */
+  def fuseConflictsPreview(s: SparkSession, dir: String): DataFrame = {
+    val src = sources(s, dir)
+    def side(tag: String) = src.filter(col("src") === tag)
+      .select(col("cluster"), col("status"),
+        col("price").cast("decimal(18,2)").as("price"), col("odate"), col("prio"))
+    val a = side("A")
+    val corr = a.select(col("cluster").as("id1"), col("cluster").as("id2"),
+      ((lit(90) + col("cluster") % 10).cast("double") / 100).as("score"))
+    Reporting.conflictsPreview(corr, a, side("B"), "cluster",
+        Seq("status", "price", "odate", "prio"), sampleSize = 50)
+      .orderBy("id1", "attribute")
+  }
+
+  val fuseConflictsPreviewOracle: String =
+    s"""WITH $sourcesSql,
+       |a AS (SELECT cluster, status, CAST(price AS DECIMAL(18,2)) AS price,
+       |             odate, prio FROM src WHERE src = 'A'),
+       |b AS (SELECT cluster, status, CAST(price AS DECIMAL(18,2)) AS price,
+       |             odate, prio FROM src WHERE src = 'B'),
+       |corr AS (SELECT cluster AS id1, cluster AS id2,
+       |                CAST(90 + cluster % 10 AS DOUBLE) / 100 AS score
+       |         FROM a ORDER BY cluster LIMIT 50),
+       |j AS (SELECT corr.id1, corr.id2, corr.score,
+       |        a.status AS ls, a.price AS lp, a.odate AS lod, a.prio AS lpr,
+       |        b.status AS rs, b.price AS rp, b.odate AS rod, b.prio AS rpr
+       |      FROM corr JOIN a ON a.cluster = corr.id1
+       |                JOIN b ON b.cluster = corr.id2),
+       |un AS (
+       |  SELECT id1, id2, score, 'status' AS attribute,
+       |         CAST(ls AS VARCHAR) AS value1, CAST(rs AS VARCHAR) AS value2 FROM j
+       |  UNION ALL SELECT id1, id2, score, 'price',
+       |         CAST(lp AS VARCHAR), CAST(rp AS VARCHAR) FROM j
+       |  UNION ALL SELECT id1, id2, score, 'odate',
+       |         CAST(lod AS VARCHAR), CAST(rod AS VARCHAR) FROM j
+       |  UNION ALL SELECT id1, id2, score, 'prio',
+       |         CAST(lpr AS VARCHAR), CAST(rpr AS VARCHAR) FROM j)
+       |SELECT * FROM un
+       |WHERE value1 IS NOT NULL AND value2 IS NOT NULL
+       |  AND trim(value1) <> trim(value2)
+       |ORDER BY id1, attribute""".stripMargin
+
   /** DataFusionEvaluator with per-attribute match functions
     * (evaluation.py:46–251): the engine's fused row vs gold (= source
     * A's values) under exact / numeric_tolerance / year_only /
@@ -605,6 +651,7 @@ object FuseQueries {
     "fuse_lists" -> (fuseLists _),
     "fuse_engine" -> (fuseEngine _),
     "fuse_report" -> (fuseReport _),
+    "fuse_conflicts_preview" -> (fuseConflictsPreview _),
     "fuse_eval" -> (fuseEval _),
     "fuse_consistency" -> (fuseConsistency _)
   )
@@ -636,6 +683,7 @@ object FuseQueries {
     "fuse_lists" -> fuseListsOracle,
     "fuse_engine" -> fuseEngineOracle,
     "fuse_report" -> fuseReportOracle,
+    "fuse_conflicts_preview" -> fuseConflictsPreviewOracle,
     "fuse_eval" -> fuseEvalRealOracle,
     "fuse_consistency" -> fuseConsistencyOracle
   )

@@ -112,4 +112,33 @@ object Reporting {
     scalars.unionByName(dist).unionByName(patterns)
       .unionByName(confScalars).unionByName(bins)
   }
+
+  /** `analyze_conflicts_preview` (reference fusion/analysis.py:270):
+    * concrete conflicting values for the first `sampleSize` matched
+    * pairs — unlike the statistical reports, this shows the ACTUAL
+    * record pairs a user inspects before choosing fusion rules. One row
+    * per (pair, attribute) whose stringified values differ (str(val)
+    * comparison per the reference, trimmed, both non-null).
+    *
+    * Scale shape: the deterministic sample LIMIT happens before any
+    * join, so both record joins run on ≤ sampleSize broadcast rows no
+    * matter how large the correspondence set or the record frames are.
+    */
+  def conflictsPreview(corr: DataFrame, left: DataFrame, right: DataFrame,
+      idCol: String, attrs: Seq[String], sampleSize: Int = 5): DataFrame = {
+    val top = corr.orderBy(col("id1"), col("id2")).limit(sampleSize)
+    val l = left.select(col(idCol).as("id1") +:
+      attrs.map(a => col(a).cast("string").as(s"_l_$a")): _*)
+    val r = right.select(col(idCol).as("id2") +:
+      attrs.map(a => col(a).cast("string").as(s"_r_$a")): _*)
+    val rows = attrs.map(a => struct(lit(a).as("attribute"),
+      col(s"_l_$a").as("value1"), col(s"_r_$a").as("value2")))
+    top.join(l, "id1").join(r, "id2")
+      .select(col("id1"), col("id2"), col("score"), explode(array(rows: _*)).as("_c"))
+      .select(col("id1"), col("id2"), col("score"),
+        col("_c.attribute").as("attribute"),
+        col("_c.value1").as("value1"), col("_c.value2").as("value2"))
+      .filter(col("value1").isNotNull && col("value2").isNotNull &&
+        trim(col("value1")) =!= trim(col("value2")))
+  }
 }

@@ -34,6 +34,24 @@ class DedupTextSpec extends AnyFunSuite {
     assert(pairs.head._3 == 1.0)
   }
 
+  test("hashFamily conf flips minhash to xxhash64 with the same verified pair set") {
+    val d = graft.Tables.documents(spark, sf).limit(300)
+    val md5Pairs = Dedup.minhashLsh(d, "doc_id", "text").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    spark.conf.set(Dedup.HashFamilyConf, "xxhash64")
+    try {
+      val xxPairs = Dedup.minhashLsh(d, "doc_id", "text").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+      // verification filters by TRUE jaccard, so both families emit the
+      // same near-dup set (candidate recall coincides at this scale)
+      assert(xxPairs == md5Pairs)
+    } finally spark.conf.unset(Dedup.HashFamilyConf)
+    intercept[IllegalArgumentException] {
+      spark.conf.set(Dedup.HashFamilyConf, "fnv")
+      try Dedup.hashFamily(spark) finally spark.conf.unset(Dedup.HashFamilyConf)
+    }
+  }
+
   test("minhash LSH surfaces identical docs; simhash hamming 0 for identical") {
     val mh = Dedup.minhashLsh(docs, "doc_id", "text").collect()
       .map(x => (x.getLong(0), x.getLong(1))).toSet
