@@ -85,27 +85,34 @@ object Reporting {
       .select(lit("conflict_pattern").as("section"), lit("n_groups").as("metric"),
         col("_combo").as("attribute"), col("_ng").cast("double").as("value"))
 
-    // confidence section over the voting resolution of `confAttr`
-    val conf = Fusion.voting(src, cluster, confAttr)
+    // confidence section over the voting resolution of `confAttr` —
+    // ONE voting pass: the per-bin aggregate (≤5 rows, checkpointed)
+    // feeds both the bin counts and the resolved/unresolved/mean
+    // scalars, instead of re-running voting per consumer.
+    val binned = Fusion.voting(src, cluster, confAttr)
       .select(col("confidence").as("_c"))
-    val confAgg = conf.agg(
-      count(lit(1)).as("_n"),
-      sum((col("_c") >= 0.5).cast("long")).as("_res"),
-      sum((col("_c") < 0.5).cast("long")).as("_unres"),
-      sum(round(col("_c") * 100000).cast("long")).as("_csum"))
-    val confScalars = confAgg.select(explode(array(
-        row("confidence", "resolved_conflicts", lit(""), col("_res")),
-        row("confidence", "unresolved_conflicts", lit(""), col("_unres")),
-        row("confidence", "mean_confidence", lit(""),
-          col("_csum").cast("double") / 100000.0 / col("_n")))).as("_r"))
-      .select(col("_r.section"), col("_r.metric"), col("_r.attribute"), col("_r.value"))
-    val bins = conf.withColumn("_bin",
+      .withColumn("_bin",
         when(col("_c") <= 0.2, "very_low")
           .when(col("_c") <= 0.4, "low")
           .when(col("_c") <= 0.6, "medium")
           .when(col("_c") <= 0.8, "high")
           .otherwise("very_high"))
-      .groupBy(col("_bin")).agg(count(lit(1)).as("_ng"))
+      .groupBy(col("_bin")).agg(
+        count(lit(1)).as("_ng"),
+        sum((col("_c") >= 0.5).cast("long")).as("_res"),
+        sum((col("_c") < 0.5).cast("long")).as("_unres"),
+        sum(round(col("_c") * 100000).cast("long")).as("_csum"))
+      .localCheckpoint(true)
+    val confScalars = binned.agg(
+        sum(col("_ng")).as("_n"), sum(col("_res")).as("_res"),
+        sum(col("_unres")).as("_unres"), sum(col("_csum")).as("_csum"))
+      .select(explode(array(
+        row("confidence", "resolved_conflicts", lit(""), col("_res")),
+        row("confidence", "unresolved_conflicts", lit(""), col("_unres")),
+        row("confidence", "mean_confidence", lit(""),
+          col("_csum").cast("double") / 100000.0 / col("_n")))).as("_r"))
+      .select(col("_r.section"), col("_r.metric"), col("_r.attribute"), col("_r.value"))
+    val bins = binned
       .select(lit("confidence").as("section"), lit("bin_count").as("metric"),
         col("_bin").as("attribute"), col("_ng").cast("double").as("value"))
 
