@@ -176,6 +176,50 @@ object Ann {
         round(manhattan(col("_va"), col("_vb"), dim), 5).as("manhattan_dist"))
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023 shape): LSH
+    * near-dup pairs → connected components → ONE canonical doc per
+    * semantic cluster, chosen as the member closest (cosine) to the
+    * cluster CENTROID — "keep the most representative copy", vs the
+    * min-id policy of plain dedup clustering.
+    *
+    * Scale + parity design:
+    *   - pairs come from [[embeddingNearDup]] (bucketed, never
+    *     all-pairs); components from the RDD star-contraction fixpoint;
+    *   - the centroid is one groupBy(cluster) pass with `dim` exact
+    *     integer sums (components scaled ×1e7 and rounded to longs —
+    *     float SUM order is engine/partitioning-dependent, integer SUM
+    *     is not), divided back once: bit-identical centroids on any
+    *     engine, partition-invariant;
+    *   - canonical = min(struct(-cos7, id)) — one aggregate, no window
+    *     over members.
+    */
+  def semanticDedup(corpus: DataFrame, id: String, vec: String, dim: Int,
+      threshold: Double, planes: Int = 8): DataFrame = {
+    val pairs = embeddingNearDup(corpus, id, vec, dim, threshold, planes)
+    val comp = graft.clustering.Clusterers.connectedComponents(
+      pairs.select("id1", "id2"))
+    val all = corpus.select(col(id).as("id"), col(vec).cast("array<double>").as("_v"))
+    val labeled = all.join(comp, Seq("id"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col("id")))
+    val sums = count(lit(1)).as("_n") +: (0 until dim).map(k =>
+      sum(round(element_at(col("_v"), k + 1) * 1e7).cast("long")).as(s"_s$k"))
+    val cents = labeled.groupBy(col("cluster")).agg(sums.head, sums.tail: _*)
+    val centroid = array((0 until dim).map(k =>
+      col(s"_s$k").cast("double") / 1e7 / col("_n")): _*)
+    val scored = labeled.join(cents, "cluster")
+      .withColumn("_c", centroid)
+      .select(col("id"), col("cluster"),
+        (graft.functions.vecs.dot(col("_v"), col("_c")) /
+          (norm(col("_v"), dim) * norm(col("_c"), dim))).as("_cos"))
+    val canon = scored.groupBy(col("cluster"))
+      .agg(min(struct((-round(col("_cos"), 7)).as("_negc"), col("id"))).as("_b"))
+      .select(col("cluster"), col("_b.id").as("canonical_id"))
+    scored.join(canon, "cluster")
+      .select(col("id").as(id), col("cluster"), col("canonical_id"),
+        round(col("_cos"), 5).as("centroid_cosine"),
+        (col("id") === col("canonical_id")).as("keep"))
+  }
+
   /** Embedding-cosine near-dup pairs (#57): LSH bucket join over the
     * corpus, verify round(cos,5) ≥ threshold within buckets.
     */

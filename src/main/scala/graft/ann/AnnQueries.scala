@@ -233,8 +233,56 @@ object AnnQueries {
        |WHERE rank <= 5
        |ORDER BY qid, rank""".stripMargin
 
+  /** SemDeDup-style semantic dedup (r6): LSH pair graph → CC →
+    * centroid-nearest canonical per semantic cluster (see
+    * [[Ann.semanticDedup]]). Same planted near-dup corpus as
+    * `dedup_embedding`; the oracle replays the full pipeline —
+    * recursive-CTE components, exact 1e7-scaled integer centroid sums,
+    * left-assoc cosine — so canonical choice is hash-exact.
+    */
+  def dedupSemantic(s: SparkSession, dir: String): DataFrame =
+    Ann.semanticDedup(orig(s, dir).unionByName(perturbed(s, dir)),
+        "vec_id", "v", Dim, 0.97)
+      .orderBy("vec_id")
+
+  val dedupSemanticOracle: String = {
+    val sums = (1 to Dim).map(k =>
+      s"CAST(sum(CAST(round(v[$k]*10000000) AS BIGINT)) AS BIGINT) AS s_$k").mkString(", ")
+    val cvArr = (1 to Dim).map(k =>
+      s"CAST(s_$k AS DOUBLE)/10000000/n").mkString("[", ", ", "]")
+    s"""WITH RECURSIVE $corpusSql,
+       |cb AS (SELECT vec_id, v, ${normSql("v")} AS n, ${bucketSql("v")} AS bk FROM corpus),
+       |prs AS (SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+       |        FROM cb a JOIN cb b ON a.bk = b.bk AND a.vec_id < b.vec_id
+       |        WHERE round((${dotSql("a.v", "b.v")}) / (a.n * b.n), 5) >= 0.97),
+       |sym AS (SELECT id1 AS u, id2 AS w FROM prs UNION SELECT id2, id1 FROM prs),
+       |nodes AS (SELECT DISTINCT u AS id FROM sym),
+       |reach(node, r) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT s.w, reach.r FROM reach JOIN sym s ON s.u = reach.node),
+       |lab AS (SELECT node AS id, min(r) AS cluster FROM reach GROUP BY node),
+       |labeled AS (SELECT c.vec_id AS id, COALESCE(lab.cluster, c.vec_id) AS cluster, c.v
+       |            FROM corpus c LEFT JOIN lab ON lab.id = c.vec_id),
+       |cents AS (SELECT cluster, count(*) AS n, $sums FROM labeled GROUP BY cluster),
+       |cmb AS (SELECT l.id, l.cluster, l.v, $cvArr AS cv
+       |        FROM labeled l JOIN cents USING (cluster)),
+       |sc AS (SELECT id, cluster,
+       |         round((${dotSql("v", "cv")}) / (${normSql("v")} * ${normSql("cv")}), 7) AS cos7,
+       |         round((${dotSql("v", "cv")}) / (${normSql("v")} * ${normSql("cv")}), 5) AS centroid_cosine
+       |       FROM cmb),
+       |canon AS (SELECT cluster, id AS canonical_id FROM (
+       |  SELECT cluster, id,
+       |         row_number() OVER (PARTITION BY cluster ORDER BY cos7 DESC, id) AS rn
+       |  FROM sc) WHERE rn = 1)
+       |SELECT sc.id AS vec_id, sc.cluster, canon.canonical_id, sc.centroid_cosine,
+       |       sc.id = canon.canonical_id AS keep
+       |FROM sc JOIN canon USING (cluster) ORDER BY vec_id""".stripMargin
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_embedding" -> (dedupEmbedding _),
+    "dedup_semantic" -> (dedupSemantic _),
     "ann_bruteforce" -> (annBruteforce _),
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
@@ -245,6 +293,7 @@ object AnnQueries {
 
   def oracles: Map[String, String] = Map(
     "dedup_embedding" -> dedupEmbeddingOracle,
+    "dedup_semantic" -> dedupSemanticOracle,
     "ann_bruteforce" -> annBruteforceOracle,
     "ann_lsh" -> annLshOracle,
     "ann_ivf_search" -> annIvfSearchOracle,

@@ -34,6 +34,27 @@ class DedupTextSpec extends AnyFunSuite {
     assert(pairs.head._3 == 1.0)
   }
 
+  test("semanticDedup: planted cluster keeps the centroid-nearest member, singletons keep themselves") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 3 vectors on a line: a=(1,0,..), b=(cos t, sin t,..), m halfway —
+    // m is nearest the centroid and must win; z is orthogonal (singleton)
+    val dim = 8
+    def unit(x: Double, y: Double) =
+      Array(x, y) ++ Array.fill(dim - 2)(0.0)
+    val t = 0.12
+    val docs = Seq(
+      (1L, unit(1.0, 0.0)),
+      (2L, unit(math.cos(t), math.sin(t))),
+      (3L, unit(math.cos(t / 2), math.sin(t / 2))),
+      (9L, unit(0.0, 1.0))).toDF("vec_id", "v")
+    val out = graft.ann.Ann.semanticDedup(docs, "vec_id", "v", dim, threshold = 0.99)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(4))).toMap
+    assert(out(1L)._1 == 3L && !out(1L)._2)   // middle vector is canonical
+    assert(out(2L)._1 == 3L && out(3L)._2)
+    assert(out(9L) == (9L, true))             // orthogonal singleton
+  }
+
   test("hashFamily conf flips minhash to xxhash64 with the same verified pair set") {
     val d = graft.Tables.documents(spark, sf).limit(300)
     val md5Pairs = Dedup.minhashLsh(d, "doc_id", "text").collect()
