@@ -200,6 +200,36 @@ object TextOps {
       .drop("_thr")
   }
 
+  /** Deterministic train/val/test assignment — the dataset-split step
+    * of every training pipeline. Each row's 4-hex md5(key) prefix is
+    * compared against cumulative-fraction cutoffs (hex STRING compare,
+    * same idiom as [[stratifiedSample]]): no shuffle, no RNG state,
+    * partitioning-invariant, reproducible in any engine with md5, and
+    * the splits are disjoint + exhaustive BY CONSTRUCTION — unlike
+    * chained `sample()` calls, which are none of those.
+    *
+    * `cutsHex(splits)` exposes the exact cutoffs so callers (and the
+    * DuckDB oracle) replay the same constants.
+    */
+  def cutsHex(splits: Seq[(String, Double)]): Seq[(String, String)] = {
+    require(splits.size >= 2, "need at least two splits")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9, "fractions must sum to 1")
+    val cum = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    splits.zip(cum).map { case ((n, _), c) =>
+      n -> f"${math.min(math.round(c * 65536).toInt, 65535)}%04x"
+    }
+  }
+
+  def trainValTestSplit(df: DataFrame, key: Column,
+      splits: Seq[(String, Double)]): DataFrame = {
+    val cuts = cutsHex(splits)
+    val h4 = substring(md5(key.cast("string")), 1, 4)
+    val chain = cuts.init.tail.foldLeft(when(h4 < cuts.head._2, cuts.head._1)) {
+      case (acc, (n, c)) => acc.when(h4 < c, n)
+    }.otherwise(cuts.last._1)
+    df.withColumn("split", chain)
+  }
+
   /** Corpus token statistics for mixture planning: per-(lang, source)
     * stratum doc/token/char counts plus each stratum's token share and
     * the cumulative share in descending-token order — the table a

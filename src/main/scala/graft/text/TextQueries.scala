@@ -204,6 +204,27 @@ object TextQueries {
       |WHERE thr IS NOT NULL AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < thr
       |ORDER BY doc_id""".stripMargin
 
+  /** Deterministic 90/5/5 train/val/test split over documents — per-row
+    * labels plus hash-threshold constants shared with the oracle via
+    * `TextOps.cutsHex`.
+    */
+  private val SplitSpec = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+
+  def textSplit(s: SparkSession, dir: String): DataFrame =
+    TextOps.trainValTestSplit(documents(s, dir).select("doc_id", "lang"),
+        col("doc_id"), SplitSpec)
+      .orderBy("doc_id")
+
+  val textSplitOracle: String = {
+    val cuts = TextOps.cutsHex(SplitSpec)
+    val cases = cuts.init.map { case (n, c) =>
+      s"WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '$c' THEN '$n'"
+    }.mkString(" ")
+    s"""SELECT doc_id, lang,
+       |  CASE $cases ELSE '${cuts.last._1}' END AS split
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   def textCorpusStats(s: SparkSession, dir: String): DataFrame =
     TextOps.corpusStats(documents(s, dir), "lang", "source", "text")
 
@@ -294,6 +315,7 @@ object TextQueries {
     "text_pii_scrub" -> (textPiiScrub _),
     "text_contamination" -> (textContamination _),
     "text_mixture" -> (textMixture _),
+    "text_split" -> (textSplit _),
     "text_langid" -> (textLangid _),
     "text_quality" -> (textQuality _),
     "text_tokens" -> (textTokens _),
@@ -309,6 +331,7 @@ object TextQueries {
     "text_pii_scrub" -> textPiiScrubOracle,
     "text_contamination" -> textContaminationOracle,
     "text_mixture" -> textMixtureOracle,
+    "text_split" -> textSplitOracle,
     "text_langid" -> textLangidOracle,
     "text_quality" -> textQualityOracle,
     "text_tokens" -> textTokensOracle,
