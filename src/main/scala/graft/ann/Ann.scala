@@ -190,8 +190,11 @@ object Ann {
     *     float SUM order is engine/partitioning-dependent, integer SUM
     *     is not), divided back once: bit-identical centroids on any
     *     engine, partition-invariant;
-    *   - canonical = min(struct(-cos7, id)) — one aggregate, no window
-    *     over members.
+    *   - canonical = first id by (cos7 desc, id) over ONE per-cluster
+    *     window — semantic clusters are small by construction, and the
+    *     window avoids re-computing the centroid subtree that an
+    *     aggregate-and-rejoin would (measured: the whole scored
+    *     pipeline appeared twice in the plan).
     */
   def semanticDedup(corpus: DataFrame, id: String, vec: String, dim: Int,
       threshold: Double, planes: Int = 8): DataFrame = {
@@ -211,10 +214,10 @@ object Ann {
       .select(col("id"), col("cluster"),
         (graft.functions.vecs.dot(col("_v"), col("_c")) /
           (norm(col("_v"), dim) * norm(col("_c"), dim))).as("_cos"))
-    val canon = scored.groupBy(col("cluster"))
-      .agg(min(struct((-round(col("_cos"), 7)).as("_negc"), col("id"))).as("_b"))
-      .select(col("cluster"), col("_b.id").as("canonical_id"))
-    scored.join(canon, "cluster")
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(round(col("_cos"), 7).desc, col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    scored.withColumn("canonical_id", first(col("id")).over(w))
       .select(col("id").as(id), col("cluster"), col("canonical_id"),
         round(col("_cos"), 5).as("centroid_cosine"),
         (col("id") === col("canonical_id")).as("keep"))
