@@ -509,7 +509,25 @@ object MatchQueries {
        |  round(CAST(tp + tn AS DOUBLE) / greatest(tp + fp + fn + tn, 1), 5) AS accuracy
        |FROM agg""".stripMargin
 
+  /** `sim_registry` oracle (r6): every column is already oracled in
+    * sim_align / sim_ratcliff / sim_positional over the SAME adjacent-
+    * customer pair set, so the combined view's oracle is literally the
+    * join of those three oracle pipelines (each subquery keeps its own
+    * WITH RECURSIVE scope).
+    */
+  private def noOrder(sql: String): String =
+    sql.split("\n").filterNot(_.trim == "ORDER BY id1").mkString("\n")
+
+  val simRegistryOracle: String =
+    s"""SELECT al.id1, al.id2, al.nw_sim, al.sw_sim, ro.ro_sim, al.lcsseq_sim,
+       |       po.lcsstr_sim, po.prefix_sim, po.postfix_sim
+       |FROM (${noOrder(simAlignOracle)}) al
+       |JOIN (${noOrder(simRatcliffOracle)}) ro ON ro.id1 = al.id1
+       |JOIN (${noOrder(simPositionalOracle)}) po ON po.id1 = al.id1
+       |ORDER BY al.id1""".stripMargin
+
   def oracles: Map[String, String] = Map(
+    "sim_registry" -> simRegistryOracle,
     "sim_ratcliff" -> simRatcliffOracle,
     "sim_align" -> simAlignOracle,
     "sim_positional" -> simPositionalOracle,
