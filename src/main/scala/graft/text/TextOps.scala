@@ -200,6 +200,51 @@ object TextOps {
       .drop("_thr")
   }
 
+  /** GPT-style sequence packing: documents are laid out as one
+    * continuous token stream (id order) and cut into fixed-length
+    * training sequences — boundary-crossing packing, the standard
+    * pretraining layout. Each doc gets its stream offset, owning
+    * sequence id (floor(offset / seqLen)), and offset within that
+    * sequence.
+    *
+    * Same DISTRIBUTED prefix-sum shape as [[budgetSelect]]: range-sort
+    * by id, per-partition token totals prefix-scanned on the driver
+    * (bounded by partition count), broadcast offsets, one streaming
+    * pass per partition — exact longs, partition-invariant, never a
+    * global single-task window.
+    */
+  def packSequences(docs: DataFrame, id: String, tokensCol: Column,
+      seqLen: Long): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sorted = docs
+      .select(col(id).cast("long").as("_id"), tokensCol.cast("long").as("_tok"))
+      .repartitionByRange(col("_id"))
+      .sortWithinPartitions(col("_id"))
+      .as[(Long, Long)].rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val sums = sorted
+        .mapPartitionsWithIndex { (i, it) =>
+          var s = 0L; it.foreach(s += _._2); Iterator((i, s))
+        }
+        .collect().sortBy(_._1).map(_._2)
+      val offsets = sums.scanLeft(0L)(_ + _)
+      val bc = spark.sparkContext.broadcast(offsets)
+      val packed = sorted.mapPartitionsWithIndex { (i, it) =>
+        var run = bc.value(i)
+        it.map { case (d, tk) =>
+          val start = run
+          run += tk
+          (d, tk, start, start / seqLen, start % seqLen)
+        }
+      }
+      val out = packed.toDF(id, "n_tokens", "stream_offset", "seq_id", "seq_offset")
+      out.localCheckpoint(true)
+    } finally sorted.unpersist(false)
+  }
+
   /** Deterministic train/val/test assignment — the dataset-split step
     * of every training pipeline. Each row's 4-hex md5(key) prefix is
     * compared against cumulative-fraction cutoffs (hex STRING compare,

@@ -225,6 +225,26 @@ object TextQueries {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** Sequence packing at context length 2048 over the documents table
+    * (whitespace token counts, consistent with corpusStats).
+    */
+  def textPack(s: SparkSession, dir: String): DataFrame =
+    TextOps.packSequences(documents(s, dir), "doc_id",
+        size(split(col("text"), " ")).cast("long"), seqLen = 2048)
+      .orderBy("doc_id")
+
+  val textPackOracle: String =
+    """WITH t AS (SELECT doc_id,
+      |             CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+      |           FROM documents),
+      |p AS (SELECT doc_id, tok,
+      |        CAST(coalesce(sum(tok) OVER (ORDER BY doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS st
+      |      FROM t)
+      |SELECT doc_id, tok AS n_tokens, st AS stream_offset,
+      |       st // 2048 AS seq_id, st % 2048 AS seq_offset
+      |FROM p ORDER BY doc_id""".stripMargin
+
   def textCorpusStats(s: SparkSession, dir: String): DataFrame =
     TextOps.corpusStats(documents(s, dir), "lang", "source", "text")
 
@@ -316,6 +336,7 @@ object TextQueries {
     "text_contamination" -> (textContamination _),
     "text_mixture" -> (textMixture _),
     "text_split" -> (textSplit _),
+    "text_pack" -> (textPack _),
     "text_langid" -> (textLangid _),
     "text_quality" -> (textQuality _),
     "text_tokens" -> (textTokens _),
@@ -332,6 +353,7 @@ object TextQueries {
     "text_contamination" -> textContaminationOracle,
     "text_mixture" -> textMixtureOracle,
     "text_split" -> textSplitOracle,
+    "text_pack" -> textPackOracle,
     "text_langid" -> textLangidOracle,
     "text_quality" -> textQualityOracle,
     "text_tokens" -> textTokensOracle,
