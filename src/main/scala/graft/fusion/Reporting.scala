@@ -37,10 +37,13 @@ object Reporting {
 
   def fusionReport(src: DataFrame, cluster: String, srcCol: String,
       attrs: Seq[String], confAttr: String): DataFrame = {
+    // size(collect_set) == countDistinct for these bounded groups, but
+    // stays a single-pass aggregation — k countDistincts would plan an
+    // Expand that multiplies the input k+1 times before the shuffle
     val perAggs = Seq(
       count(lit(1)).as("_sz"),
       array_join(sort_array(collect_set(col(srcCol))), "+").as("_combo")) ++
-      attrs.map(a => countDistinct(col(a)).as(s"_cd_$a"))
+      attrs.map(a => size(collect_set(col(a))).cast("long").as(s"_cd_$a"))
     val per = src.groupBy(col(cluster))
       .agg(perAggs.head, perAggs.tail: _*)
       .localCheckpoint(true)
