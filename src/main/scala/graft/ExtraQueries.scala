@@ -126,6 +126,35 @@ object ExtraQueries {
     * multi-batch source would need the sink aggregated with DISTINCT
     * before comparing.
     */
+  /** Streaming as-of enrichment, run FOR REAL: readStream over the
+    * events dir → flatMapGroupsWithState latest-view state → purchases
+    * enriched with the view at-or-before them → AvailableNow into a
+    * memory sink. Oracle: DuckDB's native ASOF LEFT JOIN — identical
+    * to the batch asof_join contract (single ordered batch, like
+    * stream_dedup).
+    */
+  def streamAsof(s: SparkSession, dir: String): DataFrame = {
+    val name = "graft_stream_asof_" + java.lang.Integer.toHexString(dir.hashCode)
+    val src = Streams.eventsStream(s, dir)
+      .select(col("ts"), col("user_id"), col("event_type"), col("event_id"))
+    val q = Streams.asofStream(src)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name).orderBy("purchase_id")
+  }
+
+  val streamAsofOracle: String =
+    """WITH p AS (SELECT user_id, epoch_us(ts) AS ts, event_id AS purchase_id
+      |           FROM events WHERE event_type = 'purchase'),
+      |v AS (SELECT user_id, epoch_us(ts) AS ts, max(event_id) AS view_id
+      |      FROM events WHERE event_type = 'view' GROUP BY user_id, epoch_us(ts))
+      |SELECT p.user_id, p.ts, p.purchase_id, v.view_id
+      |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+      |ORDER BY purchase_id""".stripMargin
+
   def streamDedup(s: SparkSession, dir: String): DataFrame = {
     val name = "graft_stream_dedup_" + java.lang.Integer.toHexString(dir.hashCode)
     val src = Streams.eventsStream(s, dir)
@@ -387,7 +416,8 @@ object ExtraQueries {
     "mm_frame_sample" -> (mmFrameSample _),
     "stream_window_agg" -> (streamWindowAgg _),
     "stream_sessionize" -> (streamSessionize _),
-    "stream_dedup" -> (streamDedup _)
+    "stream_dedup" -> (streamDedup _),
+    "stream_asof" -> (streamAsof _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -402,6 +432,7 @@ object ExtraQueries {
     "mm_frame_sample" -> mmFrameSampleOracle,
     "stream_window_agg" -> streamWindowAggOracle,
     "stream_sessionize" -> streamSessionizeOracle,
-    "stream_dedup" -> streamDedupOracle
+    "stream_dedup" -> streamDedupOracle,
+    "stream_asof" -> streamAsofOracle
   )
 }

@@ -8,6 +8,10 @@ import org.apache.spark.sql.Row
 /** Streaming sessionization output row (top-level for the encoder). */
 case class SessionRow(user_id: Long, startUs: Long, endUs: Long, n_events: Long)
 
+/** Streaming as-of enrichment output row (top-level for the encoder). */
+case class AsofStreamRow(user_id: Long, ts: Long, purchase_id: Long,
+    view_id: Option[Long])
+
 /** Structured Streaming operators (SURVEY §2.12 #65). The transform is
   * written once against a DataFrame and used by BOTH the batch query
   * (which the DuckDB oracle checks) and the streaming query (readStream →
@@ -109,6 +113,44 @@ object Streams {
         timestamp_micros(col("startUs")).as("session_start"),
         timestamp_micros(col("endUs")).as("session_end"),
         col("n_events"))
+  }
+
+  /** Streaming backward AS-OF enrichment via flatMapGroupsWithState —
+    * the streaming face of [[graft.operators.AsofJoin]]: enrich a fact
+    * stream (purchases) with the latest dimension state (views) per
+    * key. State is ONE (ts, id) tuple per key — bounded, unlike
+    * buffering a stream-stream join side. Within a micro-batch rows
+    * sort by (ts, view-before-purchase, id), so equal-ts ties match
+    * exactly like the batch operator and same-ts duplicate views
+    * resolve to the max id (the batch pre-dedup rule). Cross-batch
+    * correctness assumes per-key time-ordered batch arrival — the same
+    * ordered-ingest contract `stream_dedup` documents.
+    */
+  def asofStream(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val typed = events.select(col("user_id").cast("long"),
+        unix_micros(col("ts")).as("us"), col("event_type"),
+        col("event_id").cast("long"))
+      .as[(Long, Long, String, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), AsofStreamRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[(Long, Long, String, Long)],
+         state: GroupState[(Long, Long)]) =>
+          val rows = it.toVector
+            .sortBy(r => (r._2, if (r._3 == "view") 0 else 1, r._4))
+          var latest: Option[(Long, Long)] = state.getOption
+          val out = Vector.newBuilder[AsofStreamRow]
+          for (r <- rows) {
+            if (r._3 == "view") latest = Some((r._2, r._4))
+            else if (r._3 == "purchase")
+              out += AsofStreamRow(user, r._2, r._4, latest.map(_._2))
+          }
+          latest.foreach(state.update)
+          out.result().iterator
+      }
+      .toDF()
   }
 
   /** Streaming exact dedup: drop repeated keys arriving within the
