@@ -69,12 +69,22 @@ object AsofJoin {
         rightCols.map(c => col("_m")(c).as(c))): _*)
   }
 
+  /** Session conf: set to a positive long to route every
+    * [[asofBackward]] through [[asofBackwardChunked]] with that chunk
+    * width — the hot-key-safe path — without touching call sites.
+    * Requires a numeric ts column (same contract as the chunked path).
+    */
+  val ChunkWidthConf = "spark.graft.asof.chunkWidth"
+
   /** `tolerance`: maximum allowed staleness `l.ts - r.ts` (same unit
     * as the ts column); a match older than that is nulled out — "don't
     * enrich with a quote from last year". None = unbounded (pure ASOF).
     */
   def asofBackward(left: DataFrame, right: DataFrame,
       key: String, ts: String, tolerance: Option[Long] = None): DataFrame = {
+    val conf = left.sparkSession.conf.get(ChunkWidthConf, "0").trim.toLong
+    if (conf > 0)
+      return asofBackwardChunked(left, right, key, ts, conf, tolerance)
     val (leftCols, rightCols) = checkCols(left, right, key, ts)
     require(tolerance.isEmpty ||
       left.schema(ts).dataType.isInstanceOf[NumericType],

@@ -410,6 +410,22 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(nChunks > 10)
   }
 
+  test("spark.graft.asof.chunkWidth conf routes asofBackward through the chunked path") {
+    val spark2 = spark
+    import spark2.implicits._
+    val left = Seq((1L, 100L, "p1"), (1L, 200L, "p2"), (2L, 10L, "q"))
+      .toDF("k", "ts", "pname")
+    val right = Seq((1L, 60L, "v60"), (1L, 150L, "v150")).toDF("k", "ts", "vname")
+    def run() = graft.operators.AsofJoin.asofBackward(left, right, "k", "ts")
+      .collect().map(r => (r.getString(2), Option(r.getString(3)))).toMap
+    val plain = run()
+    spark.conf.set(graft.operators.AsofJoin.ChunkWidthConf, "37")
+    try assert(run() == plain)
+    finally spark.conf.unset(graft.operators.AsofJoin.ChunkWidthConf)
+    assert(plain("p1").contains("v60") && plain("p2").contains("v150") &&
+      plain("q").isEmpty)
+  }
+
   test("replaceValues does not cascade: branches test the original value") {
     val spark2 = spark
     import spark2.implicits._
