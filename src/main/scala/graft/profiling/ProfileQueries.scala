@@ -68,15 +68,51 @@ object ProfileQueries {
        |ORDER BY column_name""".stripMargin
   }
 
+  /** Numeric describe() over lineitem quantity/discount/tax (scaled to
+    * exact cents longs — see Profiler.profileNumeric's integer-sum
+    * contract).
+    */
+  def profileNumeric(s: SparkSession, dir: String): DataFrame = {
+    val l = graft.Tables.lineitem(s, dir).select(
+      graft.Tables.cents(org.apache.spark.sql.functions.col("l_quantity")).as("qty_c"),
+      graft.Tables.cents(org.apache.spark.sql.functions.col("l_discount")).as("disc_c"),
+      graft.Tables.cents(org.apache.spark.sql.functions.col("l_tax")).as("tax_c"))
+    Profiler.profileNumeric(l, Seq("qty_c", "disc_c", "tax_c"))
+      .orderBy("column_name")
+  }
+
+  val profileNumericOracle: String = {
+    def one(c: String) =
+      s"""SELECT '$c' AS column_name, count($c) AS n,
+         |  CAST(sum($c) AS BIGINT) AS s, CAST(sum($c*$c) AS BIGINT) AS s2,
+         |  min($c) AS mn, max($c) AS mx,
+         |  quantile_cont($c, 0.25) AS q25, quantile_cont($c, 0.5) AS q50,
+         |  quantile_cont($c, 0.75) AS q75
+         |FROM t""".stripMargin
+    s"""WITH t AS (SELECT CAST(round(l_quantity*100) AS BIGINT) AS qty_c,
+       |             CAST(round(l_discount*100) AS BIGINT) AS disc_c,
+       |             CAST(round(l_tax*100) AS BIGINT) AS tax_c FROM lineitem),
+       |p AS (${Seq("qty_c", "disc_c", "tax_c").map(one).mkString("\nUNION ALL\n")})
+       |SELECT column_name, n,
+       |  CAST(s AS DOUBLE) / n AS mean,
+       |  sqrt((CAST(n AS DOUBLE) * s2 - CAST(s AS DOUBLE) * s)
+       |       / (CAST(n AS DOUBLE) * (n - 1.0))) AS std,
+       |  CAST(mn AS DOUBLE) AS min_value, q25, q50 AS median, q75,
+       |  CAST(mx AS DOUBLE) AS max_value
+       |FROM p ORDER BY column_name""".stripMargin
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "profile_columns" -> (profileColumns _),
     "profile_topk" -> (profileTopk _),
-    "profile_compare" -> (profileCompare _)
+    "profile_compare" -> (profileCompare _),
+    "profile_numeric" -> (profileNumeric _)
   )
 
   def oracles: Map[String, String] = Map(
     "profile_compare" -> profileCompareOracle,
     "profile_columns" -> profileColumnsOracle,
-    "profile_topk" -> profileTopkOracle
+    "profile_topk" -> profileTopkOracle,
+    "profile_numeric" -> profileNumericOracle
   )
 }

@@ -38,6 +38,50 @@ object Profiler {
     stacked.reduce(_.unionByName(_))
   }
 
+  /** Numeric `describe()` face of the profiler (pandas describe
+    * parity): count / mean / sample std / min / exact interpolated
+    * quartiles / max per INTEGRAL column, one aggregation pass. Sums
+    * and sums of squares are exact longs — callers scale decimals to
+    * ints first (float sums are partitioning-dependent; integer sums
+    * are not) — and mean/std derive from the exact sums once at the
+    * end. Caller must keep Σx² inside a long (|x| ≤ ~3e9 even at a
+    * billion rows).
+    */
+  def profileNumeric(df: DataFrame, cols: Seq[String]): DataFrame = {
+    cols.foreach { c =>
+      import org.apache.spark.sql.types._
+      require(Set[DataType](LongType, IntegerType, ShortType, ByteType)
+          .contains(df.schema(c).dataType),
+        s"profileNumeric needs integral columns (scale decimals first): $c")
+    }
+    val metrics = cols.flatMap { c =>
+      val x = col(c)
+      Seq(
+        count(x).as(s"__n_$c"),
+        sum(x).as(s"__s_$c"),
+        sum(x * x).as(s"__s2_$c"),
+        min(x).as(s"__min_$c"),
+        max(x).as(s"__max_$c"),
+        percentile(x, array(lit(0.25), lit(0.5), lit(0.75))).as(s"__q_$c"))
+    }
+    val agg = df.agg(metrics.head, metrics.tail: _*)
+    cols.map { c =>
+      val n = col(s"__n_$c").cast("double")
+      val s = col(s"__s_$c").cast("double")
+      val s2 = col(s"__s2_$c").cast("double")
+      agg.select(
+        lit(c).as("column_name"),
+        col(s"__n_$c").as("n"),
+        (s / n).as("mean"),
+        sqrt((n * s2 - s * s) / (n * (n - lit(1.0)))).as("std"),
+        col(s"__min_$c").cast("double").as("min_value"),
+        element_at(col(s"__q_$c"), 1).as("q25"),
+        element_at(col(s"__q_$c"), 2).as("median"),
+        element_at(col(s"__q_$c"), 3).as("q75"),
+        col(s"__max_$c").cast("double").as("max_value"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Scale-path profile: identical shape to [[profile]] but distinct
     * counts via HyperLogLog (`approx_count_distinct`, rsd 5%) — exact
     * count_distinct expands rows per aggregate and becomes the scan
