@@ -223,6 +223,54 @@ object Dedup {
     } finally { banded.unpersist(false); sh.unpersist(false) }
   }
 
+  /** Cross-corpus MinHash + LSH: near-dups of `left` docs against a
+    * SEPARATE `right` corpus — fuzzy decontamination of a training set
+    * against an eval set (the Llama/GPT-report variant of exact n-gram
+    * contamination), or incremental dedup against an existing index.
+    * Same signature/band machinery as [[minhashLsh]], but the band
+    * equi-joins run LEFT × RIGHT instead of self-joining (no id1<id2
+    * filter — the id spaces are distinct); never all-pairs, and AQE
+    * broadcasts the banded eval side when it is small (the usual case).
+    */
+  def minhashLshAgainst(left: DataFrame, right: DataFrame, id: String,
+      text: String, n: Int = 3, bands: Int = 4, rows: Int = 3,
+      threshold: Double = 0.8,
+      hashHex: (Int, Column) => Column = null): DataFrame = {
+    val hh = Option(hashHex).getOrElse(hashFamily(left.sparkSession))
+    val k = bands * rows
+    val shL = shingleFrame(left, id, text, n).persist(StorageLevel.MEMORY_AND_DISK)
+    val shR = shingleFrame(right, id, text, n).persist(StorageLevel.MEMORY_AND_DISK)
+    def banded(sh: DataFrame) = {
+      val sigs = sh.filter(size(col("_sh")) > 0)
+        .select(col("_id") +: (0 until k).map(i => minhashSig(i, hh)): _*)
+      sigs.select(col("_id") +: (0 until bands).map { b =>
+        concat_ws(":", (0 until rows).map(r => col(s"_h${b * rows + r}")): _*)
+          .as(s"_band$b")
+      }: _*)
+    }
+    val bl = banded(shL).persist(StorageLevel.MEMORY_AND_DISK)
+    val br = banded(shR).persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cands = (0 until bands).map { b =>
+        bl.select(col("_id").as("id1"), col(s"_band$b").as("_bk"))
+          .join(br.select(col("_id").as("id2"), col(s"_band$b").as("_bk")), "_bk")
+          .select("id1", "id2")
+      }.reduce(_.unionByName(_)).distinct()
+      cands
+        .join(shL.select(col("_id").as("id1"), col("_sh").as("_sa")), "id1")
+        .join(shR.select(col("_id").as("id2"), col("_sh").as("_sb")), "id2")
+        .select(col("id1"), col("id2"),
+          round(size(array_intersect(col("_sa"), col("_sb")))
+            .cast("double") / size(array_union(col("_sa"), col("_sb"))), 5)
+            .as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+        .localCheckpoint(true)
+    } finally {
+      bl.unpersist(false); br.unpersist(false)
+      shL.unpersist(false); shR.unpersist(false)
+    }
+  }
+
   /** 16-bit SimHash signature (#55) over distinct word tokens: bit j is
     * set iff more tokens have a high j-th md5 hex digit (≥ '8', i.e. a
     * +1 vote) than not. Returned as a 16-char '0'/'1' string.

@@ -178,6 +178,68 @@ object TextQueries {
       |FROM tot LEFT JOIN hit ON hit.doc_id = tot.doc_id
       |ORDER BY tot.doc_id""".stripMargin
 
+  /** FUZZY decontamination (r6): minhash-LSH near-dups of the corpus
+    * against a perturbed eval set — every 100th doc with a two-word
+    * prefix (shingle jaccard ≈ (L−2)/L to its source, well above the
+    * 0.8 threshold), ids offset into a distinct space. The
+    * Llama/GPT-report variant of exact n-gram contamination:
+    * paraphrased/near-identical eval leakage that exact n-gram joins
+    * can miss.
+    */
+  def textContaminationFuzzy(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    val probes = docs.filter(col("doc_id") % 100 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(lit("ev0 ev1 "), col("text")).as("text"))
+    graft.dedup.Dedup.minhashLshAgainst(docs, probes, "doc_id", "text",
+        n = 3, bands = 4, rows = 3, threshold = 0.8)
+      .orderBy("id1", "id2")
+  }
+
+  val textContaminationFuzzyOracle: String = {
+    val hashes = (0 until 12)
+      .map(i => s"  min(substr(md5('$i#' || shg), 1, 8)) AS h$i")
+      .mkString(",\n")
+    val bandCols = (0 until 4)
+      .map(b => s"  h${b * 3} || ':' || h${b * 3 + 1} || ':' || h${b * 3 + 2} AS b$b")
+      .mkString(",\n")
+    val bandJoins = (0 until 4)
+      .map(b => s"  SELECT a.doc_id AS id1, p.doc_id AS id2 FROM bandedL a " +
+        s"JOIN bandedR p ON a.b$b = p.b$b")
+      .mkString("\n  UNION\n")
+    s"""WITH tL AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |tR AS (SELECT doc_id + 1000000 AS doc_id,
+       |         string_split('ev0 ev1 ' || text, ' ') AS w
+       |       FROM documents WHERE doc_id % 100 = 0),
+       |shL AS (SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+       |          for i in range(1, len(w) - 1)]) AS s FROM tL),
+       |shR AS (SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+       |          for i in range(1, len(w) - 1)]) AS s FROM tR),
+       |invL AS (SELECT doc_id, unnest(s) AS shg FROM shL),
+       |invR AS (SELECT doc_id, unnest(s) AS shg FROM shR),
+       |sigsL AS (SELECT doc_id,
+       |$hashes
+       |FROM invL GROUP BY doc_id),
+       |sigsR AS (SELECT doc_id,
+       |$hashes
+       |FROM invR GROUP BY doc_id),
+       |bandedL AS (SELECT doc_id,
+       |$bandCols
+       |FROM sigsL),
+       |bandedR AS (SELECT doc_id,
+       |$bandCols
+       |FROM sigsR),
+       |cand AS (
+       |$bandJoins)
+       |SELECT * FROM (
+       |  SELECT id1, id2,
+       |    round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |          / len(list_distinct(a.s || b.s)), 5) AS jaccard
+       |  FROM cand JOIN shL a ON a.doc_id = id1 JOIN shR b ON b.doc_id = id2)
+       |WHERE jaccard >= 0.8
+       |ORDER BY id1, id2""".stripMargin
+  }
+
   /** Deterministic mixture sampling: per-(lang, source) stratum keep
     * fractions via the md5-hex threshold filter.
     */
@@ -334,6 +396,7 @@ object TextQueries {
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_pii_scrub" -> (textPiiScrub _),
     "text_contamination" -> (textContamination _),
+    "text_contamination_fuzzy" -> (textContaminationFuzzy _),
     "text_mixture" -> (textMixture _),
     "text_split" -> (textSplit _),
     "text_pack" -> (textPack _),
@@ -351,6 +414,7 @@ object TextQueries {
   def oracles: Map[String, String] = Map(
     "text_pii_scrub" -> textPiiScrubOracle,
     "text_contamination" -> textContaminationOracle,
+    "text_contamination_fuzzy" -> textContaminationFuzzyOracle,
     "text_mixture" -> textMixtureOracle,
     "text_split" -> textSplitOracle,
     "text_pack" -> textPackOracle,
