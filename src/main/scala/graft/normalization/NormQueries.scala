@@ -418,6 +418,24 @@ object NormQueries {
       |WHERE abs(v - mu) > 3.0 * sd
       |ORDER BY event_id""".stripMargin
 
+  // ---- norm_outliers_mad (robust median/MAD detector) ----
+  def normOutliersMad(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val spiked = e.select(col("event_id"),
+      (col("value") * when(col("event_id") % 97 === 0, 50).otherwise(1)).as("v"))
+    Normalize.madOutliers(spiked, "v", 3.5)
+      .select(col("event_id"), round(col("v"), 5).as("v"))
+      .orderBy("event_id")
+  }
+  val normOutliersMadOracle: String =
+    """WITH t AS (SELECT event_id,
+      |    value * CASE WHEN event_id % 97 = 0 THEN 50 ELSE 1 END AS v FROM events),
+      |m AS (SELECT quantile_cont(v, 0.5) AS med FROM t),
+      |d AS (SELECT quantile_cont(abs(v - med), 0.5) AS mad FROM t, m)
+      |SELECT event_id, round(v, 5) AS v FROM t, m, d
+      |WHERE abs(v - med) > CAST(3.5 AS DOUBLE) * CAST(1.4826 AS DOUBLE) * mad
+      |ORDER BY event_id""".stripMargin
+
   // ---- norm_valuefns (PyDI/utils/normalization.py helpers) ----
   def normValueFns(s: SparkSession, dir: String): DataFrame = {
     val e = events(s, dir)
@@ -823,6 +841,7 @@ object NormQueries {
     "norm_units_multi" -> (normUnitsMulti _),
     "norm_valuefns" -> (normValueFns _),
     "norm_outliers_zscore" -> (normOutliersZscore _),
+    "norm_outliers_mad" -> (normOutliersMad _),
     "norm_detect_types" -> (normDetectTypes _),
     "norm_recommend" -> (normRecommend _),
     "norm_outliers" -> (normOutliers _),
@@ -850,6 +869,7 @@ object NormQueries {
     "norm_units_multi" -> normUnitsMultiOracle,
     "norm_valuefns" -> normValueFnsOracle,
     "norm_outliers_zscore" -> normOutliersZscoreOracle,
+    "norm_outliers_mad" -> normOutliersMadOracle,
     "norm_detect_types" -> normDetectTypesOracle,
     "norm_recommend" -> normRecommendOracle,
     "norm_outliers" -> normOutliersOracle,

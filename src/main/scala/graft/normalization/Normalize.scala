@@ -672,6 +672,24 @@ object Normalize {
       .drop("q1", "q3")
   }
 
+  /** Robust (median/MAD) outliers: rows with
+    * |x − median| > k · 1.4826 · MAD, where MAD = median(|x − median|)
+    * — the modified-z-score detector that, unlike mean/stddev, is not
+    * itself dragged by the outliers it hunts. Two aggregation passes
+    * (median, then MAD over the residuals — MAD is not a single-pass
+    * statistic), each an exact interpolated percentile; both 1-row
+    * frames broadcast.
+    */
+  def madOutliers(df: DataFrame, valueCol: String, k: Double = 3.5): DataFrame = {
+    val med = df.agg(percentile(col(valueCol), lit(0.5)).as("_med"))
+    val withMed = df.crossJoin(broadcast(med))
+    val mad = withMed
+      .agg(percentile(abs(col(valueCol) - col("_med")), lit(0.5)).as("_mad"))
+    withMed.crossJoin(broadcast(mad))
+      .filter(abs(col(valueCol) - col("_med")) > lit(k) * lit(1.4826) * col("_mad"))
+      .drop("_med", "_mad")
+  }
+
   /** Rows with |value - mean| > k·stddev (population stddev). */
   def zscoreOutliers(df: DataFrame, valueCol: String, k: Double = 3.0): DataFrame = {
     val q = df.agg(avg(col(valueCol)).as("_mu"), stddev_pop(col(valueCol)).as("_sd"))
