@@ -96,6 +96,31 @@ class ScaleStressSpec extends AnyFunSuite {
     assert(hit == 99L)
   }
 
+  test("chunked as-of spreads the hot key over many window partitions, same result") {
+    val spark2 = spark
+    import spark2.implicits._
+    // same 100k×100k single-key history, but through the chunked path:
+    // the carry window partitions on (key, chunk) — with chunkWidth
+    // 10000 the one hot key becomes ~100 independent sort partitions
+    // instead of one partition sorting 200k rows.
+    val left = spark.range(100000).selectExpr("CAST(1 AS BIGINT) AS k",
+      "id * 10 AS ts", "id AS lid")
+    val right = spark.range(100000).selectExpr("CAST(1 AS BIGINT) AS k",
+      "id * 10 + 5 AS ts", "id AS rid")
+    val out = graft.operators.AsofJoin.asofBackwardChunked(
+      left.toDF(), right.toDF(), "k", "ts", chunkWidth = 10000L)
+    assert(out.count() == 100000)
+    val hit = out.filter(col("lid") === 100).select("rid").collect()(0).getLong(0)
+    assert(hit == 99L)
+    // boundary carry across a chunk edge: left ts=10000 (lid 1000) is
+    // the FIRST row of its chunk; its match rid 999 (ts 9995) lives in
+    // the previous chunk and must arrive via the boundary state
+    val edge = out.filter(col("lid") === 1000).select("rid").collect()(0).getLong(0)
+    assert(edge == 999L)
+    // the hot key genuinely spans many chunks
+    assert(left.toDF().selectExpr(s"ts div 10000 AS c").distinct().count() == 100)
+  }
+
   test("token blocker cap keeps a pathological stop-word key sub-quadratic") {
     val spark2 = spark
     import spark2.implicits._
