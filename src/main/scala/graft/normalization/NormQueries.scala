@@ -436,6 +436,35 @@ object NormQueries {
       |WHERE abs(v - med) > CAST(3.5 AS DOUBLE) * CAST(1.4826 AS DOUBLE) * mad
       |ORDER BY event_id""".stripMargin
 
+  // ---- norm_impute + norm_winsorize ----
+  /** Median imputation of nulled values + winsorized spike column in
+    * one frame: every 4th value nulled (imputed back to the median),
+    * every 97th spiked ×50 (clamped to [p01, p99]).
+    */
+  def normImpute(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val messy = e.select(col("event_id"),
+      when(col("event_id") % 4 === 0, lit(null).cast("double"))
+        .otherwise(col("value")).as("v"),
+      (col("value") * when(col("event_id") % 97 === 0, 50).otherwise(1)).as("w"))
+    val imputed = Normalize.imputeNumeric(messy, "v", "median")
+    val wins = Normalize.winsorize(imputed, "w", 0.01, 0.99)
+    wins.select(col("event_id"), round(col("v"), 5).as("v_imputed"),
+        round(col("w"), 5).as("w_winsorized"))
+      .orderBy("event_id")
+  }
+  val normImputeOracle: String =
+    """WITH t AS (SELECT event_id,
+      |    CASE WHEN event_id % 4 = 0 THEN NULL ELSE value END AS v,
+      |    value * CASE WHEN event_id % 97 = 0 THEN 50 ELSE 1 END AS w
+      |  FROM events),
+      |m AS (SELECT quantile_cont(v, 0.5) AS med FROM t),
+      |q AS (SELECT quantile_cont(w, 0.01) AS qlo, quantile_cont(w, 0.99) AS qhi FROM t)
+      |SELECT event_id,
+      |  round(coalesce(v, med), 5) AS v_imputed,
+      |  round(least(greatest(w, qlo), qhi), 5) AS w_winsorized
+      |FROM t, m, q ORDER BY event_id""".stripMargin
+
   // ---- norm_valuefns (PyDI/utils/normalization.py helpers) ----
   def normValueFns(s: SparkSession, dir: String): DataFrame = {
     val e = events(s, dir)
@@ -842,6 +871,7 @@ object NormQueries {
     "norm_valuefns" -> (normValueFns _),
     "norm_outliers_zscore" -> (normOutliersZscore _),
     "norm_outliers_mad" -> (normOutliersMad _),
+    "norm_impute" -> (normImpute _),
     "norm_detect_types" -> (normDetectTypes _),
     "norm_recommend" -> (normRecommend _),
     "norm_outliers" -> (normOutliers _),
@@ -870,6 +900,7 @@ object NormQueries {
     "norm_valuefns" -> normValueFnsOracle,
     "norm_outliers_zscore" -> normOutliersZscoreOracle,
     "norm_outliers_mad" -> normOutliersMadOracle,
+    "norm_impute" -> normImputeOracle,
     "norm_detect_types" -> normDetectTypesOracle,
     "norm_recommend" -> normRecommendOracle,
     "norm_outliers" -> normOutliersOracle,

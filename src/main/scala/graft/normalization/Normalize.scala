@@ -672,6 +672,43 @@ object Normalize {
       .drop("q1", "q3")
   }
 
+  /** Median/mean imputation — the fix `columnRecommendations`' "high
+    * null rate - consider imputation" advice points at. The fill value
+    * is ONE exact statistic (interpolated median, or mean as an exact
+    * sum ratio over non-nulls) broadcast onto a scan-shaped coalesce;
+    * no shuffle of the data itself.
+    */
+  def imputeNumeric(df: DataFrame, valueCol: String,
+      strategy: String = "median"): DataFrame = {
+    val fill = strategy match {
+      case "median" => df.agg(percentile(col(valueCol), lit(0.5)).as("_fill"))
+      case "mean" => df.agg(
+        (sum(col(valueCol)).cast("double") / count(col(valueCol))).as("_fill"))
+      case other => throw new IllegalArgumentException(s"unknown strategy: $other")
+    }
+    df.crossJoin(broadcast(fill))
+      .withColumn(valueCol, coalesce(col(valueCol), col("_fill")))
+      .drop("_fill")
+  }
+
+  /** Winsorization (pandas `clip(lower=q_lo, upper=q_hi)` on exact
+    * interpolated quantiles): tail values are CLAMPED to the percentile
+    * bounds instead of dropped — the outlier treatment that keeps row
+    * counts stable. One 1-row percentile agg broadcast onto a
+    * scan-shaped least/greatest projection.
+    */
+  def winsorize(df: DataFrame, valueCol: String,
+      lo: Double = 0.01, hi: Double = 0.99): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo < hi, "need 0 <= lo < hi <= 1")
+    val q = df.agg(
+      percentile(col(valueCol), lit(lo)).as("_qlo"),
+      percentile(col(valueCol), lit(hi)).as("_qhi"))
+    df.crossJoin(broadcast(q))
+      .withColumn(valueCol,
+        least(greatest(col(valueCol), col("_qlo")), col("_qhi")))
+      .drop("_qlo", "_qhi")
+  }
+
   /** Robust (median/MAD) outliers: rows with
     * |x − median| > k · 1.4826 · MAD, where MAD = median(|x − median|)
     * — the modified-z-score detector that, unlike mean/stddev, is not
