@@ -186,9 +186,9 @@ object Dedup {
     */
   def minhashLsh(docs: DataFrame, id: String, text: String, n: Int = 3,
       bands: Int = 4, rows: Int = 3, threshold: Double = 0.8,
-      hashHex: (Int, Column) => Column = null): DataFrame = {
-    // null = resolve from the session conf (md5 unless overridden)
-    val hh = Option(hashHex).getOrElse(hashFamily(docs.sparkSession))
+      hashHex: Option[(Int, Column) => Column] = None): DataFrame = {
+    // None = resolve from the session conf (md5 unless overridden)
+    val hh = hashHex.getOrElse(hashFamily(docs.sparkSession))
     val k = bands * rows
     // Persisted: reused by the signature aggregation AND both
     // verification joins. Released in the finally below.
@@ -235,8 +235,8 @@ object Dedup {
   def minhashLshAgainst(left: DataFrame, right: DataFrame, id: String,
       text: String, n: Int = 3, bands: Int = 4, rows: Int = 3,
       threshold: Double = 0.8,
-      hashHex: (Int, Column) => Column = null): DataFrame = {
-    val hh = Option(hashHex).getOrElse(hashFamily(left.sparkSession))
+      hashHex: Option[(Int, Column) => Column] = None): DataFrame = {
+    val hh = hashHex.getOrElse(hashFamily(left.sparkSession))
     val k = bands * rows
     val shL = shingleFrame(left, id, text, n).persist(StorageLevel.MEMORY_AND_DISK)
     val shR = shingleFrame(right, id, text, n).persist(StorageLevel.MEMORY_AND_DISK)

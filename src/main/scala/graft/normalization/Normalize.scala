@@ -695,7 +695,9 @@ object Normalize {
     * interpolated quantiles): tail values are CLAMPED to the percentile
     * bounds instead of dropped — the outlier treatment that keeps row
     * counts stable. One 1-row percentile agg broadcast onto a
-    * scan-shaped least/greatest projection.
+    * scan-shaped least/greatest projection. NULLs stay NULL (pandas
+    * `clip` preserves NaN) — without the guard, least/greatest skip
+    * nulls and a NULL value would silently clamp to the lower bound.
     */
   def winsorize(df: DataFrame, valueCol: String,
       lo: Double = 0.01, hi: Double = 0.99): DataFrame = {
@@ -705,7 +707,8 @@ object Normalize {
       percentile(col(valueCol), lit(hi)).as("_qhi"))
     df.crossJoin(broadcast(q))
       .withColumn(valueCol,
-        least(greatest(col(valueCol), col("_qlo")), col("_qhi")))
+        when(col(valueCol).isNull, lit(null))
+          .otherwise(least(greatest(col(valueCol), col("_qlo")), col("_qhi"))))
       .drop("_qlo", "_qhi")
   }
 

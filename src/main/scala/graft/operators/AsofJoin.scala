@@ -72,9 +72,19 @@ object AsofJoin {
   /** Session conf: set to a positive long to route every
     * [[asofBackward]] through [[asofBackwardChunked]] with that chunk
     * width — the hot-key-safe path — without touching call sites.
-    * Requires a numeric ts column (same contract as the chunked path).
+    * Only applies when the ts column is numeric (the chunked path's
+    * contract); calls with timestamp/date ts columns keep the unchunked
+    * plan rather than failing at a distance. A malformed conf value is
+    * rejected eagerly with the offending text in the message.
     */
   val ChunkWidthConf = "spark.graft.asof.chunkWidth"
+
+  private def confChunkWidth(df: DataFrame): Long = {
+    val raw = df.sparkSession.conf.get(ChunkWidthConf, "0").trim
+    scala.util.Try(raw.toLong).getOrElse(
+      throw new IllegalArgumentException(
+        s"$ChunkWidthConf must be a long, got: '$raw'"))
+  }
 
   /** `tolerance`: maximum allowed staleness `l.ts - r.ts` (same unit
     * as the ts column); a match older than that is nulled out — "don't
@@ -82,8 +92,10 @@ object AsofJoin {
     */
   def asofBackward(left: DataFrame, right: DataFrame,
       key: String, ts: String, tolerance: Option[Long] = None): DataFrame = {
-    val conf = left.sparkSession.conf.get(ChunkWidthConf, "0").trim.toLong
-    if (conf > 0)
+    val conf = confChunkWidth(left)
+    val tsNumeric = left.schema(ts).dataType.isInstanceOf[NumericType] &&
+      right.schema(ts).dataType.isInstanceOf[NumericType]
+    if (conf > 0 && tsNumeric)
       return asofBackwardChunked(left, right, key, ts, conf, tolerance)
     val (leftCols, rightCols) = checkCols(left, right, key, ts)
     require(tolerance.isEmpty ||

@@ -44,8 +44,10 @@ object Profiler {
     * and sums of squares are exact longs — callers scale decimals to
     * ints first (float sums are partitioning-dependent; integer sums
     * are not) — and mean/std derive from the exact sums once at the
-    * end. Caller must keep Σx² inside a long (|x| ≤ ~3e9 even at a
-    * billion rows).
+    * end. Values are widened to long BEFORE squaring (an Int column
+    * with |x| > 46340 would otherwise wrap per-row before the sum
+    * widens). Caller must keep Σx² inside a long:
+    * |x| ≲ sqrt(Long.MaxValue / n), e.g. ~3e4 at a billion rows.
     */
   def profileNumeric(df: DataFrame, cols: Seq[String]): DataFrame = {
     cols.foreach { c =>
@@ -58,8 +60,8 @@ object Profiler {
       val x = col(c)
       Seq(
         count(x).as(s"__n_$c"),
-        sum(x).as(s"__s_$c"),
-        sum(x * x).as(s"__s2_$c"),
+        sum(x.cast("long")).as(s"__s_$c"),
+        sum(x.cast("long") * x.cast("long")).as(s"__s2_$c"),
         min(x).as(s"__min_$c"),
         max(x).as(s"__max_$c"),
         percentile(x, array(lit(0.25), lit(0.5), lit(0.75))).as(s"__q_$c"))

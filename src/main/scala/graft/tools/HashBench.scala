@@ -26,7 +26,7 @@ object HashBench {
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         val out = Dedup.minhashLsh(docs, "doc_id", "text",
-          n = 3, bands = 4, rows = 3, threshold = 0.8, hashHex = fam)
+          n = 3, bands = 4, rows = 3, threshold = 0.8, hashHex = Some(fam))
         val n = out.count()
         graft.Bench.clearSessionState(spark)
         ((System.nanoTime() - t0) / 1e9, n)

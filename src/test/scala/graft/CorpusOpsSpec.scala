@@ -332,6 +332,45 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("RangeJoinRule broadened shapes: strict, mixed, extra-equality conjunct — all rewrite, identical rows") {
+    val spark2 = spark
+    import spark2.implicits._
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.RangeJoinRule
+    try {
+      val pts = Seq((1L, 1L, 5L), (2L, 1L, 15L), (3L, 2L, 25L), (4L, 2L, 35L),
+        (5L, 3L, 45L), (6L, 1L, 20L)).toDF("pid", "pk", "p")
+      val ivs = Seq((10L, 1L, 0L, 15L), (20L, 2L, 20L, 35L), (30L, 3L, 40L, 45L),
+        (40L, 1L, 10L, 30L)).toDF("iid", "ik", "lo", "hi")
+      def rows(c: org.apache.spark.sql.Column) =
+        pts.join(ivs, c).select("pid", "iid").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val shapes = Seq(
+        "strict both" -> (col("p") > col("lo") && col("p") < col("hi")),
+        "mixed strict/inclusive" -> (col("p") >= col("lo") && col("p") < col("hi")),
+        "flipped operands, strict" -> (col("hi") > col("p") && col("p") >= col("lo")),
+        "extra equality conjunct" ->
+          (col("pk") === col("ik") && col("p") >= col("lo") && col("p") <= col("hi")),
+        "equality between bounds" ->
+          (col("p") >= col("lo") && col("pk") === col("ik") && col("p") < col("hi")))
+      for ((name, c) <- shapes) {
+        spark.conf.unset(graft.plans.RangeJoinRule.ConfKey)
+        val expect = rows(c)
+        assert(expect.nonEmpty, name)
+        spark.conf.set(graft.plans.RangeJoinRule.ConfKey, "10")
+        val q = pts.join(ivs, c)
+        val plan = q.queryExecution.executedPlan.toString
+        assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"),
+          s"$name still nested-loop:\n$plan")
+        assert(rows(c) == expect, name)
+      }
+    } finally {
+      spark.conf.unset(graft.plans.RangeJoinRule.ConfKey)
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == graft.plans.RangeJoinRule)
+    }
+  }
+
   test("dedupCluster: planted near-dup chain collapses to one canonical") {
     val spark2 = spark
     import spark2.implicits._
@@ -424,6 +463,31 @@ class CorpusOpsSpec extends AnyFunSuite {
     finally spark.conf.unset(graft.operators.AsofJoin.ChunkWidthConf)
     assert(plain("p1").contains("v60") && plain("p2").contains("v150") &&
       plain("q").isEmpty)
+  }
+
+  test("chunkWidth conf: non-numeric ts keeps the unchunked path; junk conf errors eagerly") {
+    val spark2 = spark
+    import spark2.implicits._
+    // timestamp ts columns can't chunk — a globally-set conf must not
+    // break these calls at a distance
+    val left = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:01:40"), "p1"))
+      .toDF("k", "ts", "pname")
+    val right = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), "v60"))
+      .toDF("k", "ts", "vname")
+    spark.conf.set(graft.operators.AsofJoin.ChunkWidthConf, "37")
+    try {
+      val row = graft.operators.AsofJoin.asofBackward(left, right, "k", "ts")
+        .select("vname").collect().head
+      assert(row.getString(0) == "v60")
+    } finally spark.conf.unset(graft.operators.AsofJoin.ChunkWidthConf)
+
+    spark.conf.set(graft.operators.AsofJoin.ChunkWidthConf, "not-a-number")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        graft.operators.AsofJoin.asofBackward(left, right, "k", "ts")
+      }
+      assert(e.getMessage.contains("not-a-number"))
+    } finally spark.conf.unset(graft.operators.AsofJoin.ChunkWidthConf)
   }
 
   test("replaceValues does not cascade: branches test the original value") {

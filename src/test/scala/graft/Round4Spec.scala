@@ -59,6 +59,30 @@ class Round4Spec extends AnyFunSuite {
     assert(path.getAs[Double]("min_similarity") == 0.5)
   }
 
+  test("winsorize clamps tails but preserves NULLs (pandas clip parity)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = (Seq.tabulate(100)(i => Some(i.toDouble)) ++ Seq(None, None))
+      .toDF("v")
+    val out = Normalize.winsorize(df, "v", 0.10, 0.90).collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(out.count(_.isEmpty) == 2)                 // nulls stay null
+    val vals = out.flatten
+    assert(math.abs(vals.min - 9.9) < 1e-9 && math.abs(vals.max - 89.1) < 1e-9)
+    assert(vals.count(v => math.abs(v - 9.9) < 1e-9) == 10 &&
+      vals.count(v => math.abs(v - 89.1) < 1e-9) == 10)
+  }
+
+  test("profileNumeric: Int column beyond 46340 — squares widen to long before summing") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 1e6-scale ints: x*x wraps Int per-row if squared in native type
+    val df = Seq(1000000, 2000000, 3000000).toDF("x")
+    val r = graft.profiling.Profiler.profileNumeric(df, Seq("x")).collect().head
+    assert(r.getAs[Double]("mean") == 2000000.0)
+    assert(math.abs(r.getAs[Double]("std") - 1000000.0) < 1e-6)
+  }
+
   test("webTableNormalize: entities, tags, web nulls, brackets") {
     val spark2 = spark
     import spark2.implicits._
