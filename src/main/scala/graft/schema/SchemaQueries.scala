@@ -114,6 +114,100 @@ object SchemaQueries {
        |FROM n""".stripMargin
   }
 
+  // ---- sweep_thresholds (schemamatching/evaluation.py:158) ----
+
+  /** Evaluation mapping for the sweep: 4 forward positives, 1 positive
+    * stored in the REVERSED orientation (exercises symmetric matching),
+    * 1 explicit negative and 1 reversed negative.
+    */
+  val SweepEval: Seq[(String, String, Boolean)] = Seq(
+    ("c_custkey", "cust_key", true),
+    ("customer_name", "c_name", true), // reversed-orientation positive
+    ("c_nationkey", "nation_key", true),
+    ("c_acctbal", "acct_balance", true),
+    ("c_mktsegment", "mkt_segment", true),
+    ("c_custkey", "customer_name", false),
+    ("mkt_segment", "c_name", false)) // reversed-orientation negative
+
+  val SweepGrid: Seq[Double] = (0 to 10).map(_ / 10.0)
+
+  /** Both `complete` modes in one frame: explicit-negatives-only vs
+    * everything-not-positive-is-negative.
+    */
+  def schemaThresholdSweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val corr = SchemaMatch.labelBased(s, SourceCols, TargetCols, threshold = 0.0)
+      .withColumnRenamed("sim", "score")
+    val ev = SweepEval.toDF("source_col", "target_col", "label")
+    SchemaMatch.sweepThresholds(corr, ev, SweepGrid, complete = false)
+      .withColumn("mode", lit("explicit"))
+      .unionByName(
+        SchemaMatch.sweepThresholds(corr, ev, SweepGrid, complete = true)
+          .withColumn("mode", lit("complete")))
+      .orderBy("mode", "threshold")
+  }
+
+  val schemaThresholdSweepOracle: String = {
+    val evVals = SweepEval.map { case (a, b, l) => s"('$a', '$b', $l)" }.mkString(", ")
+    val gridVals = SweepGrid.map(t => s"($t)").mkString(", ")
+    s"""WITH corr AS (
+       |  SELECT s.source_col, t.target_col,
+       |         round(jaro_winkler_similarity(lower(s.source_col), lower(t.target_col)), 5) AS score
+       |  FROM ${valuesSql(SourceCols, "source_col", "s")}
+       |  CROSS JOIN ${valuesSql(TargetCols, "target_col", "t")}),
+       |corrt AS (SELECT source_col AS cs, target_col AS ct, max(score) AS score
+       |          FROM corr GROUP BY 1, 2),
+       |ev(source_col, target_col, label) AS (VALUES $evVals),
+       |pos AS (SELECT DISTINCT source_col, target_col FROM ev WHERE label),
+       |neg AS (SELECT DISTINCT source_col, target_col FROM ev WHERE NOT label),
+       |posb AS (
+       |  SELECT source_col AS a, target_col AS b,
+       |         source_col || chr(1) || target_col AS canon, 0 AS dir FROM pos
+       |  UNION ALL
+       |  SELECT target_col, source_col,
+       |         source_col || chr(1) || target_col, 1 FROM pos),
+       |negb AS (
+       |  SELECT source_col AS a, target_col AS b FROM neg
+       |  UNION SELECT target_col, source_col FROM neg),
+       |withpos AS (
+       |  SELECT c.cs, c.ct, c.score,
+       |         arg_min(p.canon, p.dir) FILTER (WHERE p.a IS NOT NULL) AS canon
+       |  FROM corrt c LEFT JOIN posb p ON c.cs = p.a AND c.ct = p.b
+       |  GROUP BY c.cs, c.ct, c.score),
+       |labeled AS (
+       |  SELECT w.score, w.canon, (n.a IS NOT NULL) AS isneg
+       |  FROM withpos w LEFT JOIN negb n ON w.cs = n.a AND w.ct = n.b),
+       |percanon AS (SELECT canon, max(score) AS cscore FROM labeled
+       |             WHERE canon IS NOT NULL GROUP BY canon),
+       |grid AS (SELECT CAST(g.t AS DOUBLE) AS threshold, m.mode, m.complete
+       |         FROM (VALUES $gridVals) AS g(t)
+       |         CROSS JOIN (VALUES ('explicit', false), ('complete', true))
+       |           AS m(mode, complete)),
+       |mm AS (
+       |  SELECT g.threshold, g.mode,
+       |         CAST(coalesce(sum(CASE WHEN l.score >= g.threshold
+       |           AND (l.canon IS NOT NULL OR l.isneg OR g.complete)
+       |           THEN 1 END), 0) AS BIGINT) AS matched
+       |  FROM grid g LEFT JOIN labeled l ON true GROUP BY 1, 2),
+       |cc AS (
+       |  SELECT g.threshold, g.mode,
+       |         CAST(coalesce(sum(CASE WHEN p.cscore >= g.threshold THEN 1 END), 0)
+       |           AS BIGINT) AS correct
+       |  FROM grid g LEFT JOIN percanon p ON true GROUP BY 1, 2),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS correct_total FROM pos)
+       |SELECT mm.threshold,
+       |       round(CAST(cc.correct AS DOUBLE) / greatest(mm.matched, 1), 5) AS precision,
+       |       round(CAST(cc.correct AS DOUBLE) / greatest(tot.correct_total, 1), 5) AS recall,
+       |       round(CAST(cc.correct AS DOUBLE) * 2.0
+       |             / greatest(mm.matched + tot.correct_total, 1), 5) AS f1,
+       |       cc.correct, mm.matched, tot.correct_total,
+       |       tot.correct_total - cc.correct AS missing,
+       |       mm.mode
+       |FROM mm JOIN cc ON mm.threshold = cc.threshold AND mm.mode = cc.mode
+       |CROSS JOIN tot
+       |ORDER BY mm.mode, mm.threshold""".stripMargin
+  }
+
   // ---- #24 mapping translation ----
 
   def translateMapping(s: SparkSession, dir: String): DataFrame = {
@@ -177,6 +271,7 @@ object SchemaQueries {
     "schema_instance" -> (schemaInstance _),
     "schema_duplicate" -> (schemaDuplicate _),
     "schema_eval" -> (schemaEval _),
+    "schema_threshold_sweep" -> (schemaThresholdSweep _),
     "translate_mapping" -> (translateMapping _),
     "extract_regex" -> (extractRegex _),
     "extract_typed" -> (extractTyped _)
@@ -187,6 +282,7 @@ object SchemaQueries {
     "schema_instance" -> schemaInstanceOracle,
     "schema_duplicate" -> schemaDuplicateOracle,
     "schema_eval" -> schemaEvalOracle,
+    "schema_threshold_sweep" -> schemaThresholdSweepOracle,
     "translate_mapping" -> translateMappingOracle,
     "extract_regex" -> extractRegexOracle,
     "extract_typed" -> extractTypedOracle

@@ -64,6 +64,30 @@ class IoProfileSchemaSpec extends AnyFunSuite {
     assert(m(("q", "q")) == 0.0) // k≠z
   }
 
+  test("sweepThresholds: symmetric match, duplicate-correct once, complete mode") {
+    val spark2 = spark
+    import spark2.implicits._
+    // (a,b) and its reverse (b,a) both predicted → both count in
+    // `matched`, the canonical positive counts ONCE in `correct`;
+    // (c,d) hits an explicit negative; (e,f) matches nothing.
+    val corr = Seq(("a", "b", 0.9), ("b", "a", 0.85), ("c", "d", 0.7), ("e", "f", 0.6))
+      .toDF("source_col", "target_col", "score")
+    val ev = Seq(("a", "b", true), ("x", "y", true), ("c", "d", false))
+      .toDF("source_col", "target_col", "label")
+    def sweep(complete: Boolean) =
+      SchemaMatch.sweepThresholds(corr, ev, Seq(0.0, 0.87), complete)
+        .collect().map(r => r.getDouble(0) ->
+          (r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    // explicit: θ=0 → matched {ab, ba, cd}=3, correct=1, total=2, missing=1
+    val ex = sweep(complete = false)
+    assert(ex(0.0) == ((1L, 3L, 2L, 1L)))
+    // θ=0.87 → only (a,b) passes: matched=1, correct=1
+    assert(ex(0.87) == ((1L, 1L, 2L, 1L)))
+    // complete: every predicted tuple counts in matched → 4 at θ=0
+    val cm = sweep(complete = true)
+    assert(cm(0.0) == ((1L, 4L, 2L, 1L)))
+  }
+
   test("blocker pair estimate matches materialized pair count") {
     val l = graft.blocking.EmScenario.custL(spark, sf)
     val r = graft.blocking.EmScenario.custR(spark, sf)
