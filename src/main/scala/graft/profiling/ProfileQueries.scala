@@ -102,17 +102,51 @@ object ProfileQueries {
        |FROM p ORDER BY column_name""".stripMargin
   }
 
+  /** DataProfiler.summary over customer with one column nullified for
+    * negative balances — so the null counters are exercised (TPC-H data
+    * carries no nulls of its own).
+    */
+  def profileSummary(s: SparkSession, dir: String): DataFrame = {
+    val c = customer(s, dir).select(
+      col("c_custkey"), col("c_name"),
+      when(col("c_acctbal") < 0, lit(null)).otherwise(col("c_acctbal"))
+        .as("acctbal_pos"),
+      col("c_mktsegment"))
+    Profiler.summary(c).orderBy("column_name")
+  }
+
+  val profileSummaryOracle: String = {
+    val dtypes = Seq("c_custkey" -> "bigint", "c_name" -> "string",
+      "acctbal_pos" -> "double", "c_mktsegment" -> "string")
+    val totalExpr = dtypes.map { case (c, _) =>
+      s"sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)" }.mkString(" + ")
+    val parts = dtypes.map { case (c, t) =>
+      s"""SELECT '$c' AS column_name, '$t' AS dtype,
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         |  count(*) AS n_rows, CAST(4 AS BIGINT) AS n_cols,
+         |  (SELECT CAST($totalExpr AS BIGINT) FROM t) AS nulls_total
+         |FROM t""".stripMargin
+    }
+    s"""WITH t AS (SELECT c_custkey, c_name,
+       |             CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS acctbal_pos,
+       |             c_mktsegment FROM customer)
+       |${parts.mkString("\nUNION ALL\n")}
+       |ORDER BY column_name""".stripMargin
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "profile_columns" -> (profileColumns _),
     "profile_topk" -> (profileTopk _),
     "profile_compare" -> (profileCompare _),
-    "profile_numeric" -> (profileNumeric _)
+    "profile_numeric" -> (profileNumeric _),
+    "profile_summary" -> (profileSummary _)
   )
 
   def oracles: Map[String, String] = Map(
     "profile_compare" -> profileCompareOracle,
     "profile_columns" -> profileColumnsOracle,
     "profile_topk" -> profileTopkOracle,
-    "profile_numeric" -> profileNumericOracle
+    "profile_numeric" -> profileNumericOracle,
+    "profile_summary" -> profileSummaryOracle
   )
 }

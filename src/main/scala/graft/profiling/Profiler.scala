@@ -38,6 +38,29 @@ object Profiler {
     stacked.reduce(_.unionByName(_))
   }
 
+  /** DataProfiler.summary (profiler.py:108): dataset-level row/column/
+    * total-null statistics plus per-column null counts and dtypes, as
+    * one long frame (one row per column; the dataset scalars repeat on
+    * every row — the relational shape of the reference's dict). ONE
+    * aggregation pass; dtypes are schema metadata, not data.
+    */
+  def summary(df: DataFrame): DataFrame = {
+    val cols = df.columns.toSeq
+    val metrics = count(lit(1)).as("__n") +: cols.map(c =>
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"))
+    val agg = df.agg(metrics.head, metrics.tail: _*)
+    val total = cols.map(c => col(s"__nulls_$c")).reduce(_ + _)
+    cols.map { c =>
+      agg.select(
+        lit(c).as("column_name"),
+        lit(df.schema(c).dataType.catalogString).as("dtype"),
+        col(s"__nulls_$c").as("n_nulls"),
+        col("__n").as("n_rows"),
+        lit(cols.size.toLong).as("n_cols"),
+        total.as("nulls_total"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Numeric `describe()` face of the profiler (pandas describe
     * parity): count / mean / sample std / min / exact interpolated
     * quartiles / max per INTEGRAL column, one aggregation pass. Sums
