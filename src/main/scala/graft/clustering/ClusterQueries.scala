@@ -11,9 +11,11 @@ import graft.blocking.{Blockers, EmScenario}
   * Oracle strategy: connected components via a recursive reachability CTE;
   * the sequential algorithms (centre, greedy 1:1, stable matching) via a
   * recursive single-row FOLD over the ranked edge/entity list — DuckDB
-  * replays the exact sequential walk. Bipartite (Hungarian) and
-  * hierarchical remain rows-only + property specs in ClusterSpec
-  * (brute-force cross-checks on random graphs).
+  * replays the exact sequential walk; complete-linkage hierarchical
+  * folds the full member→cluster assignment instead (merge replay).
+  * Bipartite (Hungarian) and average-linkage remain rows-only +
+  * property specs in ClusterSpec (brute-force cross-checks on random
+  * graphs; float mean is summation-order-dependent across engines).
   */
 object ClusterQueries {
 
@@ -344,6 +346,82 @@ object ClusterQueries {
        |SELECT node AS id, min(rt) AS cluster FROM reach GROUP BY node
        |ORDER BY id""".stripMargin
 
+  // ---- complete-linkage hierarchical (recursive-fold oracle) ----
+
+  /** Clique-group edges for the complete-linkage query: customers are
+    * bucketed 4-a-piece by key, every within-bucket pair is scored by
+    * balance proximity — so the graph has REAL cliques (the EmScenario
+    * edge set is triangle-free, which would degenerate complete linkage
+    * into pair matching: any merged cluster has a missing cross edge →
+    * linkage 0). Scores are raw IEEE divisions of exact cent longs —
+    * no per-engine rounding anywhere near a decimal midpoint.
+    */
+  def cliqueEdges(s: SparkSession, dir: String): DataFrame = {
+    val c = customer(s, dir).filter(col("c_custkey") < 240)
+      .select(col("c_custkey").as("k"), cents(col("c_acctbal")).as("balc"))
+    val a = c.select(col("k").as("id1"), col("balc").as("ba"))
+    val b = c.select(col("k").as("id2"), col("balc").as("bb"))
+    a.join(b, expr("id1 div 4") === expr("id2 div 4") &&
+        col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        (greatest(lit(2000000L) - abs(col("ba") - col("bb")), lit(0L))
+          .cast("double") / lit(2000000.0)).as("score"))
+  }
+
+  def clusterHierarchicalComplete(s: SparkSession, dir: String): DataFrame =
+    Clusterers.hierarchicalCluster(cliqueEdges(s, dir), "complete", 0.8)
+      .orderBy("id")
+
+  /** Replays the agglomerative COMPLETE-linkage merges as a recursive
+    * single-row fold (the centre/greedy idiom, but the fold state is
+    * the full member→cluster assignment, POSITION-ENCODED: contiguous
+    * custkeys mean `asg[m + 1]` is member m's label — each step scans
+    * only the STATIC edge table with list_extract instead of unnesting
+    * all member pairs, which DuckDB's decorrelation made pathological).
+    * A cluster-pair linkage ≥ θ needs min(cross sims) ≥ θ AND full
+    * cross connectivity (count = |A|·|B|) — exactly the kernel's
+    * zero-filled similarity matrix, since any missing pair drives the
+    * min to 0 < θ. Best pair by the kernel's (linkage DESC, minIdA,
+    * minIdB) tie-break; the absorbed cluster relabels to the smaller
+    * label. Recursion ends when the lateral finds no qualifying pair.
+    * Per-component kernel ≡ this global replay (cross-component
+    * linkage is 0 < θ).
+    */
+  val hierarchicalCompleteOracle: String =
+    """WITH RECURSIVE
+      |c AS (SELECT c_custkey AS k, CAST(round(c_acctbal*100) AS BIGINT) AS balc
+      |      FROM customer WHERE c_custkey < 240),
+      |se AS (SELECT a.k AS id1, b.k AS id2,
+      |              CAST(greatest(2000000 - abs(a.balc - b.balc), 0) AS DOUBLE)
+      |                / 2000000.0 AS score
+      |       FROM c a JOIN c b ON a.k // 4 = b.k // 4 AND a.k < b.k),
+      |simp AS (SELECT id1 AS u, id2 AS v, max(score) AS s FROM se GROUP BY 1, 2),
+      |walk(gen, asg) AS (
+      |  SELECT 0, (SELECT list(k ORDER BY k) FROM c)
+      |  UNION ALL
+      |  SELECT w.gen + 1,
+      |         list_transform(w.asg, x -> CASE WHEN x = b.g THEN b.l ELSE x END)
+      |  FROM walk w
+      |  JOIN LATERAL (
+      |    SELECT cand.l, cand.g FROM (
+      |      SELECT least(w.asg[sp.u + 1], w.asg[sp.v + 1]) AS l,
+      |             greatest(w.asg[sp.u + 1], w.asg[sp.v + 1]) AS g,
+      |             count(*) AS cnt, min(sp.s) AS mn
+      |      FROM simp sp
+      |      WHERE w.asg[sp.u + 1] <> w.asg[sp.v + 1]
+      |      GROUP BY 1, 2) cand
+      |    JOIN (SELECT t.c AS cl, count(*) AS sz FROM unnest(w.asg) AS t(c) GROUP BY 1) sa
+      |      ON sa.cl = cand.l
+      |    JOIN (SELECT t.c AS cl, count(*) AS sz FROM unnest(w.asg) AS t(c) GROUP BY 1) sb
+      |      ON sb.cl = cand.g
+      |    WHERE cand.mn >= 0.8 AND cand.cnt = sa.sz * sb.sz
+      |    ORDER BY cand.mn DESC, cand.l, cand.g
+      |    LIMIT 1) b ON true)
+      |SELECT u.m AS id, f.asg[u.m + 1] AS cluster
+      |FROM (SELECT asg FROM walk WHERE gen = (SELECT max(gen) FROM walk)) f,
+      |     (SELECT k AS m FROM c) u
+      |ORDER BY id""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cluster_connected_components" -> (clusterConnectedComponents _),
     "cluster_greedy_one_to_one" -> (clusterGreedyOneToOne _),
@@ -351,6 +429,7 @@ object ClusterQueries {
     "cluster_stable" -> (clusterStable _),
     "cluster_max_bipartite" -> (clusterMaxBipartite _),
     "cluster_hierarchical" -> (clusterHierarchical _),
+    "cluster_hierarchical_complete" -> (clusterHierarchicalComplete _),
     "cluster_size_dist" -> (clusterSizeDist _),
     "cluster_consistency" -> (clusterConsistency _),
     "cluster_details" -> (clusterDetails _)
@@ -362,6 +441,7 @@ object ClusterQueries {
     "cluster_centre" -> centreOracle,
     "cluster_stable" -> stableOracle,
     "cluster_hierarchical" -> hierarchicalOracle,
+    "cluster_hierarchical_complete" -> hierarchicalCompleteOracle,
     "cluster_size_dist" -> sizeDistOracle,
     "cluster_consistency" -> consistencyOracle,
     "cluster_details" -> detailsOracle
