@@ -121,6 +121,84 @@ class ScaleStressSpec extends AnyFunSuite {
     assert(left.toDF().selectExpr(s"ts div 10000 AS c").distinct().count() == 100)
   }
 
+  test("pair generators grow ~linearly from N to 10N (band/block joins, not quadratic)") {
+    val spark2 = spark
+    import spark2.implicits._
+    import graft.dedup.Dedup
+
+    val small = 1500
+    val big = 15000 // 10×
+
+    // Unique per-doc vocabulary → zero accidental cross-doc shingle
+    // overlap; every 10th doc gets an identical-text twin. Planted
+    // near-dup RATE is constant, so every honest pair generator must
+    // produce ~10× the pairs on 10× the docs — a broken banding would
+    // go ~100×.
+    val mk = "concat_ws(' ', transform(sequence(0, 29), j -> concat('w', id, 'x', j)))"
+    def corpus(n: Int) =
+      spark.range(n).selectExpr("id AS doc_id", s"$mk AS text")
+        .unionByName(spark.range(n).filter("id % 10 = 0")
+          .selectExpr("id + 10000000 AS doc_id", s"$mk AS text"))
+        .toDF().localCheckpoint(true)
+    // FIXED-size eval side (the decontamination shape): 40 probes whose
+    // texts equal train docs 0, 10, ..., 390 — present at both scales
+    def probes() = spark.range(40)
+      .selectExpr("id + 20000000 AS doc_id",
+        "concat_ws(' ', transform(sequence(0, 29), j -> concat('w', id * 10, 'x', j))) AS text")
+      .toDF().localCheckpoint(true)
+    // EmScenario-shaped sides with CONSTANT block selectivity: 20 ids
+    // per seg block at every scale → pairs per block constant → total
+    // candidates exactly linear
+    def emSide(n: Int, off: Long) = spark.range(n).selectExpr(
+      s"id + $off AS id", "id div 20 AS seg", "id % 7 AS nat",
+      "concat('name', id % 100, 'x', id) AS name")
+      .toDF().localCheckpoint(true)
+
+    def timed[T](f: => T): (T, Double) = {
+      // min of 2 reps — rep 1 may pay Janino/JIT for the new plan shape
+      val runs = (1 to 2).map { _ =>
+        val t0 = System.nanoTime(); val v = f; (v, (System.nanoTime() - t0) / 1e9)
+      }
+      (runs.head._1, runs.map(_._2).min)
+    }
+
+    def measure(n: Int): (Seq[Long], Seq[Double]) = {
+      val docs = corpus(n); val ev = probes()
+      val l = emSide(n, 0); val r = emSide(n, 30000000L)
+      val (c1, t1) = timed(Dedup.minhashLsh(docs, "doc_id", "text").count())
+      val (c2, t2) = timed(
+        Dedup.minhashLshAgainst(docs, ev, "doc_id", "text").count())
+      val (c3, t3) = timed {
+        val pairs = Dedup.minhashLsh(docs, "doc_id", "text").select("id1", "id2")
+        graft.clustering.Clusterers.connectedComponents(pairs).count()
+      }
+      val (c4, t4) = timed(
+        graft.blocking.Blockers.standard(l, r, Seq("seg", "nat"), "id").count())
+      (Seq(c1, c2, c3, c4), Seq(t1, t2, t3, t4))
+    }
+
+    measure(small) // unmeasured warmup: JIT-compiles every plan shape
+    val (cS, tS) = measure(small)
+    val (cB, tB) = measure(big)
+    val names = Seq("minhash_lsh", "lsh_against_fixed_eval", "dedup_cluster_cc", "standard_block")
+
+    // exact structural counts: twins per corpus and probes are planted
+    assert(cS(0) == small / 10 && cB(0) == big / 10)   // pair ratio exactly 10
+    assert(cS(1) == cB(1) && cS(1) == 80)              // fixed eval side: constant
+    assert(cS(2) == 2L * small / 10 && cB(2) == 2L * big / 10)
+    assert(cB(3) == 10 * cS(3) && cS(3) > 0)           // constant-selectivity blocks
+
+    val ratios = names.indices.map(i => tB(i) / math.max(tS(i), 0.05))
+    names.zip(ratios).zipWithIndex.foreach { case ((nm, rt), i) =>
+      info(f"$nm%-24s small=${tS(i)}%6.2fs big=${tB(i)}%6.2fs ratio=$rt%5.1f× (linear=10×)")
+    }
+    // ~linear: a quadratic generator would be ~100×; allow 1.5× of
+    // linear plus timer-noise headroom on a busy box
+    ratios.zip(names).foreach { case (rt, nm) =>
+      assert(rt < 15.0, s"$nm grew ${rt}× from N to 10N — super-linear")
+    }
+  }
+
   test("token blocker cap keeps a pathological stop-word key sub-quadratic") {
     val spark2 = spark
     import spark2.implicits._
