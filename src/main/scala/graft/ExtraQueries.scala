@@ -155,6 +155,26 @@ object ExtraQueries {
       |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
       |ORDER BY purchase_id""".stripMargin
 
+  /** The out-of-order-tolerant [[Streams.asofStreamBuffered]] run to
+    * completion: a ZERO-delay watermark means the trailing no-data
+    * batch advances the watermark to the max event time, every held
+    * purchase flushes (via the event-time timeout), and the output
+    * equals the batch ASOF oracle exactly — while still exercising the
+    * hold-until-watermark path end to end.
+    */
+  def streamAsofBuffered(s: SparkSession, dir: String): DataFrame = {
+    val name = "graft_stream_asofb_" + java.lang.Integer.toHexString(dir.hashCode)
+    val src = Streams.eventsStream(s, dir, watermark = "0 seconds")
+      .select(col("ts"), col("user_id"), col("event_type"), col("event_id"))
+    val q = Streams.asofStreamBuffered(src)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name).orderBy("purchase_id")
+  }
+
   def streamDedup(s: SparkSession, dir: String): DataFrame = {
     val name = "graft_stream_dedup_" + java.lang.Integer.toHexString(dir.hashCode)
     val src = Streams.eventsStream(s, dir)
@@ -417,7 +437,8 @@ object ExtraQueries {
     "stream_window_agg" -> (streamWindowAgg _),
     "stream_sessionize" -> (streamSessionize _),
     "stream_dedup" -> (streamDedup _),
-    "stream_asof" -> (streamAsof _)
+    "stream_asof" -> (streamAsof _),
+    "stream_asof_buffered" -> (streamAsofBuffered _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -433,6 +454,7 @@ object ExtraQueries {
     "stream_window_agg" -> streamWindowAggOracle,
     "stream_sessionize" -> streamSessionizeOracle,
     "stream_dedup" -> streamDedupOracle,
-    "stream_asof" -> streamAsofOracle
+    "stream_asof" -> streamAsofOracle,
+    "stream_asof_buffered" -> streamAsofOracle
   )
 }

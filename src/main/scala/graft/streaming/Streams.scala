@@ -12,6 +12,13 @@ case class SessionRow(user_id: Long, startUs: Long, endUs: Long, n_events: Long)
 case class AsofStreamRow(user_id: Long, ts: Long, purchase_id: Long,
     view_id: Option[Long])
 
+/** Buffer state for the out-of-order-tolerant streaming as-of: views
+  * in flight (one kept below the watermark — it dominates every later
+  * match) and purchases held until the watermark passes their event
+  * time. Both `(event-time µs, id)` tuples.
+  */
+case class AsofBufState(views: Seq[(Long, Long)], purchases: Seq[(Long, Long)])
+
 /** Structured Streaming operators (SURVEY §2.12 #65). The transform is
   * written once against a DataFrame and used by BOTH the batch query
   * (which the DuckDB oracle checks) and the streaming query (readStream →
@@ -33,9 +40,13 @@ object Streams {
         col("event_type"), col("n_events"), col("sum_value"))
 
   /** Streaming source over the events parquet dir (nanos ts → micros,
-    * same as the batch reader), with a 2-hour watermark.
+    * same as the batch reader), with a 2-hour watermark by default
+    * (override for operators that key emission off the watermark, e.g.
+    * a zero delay lets [[asofStreamBuffered]] flush completely in an
+    * AvailableNow run).
     */
-  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+  def eventsStream(spark: SparkSession, dir: String,
+      watermark: String = "2 hours"): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     // The parquet streaming source requires a DIRECTORY (in production
@@ -53,7 +64,7 @@ object Streams {
       if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       else raw
-    ts.withWatermark("ts", "2 hours")
+    ts.withWatermark("ts", watermark)
   }
 
   /** Gap-based sessionization (30-min inactivity closes a session),
@@ -149,6 +160,69 @@ object Streams {
           }
           latest.foreach(state.update)
           out.result().iterator
+      }
+      .toDF()
+  }
+
+  /** Out-of-order-TOLERANT streaming as-of — the hardened variant of
+    * [[asofStream]] for sources that violate the ordered-ingest
+    * contract. Instead of enriching each purchase on arrival, purchases
+    * are HELD until the event-time watermark passes their timestamp: by
+    * then no earlier view can still arrive (the watermark is exactly
+    * that promise), so a view landing in a later micro-batch with an
+    * earlier event time is correctly matched. State stays bounded by
+    * the watermark delay: of the views at or below the watermark only
+    * the LATEST is kept (it dominates every future match — any held or
+    * future purchase has ts above the watermark), views above it are in
+    * flight, and held purchases drain as the watermark advances — via
+    * an event-time timeout when the key goes quiet. The trade is the
+    * standard streaming one: correctness under disorder for
+    * watermark-delay output latency. Requires `withWatermark` on `ts`
+    * upstream ([[eventsStream]] sets one).
+    */
+  def asofStreamBuffered(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    // the watermarked ts column rides along (dropping it would strip
+    // the watermark and EventTimeTimeout needs one); the kernel only
+    // reads the µs projection
+    val typed = events.select(col("user_id").cast("long"),
+        unix_micros(col("ts")).as("us"), col("event_type"),
+        col("event_id").cast("long"), col("ts"))
+      .as[(Long, Long, String, Long, java.sql.Timestamp)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[AsofBufState, AsofStreamRow](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, it: Iterator[(Long, Long, String, Long, java.sql.Timestamp)],
+         state: GroupState[AsofBufState]) =>
+          val st = state.getOption.getOrElse(AsofBufState(Nil, Nil))
+          val arrivals = it.toVector
+          val views = (st.views ++
+            arrivals.filter(_._3 == "view").map(r => (r._2, r._4))).sorted
+          val purchases = st.purchases ++
+            arrivals.filter(_._3 == "purchase").map(r => (r._2, r._4))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          // on timeout the watermark has passed every held purchase —
+          // partitioning by wm flushes them all
+          val (ready, pending) = purchases.partition(_._1 <= wmUs)
+          val out = ready.sorted.map { case (pts, pid) =>
+            // latest view at or before the purchase; (ts, id) sort means
+            // equal-ts duplicate views resolve to the max id, same as
+            // the batch pre-dedup rule and [[asofStream]]
+            val m = views.filter(_._1 <= pts).lastOption
+            AsofStreamRow(user, pts, pid, m.map(_._2))
+          }
+          val keep = views.filter(_._1 <= wmUs).lastOption.toSeq ++
+            views.filter(_._1 > wmUs)
+          if (pending.isEmpty && keep.isEmpty) state.remove()
+          else {
+            state.update(AsofBufState(keep, pending.sorted))
+            // wake this key once the watermark passes its last held
+            // purchase, so held rows drain without new arrivals
+            if (pending.nonEmpty)
+              state.setTimeoutTimestamp(pending.map(_._1).max / 1000L + 1L)
+          }
+          out.iterator
       }
       .toDF()
   }

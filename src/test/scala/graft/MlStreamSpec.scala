@@ -76,6 +76,52 @@ class MlStreamSpec extends AnyFunSuite {
     assert(got == want, s"expected $want deduped events, got $got")
   }
 
+  test("buffered streaming as-of recovers late views; plain variant's contract output pinned") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def s(sec: Long): Long = sec * 1000000L // event-time µs
+
+    def feed(name: String, mk: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+        : Seq[(Long, Long, Long, Option[Long])] = {
+      val mem = MemoryStream[(Long, Long, String, Long)]
+      val src = mem.toDF().toDF("user_id", "us", "event_type", "event_id")
+        .withColumn("ts", timestamp_micros(col("us")))
+        .withWatermark("ts", "1 minute")
+      val q = mk(src).writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        // batch 1: view@10s then purchase@100s
+        mem.addData((1L, s(10), "view", 1000L), (1L, s(100), "purchase", 1L))
+        q.processAllAvailable()
+        // batch 2: LATE view@50s — earlier event time than the already
+        // arrived purchase@100s (ordered-ingest violation) — plus a
+        // watermark advancer at 300s
+        mem.addData((1L, s(50), "view", 2000L), (1L, s(300), "view", 3000L))
+        q.processAllAvailable()
+        // batch 3: unrelated key; advances processing so event-time
+        // timeouts fire (watermark is already at 240s)
+        mem.addData((2L, s(301), "view", 4000L))
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSeq
+    }
+
+    // buffered: purchase@100s is HELD past batch 1 (watermark 0), so the
+    // late view@50s lands first and wins the as-of match
+    val buffered = feed("asof_buf_sink", Streams.asofStreamBuffered)
+    assert(buffered == Seq((1L, s(100), 1L, Some(2000L))))
+
+    // plain variant: enriches on arrival — the documented ordered-ingest
+    // contract means the late view is NOT seen; this pins that output
+    val plain = feed("asof_plain_sink", Streams.asofStream)
+    assert(plain == Seq((1L, s(100), 1L, Some(1000L))))
+  }
+
   test("multimodal resize + frame sampling plumbing") {
     import graft.multimodal.Multimodal
     val media = Multimodal.syntheticMedia(
