@@ -410,6 +410,61 @@ object TextOps {
     } finally counts.unpersist(false)
   }
 
+  /** Repeated-n-gram substring dedup — the bounded relational form of
+    * suffix-array exact-substring deduplication (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"): find
+    * every word n-gram (n = 13 in the paper) occurring more than once
+    * ANYWHERE in the corpus, and report per document how many of its
+    * n-grams are duplicated and what fraction of its tokens lie inside
+    * at least one duplicated n-gram (the span-coverage number a drop /
+    * trim policy keys on).
+    *
+    * Scale shape is the inverted-index idiom the other dedup operators
+    * use: per-row HOF builds (position, md5(gram)) pairs inside the
+    * scan, ONE shuffle counts gram occurrences (map-side partial — a
+    * stop-phrase gram combines before it moves), one equi-join back
+    * flags each document's duplicated grams, and coverage is a
+    * distinct-positions count whose explode factor is bounded by n ×
+    * duplicated grams, not corpus size. Never all-pairs, no suffix
+    * array to materialize.
+    */
+  def repeatedNgrams(docs: DataFrame, id: String, text: String,
+      n: Int = 13, dropThreshold: Double = 0.5): DataFrame = {
+    require(n >= 2, "n-gram order must be >= 2")
+    val toks = docs.select(col(id).as("_id"), split(col(text), " ").as("_w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val grams = toks.filter(size(col("_w")) >= n)
+        .select(col("_id"), explode(expr(
+          s"""transform(sequence(1, size(_w) - ${n - 1}),
+             |  i -> named_struct('p', i, 'h', md5(concat_ws(' ', slice(_w, i, $n)))))"""
+            .stripMargin)).as("_g"))
+        .select(col("_id"), col("_g.p").as("_p"), col("_g.h").as("_h"))
+      val dupHashes = grams.groupBy("_h").agg(count(lit(1)).as("_c"))
+        .filter(col("_c") > 1).select("_h")
+      val dupGrams = grams.join(dupHashes, "_h")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val perDoc = dupGrams.groupBy("_id")
+          .agg(count(lit(1)).as("dup_ngrams"))
+        val covered = dupGrams
+          .select(col("_id"), explode(expr(s"sequence(_p, _p + ${n - 1})")).as("_cp"))
+          .distinct()
+          .groupBy("_id").agg(count(lit(1)).as("covered_tokens"))
+        toks.select(col("_id"), size(col("_w")).cast("long").as("n_tokens"))
+          .join(perDoc, Seq("_id"), "left")
+          .join(covered, Seq("_id"), "left")
+          .select(col("_id").as(id), col("n_tokens"),
+            coalesce(col("dup_ngrams"), lit(0L)).as("dup_ngrams"),
+            coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+            (coalesce(col("covered_tokens"), lit(0L)).cast("double") / col("n_tokens"))
+              .as("dup_fraction"))
+          .withColumn("flag_drop", col("dup_fraction") > dropThreshold)
+          .localCheckpoint(true)
+      } finally dupGrams.unpersist(false)
+    } finally toks.unpersist(false)
+  }
+
   /** Winnowing fingerprints (#63, Schleimer et al.): char 5-gram rolling
     * hashes (md5-prefix), per-window (w=4) minima, distinct + sorted →
     * count and digest per document.

@@ -393,7 +393,43 @@ object TextQueries {
       |    / t.t AS cum_share
       |FROM k, tot t ORDER BY rank""".stripMargin
 
+  /** Lee-et-al exact-substring dedup at 13-gram granularity over the
+    * documents corpus (TextOps.repeatedNgrams).
+    */
+  def textSubstringDedup(s: SparkSession, dir: String): DataFrame =
+    TextOps.repeatedNgrams(graft.Tables.documents(s, dir), "doc_id", "text",
+        n = 13, dropThreshold = 0.5)
+      .orderBy("doc_id")
+
+  val textSubstringDedupOracle: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |grams AS (
+      |  SELECT doc_id, i AS p, md5(array_to_string(w[i:i+12], ' ')) AS h FROM (
+      |    SELECT doc_id, w, unnest(generate_series(1, len(w) - 12)) AS i
+      |    FROM toks WHERE len(w) >= 13)),
+      |dup AS (SELECT h FROM grams GROUP BY h HAVING count(*) > 1),
+      |dg AS (SELECT g.doc_id, g.p FROM grams g JOIN dup USING (h)),
+      |dgc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_ngrams
+      |        FROM dg GROUP BY doc_id),
+      |cov AS (SELECT DISTINCT doc_id, p + off AS cp
+      |        FROM dg, generate_series(0, 12) s(off)),
+      |covc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS covered_tokens
+      |         FROM cov GROUP BY doc_id),
+      |base AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM toks)
+      |SELECT b.doc_id, b.n_tokens,
+      |       coalesce(dgc.dup_ngrams, 0) AS dup_ngrams,
+      |       coalesce(covc.covered_tokens, 0) AS covered_tokens,
+      |       CAST(coalesce(covc.covered_tokens, 0) AS DOUBLE) / b.n_tokens
+      |         AS dup_fraction,
+      |       CAST(coalesce(covc.covered_tokens, 0) AS DOUBLE) / b.n_tokens > 0.5
+      |         AS flag_drop
+      |FROM base b
+      |LEFT JOIN dgc ON dgc.doc_id = b.doc_id
+      |LEFT JOIN covc ON covc.doc_id = b.doc_id
+      |ORDER BY b.doc_id""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_substring_dedup" -> (textSubstringDedup _),
     "text_pii_scrub" -> (textPiiScrub _),
     "text_contamination" -> (textContamination _),
     "text_contamination_fuzzy" -> (textContaminationFuzzy _),
@@ -412,6 +448,7 @@ object TextQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "text_substring_dedup" -> textSubstringDedupOracle,
     "text_pii_scrub" -> textPiiScrubOracle,
     "text_contamination" -> textContaminationOracle,
     "text_contamination_fuzzy" -> textContaminationFuzzyOracle,

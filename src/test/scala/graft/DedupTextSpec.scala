@@ -114,6 +114,24 @@ class DedupTextSpec extends AnyFunSuite {
     assert(byId(1L)._2 > 0)
   }
 
+  test("repeatedNgrams: cross-doc repeated span flags both docs, coverage is a UNION of spans") {
+    val spark2 = spark
+    import spark2.implicits._
+    // A and B share the 6-word span s1..s6; with n=4 that is three
+    // duplicated 4-grams per doc whose coverage must count the UNION
+    // (6 tokens), not 3×4. C shares nothing.
+    val docs = Seq(
+      (1L, "s1 s2 s3 s4 s5 s6 a7 a8 a9 a10"),
+      (2L, "b0 s1 s2 s3 s4 s5 s6 b7 b8 b9"),
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10")).toDF("doc_id", "text")
+    val out = TextOps.repeatedNgrams(docs, "doc_id", "text", n = 4, dropThreshold = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(5))).toMap
+    assert(out(1L) == ((10L, 3L, 6L, true)))  // 6/10 covered > 0.5 → drop
+    assert(out(2L) == ((10L, 3L, 6L, true)))
+    assert(out(3L) == ((10L, 0L, 0L, false)))
+  }
+
   test("IVF top-k finds planted twins (recall@1 vs brute force)") {
     val spark2 = spark
     import spark2.implicits._
