@@ -465,6 +465,66 @@ object TextOps {
     } finally toks.unpersist(false)
   }
 
+  /** BM25 top-k retrieval (Robertson–Spärck Jones) over a document corpus —
+    * the classic inverted-index shape, expressed relationally:
+    *
+    *   postings  = (doc, term, tf)    one groupBy over exploded tokens
+    *   doc stats = (doc, dl)          token count per doc
+    *   idf       = vocab-bounded frame, idf(term) = detLn((N−df+½)/(df+½)+1)
+    *   score     = Σ_matching-terms idf · tf(k1+1) / (tf + k1(1−b+b·dl/avgdl))
+    *
+    * Cross-engine determinism: every per-term score is a fixed IEEE circuit
+    * over integer inputs (tf, df, dl, N, Σdl) — the only transcendental is
+    * [[graft.functions.DetMath.detLn]], which is bit-reproducible by
+    * construction. The per-term double is floor-scaled to a 1e-9-granular
+    * long BEFORE the per-(query,doc) sum, so the aggregate is
+    * addition-order-invariant (float sums are not). Ranking sorts the scaled
+    * long with doc-id tie-break — fully deterministic.
+    *
+    * 100 TB: the token explode + tf groupBy is the scan-side inverted-index
+    * build (map-side combine); idf lives on a vocab-bounded frame; the
+    * corpus-stats frame is 1 row (broadcast); the query set is small by
+    * nature so AQE broadcasts it into the postings join — per-query cost is
+    * the postings of its terms, never a corpus scan.
+    */
+  def bm25TopK(docs: DataFrame, id: String, text: String,
+               queries: DataFrame, qid: String, qtext: String,
+               qTerms: Int = 6, k1: Double = 1.2, b: Double = 0.75,
+               k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(id).as("doc_id"),
+      explode(split(lower(col(text)), " ")).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // dl = Σ tf — re-aggregating the postings frame instead of re-exploding
+    // the full token stream (tf is vocab×docs-bounded, the stream is not)
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val st = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("tot"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = dfreq.crossJoin(broadcast(st)).select(col("term"),
+      graft.functions.DetMath.detLn(
+        (((col("n_docs").cast("double") - col("df").cast("double")) + lit(0.5))
+          / (col("df").cast("double") + lit(0.5))) + lit(1.0)).as("idf"))
+    val qt = queries.select(col(qid).as("q_id"),
+        explode(slice(split(lower(col(qtext)), " "), 1, qTerms)).as("term"))
+      .distinct()
+    val avgdl = col("tot").cast("double") / col("n_docs").cast("double")
+    val tfD = col("tf").cast("double")
+    val dlD = col("dl").cast("double")
+    val denom = tfD + (lit(k1) * ((lit(1.0) - lit(b)) + ((lit(b) * dlD) / avgdl)))
+    val score = col("idf") * ((tfD * (lit(k1) + lit(1.0))) / denom)
+    val sc = qt.join(tf, "term").join(dl, "doc_id").join(idf, "term")
+      .crossJoin(broadcast(st))
+      .select(col("q_id"), col("doc_id"),
+        floor(score * lit(1.0e9)).as("s"))
+    val agg = sc.groupBy("q_id", "doc_id").agg(sum("s").as("score_scaled"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("score_scaled").desc, col("doc_id").asc)
+    agg.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("doc_id"), col("rank"),
+        (col("score_scaled").cast("double") / lit(1.0e9)).as("score"))
+  }
+
   /** Winnowing fingerprints (#63, Schleimer et al.): char 5-gram rolling
     * hashes (md5-prefix), per-window (w=4) minima, distinct + sorted →
     * count and digest per document.

@@ -428,7 +428,67 @@ object TextQueries {
       |LEFT JOIN covc ON covc.doc_id = b.doc_id
       |ORDER BY b.doc_id""".stripMargin
 
+  /** BM25 top-10 self-retrieval: every 25th document's first 6 distinct
+    * tokens form a query; scores are bit-deterministic (DetMath.detLn +
+    * scaled-long sums), so the oracle hash-matches (TextOps.bm25TopK).
+    */
+  def textBm25(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(s, dir)
+    TextOps.bm25TopK(docs, "doc_id", "text",
+        docs.where(col("doc_id") % 25 === 0), "doc_id", "text")
+      .orderBy("q_id", "rank")
+  }
+
+  val textBm25Oracle: String = {
+    import graft.functions.DetMath
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+       |             FROM documents),
+       |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       |       FROM toks GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+       |       FROM toks GROUP BY 1),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |              CAST(sum(dl) AS BIGINT) AS tot FROM dl),
+       |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |lx AS (SELECT term,
+       |         (((CAST(st.n_docs AS DOUBLE) - CAST(df AS DOUBLE)) + 0.5)
+       |           / (CAST(df AS DOUBLE) + 0.5)) + 1.0 AS x
+       |       FROM dfreq, st),
+       |le AS (SELECT term, x, ${DetMath.sqlE("x")} AS e,
+       |                       ${DetMath.sqlPw("x")} AS pw FROM lx),
+       |lm AS (SELECT term, e, (x / pw) AS m FROM le),
+       |lt AS (SELECT term, e, ((m - 1.0) / (m + 1.0)) AS t FROM lm),
+       |lt2 AS (SELECT term, e, t, (t * t) AS t2 FROM lt),
+       |idf AS (SELECT term, ${DetMath.sqlLn("t", "t2", "e")} AS idf FROM lt2),
+       |q AS (SELECT doc_id AS q_id, string_split(lower(text), ' ') AS w
+       |      FROM documents WHERE doc_id % 25 = 0),
+       |qt AS (SELECT DISTINCT q_id, term
+       |       FROM (SELECT q_id, unnest(w[1:6]) AS term FROM q)),
+       |sc AS (SELECT qt.q_id, tf.doc_id,
+       |         CAST(floor((idf.idf * ((CAST(tf.tf AS DOUBLE)
+       |             * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+       |           / (CAST(tf.tf AS DOUBLE) + (CAST(1.2 AS DOUBLE)
+       |             * ((CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE))
+       |             + ((CAST(0.75 AS DOUBLE) * CAST(dl.dl AS DOUBLE))
+       |               / (CAST(st.tot AS DOUBLE) / CAST(st.n_docs AS DOUBLE))))))))
+       |           * CAST(1000000000 AS DOUBLE)) AS BIGINT) AS s
+       |       FROM qt
+       |       JOIN tf ON tf.term = qt.term
+       |       JOIN dl ON dl.doc_id = tf.doc_id
+       |       JOIN idf ON idf.term = qt.term, st),
+       |agg AS (SELECT q_id, doc_id, CAST(sum(s) AS BIGINT) AS score_scaled
+       |        FROM sc GROUP BY 1, 2),
+       |rk AS (SELECT q_id, doc_id, score_scaled,
+       |         CAST(row_number() OVER (PARTITION BY q_id
+       |           ORDER BY score_scaled DESC, doc_id) AS BIGINT) AS rank
+       |       FROM agg)
+       |SELECT q_id, doc_id, rank,
+       |  (CAST(score_scaled AS DOUBLE) / CAST(1000000000 AS DOUBLE)) AS score
+       |FROM rk WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bm25" -> (textBm25 _),
     "text_substring_dedup" -> (textSubstringDedup _),
     "text_pii_scrub" -> (textPiiScrub _),
     "text_contamination" -> (textContamination _),
@@ -448,6 +508,7 @@ object TextQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "text_bm25" -> textBm25Oracle,
     "text_substring_dedup" -> textSubstringDedupOracle,
     "text_pii_scrub" -> textPiiScrubOracle,
     "text_contamination" -> textContaminationOracle,

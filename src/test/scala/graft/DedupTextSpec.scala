@@ -148,6 +148,38 @@ class DedupTextSpec extends AnyFunSuite {
     assert(hits >= (ivf.length * 0.9).toInt, s"recall@1 too low: $hits/${ivf.length}")
   }
 
+  test("DetMath.detLn tracks math.log to 1e-14 relative across [1, 2^40)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(7)
+    val xs = (0 until 2000).map(_ => math.exp(rnd.nextDouble() * 40 * math.log(2))) :+
+      1.0 :+ 2.0 :+ 1024.0 :+ 3.5 :+ 1.0000001 :+ math.pow(2, 39.9)
+    val got = xs.toDF("x")
+      .select(col("x"), graft.functions.DetMath.detLn(col("x")).as("l"))
+      .collect()
+    got.foreach { r =>
+      val x = r.getDouble(0); val l = r.getDouble(1)
+      val exact = math.log(x)
+      val tol = math.max(1e-14 * math.abs(exact), 5e-16)
+      assert(math.abs(l - exact) <= tol, s"detLn($x)=$l vs ${exact}")
+    }
+  }
+
+  test("bm25TopK: a query with a planted rare term ranks its source doc #1") {
+    val spark2 = spark
+    import spark2.implicits._
+    val corpus = ((1L to 40L).map(i => (i, "alpha beta gamma delta epsilon zeta")) :+
+      (99L, "alpha beta zzyzxq gamma delta epsilon")).toDF("doc_id", "text")
+    val queries = Seq((99L, "zzyzxq alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val r = TextOps.bm25TopK(corpus, "doc_id", "text", queries, "doc_id", "text",
+      qTerms = 6, k = 5).orderBy("rank").collect()
+    assert(r.head.getLong(1) == 99L, s"rare-term doc not ranked first: ${r.toSeq}")
+    assert(r.length == 5 && r.map(_.getLong(2)).sameElements(1L to 5L))
+    // scores strictly non-increasing in rank
+    val scores = r.map(_.getDouble(3))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
+
   test("cosine helpers: unit vector self-similarity and bucket determinism") {
     val spark2 = spark
     import spark2.implicits._
