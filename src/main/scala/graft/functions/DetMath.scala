@@ -95,6 +95,20 @@ object DetMath {
   /** Full ln given precomputed t, t2, e columns: ((t·poly)·2) + e·ln2. */
   def sqlLn(t: String, t2: String, e: String): String =
     s"((($t * ${sqlHorner(t2)}) * 2.0) + ($e * $Ln2Sql))"
+
+  /** A ready-made CTE chain computing lnv = detLn(x) over `src`:
+    * emits CTEs `<p>0..<p>4` and a final CTE named `<p>` with columns
+    * (`keys`, lnv). Splitting into chained CTEs keeps each SQL expression
+    * referencing the previous column once — no textual tree blowup.
+    */
+  def sqlLnCtes(p: String, src: String, keys: String, x: String): String =
+    s"""${p}0 AS (SELECT $keys, $x AS _lnx FROM $src),
+       |${p}1 AS (SELECT $keys, _lnx, ${sqlE("_lnx")} AS _lne,
+       |          ${sqlPw("_lnx")} AS _lnpw FROM ${p}0),
+       |${p}2 AS (SELECT $keys, _lne, (_lnx / _lnpw) AS _lnm FROM ${p}1),
+       |${p}3 AS (SELECT $keys, _lne, ((_lnm - 1.0) / (_lnm + 1.0)) AS _lnt FROM ${p}2),
+       |${p}4 AS (SELECT $keys, _lne, _lnt, (_lnt * _lnt) AS _lnt2 FROM ${p}3),
+       |$p AS (SELECT $keys, ${sqlLn("_lnt", "_lnt2", "_lne")} AS lnv FROM ${p}4)""".stripMargin
 }
 
 /** Deterministic ln as one whole-stage-codegen node (see [[DetMath]]). */

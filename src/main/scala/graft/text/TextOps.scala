@@ -492,12 +492,7 @@ object TextOps {
                qTerms: Int = 6, k1: Double = 1.2, b: Double = 0.75,
                k: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = docs.select(col(id).as("doc_id"),
-      explode(split(lower(col(text)), " ")).as("term"))
-    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    // dl = Σ tf — re-aggregating the postings frame instead of re-exploding
-    // the full token stream (tf is vocab×docs-bounded, the stream is not)
-    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val (tf, dl) = postings(docs, id, text)
     val st = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("tot"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val idf = dfreq.crossJoin(broadcast(st)).select(col("term"),
@@ -523,6 +518,75 @@ object TextOps {
       .where(col("rank") <= k)
       .select(col("q_id"), col("doc_id"), col("rank"),
         (col("score_scaled").cast("double") / lit(1.0e9)).as("score"))
+  }
+
+  /** (doc, term, tf) postings and (doc, dl) lengths from whitespace
+    * tokens — the shared scan for the retrieval/entropy/LM-score family.
+    */
+  private def postings(docs: DataFrame, id: String, text: String): (DataFrame, DataFrame) = {
+    val toks = docs.select(col(id).as("doc_id"),
+      explode(split(lower(col(text)), " ")).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // dl = Σ tf — re-aggregating the postings frame instead of re-exploding
+    // the full token stream (tf is vocab×docs-bounded, the stream is not)
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    (tf, dl)
+  }
+
+  /** Per-document unigram token entropy — the low-diversity filter of
+    * training-data pipelines (boilerplate / keyword-stuffing detection):
+    *
+    *   H = ln dl − (Σ_terms tf·ln tf) / dl          (nats)
+    *   H_norm = H / ln dl ∈ [0,1]  (1 = all tokens distinct)
+    *
+    * All logs are [[graft.functions.DetMath.detLn]] (bit-reproducible);
+    * each tf·ln tf is floor-scaled to a 1e-9-granular long before the
+    * per-doc sum, so aggregation is addition-order-invariant. Scan-shaped:
+    * one postings groupBy, one per-doc reduce — no joins beyond doc id.
+    */
+  def tokenEntropy(docs: DataFrame, id: String, text: String,
+                   lowThreshold: Double = 0.6): DataFrame = {
+    val (tf, dl) = postings(docs, id, text)
+    import graft.functions.DetMath.detLn
+    val tfD = col("tf").cast("double")
+    val s = tf
+      .select(col("doc_id"), floor((tfD * detLn(tfD)) * lit(1.0e9)).as("sc"))
+      .groupBy("doc_id").agg(sum("sc").as("s"), count(lit(1)).as("n_distinct"))
+    val dlD = col("dl").cast("double")
+    val h = detLn(dlD) - ((col("s").cast("double") / lit(1.0e9)) / dlD)
+    dl.join(s, "doc_id")
+      .select(col("doc_id"), col("dl").as("n_tokens"), col("n_distinct"),
+        h.as("entropy"),
+        when(col("dl") > 1, h / detLn(dlD)).otherwise(lit(0.0)).as("entropy_norm"))
+      .withColumn("flag_low", col("entropy_norm") < lowThreshold)
+  }
+
+  /** Per-document cross-entropy under the corpus unigram LM — the
+    * simplest "LM quality score" filter (CCNet/Gopher lineage: rank docs
+    * by how (un)surprising they are to a model of the corpus):
+    *
+    *   xent = ln T − (Σ_terms tf·ln cf(term)) / dl     (nats/token)
+    *
+    * where cf = corpus frequency of the term and T = Σ cf. Same
+    * determinism contract as [[tokenEntropy]]. 100 TB: cf and its log live
+    * on a vocab-bounded frame joined into the postings (AQE broadcasts
+    * when small); T is a 1-row broadcast.
+    */
+  def unigramCrossEntropy(docs: DataFrame, id: String, text: String): DataFrame = {
+    val (tf, dl) = postings(docs, id, text)
+    import graft.functions.DetMath.detLn
+    val cf = tf.groupBy("term").agg(sum("tf").as("cf"))
+    val lncf = cf.select(col("term"), detLn(col("cf").cast("double")).as("lncf"))
+    val tot = cf.agg(sum("cf").as("t"))
+    val s = tf.join(lncf, "term")
+      .select(col("doc_id"),
+        floor((col("tf").cast("double") * col("lncf")) * lit(1.0e9)).as("sc"))
+      .groupBy("doc_id").agg(sum("sc").as("s"))
+    val dlD = col("dl").cast("double")
+    dl.join(s, "doc_id").crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("dl").as("n_tokens"),
+        (detLn(col("t").cast("double"))
+          - ((col("s").cast("double") / lit(1.0e9)) / dlD)).as("xent"))
   }
 
   /** Winnowing fingerprints (#63, Schleimer et al.): char 5-gram rolling

@@ -487,8 +487,74 @@ object TextQueries {
        |FROM rk WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
   }
 
+  /** Unigram token entropy per document: diversity filter with
+    * bit-deterministic logs (TextOps.tokenEntropy).
+    */
+  def textEntropy(s: SparkSession, dir: String): DataFrame =
+    TextOps.tokenEntropy(graft.Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  val textEntropyOracle: String = {
+    import graft.functions.DetMath
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+       |             FROM documents),
+       |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       |       FROM toks GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+       |${DetMath.sqlLnCtes("lnc", "tf", "doc_id, tf", "CAST(tf AS DOUBLE)")},
+       |s AS (SELECT doc_id,
+       |        CAST(sum(CAST(floor((CAST(tf AS DOUBLE) * lnv)
+       |          * CAST(1000000000 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS s,
+       |        CAST(count(*) AS BIGINT) AS n_distinct
+       |      FROM lnc GROUP BY 1),
+       |${DetMath.sqlLnCtes("lnd", "dl", "doc_id, dl", "CAST(dl AS DOUBLE)")},
+       |j AS (SELECT dl.doc_id, dl.dl, s.n_distinct,
+       |        (lnd.lnv - ((CAST(s.s AS DOUBLE) / CAST(1000000000 AS DOUBLE))
+       |          / CAST(dl.dl AS DOUBLE))) AS entropy,
+       |        lnd.lnv AS lndl
+       |      FROM dl JOIN s ON s.doc_id = dl.doc_id
+       |      JOIN lnd ON lnd.doc_id = dl.doc_id)
+       |SELECT doc_id, dl AS n_tokens, n_distinct, entropy,
+       |  CASE WHEN dl > 1 THEN (entropy / lndl) ELSE CAST(0 AS DOUBLE) END
+       |    AS entropy_norm,
+       |  (CASE WHEN dl > 1 THEN (entropy / lndl) ELSE CAST(0 AS DOUBLE) END)
+       |    < CAST(0.6 AS DOUBLE) AS flag_low
+       |FROM j ORDER BY doc_id""".stripMargin
+  }
+
+  /** Cross-entropy of each document under the corpus unigram LM — the
+    * LM-score quality filter (TextOps.unigramCrossEntropy).
+    */
+  def textUnigramXent(s: SparkSession, dir: String): DataFrame =
+    TextOps.unigramCrossEntropy(graft.Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  val textUnigramXentOracle: String = {
+    import graft.functions.DetMath
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+       |             FROM documents),
+       |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       |       FROM toks GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+       |cf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY 1),
+       |tot AS (SELECT CAST(sum(cf) AS BIGINT) AS t FROM cf),
+       |${DetMath.sqlLnCtes("lncf", "cf", "term", "CAST(cf AS DOUBLE)")},
+       |${DetMath.sqlLnCtes("lnt", "tot", "t", "CAST(t AS DOUBLE)")},
+       |s AS (SELECT tf.doc_id,
+       |        CAST(sum(CAST(floor((CAST(tf.tf AS DOUBLE) * lncf.lnv)
+       |          * CAST(1000000000 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS s
+       |      FROM tf JOIN lncf ON lncf.term = tf.term GROUP BY 1)
+       |SELECT dl.doc_id, dl.dl AS n_tokens,
+       |  (lnt.lnv - ((CAST(s.s AS DOUBLE) / CAST(1000000000 AS DOUBLE))
+       |    / CAST(dl.dl AS DOUBLE))) AS xent
+       |FROM dl JOIN s ON s.doc_id = dl.doc_id, lnt
+       |ORDER BY dl.doc_id""".stripMargin
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bm25" -> (textBm25 _),
+    "text_entropy" -> (textEntropy _),
+    "text_unigram_xent" -> (textUnigramXent _),
     "text_substring_dedup" -> (textSubstringDedup _),
     "text_pii_scrub" -> (textPiiScrub _),
     "text_contamination" -> (textContamination _),
@@ -509,6 +575,8 @@ object TextQueries {
 
   def oracles: Map[String, String] = Map(
     "text_bm25" -> textBm25Oracle,
+    "text_entropy" -> textEntropyOracle,
+    "text_unigram_xent" -> textUnigramXentOracle,
     "text_substring_dedup" -> textSubstringDedupOracle,
     "text_pii_scrub" -> textPiiScrubOracle,
     "text_contamination" -> textContaminationOracle,

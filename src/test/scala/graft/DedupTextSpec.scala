@@ -180,6 +180,31 @@ class DedupTextSpec extends AnyFunSuite {
     assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
   }
 
+  test("tokenEntropy: all-distinct doc has H=ln(n) (norm 1), constant doc has H=0") {
+    val spark2 = spark
+    import spark2.implicits._
+    val d = Seq((1L, "a b c d e f g h"), (2L, "x x x x x x x x"),
+      (3L, "a a b b c c d d")).toDF("doc_id", "text")
+    val r = TextOps.tokenEntropy(d, "doc_id", "text").orderBy("doc_id").collect()
+    assert(math.abs(r(0).getDouble(3) - math.log(8)) < 1e-9)
+    assert(math.abs(r(0).getDouble(4) - 1.0) < 1e-9 && !r(0).getBoolean(5))
+    // ≈0 up to the 1e-9 fixed-point quantization of the Σ tf·ln tf sum
+    assert(r(1).getDouble(3) < 1e-8 && r(1).getBoolean(5)) // constant → flagged
+    assert(math.abs(r(2).getDouble(3) - math.log(4)) < 1e-9) // 4 values × 2
+  }
+
+  test("unigramCrossEntropy: docs of rare terms score higher than docs of common terms") {
+    val spark2 = spark
+    import spark2.implicits._
+    val common = (1L to 20L).map(i => (i, "the the the the"))
+    val rare = Seq((100L, "qux zot fizz buzz"))
+    val r = TextOps.unigramCrossEntropy((common ++ rare).toDF("doc_id", "text"),
+      "doc_id", "text").collect().map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    assert(r(100L) > r(1L) + 1.0, s"rare doc not more surprising: $r")
+    // corpus-uniform sanity: xent of common docs ≈ -ln p(the) = ln(84/80)
+    assert(math.abs(r(1L) - math.log(84.0 / 80.0)) < 1e-9)
+  }
+
   test("cosine helpers: unit vector self-similarity and bucket determinism") {
     val spark2 = spark
     import spark2.implicits._
