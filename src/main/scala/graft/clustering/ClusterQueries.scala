@@ -356,16 +356,19 @@ object ClusterQueries {
     * linkage 0). Scores are raw IEEE divisions of exact cent longs —
     * no per-engine rounding anywhere near a decimal midpoint.
     */
-  def cliqueEdges(s: SparkSession, dir: String): DataFrame = {
+  def cliqueEdges(s: SparkSession, dir: String, scaled: Boolean = false): DataFrame = {
     val c = customer(s, dir).filter(col("c_custkey") < 240)
       .select(col("c_custkey").as("k"), cents(col("c_acctbal")).as("balc"))
     val a = c.select(col("k").as("id1"), col("balc").as("ba"))
     val b = c.select(col("k").as("id2"), col("balc").as("bb"))
+    val num = greatest(lit(2000000L) - abs(col("ba") - col("bb")), lit(0L))
+    // scaled: the raw long numerator as an integer-valued double — sums of
+    // these are exact in ANY order (≤2^53), which average linkage needs
+    val score = if (scaled) num.cast("double")
+                else num.cast("double") / lit(2000000.0)
     a.join(b, expr("id1 div 4") === expr("id2 div 4") &&
         col("id1") < col("id2"))
-      .select(col("id1"), col("id2"),
-        (greatest(lit(2000000L) - abs(col("ba") - col("bb")), lit(0L))
-          .cast("double") / lit(2000000.0)).as("score"))
+      .select(col("id1"), col("id2"), score.as("score"))
   }
 
   def clusterHierarchicalComplete(s: SparkSession, dir: String): DataFrame =
@@ -422,8 +425,67 @@ object ClusterQueries {
       |     (SELECT k AS m FROM c) u
       |ORDER BY id""".stripMargin
 
+  /** AVERAGE-linkage agglomerative clustering, hash-oracled. The sims are
+    * the integer cent-proximity numerators (0..2e6) as doubles: a positive
+    * rescaling of the [0,1] scores used by the complete/single queries, so
+    * the merge sequence is IDENTICAL to average linkage on k/2e6 with
+    * θ=0.8 — but every cross-cluster sum is a sum of integer-valued
+    * doubles (exact in any order, well under 2^53), and the average is one
+    * exact-int division. That kills the one nondeterminism float average
+    * linkage has (addition order), making the replay oracle exact.
+    */
+  def clusterHierarchicalAverage(s: SparkSession, dir: String): DataFrame =
+    Clusterers.hierarchicalCluster(cliqueEdges(s, dir, scaled = true),
+        "average", 1600000.0)
+      .orderBy("id")
+
+  /** The complete-linkage walk, with the lateral's best-pair selection
+    * swapped to average linkage: candidate (A,B) has
+    * avg = (Σ cross numerators) / (|A|·|B|) — missing pairs contribute 0
+    * to the sum but count in the denominator, exactly the kernel's
+    * zero-filled matrix. Threshold avg ≥ 1.6e6 is the integer comparison
+    * sm ≥ 1600000·|A|·|B|; ordering replays the kernel's double compare
+    * via the identical exact-int division.
+    */
+  val hierarchicalAverageOracle: String =
+    """WITH RECURSIVE
+      |c AS (SELECT c_custkey AS k, CAST(round(c_acctbal*100) AS BIGINT) AS balc
+      |      FROM customer WHERE c_custkey < 240),
+      |se AS (SELECT a.k AS id1, b.k AS id2,
+      |              greatest(2000000 - abs(a.balc - b.balc), 0) AS num
+      |       FROM c a JOIN c b ON a.k // 4 = b.k // 4 AND a.k < b.k),
+      |simp AS (SELECT id1 AS u, id2 AS v, CAST(max(num) AS BIGINT) AS s
+      |         FROM se GROUP BY 1, 2),
+      |walk(gen, asg) AS (
+      |  SELECT 0, (SELECT list(k ORDER BY k) FROM c)
+      |  UNION ALL
+      |  SELECT w.gen + 1,
+      |         list_transform(w.asg, x -> CASE WHEN x = b.g THEN b.l ELSE x END)
+      |  FROM walk w
+      |  JOIN LATERAL (
+      |    SELECT cand.l, cand.g FROM (
+      |      SELECT least(w.asg[sp.u + 1], w.asg[sp.v + 1]) AS l,
+      |             greatest(w.asg[sp.u + 1], w.asg[sp.v + 1]) AS g,
+      |             CAST(sum(sp.s) AS BIGINT) AS sm
+      |      FROM simp sp
+      |      WHERE w.asg[sp.u + 1] <> w.asg[sp.v + 1]
+      |      GROUP BY 1, 2) cand
+      |    JOIN (SELECT t.c AS cl, count(*) AS sz FROM unnest(w.asg) AS t(c) GROUP BY 1) sa
+      |      ON sa.cl = cand.l
+      |    JOIN (SELECT t.c AS cl, count(*) AS sz FROM unnest(w.asg) AS t(c) GROUP BY 1) sb
+      |      ON sb.cl = cand.g
+      |    WHERE cand.sm >= 1600000 * sa.sz * sb.sz
+      |    ORDER BY (CAST(cand.sm AS DOUBLE) / CAST(sa.sz * sb.sz AS DOUBLE)) DESC,
+      |             cand.l, cand.g
+      |    LIMIT 1) b ON true)
+      |SELECT u.m AS id, f.asg[u.m + 1] AS cluster
+      |FROM (SELECT asg FROM walk WHERE gen = (SELECT max(gen) FROM walk)) f,
+      |     (SELECT k AS m FROM c) u
+      |ORDER BY id""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cluster_connected_components" -> (clusterConnectedComponents _),
+    "cluster_hierarchical_average" -> (clusterHierarchicalAverage _),
     "cluster_greedy_one_to_one" -> (clusterGreedyOneToOne _),
     "cluster_centre" -> (clusterCentre _),
     "cluster_stable" -> (clusterStable _),
@@ -442,6 +504,7 @@ object ClusterQueries {
     "cluster_stable" -> stableOracle,
     "cluster_hierarchical" -> hierarchicalOracle,
     "cluster_hierarchical_complete" -> hierarchicalCompleteOracle,
+    "cluster_hierarchical_average" -> hierarchicalAverageOracle,
     "cluster_size_dist" -> sizeDistOracle,
     "cluster_consistency" -> consistencyOracle,
     "cluster_details" -> detailsOracle

@@ -87,4 +87,28 @@ class ClusterSpec extends AnyFunSuite {
     // complete linkage: cluster {1,2} vs {3}: min(sim(1,3)=0, sim(2,3)) = 0 < 0.5
     assert(complete.values.toSet.size > 1)
   }
+
+  test("hierarchical kernel: average linkage sits between single and complete") {
+    // triangle {1,2,3} with one weak side + pendant 4:
+    //   after merging (1,2): avg to {3} = (0.9+0.3)/2 = 0.6 ≥ 0.5 → merges;
+    //   complete stops (min = 0.3 < 0.5), single merged already at 0.9.
+    val es = Seq(Edge(1, 2, 1.0), Edge(1, 3, 0.9), Edge(2, 3, 0.3), Edge(3, 4, 0.1))
+    val avg = ComponentKernels.hierarchical(es, "average", 0.5).toMap
+    assert(avg(1L) == 1L && avg(2L) == 1L && avg(3L) == 1L) // triangle collapses
+    assert(avg(4L) == 4L)                                    // pendant stays out
+    val complete = ComponentKernels.hierarchical(es, "complete", 0.5).toMap
+    assert(complete(3L) != complete(1L)) // complete refuses the weak side
+  }
+
+  test("hierarchical average on integer-valued doubles is scale-equivalent to [0,1] scores") {
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 10) {
+      val es = for (i <- 1L to 8L; j <- (i + 1) to 8L if rnd.nextBoolean())
+        yield Edge(i, j, rnd.nextInt(2000001).toDouble)
+      val scaled = ComponentKernels.hierarchical(es.toSeq, "average", 1600000.0)
+      val ratio = ComponentKernels.hierarchical(
+        es.map(e => e.copy(score = e.score / 2000000.0)).toSeq, "average", 0.8)
+      assert(scaled.sorted == ratio.sorted)
+    }
+  }
 }
