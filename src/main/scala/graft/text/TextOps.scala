@@ -589,6 +589,40 @@ object TextOps {
           - ((col("s").cast("double") / lit(1.0e9)) / dlD)).as("xent"))
   }
 
+  /** Per-group KL divergence of the token distribution from the corpus —
+    * mixture-drift monitoring (is one source's language shifting away
+    * from the blend it was weighted for?):
+    *
+    *   KL(p_g‖q) = (Σ_terms c·(ln c − ln cf)) / T_g + (ln T − ln T_g)
+    *
+    * derived from Σ p ln(p/q) with p = c/T_g, q = cf/T. Deterministic by
+    * the usual contract: detLn everywhere, per-term contributions
+    * floor-scaled to longs before the per-group sum (c·(ln c − ln cf) is
+    * negative for under-represented terms — floor is exact and identical
+    * in both engines on negatives too). Group and vocab frames are
+    * aggregation-bounded; nothing rescans the corpus.
+    */
+  def groupKlDivergence(docs: DataFrame, group: String, text: String): DataFrame = {
+    import graft.functions.DetMath.detLn
+    val toks = docs.select(col(group).as("grp"),
+      explode(split(lower(col(text)), " ")).as("term"))
+    val cg = toks.groupBy("grp", "term").agg(count(lit(1)).as("c"))
+    val cf = cg.groupBy("term").agg(sum("c").as("cf"))
+    val ts = cg.groupBy("grp").agg(sum("c").as("ts"))
+    val tot = cf.agg(sum("cf").as("t"))
+    val lncf = cf.select(col("term"), detLn(col("cf").cast("double")).as("lncf"))
+    val cD = col("c").cast("double")
+    val s = cg.join(lncf, "term")
+      .select(col("grp"),
+        floor((cD * (detLn(cD) - col("lncf"))) * lit(1.0e9)).as("d"))
+      .groupBy("grp").agg(sum("d").as("s"), count(lit(1)).as("n_terms"))
+    val tsD = col("ts").cast("double")
+    ts.join(s, "grp").crossJoin(broadcast(tot))
+      .select(col("grp").as(group), col("ts").as("n_tokens"), col("n_terms"),
+        (((col("s").cast("double") / lit(1.0e9)) / tsD)
+          + (detLn(col("t").cast("double")) - detLn(tsD))).as("kl"))
+  }
+
   /** Winnowing fingerprints (#63, Schleimer et al.): char 5-gram rolling
     * hashes (md5-prefix), per-window (w=4) minima, distinct + sorted →
     * count and digest per document.

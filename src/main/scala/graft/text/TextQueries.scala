@@ -551,10 +551,44 @@ object TextQueries {
        |ORDER BY dl.doc_id""".stripMargin
   }
 
+  /** KL divergence of each source's token distribution from the corpus —
+    * mixture-drift monitor (TextOps.groupKlDivergence).
+    */
+  def textSourceKl(s: SparkSession, dir: String): DataFrame =
+    TextOps.groupKlDivergence(graft.Tables.documents(s, dir), "source", "text")
+      .orderBy("source")
+
+  val textSourceKlOracle: String = {
+    import graft.functions.DetMath
+    s"""WITH toks AS (SELECT source AS grp, unnest(string_split(lower(text), ' ')) AS term
+       |             FROM documents),
+       |cg AS (SELECT grp, term, CAST(count(*) AS BIGINT) AS c
+       |       FROM toks GROUP BY 1, 2),
+       |cf AS (SELECT term, CAST(sum(c) AS BIGINT) AS cf FROM cg GROUP BY 1),
+       |ts AS (SELECT grp, CAST(sum(c) AS BIGINT) AS ts FROM cg GROUP BY 1),
+       |tot AS (SELECT CAST(sum(cf) AS BIGINT) AS t FROM cf),
+       |${DetMath.sqlLnCtes("lnc", "cg", "grp, term, c", "CAST(c AS DOUBLE)")},
+       |${DetMath.sqlLnCtes("lncf", "cf", "term", "CAST(cf AS DOUBLE)")},
+       |${DetMath.sqlLnCtes("lnts", "ts", "grp, ts", "CAST(ts AS DOUBLE)")},
+       |${DetMath.sqlLnCtes("lnt", "tot", "t", "CAST(t AS DOUBLE)")},
+       |s AS (SELECT lnc.grp,
+       |        CAST(sum(CAST(floor((CAST(lnc.c AS DOUBLE) * (lnc.lnv - lncf.lnv))
+       |          * CAST(1000000000 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS s,
+       |        CAST(count(*) AS BIGINT) AS n_terms
+       |      FROM lnc JOIN lncf ON lncf.term = lnc.term GROUP BY 1)
+       |SELECT ts.grp AS source, ts.ts AS n_tokens, s.n_terms,
+       |  (((CAST(s.s AS DOUBLE) / CAST(1000000000 AS DOUBLE))
+       |    / CAST(ts.ts AS DOUBLE)) + (lnt.lnv - lnts.lnv)) AS kl
+       |FROM ts JOIN s ON s.grp = ts.grp
+       |JOIN lnts ON lnts.grp = ts.grp, lnt
+       |ORDER BY source""".stripMargin
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bm25" -> (textBm25 _),
     "text_entropy" -> (textEntropy _),
     "text_unigram_xent" -> (textUnigramXent _),
+    "text_source_kl" -> (textSourceKl _),
     "text_substring_dedup" -> (textSubstringDedup _),
     "text_pii_scrub" -> (textPiiScrub _),
     "text_contamination" -> (textContamination _),
@@ -577,6 +611,7 @@ object TextQueries {
     "text_bm25" -> textBm25Oracle,
     "text_entropy" -> textEntropyOracle,
     "text_unigram_xent" -> textUnigramXentOracle,
+    "text_source_kl" -> textSourceKlOracle,
     "text_substring_dedup" -> textSubstringDedupOracle,
     "text_pii_scrub" -> textPiiScrubOracle,
     "text_contamination" -> textContaminationOracle,

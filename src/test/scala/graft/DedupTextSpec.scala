@@ -205,6 +205,21 @@ class DedupTextSpec extends AnyFunSuite {
     assert(math.abs(r(1L) - math.log(84.0 / 80.0)) < 1e-9)
   }
 
+  test("groupKlDivergence: matching-mix group ≈ 0, skewed group > 0, all ≥ -quantization") {
+    val spark2 = spark
+    import spark2.implicits._
+    // groups a and b share the corpus mix exactly; c is all-one-token
+    val d = Seq(("a", "x x y z"), ("a", "x y z z"),
+      ("b", "x x y z"), ("b", "x y z z"),
+      ("c", "q q q q"), ("c", "q q q q")).toDF("source", "text")
+    val r = TextOps.groupKlDivergence(d, "source", "text").collect()
+      .map(x => x.getString(0) -> x.getDouble(3)).toMap
+    assert(r.values.forall(_ >= -1e-8)) // Gibbs, up to 1e-9 fixed-point floor
+    assert(r("a") == r("b")) // identical distributions, identical KL bits
+    assert(r("c") > 1.0, s"pure-q group should diverge strongly: $r")
+    assert(r("a") < r("c"))
+  }
+
   test("cosine helpers: unit vector self-similarity and bucket determinism") {
     val spark2 = spark
     import spark2.implicits._
