@@ -179,6 +179,61 @@ object Dedup {
   private def minhashSig(i: Int, hashHex: (Int, Column) => Column): Column =
     array_min(transform(col("_sh"), s => hashHex(i, s))).as(s"_h$i")
 
+  /** LSH candidate pairs BEFORE Jaccard verification — the raw band-join
+    * output. Exposed so the banding quality itself can be measured
+    * ([[lshCandidateEval]]): post-verification pairs are always precise,
+    * so candidate-level precision (wasted verification work) and recall
+    * (true pairs no band caught) are the tunable signals for (bands,
+    * rows) selection at scale.
+    */
+  def minhashCandidates(docs: DataFrame, id: String, text: String,
+      n: Int = 3, bands: Int = 4, rows: Int = 3,
+      hashHex: Option[(Int, Column) => Column] = None): DataFrame = {
+    val hh = hashHex.getOrElse(hashFamily(docs.sparkSession))
+    val k = bands * rows
+    val sh = shingleFrame(docs, id, text, n).persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val sigs = sh.filter(size(col("_sh")) > 0)
+        .select(col("_id") +: (0 until k).map(i => minhashSig(i, hh)): _*)
+      val bandCols = col("_id") +: (0 until bands).map { b =>
+        concat_ws(":", (0 until rows).map(r => col(s"_h${b * rows + r}")): _*).as(s"_band$b")
+      }
+      val banded = sigs.select(bandCols: _*).persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        (0 until bands).map { b =>
+          banded.select(col("_id").as("id1"), col(s"_band$b").as("_bk"))
+            .join(banded.select(col("_id").as("id2"), col(s"_band$b").as("_bk")), "_bk")
+            .filter(col("id1") < col("id2"))
+            .select("id1", "id2")
+        }.reduce(_.unionByName(_)).distinct().localCheckpoint(true)
+      } finally banded.unpersist(false)
+    } finally sh.unpersist(false)
+  }
+
+  /** Candidate-level evaluation of the MinHash-LSH banding against the
+    * exact n-gram-Jaccard ground truth on the same corpus: precision =
+    * useful fraction of band candidates, recall = true near-dup pairs a
+    * band caught, f1 via the exact identity 2PR/(P+R) = 2h/(c+t) — one
+    * long division, no compounded float ops. The analogue of
+    * `block_eval` for the dedup family.
+    */
+  def lshCandidateEval(docs: DataFrame, id: String, text: String,
+      n: Int = 3, bands: Int = 4, rows: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    val cands = minhashCandidates(docs, id, text, n, bands, rows)
+    val truth = ngramJaccard(docs, id, text, n, threshold).select("id1", "id2")
+    val c = cands.agg(count(lit(1)).as("n_candidates"))
+    val t = truth.agg(count(lit(1)).as("n_truth"))
+    val h = cands.join(truth, Seq("id1", "id2")).agg(count(lit(1)).as("n_hits"))
+    val hD = col("n_hits").cast("double")
+    c.crossJoin(t).crossJoin(h).select(
+      col("n_candidates"), col("n_truth"), col("n_hits"),
+      (hD / col("n_candidates").cast("double")).as("precision"),
+      (hD / col("n_truth").cast("double")).as("recall"),
+      ((lit(2.0) * hD)
+        / (col("n_candidates") + col("n_truth")).cast("double")).as("f1"))
+  }
+
   /** MinHash + LSH near-dup (#54): k hashes in `bands` bands of `rows`
     * rows; docs sharing any band signature become candidates (one
     * equi-join per band on the band signature — the LSH bucket join);

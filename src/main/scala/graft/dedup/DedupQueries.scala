@@ -90,6 +90,57 @@ object DedupQueries {
        |ORDER BY id1, id2""".stripMargin
   }
 
+  /** Candidate-level P/R/F1 of LSH banding vs exact Jaccard truth
+    * (Dedup.lshCandidateEval) — one summary row.
+    */
+  def dedupEval(s: SparkSession, dir: String): DataFrame =
+    Dedup.lshCandidateEval(documents(s, dir), "doc_id", "text",
+      n = 3, bands = 4, rows = 3, threshold = 0.8)
+
+  val dedupEvalOracle: String = {
+    val hashes = (0 until 12)
+      .map(i => s"  min(substr(md5('$i#' || shg), 1, 8)) AS h$i")
+      .mkString(",\n")
+    val bandCols = (0 until 4)
+      .map(b => s"  h${b * 3} || ':' || h${b * 3 + 1} || ':' || h${b * 3 + 2} AS b$b")
+      .mkString(",\n")
+    val bandJoins = (0 until 4)
+      .map(b => s"  SELECT a.doc_id AS id1, b.doc_id AS id2 FROM banded a " +
+        s"JOIN banded b ON a.b$b = b.b$b AND a.doc_id < b.doc_id")
+      .mkString("\n  UNION\n")
+    s"""WITH $shinglePrelude,
+       |sigs AS (SELECT doc_id,
+       |$hashes
+       |FROM inv GROUP BY doc_id),
+       |banded AS (SELECT doc_id,
+       |$bandCols
+       |FROM sigs),
+       |cand AS (
+       |$bandJoins),
+       |srt AS (SELECT doc_id, list_sort(s) AS ss FROM sh),
+       |pinv AS (SELECT doc_id,
+       |           unnest(ss[1 : CAST(len(ss) - ceil(0.8 * len(ss)) + 1 AS INT)]) AS shg
+       |         FROM srt),
+       |tcand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+       |          FROM pinv a JOIN pinv b ON a.shg = b.shg AND a.doc_id < b.doc_id),
+       |truth AS (SELECT id1, id2 FROM (
+       |    SELECT id1, id2,
+       |      round(CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE)
+       |            / len(list_distinct(a.ss || b.ss)), 5) AS jaccard
+       |    FROM tcand JOIN srt a ON a.doc_id = id1 JOIN srt b ON b.doc_id = id2)
+       |  WHERE jaccard >= 0.8),
+       |c AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM cand),
+       |tr AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+       |h AS (SELECT CAST(count(*) AS BIGINT) AS n_hits
+       |      FROM cand JOIN truth USING (id1, id2))
+       |SELECT c.n_candidates, tr.n_truth, h.n_hits,
+       |  (CAST(h.n_hits AS DOUBLE) / CAST(c.n_candidates AS DOUBLE)) AS precision,
+       |  (CAST(h.n_hits AS DOUBLE) / CAST(tr.n_truth AS DOUBLE)) AS recall,
+       |  ((2.0 * CAST(h.n_hits AS DOUBLE))
+       |    / CAST(c.n_candidates + tr.n_truth AS DOUBLE)) AS f1
+       |FROM c, tr, h""".stripMargin
+  }
+
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(documents(s, dir), "doc_id", "text", maxHamming = 3)
       .orderBy("id1", "id2")
@@ -279,6 +330,7 @@ object DedupQueries {
     "dedup_cluster_quality" -> (dedupClusterQuality _),
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_eval" -> (dedupEval _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_cluster" -> (dedupCluster _)
@@ -288,6 +340,7 @@ object DedupQueries {
     "dedup_cluster_quality" -> dedupClusterQualityOracle,
     "dedup_exact" -> dedupExactOracle,
     "dedup_ngram_jaccard" -> dedupNgramOracle,
+    "dedup_eval" -> dedupEvalOracle,
     "dedup_minhash_lsh" -> dedupMinhashOracle,
     "dedup_simhash" -> dedupSimhashOracle,
     "dedup_cluster" -> dedupClusterOracle

@@ -220,6 +220,23 @@ class DedupTextSpec extends AnyFunSuite {
     assert(r("a") < r("c"))
   }
 
+  test("lshCandidateEval: identical twins are always candidates (recall 1), counts consistent") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 5 identical twin pairs (same shingle set → same signatures in every
+    // band) + noise docs: truth = 5 pairs, all 5 must be candidates
+    val twins = (1L to 5L).flatMap(i => Seq(
+      (i, s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i"),
+      (i + 100, s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i")))
+    val noise = (200L to 210L).map(i => (i, s"n${i}a n${i}b n${i}c n${i}d n${i}e"))
+    val r = Dedup.lshCandidateEval((twins ++ noise).toDF("doc_id", "text"),
+      "doc_id", "text").collect().head
+    assert(r.getLong(1) == 5L, s"truth pairs: $r")       // n_truth
+    assert(r.getDouble(4) == 1.0, s"recall must be 1: $r")
+    assert(r.getLong(2) <= r.getLong(0))                  // hits ≤ candidates
+    assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0) // precision sane
+  }
+
   test("cosine helpers: unit vector self-similarity and bucket determinism") {
     val spark2 = spark
     import spark2.implicits._
