@@ -226,6 +226,35 @@ object Ann {
   /** Embedding-cosine near-dup pairs (#57): LSH bucket join over the
     * corpus, verify round(cos,5) ≥ threshold within buckets.
     */
+  /** Cross-corpus embedding decontamination: flags TRAIN vectors whose
+    * cosine to ANY EVAL vector in the same hyperplane-LSH bucket is ≥
+    * threshold — the semantic tier of the contamination family (exact
+    * n-gram → MinHash fuzzy → embedding). Never all-pairs: the bucket
+    * equi-join bounds comparisons and AQE broadcasts the (small) eval
+    * side. One row per flagged train vector: bucket-hit count and the
+    * best eval match (max cosine, ties → min eval id).
+    */
+  def embeddingContamination(train: DataFrame, eval: DataFrame, id: String,
+      vec: String, dim: Int, threshold: Double, planes: Int = 8): DataFrame = {
+    val a = withNorm(train, id, vec, dim)
+      .withColumn("_bk", lshBucket(col("_v"), dim, planes))
+      .select(col("_id").as("train_id"), col("_v").as("_va"),
+        col("_n").as("_na"), col("_bk"))
+    val b = withNorm(eval, id, vec, dim)
+      .withColumn("_bk", lshBucket(col("_v"), dim, planes))
+      .select(col("_id").as("eval_id"), col("_v").as("_vb"),
+        col("_n").as("_nb"), col("_bk"))
+    val cos = round(dot(col("_va"), col("_vb"), dim) / (col("_na") * col("_nb")), 5)
+    val hits = a.join(b, "_bk")
+      .select(col("train_id"), col("eval_id"), cos.as("cosine"))
+      .filter(col("cosine") >= threshold)
+    val w = Window.partitionBy("train_id").orderBy(col("cosine").desc, col("eval_id"))
+    hits.withColumn("_rn", row_number().over(w))
+      .withColumn("n_hits", count(lit(1)).over(Window.partitionBy("train_id")))
+      .filter(col("_rn") === 1)
+      .select(col("train_id"), col("n_hits"), col("eval_id"), col("cosine"))
+  }
+
   def embeddingNearDup(corpus: DataFrame, id: String, vec: String, dim: Int,
       threshold: Double, planes: Int = 8): DataFrame = {
     val c = withNorm(corpus, id, vec, dim)

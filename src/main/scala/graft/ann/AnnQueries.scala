@@ -60,6 +60,39 @@ object AnnQueries {
        |WHERE cosine >= 0.97
        |ORDER BY id1, id2""".stripMargin
 
+  // ---- semantic contamination (cross-corpus embedding filter) ----
+
+  /** Train corpus = the original embeddings; eval set = the perturbed
+    * copy of every 20th vector (cosine ≈ 0.98 to its source) — so the
+    * planted contaminations, and only vectors bucket-colliding with
+    * them, are flagged (Ann.embeddingContamination).
+    */
+  def textContaminationSemantic(s: SparkSession, dir: String): DataFrame =
+    Ann.embeddingContamination(orig(s, dir),
+        perturbed(s, dir).filter((col("vec_id") - POffset) % 20 === 0),
+        "vec_id", "v", Dim, 0.97)
+      .orderBy("train_id")
+
+  val textContaminationSemanticOracle: String =
+    s"""WITH o AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |p AS (SELECT vec_id + $POffset AS vec_id, [v[1] + 0.2] || v[2:] AS v FROM o),
+       |ev AS (SELECT vec_id, v FROM p WHERE (vec_id - $POffset) % 20 = 0),
+       |a AS (SELECT vec_id, v, ${normSql("v")} AS n, ${bucketSql("v")} AS bk FROM o),
+       |b AS (SELECT vec_id, v, ${normSql("v")} AS n, ${bucketSql("v")} AS bk FROM ev),
+       |hits AS (
+       |  SELECT train_id, eval_id, cosine FROM (
+       |    SELECT a.vec_id AS train_id, b.vec_id AS eval_id,
+       |           round((${dotSql("a.v", "b.v")}) / (a.n * b.n), 5) AS cosine
+       |    FROM a JOIN b ON a.bk = b.bk)
+       |  WHERE cosine >= 0.97),
+       |ranked AS (SELECT train_id, eval_id, cosine,
+       |             row_number() OVER (PARTITION BY train_id
+       |               ORDER BY cosine DESC, eval_id) AS rn,
+       |             count(*) OVER (PARTITION BY train_id) AS n_hits
+       |           FROM hits)
+       |SELECT train_id, CAST(n_hits AS BIGINT) AS n_hits, eval_id, cosine
+       |FROM ranked WHERE rn = 1 ORDER BY train_id""".stripMargin
+
   // ---- #58 brute-force top-k ----
 
   def annBruteforce(s: SparkSession, dir: String): DataFrame = {
@@ -282,6 +315,7 @@ object AnnQueries {
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_embedding" -> (dedupEmbedding _),
+    "text_contamination_semantic" -> (textContaminationSemantic _),
     "dedup_semantic" -> (dedupSemantic _),
     "ann_bruteforce" -> (annBruteforce _),
     "ann_lsh" -> (annLsh _),
@@ -293,6 +327,7 @@ object AnnQueries {
 
   def oracles: Map[String, String] = Map(
     "dedup_embedding" -> dedupEmbeddingOracle,
+    "text_contamination_semantic" -> textContaminationSemanticOracle,
     "dedup_semantic" -> dedupSemanticOracle,
     "ann_bruteforce" -> annBruteforceOracle,
     "ann_lsh" -> annLshOracle,

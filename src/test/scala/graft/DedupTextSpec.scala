@@ -237,6 +237,21 @@ class DedupTextSpec extends AnyFunSuite {
     assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0) // precision sane
   }
 
+  test("embeddingContamination: planted eval twin flags its train source, clean vectors pass") {
+    val spark2 = spark
+    import spark2.implicits._
+    val train = Seq(
+      (1L, Array(1.0, 0.0, 0.0, 0.0)),
+      (2L, Array(0.0, 1.0, 0.0, 0.0)),
+      (3L, Array(0.0, 0.0, 1.0, 0.0))).toDF("vec_id", "v")
+    // eval vector ≈ train 1 (same bucket, cosine ≈ 0.995); nothing near 2/3
+    val eval = Seq((900L, Array(1.0, 0.1, 0.0, 0.0))).toDF("vec_id", "v")
+    val r = Ann.embeddingContamination(train, eval, "vec_id", "v", 4, 0.9)
+      .collect()
+    assert(r.map(_.getLong(0)).toSet == Set(1L), s"flags: ${r.toSeq}")
+    assert(r.head.getLong(2) == 900L && r.head.getDouble(3) > 0.99)
+  }
+
   test("cosine helpers: unit vector self-similarity and bucket determinism") {
     val spark2 = spark
     import spark2.implicits._
