@@ -111,7 +111,9 @@ object DetMath {
        |$p AS (SELECT $keys, ${sqlLn("_lnt", "_lnt2", "_lne")} AS lnv FROM ${p}4)""".stripMargin
 }
 
-/** Deterministic ln as one whole-stage-codegen node (see [[DetMath]]). */
+/** Deterministic ln as one whole-stage-codegen node (see [[DetMath]]).
+  * Child must be DoubleType — the `graft_det_ln` SQL builder casts.
+  */
 case class DetLn(child: Expression) extends UnaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "det_ln"

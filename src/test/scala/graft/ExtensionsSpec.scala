@@ -38,6 +38,17 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getString(3) == expect)
   }
 
+  test("graft_det_ln SQL function registers, casts ints, matches the kernel bits") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_det_ln(1024) AS a, graft_det_ln(3.5d) AS b, graft_det_ln(1) AS c"
+    ).collect()(0)
+    assert(r.getDouble(0) == graft.functions.DetMath.computeLn(1024.0))
+    assert(r.getDouble(1) == graft.functions.DetMath.computeLn(3.5))
+    assert(r.getDouble(2) == 0.0)
+    assert(math.abs(r.getDouble(0) - math.log(1024.0)) < 1e-12)
+  }
+
   test("salted standard blocker produces exactly the unsalted pair set") {
     val l = EmScenario.custL(spark, sf)
     val r = EmScenario.custR(spark, sf)
