@@ -623,6 +623,47 @@ object TextOps {
           + (detLn(col("t").cast("double")) - detLn(tsD))).as("kl"))
   }
 
+  /** Per-document cross-entropy under the corpus BIGRAM LM — the
+    * context-aware upgrade of [[unigramCrossEntropy]] (word-salad text
+    * has plausible unigrams but improbable transitions):
+    *
+    *   xent2 = (Σ_bigrams c·(ln cx(w1) − ln cb(w1 w2))) / (dl−1)
+    *
+    * with cb = corpus bigram count and cx(w1) = Σ_w2 cb — i.e.
+    * −mean ln p(w2|w1) in nats/transition. Docs need ≥ 2 tokens (the
+    * size guard also dodges Spark's descending `sequence(1, 0)`).
+    * Determinism contract as usual: detLn, contributions (≥ 0 since
+    * cx ≥ cb) floor-scaled to longs pre-sum. Bigram and context frames
+    * are vocab²-bounded aggregates — nothing rescans the corpus.
+    */
+  def bigramCrossEntropy(docs: DataFrame, id: String, text: String): DataFrame = {
+    import graft.functions.DetMath.detLn
+    val base = docs.select(col(id).as("doc_id"),
+        split(lower(col(text)), " ").as("_w"))
+      .filter(size(col("_w")) >= 2)
+    val bi = base.select(col("doc_id"), explode(expr(
+      "transform(sequence(1, size(_w) - 1), i -> concat(element_at(_w, i), ' ', element_at(_w, i + 1)))"))
+      .as("bg"))
+    val cb = bi.groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+    val cbt = cb.groupBy("bg").agg(sum("c").as("cb"))
+    val ctx = cbt.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum("cb").as("cx"))
+    val lncb = cbt.select(col("bg"), detLn(col("cb").cast("double")).as("lncb"))
+    val lncx = ctx.select(col("w1"), detLn(col("cx").cast("double")).as("lncx"))
+    val s = cb.join(lncb, "bg")
+      .join(lncx, substring_index(col("bg"), " ", 1) === col("w1"))
+      .select(col("doc_id"),
+        floor((col("c").cast("double") * (col("lncx") - col("lncb")))
+          * lit(1.0e9)).as("d"))
+      .groupBy("doc_id").agg(sum("d").as("s"))
+    base.select(col("doc_id"), size(col("_w")).cast("long").as("dl"))
+      .join(s, "doc_id")
+      .select(col("doc_id"), col("dl").as("n_tokens"),
+        (col("dl") - lit(1L)).as("n_bigrams"),
+        ((col("s").cast("double") / lit(1.0e9))
+          / (col("dl") - lit(1L)).cast("double")).as("xent2"))
+  }
+
   /** Winnowing fingerprints (#63, Schleimer et al.): char 5-gram rolling
     * hashes (md5-prefix), per-window (w=4) minima, distinct + sorted →
     * count and digest per document.

@@ -584,11 +584,45 @@ object TextQueries {
        |ORDER BY source""".stripMargin
   }
 
+  /** Bigram-LM cross-entropy per document (TextOps.bigramCrossEntropy). */
+  def textBigramXent(s: SparkSession, dir: String): DataFrame =
+    TextOps.bigramCrossEntropy(graft.Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  val textBigramXentOracle: String = {
+    import graft.functions.DetMath
+    s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+       |           FROM documents WHERE len(string_split(lower(text), ' ')) >= 2),
+       |bi AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1]
+       |                              for i in range(1, len(w))]) AS bg FROM t),
+       |cb AS (SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS c
+       |       FROM bi GROUP BY 1, 2),
+       |cbt AS (SELECT bg, CAST(sum(c) AS BIGINT) AS cb FROM cb GROUP BY 1),
+       |ctx AS (SELECT split_part(bg, ' ', 1) AS w1, CAST(sum(cb) AS BIGINT) AS cx
+       |        FROM cbt GROUP BY 1),
+       |${DetMath.sqlLnCtes("lncb", "cbt", "bg", "CAST(cb AS DOUBLE)")},
+       |${DetMath.sqlLnCtes("lncx", "ctx", "w1", "CAST(cx AS DOUBLE)")},
+       |s AS (SELECT cb.doc_id,
+       |        CAST(sum(CAST(floor((CAST(cb.c AS DOUBLE) * (lncx.lnv - lncb.lnv))
+       |          * CAST(1000000000 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS s
+       |      FROM cb
+       |      JOIN lncb ON lncb.bg = cb.bg
+       |      JOIN lncx ON lncx.w1 = split_part(cb.bg, ' ', 1)
+       |      GROUP BY 1),
+       |dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM t)
+       |SELECT dl.doc_id, dl.dl AS n_tokens, (dl.dl - 1) AS n_bigrams,
+       |  ((CAST(s.s AS DOUBLE) / CAST(1000000000 AS DOUBLE))
+       |    / CAST(dl.dl - 1 AS DOUBLE)) AS xent2
+       |FROM dl JOIN s ON s.doc_id = dl.doc_id
+       |ORDER BY dl.doc_id""".stripMargin
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bm25" -> (textBm25 _),
     "text_entropy" -> (textEntropy _),
     "text_unigram_xent" -> (textUnigramXent _),
     "text_source_kl" -> (textSourceKl _),
+    "text_bigram_xent" -> (textBigramXent _),
     "text_substring_dedup" -> (textSubstringDedup _),
     "text_pii_scrub" -> (textPiiScrub _),
     "text_contamination" -> (textContamination _),
@@ -612,6 +646,7 @@ object TextQueries {
     "text_entropy" -> textEntropyOracle,
     "text_unigram_xent" -> textUnigramXentOracle,
     "text_source_kl" -> textSourceKlOracle,
+    "text_bigram_xent" -> textBigramXentOracle,
     "text_substring_dedup" -> textSubstringDedupOracle,
     "text_pii_scrub" -> textPiiScrubOracle,
     "text_contamination" -> textContaminationOracle,

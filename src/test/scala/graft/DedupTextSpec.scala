@@ -252,6 +252,22 @@ class DedupTextSpec extends AnyFunSuite {
     assert(r.head.getLong(2) == 900L && r.head.getDouble(3) > 0.99)
   }
 
+  test("bigramCrossEntropy: deterministic transitions → 0, shuffled doc scores higher") {
+    val spark2 = spark
+    import spark2.implicits._
+    // corpus where "a b" always follows deterministically except doc 9
+    val d = ((1L to 8L).map(i => (i, "a b a b a b a b")) :+
+      (9L, "b b a a b a b b")).toDF("doc_id", "text")
+    val r = TextOps.bigramCrossEntropy(d, "doc_id", "text").collect()
+      .map(x => x.getLong(0) -> x.getDouble(3)).toMap
+    // doc 1: transitions a→b (p≈1) and b→a (p<1 since doc 9 adds b→b) —
+    // near-zero but positive; doc 9 must be clearly more surprising
+    assert(r(1L) >= 0.0 && r(1L) < 0.3, s"regular doc: $r")
+    assert(r(9L) > r(1L) + 0.2, s"shuffled doc not penalized: $r")
+    // docs with identical text get identical bits
+    assert(r(1L) == r(2L))
+  }
+
   test("cosine helpers: unit vector self-similarity and bucket determinism") {
     val spark2 = spark
     import spark2.implicits._
