@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.graftbridge.Bridge
-import graft.functions.{DetLn, HyperplaneBits, StringSim, VecBinary}
+import graft.functions.{DetExp, DetLn, HyperplaneBits, StringSim, VecBinary}
 
 /** SQL surface for the graft similarity kernels.
   *
@@ -57,8 +57,11 @@ object GraftFunctions {
     "graft_hyperplane_bits" -> ((c: Seq[Expression]) => HyperplaneBits(c(0),
       c(1).eval().asInstanceOf[Number].intValue(),
       c(2).eval().asInstanceOf[Number].intValue())),
-    // bit-deterministic ln (DetMath): same 64 bits on every engine/JVM
+    // bit-deterministic ln/exp (DetMath): same 64 bits on every engine/JVM
     "graft_det_ln" -> ((c: Seq[Expression]) => DetLn(
+      org.apache.spark.sql.catalyst.expressions.Cast(c(0),
+        org.apache.spark.sql.types.DoubleType))),
+    "graft_det_exp" -> ((c: Seq[Expression]) => DetExp(
       org.apache.spark.sql.catalyst.expressions.Cast(c(0),
         org.apache.spark.sql.types.DoubleType))))
 

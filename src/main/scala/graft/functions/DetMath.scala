@@ -96,6 +96,37 @@ object DetMath {
   def sqlLn(t: String, t2: String, e: String): String =
     s"((($t * ${sqlHorner(t2)}) * 2.0) + ($e * $Ln2Sql))"
 
+  // ---- deterministic exp: the inverse circuit --------------------------
+
+  private val ExpTerms = 14
+  private val expCoeffs: Array[Double] = {
+    val c = new Array[Double](ExpTerms + 1)
+    var f = 1.0
+    for (n <- 0 to ExpTerms) { if (n > 0) f *= n; c(n) = 1.0 / f }
+    c
+  }
+  private val ExpMaxK = 60
+  private def expPow2(k: Int): Double = java.lang.Math.scalb(1.0, k)
+
+  /** The exp circuit, same philosophy as [[computeLn]]: range-reduce with
+    * k = floor(x/ln2 + 0.5) (floor of identical doubles is identical),
+    * r = x − k·ln2 ∈ [−0.347, 0.347], Taylor–Horner to r^14 (tail < 1e-18),
+    * then one exact multiply by 2^k. Domain |x| ≤ 41 (k clamped to ±60);
+    * accuracy ≤ ~1e-15 relative, and the SAME bits in every engine.
+    */
+  def computeExp(x: Double): Double = {
+    val kd = math.floor((x / Ln2) + 0.5)
+    val k = math.max(-ExpMaxK, math.min(ExpMaxK, kd.toInt))
+    val r = x - (k.toDouble * Ln2)
+    var p = expCoeffs(ExpTerms)
+    var n = ExpTerms - 1
+    while (n >= 0) { p = expCoeffs(n) + (r * p); n -= 1 }
+    p * expPow2(k)
+  }
+
+  /** Deterministic natural exp of `x` (domain |x| ≤ 41); see [[computeExp]]. */
+  def detExp(x: Column): Column = Bridge.column(DetExp(Bridge.expression(x)))
+
   /** A ready-made CTE chain computing lnv = detLn(x) over `src`:
     * emits CTEs `<p>0..<p>4` and a final CTE named `<p>` with columns
     * (`keys`, lnv). Splitting into chained CTEs keeps each SQL expression
@@ -109,6 +140,34 @@ object DetMath {
        |${p}3 AS (SELECT $keys, _lne, ((_lnm - 1.0) / (_lnm + 1.0)) AS _lnt FROM ${p}2),
        |${p}4 AS (SELECT $keys, _lne, _lnt, (_lnt * _lnt) AS _lnt2 FROM ${p}3),
        |$p AS (SELECT $keys, ${sqlLn("_lnt", "_lnt2", "_lne")} AS lnv FROM ${p}4)""".stripMargin
+
+  /** Horner polynomial for exp in `r`, matching [[computeExp]]'s loop. */
+  def sqlExpHorner(r: String): String =
+    expCoeffs.init.reverse.foldLeft(s"CAST(${expCoeffs.last} AS DOUBLE)") {
+      case (acc, c) => s"(CAST($c AS DOUBLE) + ($r * $acc))"
+    }
+
+  /** 2^k lookup CASE over integer-valued double `k` ∈ [−60, 60], constants
+    * printed shortest-roundtrip (scientific notation parses as DOUBLE).
+    */
+  def sqlExpPw(k: String): String =
+    (-ExpMaxK to ExpMaxK).map { i =>
+      s"WHEN $k = CAST($i AS DOUBLE) THEN CAST(${expPow2(i)} AS DOUBLE)"
+    }.mkString("CASE ", " ", " ELSE CAST(1 AS DOUBLE) END")
+
+  /** CTE chain computing expv = detExp(x) over `src` (clamp as in
+    * [[computeExp]]: k bounded to ±60 via least/greatest — exact).
+    */
+  def sqlExpCtes(p: String, src: String, keys: String, x: String): String =
+    s"""${p}0 AS (SELECT $keys, $x AS _exx FROM $src),
+       |${p}1 AS (SELECT $keys, _exx,
+       |          least(greatest(floor((_exx / $Ln2Sql) + 0.5),
+       |            CAST(-$ExpMaxK AS DOUBLE)), CAST($ExpMaxK AS DOUBLE)) AS _exk
+       |          FROM ${p}0),
+       |${p}2 AS (SELECT $keys, _exk, (_exx - (_exk * $Ln2Sql)) AS _exr FROM ${p}1),
+       |$p AS (SELECT $keys,
+       |         (${sqlExpHorner("_exr")} * ${sqlExpPw("_exk")}) AS expv
+       |       FROM ${p}2)""".stripMargin
 }
 
 /** Deterministic ln as one whole-stage-codegen node (see [[DetMath]]).
@@ -123,6 +182,23 @@ case class DetLn(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, x => s"graft.functions.DetMath.computeLn($x)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Deterministic exp as one whole-stage-codegen node (see [[DetMath]]).
+  * Child must be DoubleType — the `graft_det_exp` SQL builder casts.
+  */
+case class DetExp(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "det_exp"
+
+  override def nullSafeEval(x: Any): Any =
+    DetMath.computeExp(x.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, x => s"graft.functions.DetMath.computeExp($x)")
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)

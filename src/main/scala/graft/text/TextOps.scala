@@ -664,6 +664,41 @@ object TextOps {
           / (col("dl") - lit(1L)).cast("double")).as("xent2"))
   }
 
+  /** Temperature-based mixture reweighting (the UNIMAX / multilingual
+    * `p^(1/τ)` rule): τ > 1 flattens the source distribution toward
+    * uniform so low-resource sources are upsampled. Per source:
+    *
+    *   w = exp((ln n_s − ln T) / τ) = share^(1/τ)
+    *   temp_share = w / Σ w        target_tokens = ⌊temp_share · T⌋
+    *
+    * Both transcendentals are the deterministic circuits
+    * ([[graft.functions.DetMath.detLn]]/`detExp`), and the normalizing
+    * Σw sums 1e-12-floor-scaled longs — order-invariant, so the whole
+    * reweighting is bit-reproducible. Frames are per-source aggregates;
+    * one corpus scan total.
+    */
+  def mixtureTemperature(docs: DataFrame, group: String, text: String,
+      temperature: Double = 1.3): DataFrame = {
+    import graft.functions.DetMath.{detExp, detLn}
+    val toks = docs.select(col(group).as("grp"),
+      explode(split(lower(col(text)), " ")).as("term"))
+    val ts = toks.groupBy("grp").agg(count(lit(1)).as("ts"))
+    val tot = ts.agg(sum("ts").as("t"))
+    val w = detExp((detLn(col("ts").cast("double"))
+      - detLn(col("t").cast("double"))) / lit(temperature))
+    val scaled = ts.crossJoin(broadcast(tot))
+      .select(col("grp"), col("ts"), col("t"),
+        floor(w * lit(1.0e12)).as("ws"))
+    val totW = scaled.agg(sum("ws").as("wt"))
+    scaled.crossJoin(broadcast(totW)).select(
+      col("grp").as(group),
+      col("ts").as("n_tokens"),
+      (col("ts").cast("double") / col("t").cast("double")).as("share"),
+      (col("ws").cast("double") / col("wt").cast("double")).as("temp_share"),
+      floor((col("ws").cast("double") / col("wt").cast("double"))
+        * col("t").cast("double")).as("target_tokens"))
+  }
+
   /** Winnowing fingerprints (#63, Schleimer et al.): char 5-gram rolling
     * hashes (md5-prefix), per-window (w=4) minima, distinct + sorted →
     * count and digest per document.

@@ -617,8 +617,39 @@ object TextQueries {
        |ORDER BY dl.doc_id""".stripMargin
   }
 
+  /** Temperature-reweighted source mixture at τ=1.3
+    * (TextOps.mixtureTemperature).
+    */
+  def textMixtureTemperature(s: SparkSession, dir: String): DataFrame =
+    TextOps.mixtureTemperature(graft.Tables.documents(s, dir), "source", "text")
+      .orderBy("source")
+
+  val textMixtureTemperatureOracle: String = {
+    import graft.functions.DetMath
+    s"""WITH toks AS (SELECT source AS grp, unnest(string_split(lower(text), ' ')) AS term
+       |             FROM documents),
+       |ts AS (SELECT grp, CAST(count(*) AS BIGINT) AS ts FROM toks GROUP BY 1),
+       |tot AS (SELECT CAST(sum(ts) AS BIGINT) AS t FROM ts),
+       |${DetMath.sqlLnCtes("lnns", "ts", "grp, ts", "CAST(ts AS DOUBLE)")},
+       |${DetMath.sqlLnCtes("lnt", "tot", "t", "CAST(t AS DOUBLE)")},
+       |j AS (SELECT grp, ts, ((lnns.lnv - lnt.lnv) / CAST(1.3 AS DOUBLE)) AS ax
+       |      FROM lnns, lnt),
+       |${DetMath.sqlExpCtes("ex", "j", "grp, ts", "ax")},
+       |scaled AS (SELECT grp, ts,
+       |             CAST(floor(expv * CAST(1000000000000 AS DOUBLE)) AS BIGINT) AS ws
+       |           FROM ex),
+       |wt AS (SELECT CAST(sum(ws) AS BIGINT) AS wt FROM scaled)
+       |SELECT scaled.grp AS source, scaled.ts AS n_tokens,
+       |  (CAST(scaled.ts AS DOUBLE) / CAST(tot.t AS DOUBLE)) AS share,
+       |  (CAST(scaled.ws AS DOUBLE) / CAST(wt.wt AS DOUBLE)) AS temp_share,
+       |  CAST(floor((CAST(scaled.ws AS DOUBLE) / CAST(wt.wt AS DOUBLE))
+       |    * CAST(tot.t AS DOUBLE)) AS BIGINT) AS target_tokens
+       |FROM scaled, wt, tot ORDER BY source""".stripMargin
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bm25" -> (textBm25 _),
+    "text_mixture_temperature" -> (textMixtureTemperature _),
     "text_entropy" -> (textEntropy _),
     "text_unigram_xent" -> (textUnigramXent _),
     "text_source_kl" -> (textSourceKl _),
@@ -647,6 +678,7 @@ object TextQueries {
     "text_unigram_xent" -> textUnigramXentOracle,
     "text_source_kl" -> textSourceKlOracle,
     "text_bigram_xent" -> textBigramXentOracle,
+    "text_mixture_temperature" -> textMixtureTemperatureOracle,
     "text_substring_dedup" -> textSubstringDedupOracle,
     "text_pii_scrub" -> textPiiScrubOracle,
     "text_contamination" -> textContaminationOracle,

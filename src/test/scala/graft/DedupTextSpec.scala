@@ -268,6 +268,37 @@ class DedupTextSpec extends AnyFunSuite {
     assert(r(1L) == r(2L))
   }
 
+  test("DetMath.detExp tracks math.exp to 1e-14 relative across [-40, 40]") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(13)
+    val xs = (0 until 2000).map(_ => (rnd.nextDouble() - 0.5) * 80) :+
+      0.0 :+ 1.0 :+ -1.0 :+ math.log(2) :+ 39.9 :+ -39.9
+    val got = xs.toDF("x")
+      .select(col("x"), graft.functions.DetMath.detExp(col("x")).as("e"))
+      .collect()
+    got.foreach { r =>
+      val x = r.getDouble(0); val e = r.getDouble(1)
+      val exact = math.exp(x)
+      assert(math.abs(e - exact) <= 1e-14 * exact, s"detExp($x)=$e vs $exact")
+    }
+  }
+
+  test("mixtureTemperature: τ=1 is the identity, τ>1 flattens toward uniform") {
+    val spark2 = spark
+    import spark2.implicits._
+    val d = (Seq.fill(60)("big") ++ Seq.fill(8)("mid") ++ Seq.fill(2)("small"))
+      .zipWithIndex.map { case (s, i) => (s, "tok " * 5 + i) }.toDF("source", "text")
+    def shares(tau: Double) = TextOps.mixtureTemperature(d, "source", "text", tau)
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    val id = shares(1.0)
+    id.values.foreach { case (share, temp) => assert(math.abs(share - temp) < 1e-9) }
+    val flat = shares(2.0)
+    assert(flat("big")._2 < flat("big")._1)     // dominant source damped
+    assert(flat("small")._2 > flat("small")._1) // low-resource upsampled
+    assert(math.abs(flat.values.map(_._2).sum - 1.0) < 1e-9)
+  }
+
   test("cosine helpers: unit vector self-similarity and bucket determinism") {
     val spark2 = spark
     import spark2.implicits._

@@ -47,6 +47,9 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getDouble(1) == graft.functions.DetMath.computeLn(3.5))
     assert(r.getDouble(2) == 0.0)
     assert(math.abs(r.getDouble(0) - math.log(1024.0)) < 1e-12)
+    val e = spark.sql("SELECT graft_det_exp(1), graft_det_exp(0.0d)").collect()(0)
+    assert(e.getDouble(0) == graft.functions.DetMath.computeExp(1.0))
+    assert(e.getDouble(1) == 1.0)
   }
 
   test("salted standard blocker produces exactly the unsalted pair set") {
