@@ -175,6 +175,35 @@ object ExtraQueries {
     s.table(name).orderBy("purchase_id")
   }
 
+  /** Stream-static decontamination run FOR REAL: documents readStream →
+    * explode n-grams → left-semi join against the STATIC eval n-gram
+    * frame (broadcast) → dedup → memory sink. The probe set matches
+    * `text_contamination` (every 100th doc), so the oracle is just the
+    * distinct flagged ids of that query's join.
+    */
+  def streamContamination(s: SparkSession, dir: String): DataFrame = {
+    val name = "graft_stream_contam_" + java.lang.Integer.toHexString(dir.hashCode)
+    val probes = graft.text.TextOps.ngramSet(
+      graft.Tables.documents(s, dir).filter(col("doc_id") % 100 === 0), "text", 3)
+    val q = Streams.contaminationStream(
+        Streams.docsStream(s, dir), probes, "doc_id", "text", 3)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name).orderBy("doc_id")
+  }
+
+  val streamContaminationOracle: String =
+    """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      |g AS (SELECT doc_id, unnest(
+      |        [array_to_string(w[i:i+2], ' ')
+      |         for i in range(1, greatest(len(w) - 2, 1) + 1)]) AS gram FROM t),
+      |probe AS (SELECT DISTINCT gram FROM g WHERE doc_id % 100 = 0)
+      |SELECT DISTINCT doc_id FROM g JOIN probe USING (gram)
+      |ORDER BY doc_id""".stripMargin
+
   def streamDedup(s: SparkSession, dir: String): DataFrame = {
     val name = "graft_stream_dedup_" + java.lang.Integer.toHexString(dir.hashCode)
     val src = Streams.eventsStream(s, dir)
@@ -437,6 +466,7 @@ object ExtraQueries {
     "stream_window_agg" -> (streamWindowAgg _),
     "stream_sessionize" -> (streamSessionize _),
     "stream_dedup" -> (streamDedup _),
+    "stream_contamination" -> (streamContamination _),
     "stream_asof" -> (streamAsof _),
     "stream_asof_buffered" -> (streamAsofBuffered _)
   )
@@ -454,6 +484,7 @@ object ExtraQueries {
     "stream_window_agg" -> streamWindowAggOracle,
     "stream_sessionize" -> streamSessionizeOracle,
     "stream_dedup" -> streamDedupOracle,
+    "stream_contamination" -> streamContaminationOracle,
     "stream_asof" -> streamAsofOracle,
     "stream_asof_buffered" -> streamAsofOracle
   )

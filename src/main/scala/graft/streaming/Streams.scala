@@ -235,6 +235,44 @@ object Streams {
   def dedupStream(events: DataFrame, keyCols: Seq[String]): DataFrame =
     events.dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming documents source — same single-file staging trick as
+    * [[eventsStream]] (the parquet streaming source wants a directory).
+    */
+  def docsStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val stage = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), s"graft_stream_docs_${dir.hashCode.toHexString}")
+    java.nio.file.Files.createDirectories(stage)
+    val link = stage.resolve("documents.parquet")
+    if (!java.nio.file.Files.exists(link))
+      java.nio.file.Files.createSymbolicLink(link,
+        java.nio.file.Paths.get(s"$dir/documents.parquet"))
+    spark.readStream.schema(schema).parquet(stage.toString)
+  }
+
+  /** STREAM-STATIC contamination filter: documents arrive as a stream,
+    * the eval-benchmark n-gram set is a STATIC broadcast frame, and a
+    * doc is emitted iff any of its n-grams hits the set — explode +
+    * left-semi stream-static join (both stateless; each doc's grams
+    * stay in its own micro-batch so the semi join needs no stream
+    * state) followed by a dedup on doc id (a doc with many hits emits
+    * once). The dedup here is the unbounded `dropDuplicates` because
+    * documents carry no event time; on a real ingest feed use
+    * [[dedupStream]]'s watermarked variant — the join shape is the
+    * interesting part and is identical either way.
+    */
+  def contaminationStream(docs: DataFrame, probeSet: DataFrame,
+      id: String, text: String, n: Int = 3): DataFrame = {
+    val base = docs.select(col(id), split(lower(col(text)), " ").as("_w"))
+    val g = org.apache.spark.sql.functions.expr(
+      s"transform(sequence(1, greatest(size(_w) - ${n - 1}, 1)), " +
+        s"i -> array_join(slice(_w, i, $n), ' '))")
+    base.select(col(id), explode(g).as("_g"))
+      .join(broadcast(probeSet), Seq("_g"), "left_semi")
+      .select(id)
+      .dropDuplicates(Seq(id))
+  }
+
   /** Run the streaming windowed agg to completion (AvailableNow) into an
     * in-memory sink and return the result — used by the spec to prove
     * stream ≡ batch.

@@ -176,6 +176,18 @@ object TextOps {
         expr("coalesce(n_contaminated, 0) * 10000 div n_ngrams").as("contaminated_bp"))
   }
 
+  /** Distinct word-n-gram set of a corpus (the probe side of
+    * [[contamination]] and the streaming filter) — one explode +
+    * distinct, schema (`_g` STRING).
+    */
+  def ngramSet(docs: DataFrame, text: String, n: Int = 3): DataFrame = {
+    val base = docs.select(split(lower(col(text)), " ").as("_w"))
+    val g = expr(
+      s"transform(sequence(1, greatest(size(_w) - ${n - 1}, 1)), " +
+        s"i -> array_join(slice(_w, i, $n), ' '))")
+    base.select(explode(g).as("_g")).distinct()
+  }
+
   /** Deterministic stratified sampling for training-data mixtures: keep
     * a row iff the first 4 hex chars of md5(key) fall below the
     * stratum's fraction threshold — partitioning-independent,

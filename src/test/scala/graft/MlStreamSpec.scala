@@ -83,6 +83,41 @@ class MlStreamSpec extends AnyFunSuite {
     import spark2.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     def s(sec: Long): Long = sec * 1000000L // event-time µs
+    streamAsofBufferedBody(spark2, s, sq)
+  }
+
+  test("contaminationStream: stream-static semi join flags docs across batches, emits once") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val probes = graft.text.TextOps.ngramSet(
+      Seq("the secret eval answer is here").toDF("text"), "text", 3)
+    val mem = MemoryStream[(Long, String)]
+    val src = mem.toDF().toDF("doc_id", "text")
+    val q = graft.streaming.Streams.contaminationStream(src, probes, "doc_id", "text", 3)
+      .writeStream.format("memory").queryName("graft_spec_contam")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, "clean doc with no overlap at all"),
+        (2L, "contains the secret eval answer is here verbatim"))
+      q.processAllAvailable()
+      // batch 2: another contaminated doc + doc 2 again (must NOT re-emit)
+      mem.addData((3L, "prefix the secret eval answer trailing"),
+        (2L, "contains the secret eval answer is here verbatim"))
+      q.processAllAvailable()
+      val out = spark.table("graft_spec_contam").collect().map(_.getLong(0)).sorted
+      assert(out.toSeq == Seq(2L, 3L), s"flagged: ${out.toSeq}")
+    } finally q.stop()
+  }
+
+  private def streamAsofBufferedBody(spark2: org.apache.spark.sql.SparkSession,
+      s: Long => Long, sq: org.apache.spark.sql.SQLContext): Unit = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark2.implicits._
+    implicit val sqc: org.apache.spark.sql.SQLContext = sq
 
     def feed(name: String, mk: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
         : Seq[(Long, Long, Long, Option[Long])] = {
