@@ -102,6 +102,23 @@ object ProfileQueries {
        |FROM p ORDER BY column_name""".stripMargin
   }
 
+  /** 20-bin equi-width histogram of customer balance cents
+    * (Profiler.histogram — exact long binning).
+    */
+  def profileHistogram(s: SparkSession, dir: String): DataFrame =
+    Profiler.histogram(
+        customer(s, dir).select(cents(col("c_acctbal")).as("balc")),
+        "balc", 20)
+      .orderBy("bin")
+
+  val profileHistogramOracle: String =
+    """WITH c AS (SELECT CAST(round(c_acctbal*100) AS BIGINT) AS balc FROM customer),
+      |s AS (SELECT min(balc) AS lo, max(balc) AS hi FROM c)
+      |SELECT ((c.balc - s.lo) * 20) // (s.hi - s.lo + 1) AS bin,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       min(c.balc) AS bin_min, max(c.balc) AS bin_max
+      |FROM c, s GROUP BY 1 ORDER BY bin""".stripMargin
+
   /** DataProfiler.summary over customer with one column nullified for
     * negative balances — so the null counters are exercised (TPC-H data
     * carries no nulls of its own).
@@ -139,7 +156,8 @@ object ProfileQueries {
     "profile_topk" -> (profileTopk _),
     "profile_compare" -> (profileCompare _),
     "profile_numeric" -> (profileNumeric _),
-    "profile_summary" -> (profileSummary _)
+    "profile_summary" -> (profileSummary _),
+    "profile_histogram" -> (profileHistogram _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -147,6 +165,7 @@ object ProfileQueries {
     "profile_columns" -> profileColumnsOracle,
     "profile_topk" -> profileTopkOracle,
     "profile_numeric" -> profileNumericOracle,
-    "profile_summary" -> profileSummaryOracle
+    "profile_summary" -> profileSummaryOracle,
+    "profile_histogram" -> profileHistogramOracle
   )
 }

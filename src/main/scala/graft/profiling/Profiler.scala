@@ -107,6 +107,25 @@ object Profiler {
     }.reduce(_.unionByName(_))
   }
 
+  /** Equi-width histogram over an integer-valued column (scale decimals
+    * to cents first — exactness contract as [[profileNumeric]]):
+    * bin = ((x − lo)·bins) div (hi − lo + 1) ∈ [0, bins) by construction
+    * (all-long arithmetic, no float boundaries to disagree on). Output
+    * is one row per NON-EMPTY bin with its count and actual value range;
+    * lo/hi come from a 1-row broadcast aggregate, the binning itself is
+    * scan-shaped + one groupBy(bin) with map-side combine.
+    */
+  def histogram(df: DataFrame, colName: String, bins: Int): DataFrame = {
+    require(bins > 0, s"bins must be positive: $bins")
+    val st = df.agg(min(col(colName)).as("_lo"), max(col(colName)).as("_hi"))
+    df.crossJoin(broadcast(st))
+      .select(
+        expr(s"(($colName - _lo) * $bins) div (_hi - _lo + 1)").as("bin"),
+        col(colName).as("_x"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), min("_x").as("bin_min"), max("_x").as("bin_max"))
+  }
+
   /** Scale-path profile: identical shape to [[profile]] but distinct
     * counts via HyperLogLog (`approx_count_distinct`, rsd 5%) — exact
     * count_distinct expands rows per aggregate and becomes the scan

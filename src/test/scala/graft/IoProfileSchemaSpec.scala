@@ -31,6 +31,17 @@ class IoProfileSchemaSpec extends AnyFunSuite {
     assert(flat.columns.toSeq == Seq("id", "x", "nest_y", "nest_z"))
   }
 
+  test("histogram: exact long binning, bins cover [0, bins), counts sum to n") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = (0L to 999L).toDF("x")
+    val h = graft.profiling.Profiler.histogram(df, "x", 10).orderBy("bin").collect()
+    assert(h.length == 10 && h.map(_.getLong(1)).sum == 1000L)
+    assert(h.forall(r => r.getLong(1) == 100L)) // uniform → equal bins
+    assert(h.head.getLong(2) == 0L && h.last.getLong(3) == 999L)
+    assert(h.map(_.getLong(0)).toSeq == (0L to 9L))
+  }
+
   test("profiler: one row per column with exact stats") {
     val spark2 = spark
     import spark2.implicits._
