@@ -422,6 +422,36 @@ object TextOps {
     } finally counts.unpersist(false)
   }
 
+  /** Zipf-law fit over the top-k vocabulary: least-squares slope of
+    * ln(count) against ln(rank) — natural text sits near −1, while
+    * templated/boilerplate corpora flatten and spam steepens, so the
+    * exponent is a one-number corpus-health signal. x/y come from the
+    * deterministic ln circuit and every Σ term (x, y, xy, x²) is
+    * floor-scaled to a 1e-12-granular long before summing — the whole
+    * regression is closed-form over exact integers, reproducible to the
+    * bit. The frame is k-bounded (vocab top-k) regardless of corpus
+    * size.
+    */
+  def zipfFit(docs: DataFrame, text: String, k: Int = 1000): DataFrame = {
+    import graft.functions.DetMath.detLn
+    val v = vocab(docs, text, k)
+    val x = detLn(col("rank").cast("double"))
+    val y = detLn(col("cnt").cast("double"))
+    val terms = v.select(
+      floor(x * lit(1.0e12)).as("sx"),
+      floor(y * lit(1.0e12)).as("sy"),
+      floor((x * y) * lit(1.0e12)).as("sxy"),
+      floor((x * x) * lit(1.0e12)).as("sxx"))
+    val a = terms.agg(count(lit(1)).as("n"), sum("sx").as("sx"),
+      sum("sy").as("sy"), sum("sxy").as("sxy"), sum("sxx").as("sxx"))
+    val nD = col("n").cast("double")
+    def un(c: String) = col(c).cast("double") / lit(1.0e12)
+    val slope = ((nD * un("sxy")) - (un("sx") * un("sy"))) /
+      ((nD * un("sxx")) - (un("sx") * un("sx")))
+    a.select(col("n").as("n_words"), slope.as("slope"),
+      ((un("sy") - (slope * un("sx"))) / nD).as("intercept"))
+  }
+
   /** Repeated-n-gram substring dedup — the bounded relational form of
     * suffix-array exact-substring deduplication (Lee et al. 2022,
     * "Deduplicating Training Data Makes Language Models Better"): find

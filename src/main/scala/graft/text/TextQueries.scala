@@ -647,9 +647,47 @@ object TextQueries {
        |FROM scaled, wt, tot ORDER BY source""".stripMargin
   }
 
+  /** Zipf exponent of the corpus vocabulary (TextOps.zipfFit). */
+  def textZipf(s: SparkSession, dir: String): DataFrame =
+    TextOps.zipfFit(graft.Tables.documents(s, dir), "text", 1000)
+
+  val textZipfOracle: String = {
+    import graft.functions.DetMath
+    s"""WITH w AS (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents),
+       |c AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM w GROUP BY word),
+       |k AS (SELECT word, cnt,
+       |        CAST(row_number() OVER (ORDER BY cnt DESC, word) AS BIGINT) AS rank
+       |      FROM c ORDER BY cnt DESC, word LIMIT 1000),
+       |${DetMath.sqlLnCtes("lnr", "k", "word, rank", "CAST(rank AS DOUBLE)")},
+       |${DetMath.sqlLnCtes("lnc", "k", "word, cnt", "CAST(cnt AS DOUBLE)")},
+       |terms AS (SELECT
+       |    CAST(floor(lnr.lnv * CAST(1000000000000 AS DOUBLE)) AS BIGINT) AS sx,
+       |    CAST(floor(lnc.lnv * CAST(1000000000000 AS DOUBLE)) AS BIGINT) AS sy,
+       |    CAST(floor((lnr.lnv * lnc.lnv) * CAST(1000000000000 AS DOUBLE)) AS BIGINT) AS sxy,
+       |    CAST(floor((lnr.lnv * lnr.lnv) * CAST(1000000000000 AS DOUBLE)) AS BIGINT) AS sxx
+       |  FROM lnr JOIN lnc ON lnc.word = lnr.word),
+       |agg AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(sx) AS BIGINT) AS sx,
+       |          CAST(sum(sy) AS BIGINT) AS sy, CAST(sum(sxy) AS BIGINT) AS sxy,
+       |          CAST(sum(sxx) AS BIGINT) AS sxx FROM terms),
+       |sl AS (SELECT n,
+       |    (CAST(sx AS DOUBLE) / CAST(1000000000000 AS DOUBLE)) AS ux,
+       |    (CAST(sy AS DOUBLE) / CAST(1000000000000 AS DOUBLE)) AS uy,
+       |    ((CAST(n AS DOUBLE) * (CAST(sxy AS DOUBLE) / CAST(1000000000000 AS DOUBLE)))
+       |      - ((CAST(sx AS DOUBLE) / CAST(1000000000000 AS DOUBLE))
+       |        * (CAST(sy AS DOUBLE) / CAST(1000000000000 AS DOUBLE))))
+       |    / ((CAST(n AS DOUBLE) * (CAST(sxx AS DOUBLE) / CAST(1000000000000 AS DOUBLE)))
+       |      - ((CAST(sx AS DOUBLE) / CAST(1000000000000 AS DOUBLE))
+       |        * (CAST(sx AS DOUBLE) / CAST(1000000000000 AS DOUBLE)))) AS slope
+       |  FROM agg)
+       |SELECT n AS n_words, slope,
+       |  ((uy - (slope * ux)) / CAST(n AS DOUBLE)) AS intercept
+       |FROM sl""".stripMargin
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bm25" -> (textBm25 _),
     "text_mixture_temperature" -> (textMixtureTemperature _),
+    "text_zipf" -> (textZipf _),
     "text_entropy" -> (textEntropy _),
     "text_unigram_xent" -> (textUnigramXent _),
     "text_source_kl" -> (textSourceKl _),
@@ -679,6 +717,7 @@ object TextQueries {
     "text_source_kl" -> textSourceKlOracle,
     "text_bigram_xent" -> textBigramXentOracle,
     "text_mixture_temperature" -> textMixtureTemperatureOracle,
+    "text_zipf" -> textZipfOracle,
     "text_substring_dedup" -> textSubstringDedupOracle,
     "text_pii_scrub" -> textPiiScrubOracle,
     "text_contamination" -> textContaminationOracle,

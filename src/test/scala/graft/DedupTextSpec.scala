@@ -299,6 +299,20 @@ class DedupTextSpec extends AnyFunSuite {
     assert(math.abs(flat.values.map(_._2).sum - 1.0) < 1e-9)
   }
 
+  test("zipfFit: planted 1/rank corpus fits slope ≈ -1, uniform corpus ≈ 0") {
+    val spark2 = spark
+    import spark2.implicits._
+    val zipfWords = (1 to 40).flatMap(i => Seq.fill(2000 / i)(s"w$i"))
+    val zipf = Seq((1L, zipfWords.mkString(" "))).toDF("doc_id", "text")
+    val rz = TextOps.zipfFit(zipf, "text", 40).collect().head
+    assert(rz.getLong(0) == 40L)
+    assert(math.abs(rz.getDouble(1) + 1.0) < 0.05, s"slope: ${rz.getDouble(1)}")
+    val flatWords = (1 to 40).flatMap(i => Seq.fill(50)(s"w$i"))
+    val flat = Seq((1L, flatWords.mkString(" "))).toDF("doc_id", "text")
+    val rf = TextOps.zipfFit(flat, "text", 40).collect().head
+    assert(math.abs(rf.getDouble(1)) < 1e-9, s"flat slope: ${rf.getDouble(1)}")
+  }
+
   test("cosine helpers: unit vector self-similarity and bucket determinism") {
     val spark2 = spark
     import spark2.implicits._
