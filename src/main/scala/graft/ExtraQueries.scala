@@ -403,6 +403,49 @@ object ExtraQueries {
       |FROM vn ASOF LEFT JOIN pn ON vn.user_id = pn.user_id AND vn.nts >= pn.nts
       |ORDER BY view_id""".stripMargin
 
+  /** Nearest as-of (pandas merge_asof direction='nearest'): each
+    * purchase takes the temporally closer of its latest-before /
+    * earliest-after view, ties to the past match. Oracle: both DuckDB
+    * ASOF directions + the same distance CASE.
+    */
+  def asofJoinNearest(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts"),
+        col("event_id").as("purchase_id"))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts"), col("event_id"))
+      .groupBy("user_id", "ts").agg(max("event_id").as("view_id"))
+    graft.operators.AsofJoin.asofNearest(purchases, views, "user_id", "ts",
+        "purchase_id")
+      .orderBy("purchase_id")
+  }
+
+  val asofJoinNearestOracle: String =
+    """WITH p AS (SELECT user_id, epoch_us(ts) AS ts, event_id AS purchase_id
+      |           FROM events WHERE event_type = 'purchase'),
+      |v AS (SELECT user_id, epoch_us(ts) AS ts, max(event_id) AS view_id
+      |      FROM events WHERE event_type = 'view' GROUP BY user_id, epoch_us(ts)),
+      |b AS (SELECT p.user_id, p.ts, p.purchase_id, v.view_id AS view_id_b,
+      |             v.ts AS bts
+      |      FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts),
+      |pn AS (SELECT user_id, -ts AS nts, purchase_id FROM p),
+      |vn AS (SELECT user_id, -ts AS nts, ts AS fts0, view_id FROM v),
+      |f AS (SELECT pn.purchase_id, vn.view_id AS view_id_f, vn.fts0 AS fts
+      |      FROM pn ASOF LEFT JOIN vn ON pn.user_id = vn.user_id AND pn.nts >= vn.nts),
+      |j AS (SELECT b.user_id, b.ts, b.purchase_id, b.view_id_b, b.bts,
+      |             f.view_id_f, f.fts
+      |      FROM b JOIN f USING (purchase_id))
+      |SELECT user_id, ts, purchase_id,
+      |  CASE WHEN bts IS NOT NULL AND (fts IS NULL OR (ts - bts) <= (fts - ts))
+      |       THEN view_id_b ELSE view_id_f END AS view_id,
+      |  CASE WHEN bts IS NOT NULL AND (fts IS NULL OR (ts - bts) <= (fts - ts))
+      |       THEN bts ELSE fts END AS matched_ts,
+      |  CASE WHEN bts IS NULL AND fts IS NULL THEN NULL
+      |       WHEN bts IS NOT NULL AND (fts IS NULL OR (ts - bts) <= (fts - ts))
+      |       THEN 'past' ELSE 'future' END AS direction
+      |FROM j ORDER BY purchase_id""".stripMargin
+
   /** The hot-key-safe chunked as-of on the SAME inputs (and the same
     * DuckDB oracle) as `asof_join`: 1-hour time chunks, so one user's
     * history spans many (key, chunk) window partitions instead of one
@@ -455,6 +498,7 @@ object ExtraQueries {
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "asof_join_tol" -> (asofJoinTol _),
     "asof_join_fwd" -> (asofJoinFwd _),
+    "asof_join_nearest" -> (asofJoinNearest _),
     "asof_join_chunked" -> (asofJoinChunked _),
     "interval_overlap" -> (intervalOverlap _),
     "asof_join" -> (asofJoin _),
@@ -474,6 +518,7 @@ object ExtraQueries {
   def oracles: Map[String, String] = Map(
     "asof_join_tol" -> asofJoinTolOracle,
     "asof_join_fwd" -> asofJoinFwdOracle,
+    "asof_join_nearest" -> asofJoinNearestOracle,
     "asof_join_chunked" -> asofJoinOracle,
     "interval_overlap" -> intervalOverlapOracle,
     "asof_join" -> asofJoinOracle,

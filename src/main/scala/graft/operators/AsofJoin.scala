@@ -192,4 +192,37 @@ object AsofJoin {
         right.withColumn(ts, -col(ts)), key, ts, tolerance)
       .withColumn(ts, -col(ts))
   }
+
+  /** NEAREST as-of: each left row takes whichever right row is
+    * temporally closer — the latest at-or-before or the earliest
+    * at-or-after (ties → the past match, the convention pandas
+    * merge_asof(direction='nearest') uses). Composed from one backward
+    * and one forward pass joined back on `idCol` (a unique left row id —
+    * required because as-of output rows are only positionally 1:1 with
+    * left rows); payloads switch per row via the distance comparison,
+    * plus `matched_ts`/`direction` diagnostics. Numeric ts only (the
+    * distance arithmetic), same scale properties as the two passes it
+    * composes.
+    */
+  def asofNearest(left: DataFrame, right: DataFrame,
+      key: String, ts: String, idCol: String): DataFrame = {
+    require(left.schema(ts).dataType.isInstanceOf[NumericType],
+      "asofNearest requires a numeric ts column (e.g. unix_micros)")
+    val r2 = right.withColumn("_rts", col(ts))
+    val payload = r2.columns.filterNot(c => c == key || c == ts).toSeq
+    val b = asofBackward(left, r2, key, ts)
+      .select(left.columns.map(col).toSeq ++
+        payload.map(c => col(c).as(s"${c}_b")): _*)
+    val f = asofForward(left, r2, key, ts)
+      .select(col(idCol) +: payload.map(c => col(c).as(s"${c}_f")): _*)
+    val j = b.join(f, Seq(idCol))
+    val useB = col("_rts_b").isNotNull && (col("_rts_f").isNull ||
+      (col(ts) - col("_rts_b")) <= (col("_rts_f") - col(ts)))
+    val out = payload.filterNot(_ == "_rts").map(c =>
+      when(useB, col(s"${c}_b")).otherwise(col(s"${c}_f")).as(c))
+    j.select(left.columns.map(col).toSeq ++ out ++ Seq(
+      when(useB, col("_rts_b")).otherwise(col("_rts_f")).as("matched_ts"),
+      when(col("_rts_b").isNull && col("_rts_f").isNull, lit(null).cast("string"))
+        .when(useB, lit("past")).otherwise(lit("future")).as("direction")): _*)
+  }
 }

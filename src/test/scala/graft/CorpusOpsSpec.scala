@@ -396,6 +396,31 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(canon(10L) == 10L && canon(11L) == 11L)
   }
 
+  test("asofNearest: picks the closer side, ties go to the past match, single-sided rows work") {
+    val spark2 = spark
+    import spark2.implicits._
+    val left = Seq(
+      (1L, 100L, 10L), // views at 90 and 105 → future (dist 5 < 10)
+      (1L, 200L, 11L), // views at 195 and 205 → tie → past
+      (2L, 50L, 12L),  // only a future view (60)
+      (3L, 50L, 13L),  // only a past view (40)
+      (4L, 50L, 14L)   // no views at all
+    ).toDF("k", "ts", "pid")
+    val right = Seq(
+      (1L, 90L, 900L), (1L, 105L, 905L),
+      (1L, 195L, 995L), (1L, 205L, 996L),
+      (2L, 60L, 206L), (3L, 40L, 304L)
+    ).toDF("k", "ts", "vid")
+    val r = graft.operators.AsofJoin.asofNearest(left, right, "k", "ts", "pid")
+      .orderBy("pid").collect()
+    def row(i: Int) = (r(i).get(3), r(i).get(5)) // (vid, direction)
+    assert(row(0) == (905L, "future"))
+    assert(row(1) == (995L, "past")) // equidistant → past
+    assert(row(2) == (206L, "future"))
+    assert(row(3) == (304L, "past"))
+    assert(r(4).isNullAt(3) && r(4).isNullAt(4) && r(4).isNullAt(5))
+  }
+
   test("asofBackward: NULL payload field in the matched row stays NULL (atomic row carry)") {
     val spark2 = spark
     import spark2.implicits._
