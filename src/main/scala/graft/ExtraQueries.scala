@@ -15,6 +15,88 @@ import graft.streaming.Streams
   */
 object ExtraQueries {
 
+  /** End-to-end TRAINING-DATA pipeline (the data-side flagship, mirroring
+    * the EM-side `pipeline_e2e`): exact dedup (min-id canonical) → token
+    * entropy quality gate (entropy_norm ≥ 0.6) → exact n-gram
+    * decontamination vs the eval probe set (bp < 2500 survives, probe
+    * docs drop themselves at bp = 10000) → GPT-style stream layout over
+    * the survivors (distributed prefix sum, 2048-token contexts). Each
+    * stage is an already-oracled operator; this composes them into one
+    * plan and the oracle replays all four in SQL — what a user's actual
+    * data pipeline looks like.
+    */
+  def pipelineDataE2e(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextOps
+    val docs = documents(s, dir)
+    val canon = graft.dedup.Dedup.exact(docs, "doc_id", "text")
+      .filter(col("doc_id") === col("dup_group")).select("doc_id")
+    val ok = TextOps.tokenEntropy(docs, "doc_id", "text")
+      .filter(!col("flag_low")).select("doc_id", "n_tokens")
+    val clean = TextOps.contamination(docs,
+        docs.filter(col("doc_id") % 100 === 0), "doc_id", "text", 3)
+      .filter(col("contaminated_bp") < 2500).select("doc_id")
+    val surv = canon.join(ok, "doc_id").join(clean, "doc_id")
+    TextOps.packSequences(surv, "doc_id", col("n_tokens"), 2048)
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("stream_offset"), col("seq_id"), col("seq_offset"))
+      .orderBy("doc_id")
+  }
+
+  val pipelineDataE2eOracle: String = {
+    import graft.functions.DetMath
+    s"""WITH dg AS (SELECT doc_id,
+       |         sha256(array_to_string(list_sort(list_distinct(
+       |           string_split(lower(text), ' '))), ' ')) AS g
+       |       FROM documents),
+       |canon AS (SELECT doc_id FROM
+       |    (SELECT doc_id, min(doc_id) OVER (PARTITION BY g) AS m FROM dg)
+       |  WHERE doc_id = m),
+       |toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+       |         FROM documents),
+       |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       |       FROM toks GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+       |${DetMath.sqlLnCtes("lnc", "tf", "doc_id, tf", "CAST(tf AS DOUBLE)")},
+       |es AS (SELECT doc_id,
+       |        CAST(sum(CAST(floor((CAST(tf AS DOUBLE) * lnv)
+       |          * CAST(1000000000 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS s
+       |      FROM lnc GROUP BY 1),
+       |${DetMath.sqlLnCtes("lnd", "dl", "doc_id, dl", "CAST(dl AS DOUBLE)")},
+       |ent AS (SELECT dl.doc_id, dl.dl,
+       |          (lnd.lnv - ((CAST(es.s AS DOUBLE) / CAST(1000000000 AS DOUBLE))
+       |            / CAST(dl.dl AS DOUBLE))) AS entropy, lnd.lnv AS lndl
+       |        FROM dl JOIN es ON es.doc_id = dl.doc_id
+       |        JOIN lnd ON lnd.doc_id = dl.doc_id),
+       |okq AS (SELECT doc_id, dl FROM ent
+       |        WHERE NOT ((CASE WHEN dl > 1 THEN (entropy / lndl)
+       |                    ELSE CAST(0 AS DOUBLE) END) < CAST(0.6 AS DOUBLE))),
+       |t3 AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+       |g3 AS (SELECT doc_id, unnest(
+       |         [array_to_string(w[i:i+2], ' ')
+       |          for i in range(1, greatest(len(w) - 2, 1) + 1)]) AS gram FROM t3),
+       |probe AS (SELECT DISTINCT gram FROM g3 WHERE doc_id % 100 = 0),
+       |tot3 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams
+       |         FROM g3 GROUP BY doc_id),
+       |hit3 AS (SELECT g3.doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
+       |         FROM g3 JOIN probe USING (gram) GROUP BY g3.doc_id),
+       |clean AS (SELECT tot3.doc_id FROM tot3
+       |          LEFT JOIN hit3 ON hit3.doc_id = tot3.doc_id
+       |          WHERE coalesce(hit3.n_contaminated, 0) * 10000 // tot3.n_ngrams
+       |                < 2500),
+       |surv AS (SELECT okq.doc_id, okq.dl AS n_tokens
+       |         FROM canon JOIN okq ON okq.doc_id = canon.doc_id
+       |         JOIN clean ON clean.doc_id = canon.doc_id),
+       |p AS (SELECT doc_id, n_tokens,
+       |        CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS st
+       |      FROM surv)
+       |SELECT p.doc_id, d.source, p.n_tokens, p.st AS stream_offset,
+       |       p.st // 2048 AS seq_id, p.st % 2048 AS seq_offset
+       |FROM p JOIN documents d ON d.doc_id = p.doc_id
+       |ORDER BY p.doc_id""".stripMargin
+  }
+
   /** MLBasedMatcher: LR on 4 comparator features over standard-blocked
     * candidates, labels from the scenario gold; scores every candidate.
     */
@@ -503,6 +585,7 @@ object ExtraQueries {
     "interval_overlap" -> (intervalOverlap _),
     "asof_join" -> (asofJoin _),
     "pipeline_e2e" -> (pipelineE2e _),
+    "pipeline_data_e2e" -> (pipelineDataE2e _),
     "match_ml" -> (matchMl _),
     "match_text_format" -> (matchTextFormat _),
     "mm_binary_meta" -> (mmBinaryMeta _),
@@ -523,6 +606,7 @@ object ExtraQueries {
     "interval_overlap" -> intervalOverlapOracle,
     "asof_join" -> asofJoinOracle,
     "pipeline_e2e" -> pipelineE2eOracle,
+    "pipeline_data_e2e" -> pipelineDataE2eOracle,
     "match_text_format" -> matchTextFormatOracle,
     "mm_binary_meta" -> mmBinaryMetaOracle,
     "mm_frame_sample" -> mmFrameSampleOracle,
