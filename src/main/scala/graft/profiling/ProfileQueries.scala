@@ -119,6 +119,47 @@ object ProfileQueries {
       |       min(c.balc) AS bin_min, max(c.balc) AS bin_max
       |FROM c, s GROUP BY 1 ORDER BY bin""".stripMargin
 
+  /** Pearson correlation matrix over lineitem qty/price/disc/tax cents
+    * (Profiler.correlation — exact decimal(38) sums, IEEE-circuit
+    * ratios; price×price per-row products peak ~1.1e14, well inside
+    * long).
+    */
+  def profileCorrelation(s: SparkSession, dir: String): DataFrame = {
+    val l = lineitem(s, dir).select(
+      cents(col("l_quantity")).as("qty_c"),
+      cents(col("l_extendedprice")).as("price_c"),
+      cents(col("l_discount")).as("disc_c"),
+      cents(col("l_tax")).as("tax_c"))
+    Profiler.correlation(l, Seq("qty_c", "price_c", "disc_c", "tax_c"))
+      .orderBy("col_x", "col_y")
+  }
+
+  val profileCorrelationOracle: String = {
+    val cols = Seq("qty_c", "price_c", "disc_c", "tax_c")
+    val pairs = for { i <- cols.indices; j <- cols.indices if i < j }
+      yield (cols(i), cols(j))
+    val sums = cols.flatMap(c => Seq(
+      s"CAST(sum($c) AS DOUBLE) AS s_$c",
+      s"CAST(sum($c*$c) AS DOUBLE) AS s2_$c")) ++
+      pairs.map { case (a, b) => s"CAST(sum($a*$b) AS DOUBLE) AS x_${a}_$b" }
+    val parts = pairs.map { case (a, b) =>
+      val den = s"(sqrt(nd * s2_$a - s_$a * s_$a) * sqrt(nd * s2_$b - s_$b * s_$b))"
+      s"""SELECT '$a' AS col_x, '$b' AS col_y, n,
+         |  CASE WHEN $den = 0 THEN NULL
+         |       ELSE (nd * x_${a}_$b - s_$a * s_$b) / $den END AS corr
+         |FROM a""".stripMargin
+    }
+    s"""WITH t AS (SELECT CAST(round(l_quantity*100) AS BIGINT) AS qty_c,
+       |             CAST(round(l_extendedprice*100) AS BIGINT) AS price_c,
+       |             CAST(round(l_discount*100) AS BIGINT) AS disc_c,
+       |             CAST(round(l_tax*100) AS BIGINT) AS tax_c FROM lineitem),
+       |a AS (SELECT count(*) AS n, CAST(count(*) AS DOUBLE) AS nd,
+       |        ${sums.mkString(",\n        ")}
+       |      FROM t)
+       |${parts.mkString("\nUNION ALL\n")}
+       |ORDER BY col_x, col_y""".stripMargin
+  }
+
   /** DataProfiler.summary over customer with one column nullified for
     * negative balances — so the null counters are exercised (TPC-H data
     * carries no nulls of its own).
@@ -157,7 +198,8 @@ object ProfileQueries {
     "profile_compare" -> (profileCompare _),
     "profile_numeric" -> (profileNumeric _),
     "profile_summary" -> (profileSummary _),
-    "profile_histogram" -> (profileHistogram _)
+    "profile_histogram" -> (profileHistogram _),
+    "profile_correlation" -> (profileCorrelation _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -166,6 +208,7 @@ object ProfileQueries {
     "profile_topk" -> profileTopkOracle,
     "profile_numeric" -> profileNumericOracle,
     "profile_summary" -> profileSummaryOracle,
-    "profile_histogram" -> profileHistogramOracle
+    "profile_histogram" -> profileHistogramOracle,
+    "profile_correlation" -> profileCorrelationOracle
   )
 }

@@ -107,6 +107,57 @@ object Profiler {
     }.reduce(_.unionByName(_))
   }
 
+  /** Pearson correlation matrix over INTEGRAL columns (scale decimals
+    * to cents first — same exactness contract as [[profileNumeric]]):
+    * ONE aggregation pass computes every Σx, Σx², Σx·y. Per-row cross
+    * products stay in long (caller bound: |x·y| ≤ Long.MaxValue); the
+    * SUMS accumulate as decimal(38,0) — exact at any row count, the
+    * JVM analogue of DuckDB's HUGEINT sum — and convert to double
+    * exactly once at the end, so
+    *   corr = (n·Sxy − Sx·Sy) / (√(n·Sxx − Sx²) · √(n·Syy − Sy²))
+    * is a fixed IEEE circuit on identical inputs in every engine
+    * (÷ and √ are correctly rounded by IEEE 754). Constant columns
+    * (zero denominator) yield NULL, not NaN. One row per unordered
+    * pair i<j; output size is column-bounded, never data-bounded.
+    */
+  def correlation(df: DataFrame, cols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types._
+    cols.foreach { c =>
+      require(Set[DataType](LongType, IntegerType, ShortType, ByteType)
+          .contains(df.schema(c).dataType),
+        s"correlation needs integral columns (scale decimals first): $c")
+    }
+    val dec = DecimalType(38, 0)
+    def l(c: String) = col(c).cast("long")
+    val singles = cols.flatMap { c =>
+      Seq(
+        sum(l(c).cast(dec)).as(s"__s_$c"),
+        sum((l(c) * l(c)).cast(dec)).as(s"__s2_$c"))
+    }
+    val pairs = for { i <- cols.indices; j <- cols.indices if i < j }
+      yield (cols(i), cols(j))
+    val crosses = pairs.map { case (a, b) =>
+      sum((l(a) * l(b)).cast(dec)).as(s"__x_${a}_$b")
+    }
+    val metrics = count(lit(1)).as("__n") +: (singles ++ crosses)
+    val agg = df.agg(metrics.head, metrics.tail: _*)
+    pairs.map { case (a, b) =>
+      val n = col("__n").cast("double")
+      val sa = col(s"__s_$a").cast("double")
+      val sb = col(s"__s_$b").cast("double")
+      val saa = col(s"__s2_$a").cast("double")
+      val sbb = col(s"__s2_$b").cast("double")
+      val sab = col(s"__x_${a}_$b").cast("double")
+      val den = sqrt(n * saa - sa * sa) * sqrt(n * sbb - sb * sb)
+      agg.select(
+        lit(a).as("col_x"),
+        lit(b).as("col_y"),
+        col("__n").cast("long").as("n"),
+        when(den === 0.0, lit(null).cast("double"))
+          .otherwise((n * sab - sa * sb) / den).as("corr"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Equi-width histogram over an integer-valued column (scale decimals
     * to cents first — exactness contract as [[profileNumeric]]):
     * bin = ((x − lo)·bins) div (hi − lo + 1) ∈ [0, bins) by construction

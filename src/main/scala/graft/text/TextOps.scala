@@ -741,6 +741,64 @@ object TextOps {
         * col("t").cast("double")).as("target_tokens"))
   }
 
+  /** Per-document top-k keywords by tf·idf — the corpus-analysis face
+    * of the postings family (keyword extraction / topic tagging).
+    * idf = detLn((N+1)/(df+1)) (smoothed; the ratio is one IEEE
+    * long÷long division ≥ 1, the log is the bit-deterministic circuit),
+    * score = tf·idf floor-scaled to a 1e-9-granular long so the per-doc
+    * rank is stable across engines. 100 TB: df and idf live on
+    * vocab-bounded frames, N is a 1-row broadcast, and the per-doc
+    * window is bounded by each doc's distinct-term count.
+    */
+  def tfidfKeywords(docs: DataFrame, id: String, text: String,
+                    k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.DetMath.detLn
+    val (tf, _) = postings(docs, id, text)
+    val dfr = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nd = docs.agg(count(lit(1)).as("n_docs"))
+    val idf = dfr.crossJoin(broadcast(nd))
+      .select(col("term"),
+        detLn((col("n_docs").cast("double") + lit(1.0))
+          / (col("df").cast("double") + lit(1.0))).as("idf"))
+    val scored = tf.join(idf, "term")
+      .select(col("doc_id"), col("term"), col("tf"),
+        floor((col("tf").cast("double") * col("idf")) * lit(1.0e9))
+          .as("score_scaled"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score_scaled").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"),
+        (col("score_scaled").cast("double") / lit(1.0e9)).as("score"))
+  }
+
+  /** Per-domain quota capping (the RefinedWeb/C4 "no domain dominates
+    * the mix" rule): keep at most k docs per group, chosen uniformly by
+    * an md5(id) priority (deterministic across engines and runs), with
+    * the within-group rank exposed. Two-level tournament à la
+    * Profiler.topK: a salted local top-k first prunes every group to
+    * ≤ 64·k survivors (a global top-k row is top-k within its salt
+    * bucket, so no false dismissals), then the per-group window ranks
+    * only those survivors — a pathologically hot domain never funnels
+    * its full row set through one task.
+    */
+  def domainCap(docs: DataFrame, id: String, group: String,
+                k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col(id), col(group),
+      md5(col(id).cast("string")).as("_pri"))
+    val wLocal = Window
+      .partitionBy(col(group), pmod(xxhash64(col(id).cast("string")), lit(64)))
+      .orderBy(col("_pri"), col(id))
+    val pruned = base.withColumn("_lr", row_number().over(wLocal))
+      .filter(col("_lr") <= k).drop("_lr")
+    val w = Window.partitionBy(col(group)).orderBy(col("_pri"), col(id))
+    pruned.withColumn("rank_in_group", row_number().over(w).cast("long"))
+      .where(col("rank_in_group") <= k)
+      .drop("_pri")
+  }
+
   /** Winnowing fingerprints (#63, Schleimer et al.): char 5-gram rolling
     * hashes (md5-prefix), per-window (w=4) minima, distinct + sorted →
     * count and digest per document.

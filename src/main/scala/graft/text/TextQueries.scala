@@ -684,7 +684,57 @@ object TextQueries {
        |FROM sl""".stripMargin
   }
 
+  /** Per-document top-5 tf·idf keywords (TextOps.tfidfKeywords). */
+  def textTfidfKeywords(s: SparkSession, dir: String): DataFrame =
+    TextOps.tfidfKeywords(graft.Tables.documents(s, dir), "doc_id", "text", 5)
+      .orderBy("doc_id", "rank")
+
+  val textTfidfKeywordsOracle: String = {
+    import graft.functions.DetMath
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+       |             FROM documents),
+       |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       |       FROM toks GROUP BY 1, 2),
+       |dfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+       |r AS (SELECT term,
+       |        ((CAST(n_docs AS DOUBLE) + CAST(1 AS DOUBLE))
+       |         / (CAST(df AS DOUBLE) + CAST(1 AS DOUBLE))) AS ratio
+       |      FROM dfr, nd),
+       |${DetMath.sqlLnCtes("lnr", "r", "term", "ratio")},
+       |sc AS (SELECT tf.doc_id, tf.term, tf.tf,
+       |         CAST(floor((CAST(tf.tf AS DOUBLE) * lnr.lnv)
+       |           * CAST(1000000000 AS DOUBLE)) AS BIGINT) AS score_scaled
+       |       FROM tf JOIN lnr ON lnr.term = tf.term),
+       |rk AS (SELECT doc_id, term, tf, score_scaled,
+       |         CAST(row_number() OVER (PARTITION BY doc_id
+       |           ORDER BY score_scaled DESC, term) AS BIGINT) AS rank
+       |       FROM sc)
+       |SELECT doc_id, rank, term, tf,
+       |  (CAST(score_scaled AS DOUBLE) / CAST(1000000000 AS DOUBLE)) AS score
+       |FROM rk WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin
+  }
+
+  /** Domain capping: at most 8 docs per source, md5-uniform choice
+    * (TextOps.domainCap).
+    */
+  def textDomainCap(s: SparkSession, dir: String): DataFrame =
+    TextOps.domainCap(graft.Tables.documents(s, dir), "doc_id", "source", 8)
+      .orderBy("source", "rank_in_group")
+
+  val textDomainCapOracle: String =
+    """WITH b AS (SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS pri
+      |           FROM documents),
+      |rk AS (SELECT doc_id, source,
+      |         CAST(row_number() OVER (PARTITION BY source
+      |           ORDER BY pri, doc_id) AS BIGINT) AS rank_in_group
+      |       FROM b)
+      |SELECT doc_id, source, rank_in_group FROM rk
+      |WHERE rank_in_group <= 8 ORDER BY source, rank_in_group""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tfidf_keywords" -> (textTfidfKeywords _),
+    "text_domain_cap" -> (textDomainCap _),
     "text_bm25" -> (textBm25 _),
     "text_mixture_temperature" -> (textMixtureTemperature _),
     "text_zipf" -> (textZipf _),
@@ -711,6 +761,8 @@ object TextQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "text_tfidf_keywords" -> textTfidfKeywordsOracle,
+    "text_domain_cap" -> textDomainCapOracle,
     "text_bm25" -> textBm25Oracle,
     "text_entropy" -> textEntropyOracle,
     "text_unigram_xent" -> textUnigramXentOracle,

@@ -569,4 +569,66 @@ class CorpusOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     assert(got == Set((1L, 10L), (2L, 10L), (4L, 20L)))
   }
+
+  test("tfidfKeywords: corpus-wide terms score 0, rare terms rank first, k respected") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq(
+      (1L, "the cat sat"),
+      (2L, "the dog ran"),
+      (3L, "the cat and the dog")).toDF("doc_id", "text")
+    val kw = TextOps.tfidfKeywords(docs, "doc_id", "text", 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getString(2), r.getDouble(4)))
+      .toMap
+    // "the" is in every doc → idf = ln(4/4) = 0 → never a top keyword
+    assert(!kw.values.exists(_._1 == "the"))
+    // doc 1: "cat"/"sat" beat nothing else; "sat" is unique (df=1) so
+    // idf ln(4/2) > "cat" (df=2, ln(4/3)) → sat ranks 1
+    assert(kw((1L, 1L))._1 == "sat" && kw((1L, 2L))._1 == "cat")
+    assert(kw.keys.forall(_._2 <= 2L)) // k=2 respected
+    assert(kw.values.forall(_._2 >= 0.0))
+  }
+
+  test("domainCap: k per group, md5-deterministic choice, stable under repartition") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = (1L to 50L).map(i => (i, if (i <= 40) "big" else "small"))
+      .toDF("doc_id", "source")
+    val a = TextOps.domainCap(docs, "doc_id", "source", 3).collect()
+      .map(r => (r.getString(1), r.getLong(2)) -> r.getLong(0)).toMap
+    assert(a.count(_._1._1 == "big") == 3)    // hot domain capped
+    assert(a.count(_._1._1 == "small") == 3)  // cold domain capped too
+    assert(a.keys.forall(_._2 <= 3L))
+    // deterministic: same winners after a physical reshuffle
+    val b = TextOps.domainCap(docs.repartition(16), "doc_id", "source", 3)
+      .collect().map(r => (r.getString(1), r.getLong(2)) -> r.getLong(0)).toMap
+    assert(a == b)
+    // survivors match a direct (unpruned) md5-order top-k
+    val direct = docs.withColumn("_p", md5(col("doc_id").cast("string")))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("source")
+          .orderBy(col("_p"), col("doc_id"))))
+      .filter(col("rk") <= 3)
+      .collect().map(r => (r.getString(1), r.getInt(3).toLong) -> r.getLong(0)).toMap
+    assert(a == direct)
+  }
+
+  test("Profiler.correlation: exact ±1 on linear columns, NULL on constant, symmetric pairs") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = (1L to 100L).map(i => (i, 3 * i + 7, -2 * i, 5L)).toDF("x", "y", "z", "c")
+    val m = graft.profiling.Profiler.correlation(df, Seq("x", "y", "z", "c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(m.size == 6) // C(4,2) unordered pairs, i<j order only
+    // sqrt(a)*sqrt(b) is 2 roundings, not sqrt(ab) — perfect corr lands
+    // within one ulp of ±1, identically so in any IEEE-754 engine
+    assert(math.abs(m(("x", "y")).get - 1.0) < 1e-12)
+    assert(math.abs(m(("x", "z")).get + 1.0) < 1e-12)
+    assert(m(("x", "c")) == None && m(("y", "c")) == None) // constant col
+    intercept[IllegalArgumentException] {
+      graft.profiling.Profiler.correlation(
+        df.withColumn("d", col("x").cast("double")), Seq("d"))
+    }
+  }
 }
