@@ -23,7 +23,8 @@ object SparkEntry {
       graft.dedup.DedupQueries.all ++ graft.ann.AnnQueries.all ++
       graft.text.TextQueries.all ++ graft.io.IoQueries.all ++
       graft.profiling.ProfileQueries.all ++ graft.schema.SchemaQueries.all ++
-      ExtraQueries.all ++ graft.extraction.ExtractQueries.all
+      ExtraQueries.all ++ graft.extraction.ExtractQueries.all ++
+      graft.graph.GraphQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -34,7 +35,8 @@ object SparkEntry {
       graft.dedup.DedupQueries.oracles ++ graft.ann.AnnQueries.oracles ++
       graft.text.TextQueries.oracles ++ graft.io.IoQueries.oracles ++
       graft.profiling.ProfileQueries.oracles ++ graft.schema.SchemaQueries.oracles ++
-      ExtraQueries.oracles ++ graft.extraction.ExtractQueries.oracles
+      ExtraQueries.oracles ++ graft.extraction.ExtractQueries.oracles ++
+      graft.graph.GraphQueries.oracles
 }
 
 /** TPC-H-style analytic queries proving the relational core:

@@ -1,0 +1,166 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed graph analytics over edge frames — the web/link-graph
+  * layer of a training-data pipeline (host ranking à la Common Crawl,
+  * near-dup-graph centrality, community sanity checks).
+  *
+  * Design for 100 TB: the EXPENSIVE step is always deriving the edge
+  * frame from fact data (big shuffles, done once, declaratively); the
+  * iterative step then runs on the aggregated graph, which is orders
+  * of magnitude smaller (nodes²-bounded, not fact-bounded). Both
+  * stages stay DataFrames — no driver-side adjacency structures.
+  *
+  * Everything is EXACT integer arithmetic so results are
+  * bit-identical across engines and shuffle orders: transition
+  * probabilities are pre-quantized to 1e-6 granularity, rank mass
+  * lives on a 1e12 integer scale, and every division is a
+  * non-negative floor division (Spark `div` ≡ DuckDB `//` on
+  * non-negatives — they differ on negatives, so signs are a
+  * documented precondition).
+  */
+object PageRank {
+
+  /** Quantized-transition PageRank, `iters` synchronous sweeps.
+    *
+    * `edges`: (src, dst, w) with w > 0 (long); `nodes`: one column `v`
+    * covering every vertex (isolated vertices allowed — they keep the
+    * teleport mass). Returns (v, rank_scaled, rank) where rank_scaled
+    * is the exact integer state (Σ ≤ scale) and rank = rank_scaled /
+    * scale as one IEEE division.
+    *
+    *   s[u,v]   = (w[u,v] · damp%·pscale) div Σw[u,·]   (edge share,
+    *              damping folded in, quantized to 1/pscale)
+    *   r₀[v]    = scale div N
+    *   r_{t+1}[v] = (teleport%·scale) div N
+    *              + Σ_u (r_t[u] · s[u,v]) div pscale
+    *
+    * Overflow bounds (documented contract, asserted nowhere hot):
+    * w·damp%·pscale ≤ Long.Max needs w ≲ 1.1e11 (edge weight =
+    * lineitem-count scale is fine even at 100 TB); r·s ≤
+    * scale·damp%·pscale ≈ 8.5e17 < Long.Max always. Mass floored away
+    * by quantization (and through dangling nodes) simply leaks —
+    * ranks are a lower bound that every engine agrees on bit-for-bit.
+    *
+    * The loop is a fixed unroll of tiny join+agg stages over the
+    * PERSISTED aggregated graph — without the persist, every
+    * iteration would re-derive the edge frame from the fact tables
+    * (lineage re-execution), turning 10 sweeps into 10 fact scans.
+    */
+  def run(nodes: DataFrame, edges: DataFrame, iters: Int = 10,
+          dampPct: Long = 85, scale: Long = 1000000000000L,
+          pscale: Long = 1000000L): DataFrame = {
+    require(iters >= 1 && dampPct >= 0 && dampPct <= 100)
+    val sNum = dampPct * pscale / 100 // exact: pscale is a multiple of 100
+    val wsum = edges.groupBy("src").agg(sum("w").as("wt"))
+    val e = edges.join(wsum, "src")
+      .select(col("src"), col("dst"),
+        expr(s"(w * ${sNum}L) div wt").as("s"))
+      .persist()
+    val nn = nodes.agg(count(lit(1)).as("nn"))
+    val bases = nodes.crossJoin(broadcast(nn))
+      .select(col("v"),
+        expr(s"(${scale / 100 * (100 - dampPct)}L div nn)").as("base"),
+        expr(s"(${scale}L div nn)").as("r0"))
+      .persist()
+    var ranks = bases.select(col("v"), col("r0").as("r"))
+    for (_ <- 1 to iters) {
+      val contribs = e.join(ranks, e("src") === ranks("v"))
+        .groupBy("dst").agg(sum(expr("(r * s) div " + pscale)).as("c"))
+      ranks = bases.join(contribs, bases("v") === contribs("dst"), "left")
+        .select(bases("v"),
+          (col("base") + coalesce(col("c"), lit(0L))).as("r"))
+    }
+    ranks.select(col("v"), col("r").as("rank_scaled"),
+      (col("r").cast("double") / lit(scale.toDouble)).as("rank"))
+  }
+
+  /** The identical computation as DuckDB SQL text: the caller supplies
+    * CTEs `nodes(v)` and `edges(src, dst, w)`; this emits the chained
+    * unrolled-iteration CTEs and a final select (v, rank_scaled,
+    * rank). `//` is DuckDB floor division ≡ Spark `div` on the
+    * non-negative domain used here.
+    */
+  def oracleSql(iters: Int = 10, dampPct: Long = 85,
+                scale: Long = 1000000000000L,
+                pscale: Long = 1000000L): String = {
+    val sNum = dampPct * pscale / 100
+    val base = scale / 100 * (100 - dampPct)
+    val steps = (1 to iters).map { t =>
+      s"""r$t AS (SELECT b.v, (b.base + coalesce(c.c, 0)) AS r
+         |  FROM b LEFT JOIN (
+         |    SELECT e.dst AS v, CAST(sum((p.r * e.s) // $pscale) AS BIGINT) AS c
+         |    FROM e JOIN r${t - 1} p ON p.v = e.src GROUP BY 1) c
+         |  ON c.v = b.v)""".stripMargin
+    }
+    s"""wsum AS (SELECT src, CAST(sum(w) AS BIGINT) AS wt FROM edges GROUP BY 1),
+       |e AS (SELECT src, dst, (CAST(w AS BIGINT) * $sNum) // wt AS s
+       |      FROM edges JOIN wsum USING (src)),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM nodes),
+       |b AS (SELECT v, ($base // nn) AS base, ($scale // nn) AS r0
+       |      FROM nodes, nn),
+       |r0 AS (SELECT v, r0 AS r FROM b),
+       |${steps.mkString(",\n")}
+       |""".stripMargin
+  }
+}
+
+/** Exact triangle counting by node-ordering (the "compact-forward" /
+  * MapReduce standard): orient every undirected edge low→high, join
+  * wedges (a<b, a<c) with the closing edge (b<c). Each triangle is
+  * counted exactly once, the quadratic wedge blowup is bounded by the
+  * ordered out-degree (≤ √(2m) for any graph after orientation — the
+  * classical arboricity bound), and everything is two shuffles on
+  * node keys. No driver state.
+  */
+object Triangles {
+
+  /** `edges`: undirected (id1, id2) pairs, any orientation, possibly
+    * with duplicates/self-loops (both are dropped). Returns one row
+    * per vertex: (v, triangles) — vertex-local triangle counts (each
+    * triangle increments all three corners), plus the degree, i.e.
+    * the inputs of a local clustering coefficient. Isolated vertices
+    * of `nodes` appear with zeros.
+    */
+  def vertexTriangles(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val und = edges.select(col("id1").as("u"), col("id2").as("v"))
+      .where(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("a"),
+        greatest(col("u"), col("v")).as("b"))
+      .distinct()
+      .persist()
+    // wedges at apex a: (a,b),(a,c) with b<c; close with (b,c)
+    val w = und.as("x").join(und.as("y"), col("x.a") === col("y.a"))
+      .where(col("x.b") < col("y.b"))
+      .select(col("x.a").as("ta"), col("x.b").as("tb"), col("y.b").as("tc"))
+    val tris = w.join(und.as("z"),
+      col("tb") === col("z.a") && col("tc") === col("z.b"))
+      .select("ta", "tb", "tc")
+    val perVertex = tris.select(explode(array(col("ta"), col("tb"), col("tc"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("t"))
+    val deg = und.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    nodes.join(deg, Seq("v"), "left").join(perVertex, Seq("v"), "left")
+      .select(col("v"), coalesce(col("d"), lit(0L)).as("degree"),
+        coalesce(col("t"), lit(0L)).as("triangles"))
+  }
+
+  /** DuckDB replica over caller CTEs `nodes(v)` / `edges(id1, id2)`:
+    * emits CTEs ending in `tri(v, degree, triangles)`.
+    */
+  val oracleSql: String =
+    """und AS (SELECT DISTINCT least(id1, id2) AS a, greatest(id1, id2) AS b
+      |        FROM edges WHERE id1 <> id2),
+      |tr AS (SELECT x.a AS ta, x.b AS tb, y.b AS tc
+      |       FROM und x JOIN und y ON y.a = x.a AND x.b < y.b
+      |       JOIN und z ON z.a = x.b AND z.b = y.b),
+      |pv AS (SELECT v, CAST(count(*) AS BIGINT) AS t
+      |       FROM (SELECT unnest([ta, tb, tc]) AS v FROM tr) GROUP BY 1),
+      |dg AS (SELECT v, CAST(count(*) AS BIGINT) AS d
+      |       FROM (SELECT unnest([a, b]) AS v FROM und) GROUP BY 1),
+      |tri AS (SELECT nodes.v, coalesce(dg.d, 0) AS degree,
+      |          coalesce(pv.t, 0) AS triangles
+      |        FROM nodes LEFT JOIN dg USING (v) LEFT JOIN pv USING (v))""".stripMargin
+}
