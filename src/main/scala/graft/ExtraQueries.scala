@@ -577,7 +577,52 @@ object ExtraQueries {
       |FROM iv JOIN w ON iv.lo <= w.hi AND w.lo <= iv.hi
       |ORDER BY n_nationkey, c_custkey""".stripMargin
 
+  /** Ordered conversion funnel signup → view → purchase: each stage's
+    * timestamp is the user's earliest event of that type AT OR AFTER
+    * the previous stage (a view before signup does not convert).
+    * Three stage-wise conditional min-aggregations chained by
+    * user_id equi-joins — every shuffle is on the same key, so the
+    * exchange is reused across stages; per-user output frame.
+    * Timestamps compare as epoch-µs longs (events.ts is ns parquet —
+    * raw timestamp equality across engines is a known trap).
+    */
+  def eventsFunnel(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tsu"))
+    val s1 = e.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("tsu").as("signup_us"))
+    val s2 = e.filter(col("event_type") === "view")
+      .join(s1, "user_id").where(col("tsu") >= col("signup_us"))
+      .groupBy("user_id").agg(min("tsu").as("view_us"))
+    val s3 = e.filter(col("event_type") === "purchase")
+      .join(s2, "user_id").where(col("tsu") >= col("view_us"))
+      .groupBy("user_id").agg(min("tsu").as("purchase_us"))
+    s1.join(s2, Seq("user_id"), "left").join(s3, Seq("user_id"), "left")
+      .select(col("user_id"), col("signup_us"), col("view_us"), col("purchase_us"),
+        when(col("purchase_us").isNotNull, 3L)
+          .when(col("view_us").isNotNull, 2L).otherwise(1L).as("stage"))
+      .orderBy("user_id")
+  }
+
+  val eventsFunnelOracle: String =
+    """WITH s1 AS (SELECT user_id, CAST(min(epoch_us(ts)) AS BIGINT) AS signup_us
+      |            FROM events WHERE event_type = 'signup' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, CAST(min(epoch_us(e.ts)) AS BIGINT) AS view_us
+      |       FROM events e JOIN s1 USING (user_id)
+      |       WHERE e.event_type = 'view' AND epoch_us(e.ts) >= s1.signup_us
+      |       GROUP BY 1),
+      |s3 AS (SELECT e.user_id, CAST(min(epoch_us(e.ts)) AS BIGINT) AS purchase_us
+      |       FROM events e JOIN s2 USING (user_id)
+      |       WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s2.view_us
+      |       GROUP BY 1)
+      |SELECT s1.user_id, s1.signup_us, s2.view_us, s3.purchase_us,
+      |  CAST(CASE WHEN s3.purchase_us IS NOT NULL THEN 3
+      |            WHEN s2.view_us IS NOT NULL THEN 2 ELSE 1 END AS BIGINT) AS stage
+      |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+      |ORDER BY user_id""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_funnel" -> (eventsFunnel _),
     "asof_join_tol" -> (asofJoinTol _),
     "asof_join_fwd" -> (asofJoinFwd _),
     "asof_join_nearest" -> (asofJoinNearest _),
@@ -599,6 +644,7 @@ object ExtraQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "events_funnel" -> eventsFunnelOracle,
     "asof_join_tol" -> asofJoinTolOracle,
     "asof_join_fwd" -> asofJoinFwdOracle,
     "asof_join_nearest" -> asofJoinNearestOracle,

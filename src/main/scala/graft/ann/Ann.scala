@@ -255,6 +255,33 @@ object Ann {
       .select(col("train_id"), col("n_hits"), col("eval_id"), col("cosine"))
   }
 
+  /** Per-label exact centroids + pairwise centroid cosines — the
+    * "how separable are my classes / how redundant are my strata"
+    * screen over an embedding column. The fact-scale work is ONE
+    * groupBy(label) with dim exact 1e7-scaled integer sums
+    * (partition-invariant, same idiom as [[semanticDedup]]); the
+    * pairwise stage is an INTENTIONAL label-bounded small cross
+    * (≤ |labels|² rows — never data-bounded), one row per unordered
+    * pair. Cosines via the left-associated [[dot]] circuit, round 5.
+    */
+  def labelCentroidSim(df: DataFrame, label: String, vec: String,
+                       dim: Int): DataFrame = {
+    val v = df.select(col(label).as("lbl"),
+      col(vec).cast("array<double>").as("_v"))
+    val sums = count(lit(1)).as("_n") +: (0 until dim).map(k =>
+      sum(round(element_at(col("_v"), k + 1) * 1e7).cast("long")).as(s"_s$k"))
+    val cents = v.groupBy("lbl").agg(sums.head, sums.tail: _*)
+      .select(col("lbl"), array((0 until dim).map(k =>
+        col(s"_s$k").cast("double") / 1e7 / col("_n")): _*).as("_c"))
+      .persist()
+    val a = cents.select(col("lbl").as("label_x"), col("_c").as("_ca"))
+    val b = cents.select(col("lbl").as("label_y"), col("_c").as("_cb"))
+    a.join(b, col("label_x") < col("label_y"))
+      .select(col("label_x"), col("label_y"),
+        round(dot(col("_ca"), col("_cb"), dim)
+          / (norm(col("_ca"), dim) * norm(col("_cb"), dim)), 5).as("cosine"))
+  }
+
   def embeddingNearDup(corpus: DataFrame, id: String, vec: String, dim: Int,
       threshold: Double, planes: Int = 8): DataFrame = {
     val c = withNorm(corpus, id, vec, dim)

@@ -313,7 +313,31 @@ object AnnQueries {
        |FROM sc JOIN canon USING (cluster) ORDER BY vec_id""".stripMargin
   }
 
+  /** Label-centroid separability matrix over the embeddings table
+    * (Ann.labelCentroidSim): one exact-sum groupBy(label), then the
+    * label-bounded pair frame.
+    */
+  def annCentroidSim(s: SparkSession, dir: String): DataFrame =
+    Ann.labelCentroidSim(embeddings(s, dir), "label", "embedding", Dim)
+      .orderBy("label_x", "label_y")
+
+  val annCentroidSimOracle: String = {
+    val sums = (1 to Dim).map(k =>
+      s"CAST(sum(CAST(round(v[$k]*10000000) AS BIGINT)) AS BIGINT) AS s_$k").mkString(", ")
+    val cArr = (1 to Dim).map(k =>
+      s"CAST(s_$k AS DOUBLE)/10000000/n").mkString("[", ", ", "]")
+    s"""WITH ve AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cs AS (SELECT label, count(*) AS n, $sums FROM ve GROUP BY label),
+       |c AS (SELECT label, $cArr AS c FROM cs)
+       |SELECT a.label AS label_x, b.label AS label_y,
+       |  round((${dotSql("a.c", "b.c")}) / (${normSql("a.c")} * ${normSql("b.c")}), 5)
+       |    AS cosine
+       |FROM c a JOIN c b ON a.label < b.label
+       |ORDER BY label_x, label_y""".stripMargin
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_centroid_sim" -> (annCentroidSim _),
     "dedup_embedding" -> (dedupEmbedding _),
     "text_contamination_semantic" -> (textContaminationSemantic _),
     "dedup_semantic" -> (dedupSemantic _),
@@ -326,6 +350,7 @@ object AnnQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "ann_centroid_sim" -> annCentroidSimOracle,
     "dedup_embedding" -> dedupEmbeddingOracle,
     "text_contamination_semantic" -> textContaminationSemanticOracle,
     "dedup_semantic" -> dedupSemanticOracle,

@@ -203,7 +203,11 @@ object DedupQueries {
     * reachability CC + min-reachable canonical (same CTE shape as
     * ClusterQueries.ccOracle).
     */
-  val dedupClusterOracle: String = {
+  /** Shared CTE chain: LSH pairs → recursive reachability CC → min-id
+    * components (`comp(id, cluster)`) — the prefix of every oracle
+    * that consumes near-dup clusters.
+    */
+  private val clusterCtePrefix: String = {
     val hashes = (0 until 12)
       .map(i => s"  min(substr(md5('$i#' || shg), 1, 8)) AS h$i")
       .mkString(",\n")
@@ -236,13 +240,69 @@ object DedupQueries {
        |  SELECT id, id FROM nodes
        |  UNION
        |  SELECT s.v, reach.r FROM reach JOIN sym s ON s.u = reach.node),
-       |comp AS (SELECT node AS id, min(r) AS cluster FROM reach GROUP BY node)
+       |comp AS (SELECT node AS id, min(r) AS cluster FROM reach GROUP BY node)""".stripMargin
+  }
+
+  val dedupClusterOracle: String =
+    s"""$clusterCtePrefix
        |SELECT d.doc_id,
        |  coalesce(c.cluster, d.doc_id) AS canonical_id,
        |  coalesce(c.cluster, d.doc_id) = d.doc_id AS keep
        |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
        |ORDER BY doc_id""".stripMargin
+
+  /** D4-style cluster-balanced sampling (Tirumala et al. 2023): after
+    * near-dup clustering, keep ⌈√|c|⌉ docs per cluster, chosen
+    * md5-uniformly — dense duplicate clusters are downweighted
+    * sublinearly instead of collapsed to one exemplar, preserving
+    * intra-cluster diversity. sqrt/ceil of an exact long count are
+    * correctly-rounded IEEE ops — same value in every engine. The
+    * per-cluster window is bounded by the cluster size (near-dup
+    * clusters are small by construction; a pathological giant cluster
+    * would call for the domainCap salted tournament).
+    */
+  def dedupClusterSample(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = documents(s, dir)
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+      n = 3, bands = 4, rows = 3, threshold = 0.8)
+    val comp = graft.clustering.Clusterers.connectedComponents(
+      pairs.select("id1", "id2"))
+    val asg = docs.select("doc_id")
+      .join(comp, docs("doc_id") === comp("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster"), col("doc_id")).as("canonical_id"))
+    val sizes = asg.groupBy("canonical_id")
+      .agg(count(lit(1)).as("cluster_size"))
+      .withColumn("quota",
+        ceil(sqrt(col("cluster_size").cast("double"))).cast("long"))
+    val w = Window.partitionBy("canonical_id")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    asg.join(sizes, "canonical_id")
+      .withColumn("rank_in_cluster", row_number().over(w).cast("long"))
+      .where(col("rank_in_cluster") <= col("quota"))
+      .select(col("doc_id"), col("canonical_id"), col("cluster_size"),
+        col("quota"), col("rank_in_cluster"))
+      .orderBy("doc_id")
   }
+
+  val dedupClusterSampleOracle: String =
+    s"""$clusterCtePrefix,
+       |asg AS (SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS canonical_id
+       |        FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+       |sz AS (SELECT canonical_id, CAST(count(*) AS BIGINT) AS cluster_size,
+       |         CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS quota
+       |       FROM asg GROUP BY 1),
+       |rk AS (SELECT doc_id, canonical_id,
+       |         CAST(row_number() OVER (PARTITION BY canonical_id
+       |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+       |           AS rank_in_cluster
+       |       FROM asg)
+       |SELECT rk.doc_id, rk.canonical_id, sz.cluster_size, sz.quota,
+       |       rk.rank_in_cluster
+       |FROM rk JOIN sz USING (canonical_id)
+       |WHERE rank_in_cluster <= quota
+       |ORDER BY doc_id""".stripMargin
 
   /** dedup_cluster with the "keep the BEST copy" retention policy:
     * canonical = the component member with the highest quality score
@@ -333,7 +393,8 @@ object DedupQueries {
     "dedup_eval" -> (dedupEval _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _),
-    "dedup_cluster" -> (dedupCluster _)
+    "dedup_cluster" -> (dedupCluster _),
+    "dedup_cluster_sample" -> (dedupClusterSample _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -343,6 +404,7 @@ object DedupQueries {
     "dedup_eval" -> dedupEvalOracle,
     "dedup_minhash_lsh" -> dedupMinhashOracle,
     "dedup_simhash" -> dedupSimhashOracle,
-    "dedup_cluster" -> dedupClusterOracle
+    "dedup_cluster" -> dedupClusterOracle,
+    "dedup_cluster_sample" -> dedupClusterSampleOracle
   )
 }

@@ -160,6 +160,49 @@ object ProfileQueries {
        |ORDER BY col_x, col_y""".stripMargin
   }
 
+  /** Pairwise categorical dependence: MI(l_returnflag, l_linestatus)
+    * (strongly dependent — both follow shipdate) stacked with
+    * MI(c_mktsegment, c_nationkey) (independent by construction).
+    */
+  def profileMi(s: SparkSession, dir: String): DataFrame = {
+    val a = Profiler.mutualInformation(
+      lineitem(s, dir), "l_returnflag", "l_linestatus")
+    val b = Profiler.mutualInformation(
+      customer(s, dir), "c_mktsegment", "c_nationkey")
+    a.unionByName(b).orderBy("col_x")
+  }
+
+  private def miOracleFor(p: String, table: String,
+                          x: String, y: String): String = {
+    import graft.functions.DetMath
+    s"""${p}c AS (SELECT $x AS vx, $y AS vy, CAST(count(*) AS BIGINT) AS cxy
+       |       FROM $table GROUP BY 1, 2),
+       |${p}mx AS (SELECT vx, CAST(sum(cxy) AS BIGINT) AS cx FROM ${p}c GROUP BY 1),
+       |${p}my AS (SELECT vy, CAST(sum(cxy) AS BIGINT) AS cy FROM ${p}c GROUP BY 1),
+       |${p}nn AS (SELECT CAST(sum(cxy) AS BIGINT) AS n FROM ${p}c),
+       |${p}j AS (SELECT cxy, n, (cxy * n) AS num, (cx * cy) AS den
+       |       FROM ${p}c JOIN ${p}mx USING (vx) JOIN ${p}my USING (vy), ${p}nn),
+       |${p}rr AS (SELECT cxy, n, (num >= den) AS pos,
+       |        CASE WHEN num >= den
+       |             THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+       |             ELSE CAST(den AS DOUBLE) / CAST(num AS DOUBLE) END AS ratio
+       |        FROM ${p}j),
+       |${DetMath.sqlLnCtes(s"${p}ln", s"${p}rr", "cxy, n, pos", "ratio")},
+       |${p}mi AS (SELECT '${x}' AS col_x, '${y}' AS col_y,
+       |        CAST(max(n) AS BIGINT) AS n,
+       |        CAST(sum(cxy * CAST(floor((CASE WHEN pos THEN lnv ELSE -lnv END)
+       |          * 1000000000.0) AS BIGINT)) AS BIGINT) AS mi_scaled
+       |        FROM ${p}ln)""".stripMargin
+  }
+
+  val profileMiOracle: String =
+    s"""WITH ${miOracleFor("a", "lineitem", "l_returnflag", "l_linestatus")},
+       |${miOracleFor("b", "customer", "c_mktsegment", "c_nationkey")},
+       |u AS (SELECT * FROM ami UNION ALL SELECT * FROM bmi)
+       |SELECT col_x, col_y, n, mi_scaled,
+       |  (CAST(mi_scaled AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000000.0)) AS mi
+       |FROM u ORDER BY col_x""".stripMargin
+
   /** DataProfiler.summary over customer with one column nullified for
     * negative balances — so the null counters are exercised (TPC-H data
     * carries no nulls of its own).
@@ -199,7 +242,8 @@ object ProfileQueries {
     "profile_numeric" -> (profileNumeric _),
     "profile_summary" -> (profileSummary _),
     "profile_histogram" -> (profileHistogram _),
-    "profile_correlation" -> (profileCorrelation _)
+    "profile_correlation" -> (profileCorrelation _),
+    "profile_mi" -> (profileMi _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -209,6 +253,7 @@ object ProfileQueries {
     "profile_numeric" -> profileNumericOracle,
     "profile_summary" -> profileSummaryOracle,
     "profile_histogram" -> profileHistogramOracle,
-    "profile_correlation" -> profileCorrelationOracle
+    "profile_correlation" -> profileCorrelationOracle,
+    "profile_mi" -> profileMiOracle
   )
 }

@@ -158,6 +158,49 @@ object Profiler {
     }.reduce(_.unionByName(_))
   }
 
+  /** Mutual information between two categorical columns — the
+    * dependency detector behind functional-dependency and
+    * redundant-column screening:
+    *
+    *   MI = Σ_cells p(x,y) · ln( p(x,y) / (p(x)·p(y)) )   (nats)
+    *
+    * One groupBy(x, y) shuffle builds the cell frame (distinct-pair
+    * bounded, persisted); marginals and the total re-aggregate the
+    * CELLS, never the data. Each cell's log-ratio argument is the
+    * exact long ratio (cxy·n)/(cx·cy), orientated ≥ 1 for
+    * [[graft.functions.DetMath.detLn]]'s domain, floor-scaled to a
+    * 1e-9-granular long and weighted by the exact cxy — so the final
+    * sum is order-free integer addition and every engine agrees
+    * bit-for-bit. Overflow contract: cx·cy ≤ n² needs n ≲ 3e9 rows;
+    * cxy·λ_s needs cxy·ln(n) ≲ 9e9. Output: (col_x, col_y, n,
+    * mi_scaled, mi) with mi = mi_scaled / (n·1e9). Quantization may
+    * leave mi a hair below 0 for independent columns — it is a
+    * deterministic lower bound, not a biased estimate.
+    */
+  def mutualInformation(df: DataFrame, x: String, y: String): DataFrame = {
+    import graft.functions.DetMath.detLn
+    val cells = df.groupBy(col(x).as("vx"), col(y).as("vy"))
+      .agg(count(lit(1)).as("cxy")).persist()
+    val mx = cells.groupBy("vx").agg(sum("cxy").as("cx"))
+    val my = cells.groupBy("vy").agg(sum("cxy").as("cy"))
+    val nn = cells.agg(sum("cxy").as("n"))
+    val lam = cells.join(mx, "vx").join(my, "vy").crossJoin(broadcast(nn))
+      .select(col("cxy"), col("n"),
+        (col("cxy") * col("n")).as("num"), (col("cx") * col("cy")).as("den"))
+      .select(col("cxy"), col("n"),
+        when(col("num") >= col("den"),
+          detLn(col("num").cast("double") / col("den").cast("double")))
+          .otherwise(-detLn(col("den").cast("double") / col("num").cast("double")))
+          .as("lam"))
+      .select(col("cxy"), col("n"),
+        floor(col("lam") * lit(1.0e9)).cast("long").as("lam_s"))
+    lam.agg(max("n").as("n"), sum(col("cxy") * col("lam_s")).as("mi_scaled"))
+      .select(lit(x).as("col_x"), lit(y).as("col_y"), col("n"),
+        col("mi_scaled"),
+        (col("mi_scaled").cast("double")
+          / (col("n").cast("double") * lit(1.0e9))).as("mi"))
+  }
+
   /** Equi-width histogram over an integer-valued column (scale decimals
     * to cents first — exactness contract as [[profileNumeric]]):
     * bin = ((x − lo)·bins) div (hi − lo + 1) ∈ [0, bins) by construction

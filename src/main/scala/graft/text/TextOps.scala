@@ -799,6 +799,63 @@ object TextOps {
       .drop("_pri")
   }
 
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every document
+    * by how much more likely its hashed-n-gram features are under a
+    * TARGET distribution (the curated subset flagged by `isTarget`)
+    * than under the RAW corpus distribution:
+    *
+    *   λ[b]  = ln p̂_t(b) − ln p̂_r(b),  p̂ add-1-smoothed over B=16^hexLen
+    *           md5-prefix token buckets
+    *   score = Σ_tokens λ[bucket(token)]
+    *
+    * Determinism: λ's argument is a ratio of two exact long products
+    * ((ct+1)(tr+B)) / ((cr+1)(tt+B)) — orientated ≥ 1 so detLn's
+    * domain holds (bound: ratio ≤ max(tr,tt)+B, so token counts up to
+    * 2^40 per corpus side) — then floor-scaled to a 1e-9-granular
+    * long, making the per-doc sum exact integer addition (order-free;
+    * |score_scaled| ≤ dl·28e9 needs dl ≲ 3e8 tokens/doc).
+    *
+    * Shape at 100 TB: the token stream collapses immediately into the
+    * per-(doc, bucket) tf frame — bounded by B=4096 buckets per doc,
+    * not by document length — which is persisted and feeds all three
+    * consumers (bucket counts, corpus totals, final score join); λ
+    * lives on a B-bounded frame with the 1-row totals broadcast.
+    */
+  def dsirWeights(docs: DataFrame, id: String, text: String,
+                  isTarget: Column, hexLen: Int = 3): DataFrame = {
+    import graft.functions.DetMath.detLn
+    val buckets = 1L << (4 * hexLen)
+    val toks = docs.select(col(id).as("doc_id"), isTarget.as("is_t"),
+        explode(split(lower(col(text)), " ")).as("term"))
+      .select(col("doc_id"), col("is_t"),
+        substring(md5(col("term")), 1, hexLen).as("bucket"))
+    val tfb = toks.groupBy("doc_id", "is_t", "bucket")
+      .agg(count(lit(1)).as("tf")).persist()
+    val bc = tfb.groupBy("bucket").agg(
+      sum("tf").as("cr"),
+      sum(when(col("is_t"), col("tf")).otherwise(0L)).as("ct"))
+    val tot = tfb.agg(
+      sum("tf").as("tr"),
+      sum(when(col("is_t"), col("tf")).otherwise(0L)).as("tt"))
+    val lam = bc.crossJoin(broadcast(tot))
+      .select(col("bucket"),
+        ((col("ct") + 1L) * (col("tr") + buckets)).as("num"),
+        ((col("cr") + 1L) * (col("tt") + buckets)).as("den"))
+      .select(col("bucket"),
+        when(col("num") >= col("den"),
+          detLn(col("num").cast("double") / col("den").cast("double")))
+          .otherwise(-detLn(col("den").cast("double") / col("num").cast("double")))
+          .as("lam"))
+      .select(col("bucket"),
+        floor(col("lam") * lit(1.0e9)).cast("long").as("lam_s"))
+    tfb.join(lam, "bucket")
+      .groupBy("doc_id")
+      .agg(sum(col("tf") * col("lam_s")).as("score_scaled"))
+      .select(col("doc_id"), col("score_scaled"),
+        (col("score_scaled").cast("double") / lit(1.0e9)).as("score"))
+  }
+
   /** Winnowing fingerprints (#63, Schleimer et al.): char 5-gram rolling
     * hashes (md5-prefix), per-window (w=4) minima, distinct + sorted →
     * count and digest per document.

@@ -732,7 +732,97 @@ object TextQueries {
       |SELECT doc_id, source, rank_in_group FROM rk
       |WHERE rank_in_group <= 8 ORDER BY source, rank_in_group""".stripMargin
 
+  /** DSIR importance weights with sources src0–src2 as the curated
+    * target distribution (TextOps.dsirWeights).
+    */
+  def textDsir(s: SparkSession, dir: String): DataFrame =
+    TextOps.dsirWeights(graft.Tables.documents(s, dir), "doc_id", "text",
+        col("source").isin("src0", "src1", "src2"))
+      .orderBy("doc_id")
+
+  val textDsirOracle: String = {
+    import graft.functions.DetMath
+    s"""WITH toks AS (SELECT doc_id,
+       |         source IN ('src0', 'src1', 'src2') AS is_t,
+       |         substr(md5(unnest(string_split(lower(text), ' '))), 1, 3) AS bucket
+       |       FROM documents),
+       |tfb AS (SELECT doc_id, is_t, bucket, CAST(count(*) AS BIGINT) AS tf
+       |        FROM toks GROUP BY 1, 2, 3),
+       |bc AS (SELECT bucket, CAST(sum(tf) AS BIGINT) AS cr,
+       |         CAST(sum(CASE WHEN is_t THEN tf ELSE 0 END) AS BIGINT) AS ct
+       |       FROM tfb GROUP BY 1),
+       |tot AS (SELECT CAST(sum(tf) AS BIGINT) AS tr,
+       |          CAST(sum(CASE WHEN is_t THEN tf ELSE 0 END) AS BIGINT) AS tt
+       |        FROM tfb),
+       |nd AS (SELECT bucket, ((ct + 1) * (tr + 4096)) AS num,
+       |         ((cr + 1) * (tt + 4096)) AS den
+       |       FROM bc, tot),
+       |rr AS (SELECT bucket, (num >= den) AS pos,
+       |         CASE WHEN num >= den
+       |              THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+       |              ELSE CAST(den AS DOUBLE) / CAST(num AS DOUBLE) END AS ratio
+       |       FROM nd),
+       |${DetMath.sqlLnCtes("lam", "rr", "bucket, pos", "ratio")},
+       |lamx AS (SELECT bucket,
+       |           CAST(floor((CASE WHEN pos THEN lnv ELSE -lnv END)
+       |             * 1000000000.0) AS BIGINT) AS lam_s
+       |         FROM lam),
+       |sc AS (SELECT tfb.doc_id,
+       |         CAST(sum(tfb.tf * lamx.lam_s) AS BIGINT) AS score_scaled
+       |       FROM tfb JOIN lamx USING (bucket) GROUP BY 1)
+       |SELECT doc_id, score_scaled,
+       |  (CAST(score_scaled AS DOUBLE) / 1000000000.0) AS score
+       |FROM sc ORDER BY doc_id""".stripMargin
+  }
+
+  /** Per-source ADAPTIVE quality gate: a fixed global threshold
+    * over-prunes clean sources and under-prunes noisy ones, so each
+    * doc is gated against its own source's quality median (keep ≥
+    * median). The median is Spark's exact interpolated `percentile`
+    * over the integral quality score — ≡ DuckDB `quantile_cont`
+    * (midpoints of integers are exact in doubles) — on a
+    * sources-bounded frame joined back broadcast-style; everything
+    * else is the scan-shaped quality projection.
+    */
+  def textQualityAdaptive(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    val q = TextOps.quality(docs, "doc_id", "text")
+      .select(col("doc_id"), col("quality_bp"))
+    val ws = docs.select(col("doc_id"), col("source")).join(q, "doc_id")
+    val med = ws.groupBy("source")
+      .agg(percentile(col("quality_bp"), lit(0.5)).as("med"))
+    ws.join(broadcast(med), "source")
+      .select(col("doc_id"), col("source"), col("quality_bp"), col("med"),
+        (col("quality_bp").cast("double") >= col("med")).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  val textQualityAdaptiveOracle: String = {
+    val en = TextOps.LangProfiles.toMap.apply("en").map(w => s"'$w'").mkString(", ")
+    """WITH t AS (SELECT doc_id, lower(text) AS t, string_split(lower(text), ' ') AS toks
+      |           FROM documents),
+      |b AS (SELECT doc_id,
+      |  CAST(len(toks) AS BIGINT) AS nw,
+      |  CAST(length(t) AS BIGINT) AS nc,
+      |  CAST(length(regexp_replace(t, '[a-z0-9 ]', '', 'g')) AS BIGINT) AS np,
+      |  CAST(len(list_filter(toks, x -> list_contains([__EN__], x))) AS BIGINT) AS nstop
+      |FROM t),
+      |q AS (SELECT doc_id,
+      |  least(nw, 50) * 8 + (nc - np) * 300 // nc + nstop * 300 // nw AS quality_bp
+      |FROM b),
+      |ws AS (SELECT d.doc_id, d.source, q.quality_bp
+      |       FROM documents d JOIN q USING (doc_id)),
+      |med AS (SELECT source, quantile_cont(CAST(quality_bp AS DOUBLE), 0.5) AS med
+      |        FROM ws GROUP BY 1)
+      |SELECT ws.doc_id, ws.source, ws.quality_bp, med.med,
+      |  (CAST(ws.quality_bp AS DOUBLE) >= med.med) AS keep
+      |FROM ws JOIN med USING (source)
+      |ORDER BY doc_id""".stripMargin.replace("__EN__", en)
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_quality_adaptive" -> (textQualityAdaptive _),
+    "text_dsir" -> (textDsir _),
     "text_tfidf_keywords" -> (textTfidfKeywords _),
     "text_domain_cap" -> (textDomainCap _),
     "text_bm25" -> (textBm25 _),
@@ -761,6 +851,8 @@ object TextQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "text_quality_adaptive" -> textQualityAdaptiveOracle,
+    "text_dsir" -> textDsirOracle,
     "text_tfidf_keywords" -> textTfidfKeywordsOracle,
     "text_domain_cap" -> textDomainCapOracle,
     "text_bm25" -> textBm25Oracle,

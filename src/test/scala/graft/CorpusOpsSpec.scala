@@ -613,6 +613,27 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(a == direct)
   }
 
+  test("dsirWeights: target-vocab docs score above off-target docs, repartition-stable") {
+    val spark2 = spark
+    import spark2.implicits._
+    // target docs speak vocab {alpha..delta}, raw background speaks {w1..w4}
+    val docs = ((1L to 10L).map(i => (i, "alpha beta gamma delta alpha beta", true)) ++
+      (11L to 30L).map(i => (i, "w1 w2 w3 w4 w1 w2", false)) ++
+      Seq((98L, "alpha beta gamma delta", false),   // target-like held-out doc
+          (99L, "w1 w2 w3 w4", false)))             // background-like doc
+      .toDF("doc_id", "text", "tgt")
+    // hexLen=1 (B=16): add-1 smoothing over 4096 buckets would swamp a
+    // 200-token corpus — bucket count must be small next to token count
+    val w = TextOps.dsirWeights(docs, "doc_id", "text", col("tgt"), hexLen = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(w(98L) > 0L && w(99L) < 0L)
+    assert(w(98L) > w(99L))
+    val w2 = TextOps.dsirWeights(docs.repartition(13), "doc_id", "text",
+        col("tgt"), hexLen = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(w == w2)
+  }
+
   test("Profiler.correlation: exact ±1 on linear columns, NULL on constant, symmetric pairs") {
     val spark2 = spark
     import spark2.implicits._

@@ -51,6 +51,70 @@ class GraphSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("mutualInformation: X=Y gives ln|X|, independent bits give ~0") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dep = (0L until 400L).map(i => (i % 4, i % 4)).toDF("x", "y")
+    val miDep = graft.profiling.Profiler.mutualInformation(dep, "x", "y")
+      .collect().head.getDouble(4)
+    assert(math.abs(miDep - math.log(4.0)) < 1e-6)
+    val ind = (0L until 400L).map(i => (i % 2, (i / 2) % 2)).toDF("x", "y")
+    val miInd = graft.profiling.Profiler.mutualInformation(ind, "x", "y")
+      .collect().head.getDouble(4)
+    assert(math.abs(miInd) < 1e-6)
+  }
+
+  test("cluster sampling query: quota = ceil(sqrt(size)), kept = min(quota, size)") {
+    val r = graft.dedup.DedupQueries.dedupClusterSample(spark, sf).collect()
+    assert(r.nonEmpty)
+    r.foreach { x =>
+      val (size, quota, rank) = (x.getLong(2), x.getLong(3), x.getLong(4))
+      assert(quota == math.ceil(math.sqrt(size.toDouble)).toLong)
+      assert(rank >= 1L && rank <= quota)
+    }
+    // every cluster keeps exactly min(quota, size) members
+    val perCluster = r.groupBy(_.getLong(1))
+    perCluster.foreach { case (_, rows) =>
+      val size = rows.head.getLong(2)
+      val quota = rows.head.getLong(3)
+      assert(rows.length.toLong == math.min(quota, size))
+    }
+  }
+
+  test("funnel ordering: a view BEFORE signup does not convert") {
+    val spark2 = spark
+    import spark2.implicits._
+    // user 1: view(10) < signup(20) → stuck at stage 1
+    // user 2: signup(10) < view(20) < purchase(30) → stage 3
+    // user 3: signup(10), purchase(5) with no qualifying view → stage 1
+    val e = Seq(
+      (1L, "view", 10L), (1L, "signup", 20L),
+      (2L, "signup", 10L), (2L, "view", 20L), (2L, "purchase", 30L),
+      (3L, "signup", 10L), (3L, "purchase", 5L))
+      .toDF("user_id", "event_type", "us")
+      .select(col("user_id"), col("event_type"),
+        timestamp_micros(col("us")).as("ts"))
+    val dir = java.nio.file.Files.createTempDirectory("funnel").toString
+    e.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = graft.ExtraQueries.eventsFunnel(spark, dir).collect()
+      .map(x => x.getLong(0) -> x.getLong(4)).toMap
+    assert(r == Map(1L -> 1L, 2L -> 3L, 3L -> 1L))
+  }
+
+  test("labelCentroidSim: duplicated label → cosine 1, orthogonal labels → 0") {
+    val spark2 = spark
+    import spark2.implicits._
+    val vs = Seq(
+      (1, Seq(1.0f, 0.0f, 0.0f, 0.0f)), (1, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2, Seq(1.0f, 0.0f, 0.0f, 0.0f)),   // same direction as label 1
+      (3, Seq(0.0f, 1.0f, 0.0f, 0.0f)))   // orthogonal
+      .toDF("label", "embedding")
+    val r = graft.ann.Ann.labelCentroidSim(vs, "label", "embedding", 4)
+      .collect().map(x => (x.getInt(0), x.getInt(1)) -> x.getDouble(2)).toMap
+    assert(r.size == 3) // C(3,2), i<j only
+    assert(r((1, 2)) == 1.0 && r((1, 3)) == 0.0 && r((2, 3)) == 0.0)
+  }
+
   test("triangles: K4 counts, duplicate/self-loop edges dropped, isolated zeros") {
     val spark2 = spark
     import spark2.implicits._
