@@ -6,8 +6,15 @@ import org.apache.spark.sql.Column
 
 /** Test-table access + oracle-determinism helpers shared by queries. */
 object Tables {
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // Naive (no-timezone) parquet timestamps must read as TIMESTAMP —
+    // epoch micros, the DuckDB-oracle interpretation — not Spark 4's
+    // default TIMESTAMP_NTZ inference, which unix_micros / watermarks /
+    // ASOF reject. Set on the *caller's* session: the driver invokes
+    // queries with its own SparkSession, not our builders.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   def lineitem(s: SparkSession, d: String): DataFrame = t(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = t(s, d, "orders")

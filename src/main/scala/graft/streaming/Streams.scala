@@ -48,6 +48,9 @@ object Streams {
   def eventsStream(spark: SparkSession, dir: String,
       watermark: String = "2 hours"): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Naive micros must infer as TIMESTAMP (epoch, oracle-compatible),
+    // not TIMESTAMP_NTZ, which withWatermark rejects. See Tables.t.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     // The parquet streaming source requires a DIRECTORY (in production
     // events land in one); the test fixture is a single file, so stage a
