@@ -221,6 +221,7 @@ object ExtraQueries {
       .select(col("ts"), col("user_id"), col("event_type"), col("event_id"))
     val q = Streams.asofStream(src)
       .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", Streams.freshCheckpointDir(name))
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
@@ -250,6 +251,7 @@ object ExtraQueries {
       .select(col("ts"), col("user_id"), col("event_type"), col("event_id"))
     val q = Streams.asofStreamBuffered(src)
       .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", Streams.freshCheckpointDir(name))
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
@@ -270,6 +272,7 @@ object ExtraQueries {
     val q = Streams.contaminationStream(
         Streams.docsStream(s, dir), probes, "doc_id", "text", 3)
       .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", Streams.freshCheckpointDir(name))
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
@@ -293,6 +296,7 @@ object ExtraQueries {
     val q = Streams.dedupStream(src, Seq("user_id", "event_type"))
       .select("user_id", "event_type")
       .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", Streams.freshCheckpointDir(name))
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()

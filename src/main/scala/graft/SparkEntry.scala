@@ -15,8 +15,18 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("pipeline_e2e")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2. Each closure
+    * is wrapped with [[Sessions.tune]] (idempotent, once per session) so
+    * a caller invoking queries with its OWN SparkSession — the driver
+    * does — still gets the parquet session conf the readers rely on,
+    * without any conf mutation inside the read helpers themselves.
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
+    rawQueries.map { case (name, fn) =>
+      name -> ((s: SparkSession, dir: String) => fn(Sessions.tune(s), dir))
+    }
+
+  private def rawQueries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.all ++ graft.normalization.NormQueries.all ++
       graft.blocking.BlockQueries.all ++ graft.matching.MatchQueries.all ++
       graft.clustering.ClusterQueries.all ++ graft.fusion.FuseQueries.all ++

@@ -6,15 +6,12 @@ import org.apache.spark.sql.Column
 
 /** Test-table access + oracle-determinism helpers shared by queries. */
 object Tables {
-  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // Naive (no-timezone) parquet timestamps must read as TIMESTAMP —
-    // epoch micros, the DuckDB-oracle interpretation — not Spark 4's
-    // default TIMESTAMP_NTZ inference, which unix_micros / watermarks /
-    // ASOF reject. Set on the *caller's* session: the driver invokes
-    // queries with its own SparkSession, not our builders.
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+  /** Plain parquet read — session conf (naive-timestamp inference,
+    * nanos-as-long) is owned by [[Sessions.tune]], applied once at every
+    * entry path; readers themselves never mutate conf.
+    */
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
-  }
 
   def lineitem(s: SparkSession, d: String): DataFrame = t(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = t(s, d, "orders")
@@ -23,12 +20,12 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = t(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = t(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = t(s, d, "region")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark refuses by
-    * default ([PARQUET_TYPE_ILLEGAL]). Read nanos as long and convert
-    * to a micros timestamp (truncation — matches DuckDB's ns→us read).
+  /** events.ts is parquet TIMESTAMP(NANOS), read as long (see
+    * [[Sessions.tune]]) and converted to a micros timestamp here
+    * (truncation — matches DuckDB's ns→us read). Guarded on the actual
+    * inferred dtype so the helper works on any session conf.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = t(s, d, "events")
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       // integer division — `/` would go through DOUBLE and lose µs

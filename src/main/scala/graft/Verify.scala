@@ -11,13 +11,9 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // Testdata timestamps are naive (no tz) parquet micros; read them as
-      // TIMESTAMP (UTC wall = epoch micros, same as the DuckDB oracle's
-      // naive reading) rather than TIMESTAMP_NTZ, which unix_micros /
-      // watermarks reject.
-      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    Sessions.tune(spark) // parquet timestamp conf, one owner (Sessions)
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // Optional local-iteration filter (comma-separated names); the

@@ -89,7 +89,17 @@ object Dedup {
   def ngramJaccard(docs: DataFrame, id: String, text: String, n: Int, threshold: Double): DataFrame = {
     val sh = shingleFrame(docs, id, text, n, sorted = true)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    try {
+    try ngramJaccardFrom(sh, threshold)
+    finally sh.unpersist(false)
+  }
+
+  /** [[ngramJaccard]] body over a PREPARED (persisted, array-sorted)
+    * shingle frame — lets evaluators that also run the LSH pipeline
+    * share one shingling pass. The result is localCheckpoint-ed
+    * (eager), so the caller may unpersist the input immediately after.
+    */
+  def ngramJaccardFrom(sh: DataFrame, threshold: Double): DataFrame = {
+    {
       val withPrefix = sh.withColumn("_pl",
         (size(col("_sh")) - ceil(lit(threshold) * size(col("_sh"))) + 1).cast("int"))
       val inv = withPrefix
@@ -111,7 +121,7 @@ object Dedup {
             .cast("double") / size(array_union(col("_sa"), col("_sb"))), 5).as("jaccard"))
         .filter(col("jaccard") >= threshold)
         .localCheckpoint(true)
-    } finally sh.unpersist(false)
+    }
   }
 
   /** Pick one canonical doc per near-dup component by an arbitrary
@@ -190,24 +200,32 @@ object Dedup {
       n: Int = 3, bands: Int = 4, rows: Int = 3,
       hashHex: Option[(Int, Column) => Column] = None): DataFrame = {
     val hh = hashHex.getOrElse(hashFamily(docs.sparkSession))
-    val k = bands * rows
     val sh = shingleFrame(docs, id, text, n).persist(StorageLevel.MEMORY_AND_DISK)
+    try minhashCandidatesFrom(sh, bands, rows, hh)
+    finally sh.unpersist(false)
+  }
+
+  /** [[minhashCandidates]] body over a PREPARED (persisted) shingle
+    * frame. The result is localCheckpoint-ed (eager), so the caller may
+    * unpersist the input immediately after.
+    */
+  def minhashCandidatesFrom(sh: DataFrame, bands: Int, rows: Int,
+      hh: (Int, Column) => Column): DataFrame = {
+    val k = bands * rows
+    val sigs = sh.filter(size(col("_sh")) > 0)
+      .select(col("_id") +: (0 until k).map(i => minhashSig(i, hh)): _*)
+    val bandCols = col("_id") +: (0 until bands).map { b =>
+      concat_ws(":", (0 until rows).map(r => col(s"_h${b * rows + r}")): _*).as(s"_band$b")
+    }
+    val banded = sigs.select(bandCols: _*).persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val sigs = sh.filter(size(col("_sh")) > 0)
-        .select(col("_id") +: (0 until k).map(i => minhashSig(i, hh)): _*)
-      val bandCols = col("_id") +: (0 until bands).map { b =>
-        concat_ws(":", (0 until rows).map(r => col(s"_h${b * rows + r}")): _*).as(s"_band$b")
-      }
-      val banded = sigs.select(bandCols: _*).persist(StorageLevel.MEMORY_AND_DISK)
-      try {
-        (0 until bands).map { b =>
-          banded.select(col("_id").as("id1"), col(s"_band$b").as("_bk"))
-            .join(banded.select(col("_id").as("id2"), col(s"_band$b").as("_bk")), "_bk")
-            .filter(col("id1") < col("id2"))
-            .select("id1", "id2")
-        }.reduce(_.unionByName(_)).distinct().localCheckpoint(true)
-      } finally banded.unpersist(false)
-    } finally sh.unpersist(false)
+      (0 until bands).map { b =>
+        banded.select(col("_id").as("id1"), col(s"_band$b").as("_bk"))
+          .join(banded.select(col("_id").as("id2"), col(s"_band$b").as("_bk")), "_bk")
+          .filter(col("id1") < col("id2"))
+          .select("id1", "id2")
+      }.reduce(_.unionByName(_)).distinct().localCheckpoint(true)
+    } finally banded.unpersist(false)
   }
 
   /** Candidate-level evaluation of the MinHash-LSH banding against the
@@ -220,8 +238,22 @@ object Dedup {
   def lshCandidateEval(docs: DataFrame, id: String, text: String,
       n: Int = 3, bands: Int = 4, rows: Int = 3,
       threshold: Double = 0.8): DataFrame = {
-    val cands = minhashCandidates(docs, id, text, n, bands, rows)
-    val truth = ngramJaccard(docs, id, text, n, threshold).select("id1", "id2")
+    // ONE shingling pass feeds both pipelines (the evaluator runs LSH
+    // AND the exact truth by definition — but tokenize/shingle only
+    // once): the LSH side uses the frame as-is, the prefix-filter truth
+    // side its array_sort'ed projection (row-local, no extra shuffle).
+    val sh = shingleFrame(docs, id, text, n).persist(StorageLevel.MEMORY_AND_DISK)
+    val (cands, truth) =
+      try {
+        val shSorted = sh.select(col("_id"), array_sort(col("_sh")).as("_sh"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        try {
+          val hh = hashFamily(docs.sparkSession)
+          // both localCheckpoint-ed eagerly inside, so unpersist is safe
+          (minhashCandidatesFrom(sh, bands, rows, hh),
+            ngramJaccardFrom(shSorted, threshold).select("id1", "id2"))
+        } finally shSorted.unpersist(false)
+      } finally sh.unpersist(false)
     val c = cands.agg(count(lit(1)).as("n_candidates"))
     val t = truth.agg(count(lit(1)).as("n_truth"))
     val h = cands.join(truth, Seq("id1", "id2")).agg(count(lit(1)).as("n_hits"))

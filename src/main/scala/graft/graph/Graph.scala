@@ -107,13 +107,17 @@ object PageRank {
   }
 }
 
-/** Exact triangle counting by node-ordering (the "compact-forward" /
-  * MapReduce standard): orient every undirected edge low→high, join
-  * wedges (a<b, a<c) with the closing edge (b<c). Each triangle is
-  * counted exactly once, the quadratic wedge blowup is bounded by the
-  * ordered out-degree (≤ √(2m) for any graph after orientation — the
-  * classical arboricity bound), and everything is two shuffles on
-  * node keys. No driver state.
+/** Exact triangle counting by DEGREE-ordered edge orientation (the
+  * "compact-forward" standard): orient every undirected edge from its
+  * lower-(degree, id) endpoint to the higher, enumerate wedges at each
+  * apex between order-distinct out-neighbours, close with the oriented
+  * (b, c) edge. Each triangle is counted exactly once, and — because
+  * the orientation is by DEGREE, not id — the wedge fanout at any apex
+  * is bounded by its ordered out-degree ≤ O(√m): a hub's wedges are
+  * charged to its (low-degree) neighbours regardless of how ids were
+  * assigned, which an id-based orientation cannot guarantee (a hub with
+  * a small id would fan out O(d²)). Two equi-join shuffles on node
+  * keys; no driver state.
   */
 object Triangles {
 
@@ -125,41 +129,87 @@ object Triangles {
     * of `nodes` appear with zeros.
     */
   def vertexTriangles(nodes: DataFrame, edges: DataFrame): DataFrame = {
-    val und = edges.select(col("id1").as("u"), col("id2").as("v"))
-      .where(col("u") =!= col("v"))
-      .select(least(col("u"), col("v")).as("a"),
-        greatest(col("u"), col("v")).as("b"))
-      .distinct()
-      .persist()
-    // wedges at apex a: (a,b),(a,c) with b<c; close with (b,c)
-    val w = und.as("x").join(und.as("y"), col("x.a") === col("y.a"))
-      .where(col("x.b") < col("y.b"))
-      .select(col("x.a").as("ta"), col("x.b").as("tb"), col("y.b").as("tc"))
-    val tris = w.join(und.as("z"),
-      col("tb") === col("z.a") && col("tc") === col("z.b"))
+    val und = canonical(edges).persist()
+    val deg = degreesOf(und)
+    val ed = orient(und, deg).persist()
+    // wedges at apex src between order-distinct out-neighbours; the
+    // closing edge (tb, tc) is oriented tb→tc under the same order.
+    val nbOrder = col("x.dd") < col("y.dd") ||
+      (col("x.dd") === col("y.dd") && col("x.dst") < col("y.dst"))
+    val w = ed.as("x").join(ed.as("y"), col("x.src") === col("y.src") && nbOrder)
+      .select(col("x.src").as("ta"), col("x.dst").as("tb"), col("y.dst").as("tc"))
+    val tris = w.join(ed.as("z"),
+      col("tb") === col("z.src") && col("tc") === col("z.dst"))
       .select("ta", "tb", "tc")
     val perVertex = tris.select(explode(array(col("ta"), col("tb"), col("tc"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("t"))
-    val deg = und.select(explode(array(col("a"), col("b"))).as("v"))
-      .groupBy("v").agg(count(lit(1)).as("d"))
     nodes.join(deg, Seq("v"), "left").join(perVertex, Seq("v"), "left")
       .select(col("v"), coalesce(col("d"), lit(0L)).as("degree"),
         coalesce(col("t"), lit(0L)).as("triangles"))
   }
 
+  /** The degree-ordered oriented edge frame (src, dst, dd) for an
+    * arbitrary undirected pair list — exposed so specs can assert the
+    * wedge bound directly: wedges enumerated = Σ_v C(outdeg(v), 2),
+    * which degree ordering keeps ≤ O(m^1.5) no matter where the hubs'
+    * ids fall.
+    */
+  def orientedEdges(edges: DataFrame): DataFrame = {
+    val und = canonical(edges)
+    orient(und, degreesOf(und))
+  }
+
+  /** Canonical undirected edge set: a < b, self-loops and duplicate /
+    * reversed copies dropped.
+    */
+  private def canonical(edges: DataFrame): DataFrame =
+    edges.select(col("id1").as("u"), col("id2").as("v"))
+      .where(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("a"),
+        greatest(col("u"), col("v")).as("b"))
+      .distinct()
+
+  private def degreesOf(und: DataFrame): DataFrame =
+    und.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+
+  /** Orient a→b iff (deg(a), a) < (deg(b), b) — a deterministic total
+    * order (id tie-break), replayed verbatim by the oracle's CTEs.
+    * `dd` carries the dst's degree so the wedge join can order the two
+    * out-neighbours by the SAME total order without a third deg join.
+    */
+  private def orient(und: DataFrame, deg: DataFrame): DataFrame = {
+    val aFirst = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
+    und
+      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+      .select(when(aFirst, col("a")).otherwise(col("b")).as("src"),
+        when(aFirst, col("b")).otherwise(col("a")).as("dst"),
+        when(aFirst, col("db")).otherwise(col("da")).as("dd"))
+  }
+
   /** DuckDB replica over caller CTEs `nodes(v)` / `edges(id1, id2)`:
-    * emits CTEs ending in `tri(v, degree, triangles)`.
+    * emits CTEs ending in `tri(v, degree, triangles)` — the same
+    * degree-ordered orientation via a degree CTE.
     */
   val oracleSql: String =
     """und AS (SELECT DISTINCT least(id1, id2) AS a, greatest(id1, id2) AS b
       |        FROM edges WHERE id1 <> id2),
-      |tr AS (SELECT x.a AS ta, x.b AS tb, y.b AS tc
-      |       FROM und x JOIN und y ON y.a = x.a AND x.b < y.b
-      |       JOIN und z ON z.a = x.b AND z.b = y.b),
-      |pv AS (SELECT v, CAST(count(*) AS BIGINT) AS t
-      |       FROM (SELECT unnest([ta, tb, tc]) AS v FROM tr) GROUP BY 1),
       |dg AS (SELECT v, CAST(count(*) AS BIGINT) AS d
       |       FROM (SELECT unnest([a, b]) AS v FROM und) GROUP BY 1),
+      |ed AS (SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+      |                   THEN u.a ELSE u.b END AS src,
+      |              CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+      |                   THEN u.b ELSE u.a END AS dst,
+      |              CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+      |                   THEN db.d ELSE da.d END AS dd
+      |       FROM und u JOIN dg da ON da.v = u.a JOIN dg db ON db.v = u.b),
+      |tr AS (SELECT x.src AS ta, x.dst AS tb, y.dst AS tc
+      |       FROM ed x JOIN ed y ON y.src = x.src
+      |         AND (x.dd < y.dd OR (x.dd = y.dd AND x.dst < y.dst))
+      |       JOIN ed z ON z.src = x.dst AND z.dst = y.dst),
+      |pv AS (SELECT v, CAST(count(*) AS BIGINT) AS t
+      |       FROM (SELECT unnest([ta, tb, tc]) AS v FROM tr) GROUP BY 1),
       |tri AS (SELECT nodes.v, coalesce(dg.d, 0) AS degree,
       |          coalesce(pv.t, 0) AS triangles
       |        FROM nodes LEFT JOIN dg USING (v) LEFT JOIN pv USING (v))""".stripMargin

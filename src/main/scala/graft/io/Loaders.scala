@@ -22,11 +22,9 @@ object Loaders {
     path.split('.').last.toLowerCase match {
       case "csv"     => spark.read.option("header", "true").option("inferSchema", "true").csv(path)
       case "json"    => spark.read.json(path)
-      case "parquet" =>
-        // Naive parquet timestamps read as TIMESTAMP (epoch micros, the
-        // DuckDB-oracle interpretation), not TIMESTAMP_NTZ. See Tables.t.
-        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-        spark.read.parquet(path)
+      // Naive-timestamp parquet inference is session conf owned by
+      // Sessions.tune (applied once per session at every entry path).
+      case "parquet" => spark.read.parquet(path)
       case other     => throw new IllegalArgumentException(s"unsupported extension: $other")
     }
 

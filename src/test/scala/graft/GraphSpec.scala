@@ -115,6 +115,33 @@ class GraphSpec extends AnyFunSuite {
     assert(r((1, 2)) == 1.0 && r((1, 3)) == 0.0 && r((2, 3)) == 0.0)
   }
 
+  test("triangles: skewed hub with SMALL id — degree ordering keeps wedge fanout off the hub") {
+    val spark2 = spark
+    import spark2.implicits._
+    // hub = vertex 0 (the smallest id — the adversarial case for an
+    // id-based orientation) connected to 60 leaves, plus a 3-cycle of
+    // leaves (1,2,3) so there are triangles through the hub.
+    val star = (1L to 60L).map(l => (0L, l))
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    val edges = (star ++ tri).toDF("id1", "id2")
+    // wedge work actually enumerated = Σ_v C(outdeg(v), 2)
+    val ed = Triangles.orientedEdges(edges)
+    val wedges = ed.groupBy("src").count().collect()
+      .map(r => { val d = r.getLong(1); d * (d - 1) / 2 }).sum
+    // Degree orientation points every star edge leaf→hub (hub has the
+    // max degree), so the hub's out-degree is 0 and total wedges are
+    // O(1) — id orientation would enumerate C(60,2) = 1770 at the hub.
+    assert(wedges <= 6, s"wedge fanout not degree-bounded: $wedges")
+    val hubOut = ed.where(col("src") === 0L).count()
+    assert(hubOut == 0L)
+    // and the counts are still exact: triangles (0,1,2),(0,2,3),(0,1,3),(1,2,3)
+    val r = Triangles.vertexTriangles((0L to 60L).toDF("v"), edges).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r(0L) == (60L, 3L))
+    assert(r(1L) == (3L, 3L) && r(2L) == (3L, 3L) && r(3L) == (3L, 3L))
+    assert((4L to 60L).forall(v => r(v) == (1L, 0L)))
+  }
+
   test("triangles: K4 counts, duplicate/self-loop edges dropped, isolated zeros") {
     val spark2 = spark
     import spark2.implicits._

@@ -60,10 +60,14 @@ class MlStreamSpec extends AnyFunSuite {
       java.nio.file.Files.createSymbolicLink(stage.resolve(n),
         java.nio.file.Paths.get(s"$sf/events.parquet"))
     }
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$sf/events.parquet").schema
-    val raw = spark.readStream.schema(schema).parquet(stage.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // same dtype guard as Streams.eventsStream: the nano→micros convert
+    // applies only when ts actually inferred as long (nanosAsLong path);
+    // under other session conf it already reads as TIMESTAMP.
+    val raw0 = spark.readStream.schema(schema).parquet(stage.toString)
+    val raw = (if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw0)
       .withWatermark("ts", "2 hours")
     val q = Streams.dedupStream(raw, Seq("event_id"))
       .writeStream.format("memory").queryName("dedup_sink")

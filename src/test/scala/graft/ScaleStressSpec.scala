@@ -199,6 +199,71 @@ class ScaleStressSpec extends AnyFunSuite {
     }
   }
 
+  test("graph family grows ~linearly from N to 10N (degree-bounded wedges, nodes-bounded pagerank)") {
+    val spark2 = spark
+    import spark2.implicits._
+    import graft.graph.{PageRank, Triangles}
+    // chord graph: node i → i+1 .. i+6; constant degree, so an honest
+    // degree-ordered triangle kernel enumerates O(N) wedges and the
+    // pagerank sweep shuffles O(N) edge rows — the local stand-in for
+    // the 100 TB claim on the graph family.
+    val d = 6
+    val small = 15000
+    val big = 150000 // 10×
+    def graph(n: Int) = {
+      val nodes = spark.range(n).select(col("id").as("v")).localCheckpoint(true)
+      val edges = spark.range(n)
+        .select(col("id").as("id1"), explode(sequence(lit(1), lit(d))).as("_o"))
+        .select(col("id1"), (col("id1") + col("_o")).as("id2"))
+        .filter(col("id2") < n)
+        .toDF().localCheckpoint(true)
+      (nodes, edges)
+    }
+    def timed[T](f: => T): (T, Double) = {
+      val runs = (1 to 2).map { _ =>
+        val t0 = System.nanoTime(); val v = f; (v, (System.nanoTime() - t0) / 1e9)
+      }
+      (runs.head._1, runs.map(_._2).min)
+    }
+    def measure(n: Int): (Seq[Long], Seq[Double]) = {
+      val (nodes, edges) = graph(n)
+      // edge count is exact: Σ_i |{i+1..i+d} ∩ [0,n)| = n·d − d(d+1)/2
+      assert(edges.count() == n.toLong * d - d * (d + 1) / 2)
+      // wedge work the triangle kernel actually enumerates
+      val (w, tw) = timed(
+        Triangles.orientedEdges(edges).groupBy("src").count()
+          .agg(sum(expr("count * (count - 1) div 2"))).collect()(0).getLong(0))
+      val (t, tt) = timed(
+        Triangles.vertexTriangles(nodes, edges).agg(sum("triangles"))
+          .collect()(0).getLong(0))
+      val pe = edges.select(col("id1").as("src"), col("id2").as("dst"), lit(1L).as("w"))
+      val (p, tp) = timed(
+        PageRank.run(nodes, pe, iters = 5).agg(sum("rank_scaled"))
+          .collect()(0).getLong(0))
+      assert(p > 0 && p <= 1000000000000L) // floors leak mass, never create it
+      (Seq(w, t), Seq(tw, tt, tp))
+    }
+    measure(small) // unmeasured warmup: JIT-compiles every plan shape
+    val (cS, tS) = measure(small)
+    val (cB, tB) = measure(big)
+    // interior node i (i ≥ d, i < n−2d): every (a,b), a,b ≥ 1, a+b ≤ d
+    // closes a triangle (i, i+a, i+a+b) → counts are ~N·C(d,2); assert
+    // the measured 10× growth window instead of the boundary-exact sum
+    val names = Seq("tri_wedges", "tri_counts", "pagerank_5_sweeps")
+    assert(cS(0) > 0 && cS(1) > 0)
+    assert(cB(0) >= 8 * cS(0) && cB(0) <= 12 * cS(0),
+      s"wedge growth not ~linear: ${cS(0)} → ${cB(0)}")
+    assert(cB(1) >= 8 * cS(1) && cB(1) <= 12 * cS(1),
+      s"triangle growth not ~linear: ${cS(1)} → ${cB(1)}")
+    val ratios = names.indices.map(i => tB(i) / math.max(tS(i), 0.05))
+    names.zip(ratios).zipWithIndex.foreach { case ((nm, rt), i) =>
+      info(f"$nm%-20s small=${tS(i)}%6.2fs big=${tB(i)}%6.2fs ratio=$rt%5.1f× (linear=10×)")
+    }
+    ratios.zip(names).foreach { case (rt, nm) =>
+      assert(rt < 15.0, s"$nm grew ${rt}× from N to 10N — super-linear")
+    }
+  }
+
   test("token blocker cap keeps a pathological stop-word key sub-quadratic") {
     val spark2 = spark
     import spark2.implicits._

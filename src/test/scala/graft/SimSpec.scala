@@ -6,13 +6,12 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.functions.{sims, SimImpl}
 
 object TestSpark {
-  lazy val spark: SparkSession = SparkSession.builder()
+  lazy val spark: SparkSession = Sessions.tune(SparkSession.builder()
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     .config("spark.ui.enabled", "false")
-    .getOrCreate()
+    .getOrCreate())
   val sf = "/root/testdata/sf0.001"
 }
 
