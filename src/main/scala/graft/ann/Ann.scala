@@ -83,6 +83,35 @@ object Ann {
       .select(col("qid"), col("_id").as(id), round(col("_cos"), 5).as("cosine"), col("rank"))
   }
 
+  /** Matryoshka-style truncation recall: how much of the FULL-dim
+    * top-k survives when vectors are truncated to their first `dimT`
+    * coordinates (the MRL serving trick — short prefixes for cheap
+    * retrieval, full vectors for re-rank). Runs [[bruteForceTopK]] at
+    * both widths and counts per-query overlap: (qid, n_hits,
+    * recall = n_hits/k, one IEEE division). Both passes broadcast the
+    * query side and stream the corpus; the truncation itself is a
+    * row-local `slice`, so the truncated pass reads ~dimT/dim of the
+    * vector bytes — at serving scale that is the point.
+    */
+  def truncateRecall(queries: DataFrame, corpus: DataFrame, id: String,
+      vec: String, dim: Int, dimT: Int, k: Int): DataFrame = {
+    require(dimT >= 1 && dimT < dim)
+    val full = bruteForceTopK(queries, corpus, id, vec, dim, k)
+      .select(col("qid"), col(id).as("_nid"))
+    val trunc = bruteForceTopK(
+        queries.withColumn(vec, slice(col(vec), 1, dimT)),
+        corpus.withColumn(vec, slice(col(vec), 1, dimT)),
+        id, vec, dimT, k)
+      .select(col("qid"), col(id).as("_nid"))
+    val hits = full.join(trunc, Seq("qid", "_nid"))
+      .groupBy("qid").agg(count(lit(1)).as("n_hits"))
+    full.select("qid").distinct()
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / k).as("recall"))
+  }
+
   /** IVF SEARCH given a FIXED centroid table `cents` (`_cell` int,
     * `_cv` array<double>) — the pure-relational phase of [[ivfTopK]],
     * SQL-replayable (and DuckDB-oracled as `ann_ivf_search`)

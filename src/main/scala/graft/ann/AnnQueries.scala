@@ -336,7 +336,41 @@ object AnnQueries {
        |ORDER BY label_x, label_y""".stripMargin
   }
 
+  /** Matryoshka truncation recall@5: full 64-dim top-5 vs the top-5
+    * of the 16-dim prefix, per query — the measurement behind
+    * "retrieve with short prefixes, re-rank with full vectors".
+    */
+  def annTruncateRecall(s: SparkSession, dir: String): DataFrame = {
+    val c = orig(s, dir)
+    Ann.truncateRecall(c.filter(col("vec_id") < 25), c, "vec_id", "v",
+        Dim, dimT = 16, k = 5)
+      .orderBy("qid")
+  }
+
+  val annTruncateRecallOracle: String = {
+    def dotSqlT(a: String, b: String) =
+      (1 to 16).map(i => s"$a[$i]*$b[$i]").mkString(" + ")
+    def normSqlT(v: String) = s"sqrt(${dotSqlT(v, v)})"
+    s"""WITH o AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |c AS (SELECT vec_id, v, ${normSql("v")} AS n, ${normSqlT("v")} AS nt FROM o),
+       |q AS (SELECT vec_id AS qid, v AS qv, n AS qn, nt AS qnt FROM c WHERE vec_id < 25),
+       |rf AS (SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+       |         ORDER BY round((${dotSql("qv", "v")}) / (qn * n), 7) DESC, vec_id) AS rk
+       |       FROM q JOIN c ON c.vec_id <> q.qid),
+       |rt AS (SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+       |         ORDER BY round((${dotSqlT("qv", "v")}) / (qnt * nt), 7) DESC, vec_id) AS rk
+       |       FROM q JOIN c ON c.vec_id <> q.qid),
+       |h AS (SELECT rf.qid, CAST(count(*) AS BIGINT) AS n_hits
+       |      FROM rf JOIN rt ON rt.qid = rf.qid AND rt.vec_id = rf.vec_id
+       |      WHERE rf.rk <= 5 AND rt.rk <= 5 GROUP BY 1)
+       |SELECT q.qid, coalesce(h.n_hits, 0) AS n_hits,
+       |       CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 5 AS recall
+       |FROM q LEFT JOIN h ON h.qid = q.qid
+       |ORDER BY q.qid""".stripMargin
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_truncate_recall" -> (annTruncateRecall _),
     "ann_centroid_sim" -> (annCentroidSim _),
     "dedup_embedding" -> (dedupEmbedding _),
     "text_contamination_semantic" -> (textContaminationSemantic _),
@@ -350,6 +384,7 @@ object AnnQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "ann_truncate_recall" -> annTruncateRecallOracle,
     "ann_centroid_sim" -> annCentroidSimOracle,
     "dedup_embedding" -> dedupEmbeddingOracle,
     "text_contamination_semantic" -> textContaminationSemanticOracle,

@@ -162,7 +162,7 @@ object Triangles {
   /** Canonical undirected edge set: a < b, self-loops and duplicate /
     * reversed copies dropped.
     */
-  private def canonical(edges: DataFrame): DataFrame =
+  private[graph] def canonical(edges: DataFrame): DataFrame =
     edges.select(col("id1").as("u"), col("id2").as("v"))
       .where(col("u") =!= col("v"))
       .select(least(col("u"), col("v")).as("a"),
@@ -213,4 +213,83 @@ object Triangles {
       |tri AS (SELECT nodes.v, coalesce(dg.d, 0) AS degree,
       |          coalesce(pv.t, 0) AS triangles
       |        FROM nodes LEFT JOIN dg USING (v) LEFT JOIN pv USING (v))""".stripMargin
+}
+
+/** k-core decomposition by synchronous peeling: drop every vertex
+  * whose degree in the induced subgraph is < k, repeat to fixpoint.
+  * Each sweep is two equi-joins (edge ends against the alive set) and
+  * one count aggregate — edges-bounded shuffles, no driver state
+  * beyond one scalar count per sweep. Peel depth is data-dependent
+  * (bounded by `maxIter`, default 30; random sparse graphs converge
+  * in O(log n)-ish sweeps — the bench graph takes ≤ 8); lineage is
+  * truncated per sweep with an eager localCheckpoint so plan size
+  * stays constant across iterations.
+  */
+object KCore {
+
+  /** `edges`: undirected (id1, id2) pairs, any orientation (loops and
+    * duplicates dropped). Returns the members of the k-core with
+    * their induced ("core") degree: (v, core_degree), one row per
+    * surviving vertex. Empty when the graph has no k-core.
+    */
+  def kCore(edges: DataFrame, k: Int, maxIter: Int = 30): DataFrame = {
+    require(k >= 1 && maxIter >= 1)
+    val und = Triangles.canonical(edges)
+    // both directions: degree of v = out-rows of v in the symmetric frame
+    val sym = und.select(col("a").as("v"), col("b").as("o"))
+      .unionByName(und.select(col("b").as("v"), col("a").as("o")))
+      .localCheckpoint(true)
+    var alive = sym.select("v").distinct().localCheckpoint(true)
+    var n = alive.count()
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      val next = sym
+        .join(alive, "v")
+        .join(alive.select(col("v").as("o")), "o")
+        .groupBy("v").agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k)
+        .select("v")
+        .localCheckpoint(true)
+      val m = next.count()
+      converged = m == n
+      n = m
+      alive = next
+      it += 1
+    }
+    sym
+      .join(alive, "v")
+      .join(alive.select(col("v").as("o")), "o")
+      .groupBy("v").agg(count(lit(1)).as("core_degree"))
+  }
+
+  /** DuckDB replica over a caller CTE `edges(id1, id2)`: emits
+    * recursive-peel CTEs ending in `core(v, core_degree)`. The walk
+    * carries the alive set as a sorted list and stops at fixpoint
+    * (the LATERAL emits a row only while the set still shrinks) —
+    * the same data-dependent depth the Spark loop runs.
+    */
+  def oracleSql(k: Int): String =
+    s"""und AS MATERIALIZED (
+       |  SELECT DISTINCT least(id1, id2) AS a, greatest(id1, id2) AS b
+       |  FROM edges WHERE id1 <> id2),
+       |sym AS MATERIALIZED (
+       |  SELECT a AS v, b AS o FROM und UNION ALL SELECT b, a FROM und),
+       |walk(gen, alive) AS (
+       |  SELECT 0, (SELECT list(DISTINCT v ORDER BY v) FROM sym)
+       |  UNION ALL
+       |  SELECT w.gen + 1, nxt.l FROM walk w
+       |  JOIN LATERAL (
+       |    SELECT list(t.v ORDER BY t.v) AS l FROM (
+       |      SELECT e.v FROM sym e
+       |      JOIN (SELECT unnest(w.alive) AS v) x ON x.v = e.v
+       |      JOIN (SELECT unnest(w.alive) AS v) y ON y.v = e.o
+       |      GROUP BY e.v HAVING count(*) >= $k) t
+       |  ) nxt ON coalesce(len(nxt.l), 0) < len(w.alive)),
+       |fin AS (SELECT alive FROM walk WHERE gen = (SELECT max(gen) FROM walk)),
+       |core AS (SELECT e.v, CAST(count(*) AS BIGINT) AS core_degree
+       |         FROM sym e
+       |         JOIN (SELECT unnest(f.alive) AS v FROM fin f) x ON x.v = e.v
+       |         JOIN (SELECT unnest(f.alive) AS v FROM fin f) y ON y.v = e.o
+       |         GROUP BY e.v)""".stripMargin
 }

@@ -95,13 +95,49 @@ object GraphQueries {
        |${Triangles.oracleSql}
        |SELECT v, degree, triangles FROM tri ORDER BY v""".stripMargin
 
+  /** k-core (k = 6) of the same customer co-purchase graph: the dense
+    * "repeat co-purchaser" backbone — the community-pruning step a
+    * behavioral pipeline runs before expensive per-community work.
+    * Peeling is a data-dependent number of edges-bounded sweeps (the
+    * bench graph converges in ≤ 8); the oracle replays the identical
+    * fixpoint with a recursive CTE.
+    */
+  def graphKcore(s: SparkSession, dir: String): DataFrame = {
+    val lo = lineitem(s, dir)
+      .select(col("l_suppkey").as("sk"), to_date(col("l_shipdate")).as("dt"),
+        col("l_orderkey"))
+      .join(orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("sk"), col("dt"), col("o_custkey").as("c"))
+      .persist()
+    val pairs = lo.as("x").join(lo.as("y"),
+        col("x.sk") === col("y.sk") && col("x.dt") === col("y.dt") &&
+          col("x.c") < col("y.c"))
+      .select(col("x.c").as("id1"), col("y.c").as("id2"))
+    KCore.kCore(pairs, k = 6).orderBy("v")
+  }
+
+  val graphKcoreOracle: String =
+    s"""WITH RECURSIVE lo AS (
+       |  SELECT l_suppkey AS sk, CAST(l_shipdate AS DATE) AS dt,
+       |         o_custkey AS c
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |edges AS (
+       |  SELECT x.c AS id1, y.c AS id2
+       |  FROM lo x JOIN lo y
+       |    ON y.sk = x.sk AND y.dt = x.dt AND x.c < y.c),
+       |${KCore.oracleSql(6)}
+       |SELECT v, core_degree FROM core ORDER BY v""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> (graphPagerank _),
-    "graph_triangles" -> (graphTriangles _)
+    "graph_triangles" -> (graphTriangles _),
+    "graph_kcore" -> (graphKcore _)
   )
 
   def oracles: Map[String, String] = Map(
     "graph_pagerank" -> graphPagerankOracle,
-    "graph_triangles" -> graphTrianglesOracle
+    "graph_triangles" -> graphTrianglesOracle,
+    "graph_kcore" -> graphKcoreOracle
   )
 }

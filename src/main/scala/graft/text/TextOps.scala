@@ -856,6 +856,39 @@ object TextOps {
         (col("score_scaled").cast("double") / lit(1.0e9)).as("score"))
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis–
+    * Spirakis exponential clocks, the distributed standard): row i
+    * draws an md5-uniform u_i ∈ (0, 1] (40-bit, keyed on its id),
+    * starts an exponential clock t_i = −ln(u_i) — computed with
+    * [[graft.functions.DetMath.detLn]] so the double is bit-identical
+    * in every engine — quantized to 1e15 fixed-point and integer-
+    * divided by its POSITIVE integer weight; the n smallest keys win
+    * (ties by id). P(i in sample) is the A-ES without-replacement
+    * weighted law; every arithmetic step after the one correctly-
+    * rounded IEEE division inside the uniform is integer, so the
+    * selected set hash-matches across engines at any scale.
+    *
+    * Scale shape: one narrow projection + a global top-n
+    * (TakeOrdered — no full sort is materialized); weights arrive as
+    * a column, so the typical source is a persisted score frame
+    * (DSIR weights, quality points).
+    */
+  def weightedSample(df: DataFrame, id: String, weight: Column,
+      n: Int): DataFrame = {
+    import graft.functions.DetMath.detLn
+    val h = conv(substring(md5(col(id).cast("string")), 1, 10), 16, 10)
+      .cast("long") // uniform in [0, 2^40)
+    val ratio = lit((1L << 40).toDouble) / (h + lit(1L)).cast("double")
+    df.withColumn("_w", weight)
+      .filter(col("_w") > 0)
+      .withColumn("_clock", floor(detLn(ratio) * lit(1.0e15)).cast("long"))
+      .withColumn("priority", expr("_clock div _w"))
+      .orderBy(col("priority"), col(id))
+      .limit(n)
+      .withColumnRenamed("_w", "weight")
+      .drop("_clock")
+  }
+
   /** Winnowing fingerprints (#63, Schleimer et al.): char 5-gram rolling
     * hashes (md5-prefix), per-window (w=4) minima, distinct + sorted →
     * count and digest per document.

@@ -820,7 +820,49 @@ object TextQueries {
       |ORDER BY doc_id""".stripMargin.replace("__EN__", en)
   }
 
+  /** Quality-weighted corpus subsample: A-ES exponential-clock
+    * sampling (TextOps.weightedSample) with weight = quality points,
+    * n = 100 — the "sample training docs ∝ score" step that follows
+    * DSIR/quality scoring in a data pipeline, here with a bit-exact
+    * cross-engine law (md5 uniforms + detLn clocks + integer keys).
+    */
+  def textWeightedSample(s: SparkSession, dir: String): DataFrame = {
+    val q = TextOps.quality(documents(s, dir), "doc_id", "text")
+      .select(col("doc_id"), (col("quality_bp") + 1L).as("w"))
+    TextOps.weightedSample(q, "doc_id", col("w"), 100)
+      .select(col("doc_id"), col("weight"), col("priority"))
+      .orderBy("priority", "doc_id")
+  }
+
+  val textWeightedSampleOracle: String = {
+    val en = TextOps.LangProfiles.toMap.apply("en").map(w => s"'$w'").mkString(", ")
+    s"""WITH t AS (SELECT doc_id, lower(text) AS t, string_split(lower(text), ' ') AS toks
+       |           FROM documents),
+       |b AS (SELECT doc_id,
+       |  CAST(len(toks) AS BIGINT) AS nw,
+       |  CAST(length(t) AS BIGINT) AS nc,
+       |  CAST(length(regexp_replace(t, '[a-z0-9 ]', '', 'g')) AS BIGINT) AS np,
+       |  CAST(len(list_filter(toks, x -> list_contains([__EN__], x))) AS BIGINT) AS nstop
+       |FROM t),
+       |q AS (SELECT doc_id,
+       |  (least(nw, 50) * 8 + (nc - np) * 300 // nc + nstop * 300 // nw) + 1 AS w
+       |FROM b),
+       |u AS (SELECT doc_id, w,
+       |  (CAST(${1L << 40} AS DOUBLE) /
+       |   CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 10)) AS BIGINT) + 1
+       |        AS DOUBLE)) AS x
+       |FROM q),
+       |${graft.functions.DetMath.sqlLnCtes("lnu", "u", "doc_id, w", "x")},
+       |k AS (SELECT doc_id, CAST(w AS BIGINT) AS weight,
+       |        CAST(floor(lnv * CAST(1000000000000000 AS DOUBLE)) AS BIGINT) // w
+       |          AS priority
+       |      FROM lnu)
+       |SELECT doc_id, weight, priority FROM k
+       |ORDER BY priority, doc_id LIMIT 100""".stripMargin.replace("__EN__", en)
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_weighted_sample" -> (textWeightedSample _),
     "text_quality_adaptive" -> (textQualityAdaptive _),
     "text_dsir" -> (textDsir _),
     "text_tfidf_keywords" -> (textTfidfKeywords _),
@@ -851,6 +893,7 @@ object TextQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "text_weighted_sample" -> textWeightedSampleOracle,
     "text_quality_adaptive" -> textQualityAdaptiveOracle,
     "text_dsir" -> textDsirOracle,
     "text_tfidf_keywords" -> textTfidfKeywordsOracle,

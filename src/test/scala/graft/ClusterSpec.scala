@@ -100,6 +100,30 @@ class ClusterSpec extends AnyFunSuite {
     assert(complete(3L) != complete(1L)) // complete refuses the weak side
   }
 
+  test("hierarchical average: EXACT tie on average sim pins the (minId, minId) merge order") {
+    // Two candidate merges tie at average = 0.375 EXACTLY (all sims are
+    // binary fractions, and (0.5 + 0.25)/2 = 0.375 is one exact IEEE
+    // division — the same value the oracle's exact-int sm/(|A|·|B|)
+    // replay produces, so kernel and oracle face the identical tie):
+    //   after {1,2} merge at 1.0:
+    //     ({1,2}, {3}) → (0.5 + 0.25)/2 = 0.375
+    //     ({3}, {4})   → 0.375
+    // The contract (kernel: first strictly-greater in ascending
+    // (minId_A, minId_B) enumeration wins; oracle: ORDER BY avg DESC,
+    // l, g LIMIT 1) picks ({1,2}, {3}) — label pair (1, 3) < (3, 4).
+    // The outcomes DIVERGE, so this pins the rule, not just the score:
+    //   winner {1,2,3}: then ({1,2,3},{4}) = 0.375/3 = 0.125 < 0.3 stop
+    //     → {1,2,3} | {4}
+    //   loser {3,4} first would end at {1,2} | {3,4}.
+    val es = Seq(Edge(1, 2, 1.0), Edge(1, 3, 0.5), Edge(2, 3, 0.25), Edge(3, 4, 0.375))
+    val r = ComponentKernels.hierarchical(es, "average", 0.3).toMap
+    assert(r == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L), s"got $r")
+    // input-order invariance: the tie rule is on ids, not edge order
+    for (perm <- es.permutations.take(12)) {
+      assert(ComponentKernels.hierarchical(perm, "average", 0.3).toMap == r)
+    }
+  }
+
   test("hierarchical average on integer-valued doubles is scale-equivalent to [0,1] scores") {
     val rnd = new scala.util.Random(11)
     for (_ <- 1 to 10) {

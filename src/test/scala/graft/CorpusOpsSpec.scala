@@ -634,6 +634,55 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(w == w2)
   }
 
+  test("weightedSample: huge weight always wins, zero weight never sampled, repartition-stable") {
+    val spark2 = spark
+    import spark2.implicits._
+    import graft.text.TextOps
+    // 200 unit-weight rows + one row with weight 10^9: its clock is
+    // divided by 1e9, so its key is ~0 — it must be in any top-10.
+    val df = spark.range(200).select(col("id"), lit(1L).as("w"))
+      .unionByName(Seq((999L, 1000000000L)).toDF("id", "w"))
+      .unionByName(Seq((998L, 0L)).toDF("id", "w")) // weight 0: excluded
+    val top = TextOps.weightedSample(df.toDF(), "id", col("w"), 10)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(top.contains(999L) && !top.contains(998L) && top.size == 10)
+    // law sanity: among 200 equal weights the pick is the md5-clock
+    // order — identical across partitionings (determinism at scale)
+    val a = TextOps.weightedSample(df.toDF(), "id", col("w"), 25)
+      .select("id", "priority").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = TextOps.weightedSample(df.repartition(13).toDF(), "id", col("w"), 25)
+      .select("id", "priority").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+    // n beyond the population returns everyone with positive weight
+    assert(TextOps.weightedSample(df.toDF(), "id", col("w"), 500).count() == 201)
+  }
+
+  test("truncateRecall: prefix-determined vectors give recall 1.0, tail-only info degrades it") {
+    val spark2 = spark
+    import spark2.implicits._
+    import graft.ann.Ann
+    // 20 vectors whose tail dims are all ZERO: truncation to 4 dims
+    // leaves every dot product and norm bit-identical → recall 1
+    // (a constant NON-zero tail would already shift cosines and can
+    // legitimately flip near-ties — that belongs to the case below)
+    def unit(i: Long, d: Int) = Array.tabulate(8)(j =>
+      if (j < 4) math.sin(1.0 + i * (j + 1)) else 0.0)
+    val flat = (0L until 20L).map(i => (i, unit(i, 8).toSeq)).toDF("vec_id", "v")
+    val r1 = Ann.truncateRecall(
+      flat.filter(col("vec_id") < 5), flat, "vec_id", "v", 8, 4, 3)
+      .collect().map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    assert(r1.size == 5 && r1.values.forall(_ == 1.0), s"got $r1")
+    // adversarial: neighbours distinguished ONLY by dims 5-8 (prefix is
+    // constant) → truncated ranking is uninformative; mean recall < 1
+    def tail(i: Long) = Array.tabulate(8)(j =>
+      if (j >= 4) math.sin(1.0 + i * (j + 1)) else 0.5)
+    val tl = (0L until 20L).map(i => (i, tail(i).toSeq)).toDF("vec_id", "v")
+    val r2 = Ann.truncateRecall(
+      tl.filter(col("vec_id") < 5), tl, "vec_id", "v", 8, 4, 3)
+      .agg(avg("recall")).collect()(0).getDouble(0)
+    assert(r2 < 1.0, s"tail-only info should degrade truncated recall, got $r2")
+  }
+
   test("Profiler.correlation: exact ±1 on linear columns, NULL on constant, symmetric pairs") {
     val spark2 = spark
     import spark2.implicits._

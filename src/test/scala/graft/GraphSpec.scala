@@ -142,6 +142,27 @@ class GraphSpec extends AnyFunSuite {
     assert((4L to 60L).forall(v => r(v) == (1L, 0L)))
   }
 
+  test("kcore: peels a tail into the clique core; whole graph below k is empty") {
+    val spark2 = spark
+    import spark2.implicits._
+    import graft.graph.KCore
+    // K5 (1..5) + node 6 wired to {4, 5, 7} + pendant 7: the 3-core is
+    // exactly the K5, and it takes TWO sweeps to find — sweep 1 drops
+    // only 7 (deg 1; 6 still has deg 3), sweep 2 drops 6 (now deg 2) —
+    // so the fixpoint loop is exercised, not just one pass.
+    val k5 = for { i <- 1L to 5L; j <- 1L to 5L if i < j } yield (i, j)
+    val edges = (k5 ++ Seq((5L, 6L), (4L, 6L), (6L, 7L))).toDF("id1", "id2")
+    val r = KCore.kCore(edges, 3).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == (1L to 5L).map(_ -> 4L).toMap, s"got $r")
+    // k above the max clique degree → empty core
+    assert(KCore.kCore(edges, 5).count() == 0L)
+    // k=1 keeps everything with its full degree
+    val all1 = KCore.kCore(edges, 1).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(all1(6L) == 3L && all1(7L) == 1L && all1(1L) == 4L)
+  }
+
   test("triangles: K4 counts, duplicate/self-loop edges dropped, isolated zeros") {
     val spark2 = spark
     import spark2.implicits._
