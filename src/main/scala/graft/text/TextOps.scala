@@ -856,6 +856,50 @@ object TextOps {
         (col("score_scaled").cast("double") / lit(1.0e9)).as("score"))
   }
 
+  /** CCNet-style global rank + equi-depth bucketing by an integer sort
+    * key (e.g. a quantized LM cross-entropy): rank every row by
+    * (key, id) and assign bucket = (rank−1)·nBuckets div N — exact
+    * equi-depth terciles/deciles with zero float quantile estimation.
+    *
+    * The global rank uses the same DISTRIBUTED prefix shape as
+    * [[packSequences]]/[[budgetSelect]]: range-repartition by
+    * (key, id), sort within partitions, collect only the PER-PARTITION
+    * row counts (partition-count-bounded driver traffic), broadcast
+    * the prefix offsets, then stamp ranks in one mapPartitions pass —
+    * no single-partition global window anywhere, so the shape holds at
+    * corpus scale.
+    */
+  def rankBuckets(scored: DataFrame, id: String, key: Column,
+      nBuckets: Int): DataFrame = {
+    require(nBuckets >= 1)
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val sorted = scored
+      .select(col(id).cast("long").as("_id"), key.cast("long").as("_k"))
+      .repartitionByRange(col("_k"), col("_id"))
+      .sortWithinPartitions(col("_k"), col("_id"))
+      .as[(Long, Long)].rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val counts = sorted
+        .mapPartitionsWithIndex { (i, it) =>
+          var c = 0L; it.foreach(_ => c += 1); Iterator((i, c))
+        }
+        .collect().sortBy(_._1).map(_._2)
+      val offsets = counts.scanLeft(0L)(_ + _)
+      val n = math.max(offsets.last, 1L)
+      val bc = spark.sparkContext.broadcast(offsets)
+      val ranked = sorted.mapPartitionsWithIndex { (i, it) =>
+        var r = bc.value(i)
+        it.map { case (d, k) =>
+          r += 1
+          (d, k, r, (r - 1) * nBuckets / n)
+        }
+      }
+      ranked.toDF(id, "key", "rank", "bucket").localCheckpoint(true)
+    } finally sorted.unpersist(false)
+  }
+
   /** Deterministic weighted sampling WITHOUT replacement (Efraimidis–
     * Spirakis exponential clocks, the distributed standard): row i
     * draws an md5-uniform u_i ∈ (0, 1] (40-bit, keyed on its id),

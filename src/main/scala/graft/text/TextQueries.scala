@@ -529,9 +529,13 @@ object TextQueries {
     TextOps.unigramCrossEntropy(graft.Tables.documents(s, dir), "doc_id", "text")
       .orderBy("doc_id")
 
-  val textUnigramXentOracle: String = {
+  /** The unigram-xent CTE chain (ends in a CTE `xe(doc_id, n_tokens,
+    * xent)`) — shared by the xent query's oracle and the CCNet-style
+    * bucket oracle.
+    */
+  private val unigramXentCtes: String = {
     import graft.functions.DetMath
-    s"""WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+    s"""toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
        |             FROM documents),
        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
        |       FROM toks GROUP BY 1, 2),
@@ -543,13 +547,44 @@ object TextQueries {
        |s AS (SELECT tf.doc_id,
        |        CAST(sum(CAST(floor((CAST(tf.tf AS DOUBLE) * lncf.lnv)
        |          * CAST(1000000000 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS s
-       |      FROM tf JOIN lncf ON lncf.term = tf.term GROUP BY 1)
-       |SELECT dl.doc_id, dl.dl AS n_tokens,
+       |      FROM tf JOIN lncf ON lncf.term = tf.term GROUP BY 1),
+       |xe AS (SELECT dl.doc_id, dl.dl AS n_tokens,
        |  (lnt.lnv - ((CAST(s.s AS DOUBLE) / CAST(1000000000 AS DOUBLE))
        |    / CAST(dl.dl AS DOUBLE))) AS xent
-       |FROM dl JOIN s ON s.doc_id = dl.doc_id, lnt
-       |ORDER BY dl.doc_id""".stripMargin
+       |FROM dl JOIN s ON s.doc_id = dl.doc_id, lnt)""".stripMargin
   }
+
+  val textUnigramXentOracle: String =
+    s"""WITH $unigramXentCtes
+       |SELECT doc_id, n_tokens, xent FROM xe
+       |ORDER BY doc_id""".stripMargin
+
+  /** CCNet-style equi-depth perplexity buckets: global rank of the
+    * quantized xent key (exact — the distributed prefix-count rank,
+    * no float quantiles), bucket = (rank−1)·3 div N → head/middle/tail.
+    */
+  def textXentBuckets(s: SparkSession, dir: String): DataFrame = {
+    val x = TextOps.unigramCrossEntropy(graft.Tables.documents(s, dir),
+      "doc_id", "text")
+    val keyed = x.select(col("doc_id"),
+      floor(col("xent") * lit(1.0e9)).cast("long").as("k"))
+    TextOps.rankBuckets(keyed, "doc_id", col("k"), 3)
+      .select(col("doc_id"), col("key").as("xent_key"), col("rank"),
+        col("bucket"))
+      .orderBy("doc_id")
+  }
+
+  val textXentBucketsOracle: String =
+    s"""WITH $unigramXentCtes,
+       |k AS (SELECT doc_id,
+       |        CAST(floor(xent * CAST(1000000000 AS DOUBLE)) AS BIGINT) AS xent_key
+       |      FROM xe),
+       |r AS (SELECT doc_id, xent_key,
+       |        CAST(row_number() OVER (ORDER BY xent_key, doc_id) AS BIGINT) AS rank,
+       |        CAST(count(*) OVER () AS BIGINT) AS n
+       |      FROM k)
+       |SELECT doc_id, xent_key, rank, (rank - 1) * 3 // n AS bucket
+       |FROM r ORDER BY doc_id""".stripMargin
 
   /** KL divergence of each source's token distribution from the corpus —
     * mixture-drift monitor (TextOps.groupKlDivergence).
@@ -862,6 +897,7 @@ object TextQueries {
   }
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_xent_buckets" -> (textXentBuckets _),
     "text_weighted_sample" -> (textWeightedSample _),
     "text_quality_adaptive" -> (textQualityAdaptive _),
     "text_dsir" -> (textDsir _),
@@ -893,6 +929,7 @@ object TextQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "text_xent_buckets" -> textXentBucketsOracle,
     "text_weighted_sample" -> textWeightedSampleOracle,
     "text_quality_adaptive" -> textQualityAdaptiveOracle,
     "text_dsir" -> textDsirOracle,

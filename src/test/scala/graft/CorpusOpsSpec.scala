@@ -657,6 +657,28 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(TextOps.weightedSample(df.toDF(), "id", col("w"), 500).count() == 201)
   }
 
+  test("rankBuckets: exact equi-depth terciles, rank = global (key,id) order, repartition-stable") {
+    val spark2 = spark
+    import spark2.implicits._
+    import graft.text.TextOps
+    // 3001 rows, keys descending as ids ascend → rank must invert id
+    val df = spark.range(3001).select(col("id"), (lit(5000L) - col("id")).as("k"))
+    val r = TextOps.rankBuckets(df.toDF(), "id", col("k"), 3)
+      .collect().map(x => x.getLong(0) -> (x.getLong(2), x.getLong(3))).toMap
+    assert(r(3000L) == (1L, 0L))   // smallest key = rank 1, bucket 0
+    assert(r(0L) == (3001L, 2L))   // largest key = last rank, bucket 2
+    // exact equi-depth: 3001 rows → buckets of 1001/1000/1000
+    val sizes = r.values.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(sizes == Map(0L -> 1001, 1L -> 1000, 2L -> 1000), s"got $sizes")
+    // ties on key break by id, and partitioning never changes the answer
+    val t = spark.range(600).select(col("id"), (col("id") % 3L).as("k"))
+    val a = TextOps.rankBuckets(t.toDF(), "id", col("k"), 4)
+      .collect().map(x => (x.getLong(0), x.getLong(2), x.getLong(3))).toSet
+    val b = TextOps.rankBuckets(t.repartition(17).toDF(), "id", col("k"), 4)
+      .collect().map(x => (x.getLong(0), x.getLong(2), x.getLong(3))).toSet
+    assert(a == b && a.size == 600)
+  }
+
   test("truncateRecall: prefix-determined vectors give recall 1.0, tail-only info degrades it") {
     val spark2 = spark
     import spark2.implicits._
