@@ -128,7 +128,42 @@ object IoQueries {
       |SELECT c_nationkey, row_idx, cs[1] AS name, cs[2] AS id
       |FROM cells ORDER BY c_nationkey, row_idx""".stripMargin
 
+  /** Hive-partitioned sink + partition-pruned read-back: write the
+    * documents table `partitionBy(source)` (the layout a 100 TB corpus
+    * actually lands in — one directory per source, so source-scoped
+    * jobs never list, let alone read, other sources' files), then read
+    * it back filtered to 3 sources and aggregate. The filter is a
+    * PARTITION filter — it prunes directories at planning time instead
+    * of scanning+discarding (IoProfileSchemaSpec asserts the pruned
+    * scan shape on the executed plan).
+    */
+  /** Where [[ioPartitioned]] lands its partitioned copy (exposed so the
+    * spec can re-open the read and assert partition pruning on the
+    * executed plan).
+    */
+  def partitionedPath(dir: String): String =
+    java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_part_${dir.hashCode.toHexString}").toString
+
+  def ioPartitioned(s: SparkSession, dir: String): DataFrame = {
+    val out = partitionedPath(dir)
+    documents(s, dir).write.mode("overwrite").partitionBy("source").parquet(out)
+    s.read.parquet(out)
+      .filter(col("source").isin("src1", "src2", "src3"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+      .orderBy("source")
+  }
+
+  val ioPartitionedOracle: String =
+    """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents
+      |WHERE source IN ('src1', 'src2', 'src3')
+      |GROUP BY source ORDER BY source""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "io_partitioned" -> (ioPartitioned _),
     "io_html" -> (ioHtml _),
     "io_fwf" -> (ioFwf _),
     "io_load_parquet" -> (ioLoadParquet _),
@@ -138,6 +173,7 @@ object IoQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "io_partitioned" -> ioPartitionedOracle,
     "io_html" -> ioHtmlOracle,
     "io_fwf" -> ioFwfOracle,
     "io_load_parquet" -> ioLoadParquetOracle,

@@ -107,4 +107,20 @@ class IoProfileSchemaSpec extends AnyFunSuite {
     val real = graft.blocking.Blockers.standard(l, r, Seq("seg", "nat"), "id").count()
     assert(est == real)
   }
+
+  test("io_partitioned: source filter becomes a PARTITION filter (directory pruning, not scan+discard)") {
+    import org.apache.spark.sql.functions._
+    assert(graft.io.IoQueries.ioPartitioned(spark, sf).count() > 0) // write + read-back
+    val back = spark.read.parquet(graft.io.IoQueries.partitionedPath(sf))
+      .filter(col("source") === "src1")
+    val scan = back.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString("\n")
+    // the filter must appear as a PartitionFilters entry on the scan
+    // (planning-time directory pruning), NOT as a pushed data filter
+    assert(scan.contains("PartitionFilters") &&
+      scan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1").contains("source"),
+      s"source not pruned at partition level:\n$scan")
+    // and only the one directory's rows come back
+    val direct = graft.Tables.documents(spark, sf).filter(col("source") === "src1").count()
+    assert(back.count() == direct)
+  }
 }
