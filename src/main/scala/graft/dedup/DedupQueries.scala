@@ -286,6 +286,42 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** LEAKAGE-FREE train/val/test split: the split key is the near-dup
+    * CANONICAL id, not the doc id — every member of a near-dup cluster
+    * lands in the same split, so no eval document has a train-side
+    * near-duplicate (the doc-keyed split leaks exactly those). Same
+    * cluster derivation as `dedup_cluster`; the split itself is the
+    * deterministic md5-prefix law of `text_split`.
+    */
+  def dedupSplitLeakfree(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+      n = 3, bands = 4, rows = 3, threshold = 0.8)
+    val comp = graft.clustering.Clusterers.connectedComponents(
+      pairs.select("id1", "id2"))
+    val asg = docs.select("doc_id")
+      .join(comp, docs("doc_id") === comp("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster"), col("doc_id")).as("canonical_id"))
+    graft.text.TextOps.trainValTestSplit(asg, col("canonical_id"),
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+      .orderBy("doc_id")
+  }
+
+  val dedupSplitLeakfreeOracle: String = {
+    val cuts = graft.text.TextOps.cutsHex(
+      Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+    val cases = cuts.init.map { case (n, c) =>
+      s"WHEN substr(md5(CAST(canonical_id AS VARCHAR)), 1, 4) < '$c' THEN '$n'"
+    }.mkString(" ")
+    s"""$clusterCtePrefix,
+       |asg AS (SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS canonical_id
+       |        FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+       |SELECT doc_id, canonical_id,
+       |  CASE $cases ELSE '${cuts.last._1}' END AS split
+       |FROM asg ORDER BY doc_id""".stripMargin
+  }
+
   val dedupClusterSampleOracle: String =
     s"""$clusterCtePrefix,
        |asg AS (SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS canonical_id
@@ -394,7 +430,8 @@ object DedupQueries {
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_cluster" -> (dedupCluster _),
-    "dedup_cluster_sample" -> (dedupClusterSample _)
+    "dedup_cluster_sample" -> (dedupClusterSample _),
+    "dedup_split_leakfree" -> (dedupSplitLeakfree _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -405,6 +442,7 @@ object DedupQueries {
     "dedup_minhash_lsh" -> dedupMinhashOracle,
     "dedup_simhash" -> dedupSimhashOracle,
     "dedup_cluster" -> dedupClusterOracle,
-    "dedup_cluster_sample" -> dedupClusterSampleOracle
+    "dedup_cluster_sample" -> dedupClusterSampleOracle,
+    "dedup_split_leakfree" -> dedupSplitLeakfreeOracle
   )
 }

@@ -313,6 +313,22 @@ class DedupTextSpec extends AnyFunSuite {
     assert(math.abs(rf.getDouble(1)) < 1e-9, s"flat slope: ${rf.getDouble(1)}")
   }
 
+  test("leakage-free split: every near-dup cluster lands in exactly one split") {
+    val r = graft.dedup.DedupQueries.dedupSplitLeakfree(spark, sf).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getString(2)))
+    assert(r.nonEmpty)
+    // the property the op exists for: one split value per canonical id
+    r.groupBy(_._2).foreach { case (cid, rows) =>
+      assert(rows.map(_._3).distinct.length == 1,
+        s"cluster $cid straddles splits: ${rows.map(_._3).distinct.toSeq}")
+    }
+    // and the corpus actually exercises it: at least one multi-doc
+    // cluster exists (else the test proves nothing)
+    assert(r.groupBy(_._2).exists(_._2.length > 1))
+    // all three splits appear at the 500-doc scale
+    assert(r.map(_._3).distinct.sorted.sameElements(Array("test", "train", "val")))
+  }
+
   test("cosine helpers: unit vector self-similarity and bucket determinism") {
     val spark2 = spark
     import spark2.implicits._
