@@ -369,7 +369,71 @@ object AnnQueries {
        |ORDER BY q.qid""".stripMargin
   }
 
+  // ---- PQ / ADC search (the FAISS memory-scale path) ----
+
+  /** PQ asymmetric-distance search with FIXED codebooks (same
+    * fit/search split as `ann_ivf` vs `ann_ivf_search`): codebook
+    * entry c of subspace m = the m-th 16-dim slice of the c-th
+    * lowest-id corpus vector — deterministic and SQL-constructible —
+    * so encode (per-subspace nearest-code assignment), the per-query
+    * distance table, and the ADC sum all replay exactly in DuckDB.
+    * Distances floor-scale to 1e9 longs BEFORE summation, so the
+    * ranking is partitioning-invariant (see [[Ann.pqSearch]]).
+    */
+  def annPqSearch(s: SparkSession, dir: String): DataFrame = {
+    val c = orig(s, dir)
+    val sub = Dim / PqM
+    val seeds = c.orderBy("vec_id").limit(PqK)
+      .select((row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy("vec_id")) - 1).as("_code"),
+        col("v"))
+    val books = seeds.select(col("_code"), explode(expr(
+        s"transform(sequence(0, ${PqM - 1}), i -> struct(i as _m, slice(v, i * $sub + 1, $sub) as _cv))")).as("_s"))
+      .select(col("_s._m").as("_m"), col("_code"), col("_s._cv").as("_cv"))
+    Ann.pqSearch(c.filter(col("vec_id") < 10), c, books, "vec_id", "v", Dim,
+        m = PqM, k = 5)
+      .orderBy("qid", "rank")
+  }
+
+  private val PqM = 4
+  private val PqK = 16
+
+  private def l2sqSubSql(a: String, b: String, sub: Int): String =
+    (1 to sub).map(i => s"($a[$i]-$b[$i])*($a[$i]-$b[$i])").mkString(" + ")
+
+  val annPqSearchOracle: String = {
+    val sub = Dim / PqM
+    s"""WITH o AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |seeds AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS code, v
+       |          FROM (SELECT * FROM o ORDER BY vec_id LIMIT $PqK)),
+       |mset AS (SELECT unnest([${(0 until PqM).mkString(", ")}]) AS m),
+       |books AS (SELECT m, code, v[m*$sub+1 : m*$sub+$sub] AS cv FROM seeds, mset),
+       |subs AS (SELECT vec_id, m, v[m*$sub+1 : m*$sub+$sub] AS sv FROM o, mset),
+       |enc0 AS (SELECT s.vec_id, s.m, b.code,
+       |           row_number() OVER (PARTITION BY s.vec_id, s.m
+       |             ORDER BY ${l2sqSubSql("s.sv", "b.cv", sub)}, b.code) AS rn
+       |         FROM subs s JOIN books b ON b.m = s.m),
+       |enc AS (SELECT vec_id, m, code FROM enc0 WHERE rn = 1),
+       |q AS (SELECT vec_id AS qid, m, sv FROM subs WHERE vec_id < 10),
+       |dtab AS (SELECT q.qid, b.m, b.code,
+       |           CAST(floor((${l2sqSubSql("q.sv", "b.cv", sub)}) * 1e9) AS BIGINT) AS dq
+       |         FROM q JOIN books b ON b.m = q.m),
+       |adc AS (SELECT d.qid, e.vec_id,
+       |          CAST(sum(d.dq) AS BIGINT) AS adc_scaled
+       |        FROM enc e JOIN dtab d ON d.m = e.m AND d.code = e.code
+       |        WHERE e.vec_id <> d.qid
+       |        GROUP BY 1, 2),
+       |ranked AS (SELECT qid, vec_id, adc_scaled,
+       |             row_number() OVER (PARTITION BY qid
+       |               ORDER BY adc_scaled, vec_id) AS rank
+       |           FROM adc)
+       |SELECT qid, vec_id, adc_scaled, CAST(rank AS INT) AS rank FROM ranked
+       |WHERE rank <= 5
+       |ORDER BY qid, rank""".stripMargin
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_pq_search" -> (annPqSearch _),
     "ann_truncate_recall" -> (annTruncateRecall _),
     "ann_centroid_sim" -> (annCentroidSim _),
     "dedup_embedding" -> (dedupEmbedding _),
@@ -384,6 +448,7 @@ object AnnQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "ann_pq_search" -> annPqSearchOracle,
     "ann_truncate_recall" -> annTruncateRecallOracle,
     "ann_centroid_sim" -> annCentroidSimOracle,
     "dedup_embedding" -> dedupEmbeddingOracle,

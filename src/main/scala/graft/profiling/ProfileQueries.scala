@@ -235,7 +235,40 @@ object ProfileQueries {
        |ORDER BY column_name""".stripMargin
   }
 
+  /** Exact global percentiles of the two money-scale fact columns by
+    * distributed selection (see [[Profiler.quantilesDisc]]) — the
+    * operational-profiling face of the family: p50/p90/p99/p999 of
+    * order value and line price with NO single-task percentile
+    * buffer. Output is 2·|qs| rows at any data size.
+    */
+  def profileQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val qs = Seq(100, 250, 500, 750, 900, 990, 999)
+    Profiler.quantilesDisc(lineitem(s, dir), "l_extendedprice_cents",
+        cents(col("l_extendedprice")), qs)
+      .unionByName(Profiler.quantilesDisc(orders(s, dir), "o_totalprice_cents",
+        cents(col("o_totalprice")), qs))
+      .orderBy("column_name", "q_milli")
+  }
+
+  val profileQuantilesOracle: String = {
+    // same integer rank law as the engine: rank = max(1, ceil(q·n/1000))
+    def one(table: String, c: String, label: String) =
+      s"""SELECT '$label' AS column_name, q_milli, value FROM (
+         |  SELECT q_milli,
+         |         greatest((q_milli * n.c + 999) // 1000, 1) AS target
+         |  FROM (SELECT unnest([100, 250, 500, 750, 900, 990, 999]) AS q_milli),
+         |       (SELECT count(*) AS c FROM $table) n) t
+         |JOIN (SELECT CAST(round($c * 100) AS BIGINT) AS value,
+         |             row_number() OVER (ORDER BY CAST(round($c * 100) AS BIGINT)) AS rk
+         |      FROM $table) r ON r.rk = t.target""".stripMargin
+    one("lineitem", "l_extendedprice", "l_extendedprice_cents") +
+      "\nUNION ALL\n" +
+      one("orders", "o_totalprice", "o_totalprice_cents") +
+      "\nORDER BY column_name, q_milli"
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "profile_quantiles" -> (profileQuantiles _),
     "profile_columns" -> (profileColumns _),
     "profile_topk" -> (profileTopk _),
     "profile_compare" -> (profileCompare _),
@@ -247,6 +280,7 @@ object ProfileQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "profile_quantiles" -> profileQuantilesOracle,
     "profile_compare" -> profileCompareOracle,
     "profile_columns" -> profileColumnsOracle,
     "profile_topk" -> profileTopkOracle,

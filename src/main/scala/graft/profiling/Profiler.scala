@@ -1,6 +1,6 @@
 package graft.profiling
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -286,6 +286,72 @@ object Profiler {
     * bucket, so no false dismissals), then the final per-column window
     * ranks only those survivors.
     */
+  /** EXACT percentiles by distributed selection — the scale path the
+    * built-in `percentile` aggregate lacks. `percentile` buffers every
+    * value of its group inside ONE aggregation state, so a global
+    * quantile at corpus scale concentrates the whole column on a
+    * single task; approx_percentile trades that for error bounds.
+    * Here the column is range-repartitioned (sampled bounds give a
+    * cluster-wide sort order with no global sort task), only the
+    * PER-PARTITION row counts return to the driver (partition-count-
+    * bounded), prefix offsets are broadcast back, and each partition
+    * emits just the values whose global rank is a selection target:
+    * rank_q = max(1, ceil(q·n/1000)) — SQL PERCENTILE_DISC, the
+    * smallest value with cume_dist ≥ q. Every emitted value is an
+    * actual column value (no interpolation), so duplicates/tie order
+    * cannot perturb the result and the output is |qs|-bounded at any
+    * data size.
+    *
+    * Values are read as longs (callers pre-scale money to cents, the
+    * repo-wide exactness idiom); the rank law is pure integer
+    * arithmetic, so engine and oracle agree bit-for-bit.
+    */
+  def quantilesDisc(df: DataFrame, colName: String, value: Column,
+      qsMilli: Seq[Int]): DataFrame = {
+    require(qsMilli.nonEmpty && qsMilli.forall(q => q > 0 && q <= 1000))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sorted = df.select(value.cast("long").as("_v"))
+      .filter(col("_v").isNotNull)
+      .repartitionByRange(col("_v"))
+      .sortWithinPartitions(col("_v"))
+      .as[Long].rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val counts = sorted
+        .mapPartitionsWithIndex { (i, it) =>
+          var c = 0L; it.foreach(_ => c += 1); Iterator((i, c))
+        }
+        .collect().sortBy(_._1).map(_._2)
+      val offsets = counts.scanLeft(0L)(_ + _)
+      val n = offsets.last
+      // (q_milli, 1-indexed global target rank), ascending by rank
+      val targets = qsMilli.distinct.sorted
+        .map(q => (q, math.max(1L, (q.toLong * n + 999L) / 1000L)))
+      val picked = sorted.mapPartitionsWithIndex { (i, it) =>
+        val lo = offsets(i); val hi = offsets(i + 1)
+        val here = targets.filter { case (_, t) => t > lo && t <= hi }
+        if (here.isEmpty) Iterator.empty
+        else {
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+          val want = here.iterator
+          var cur = want.next(); var done = false; var r = lo
+          while (!done && it.hasNext) {
+            val v = it.next(); r += 1
+            while (!done && r == cur._2) { // several qs can share a rank
+              out += ((cur._1, v))
+              if (want.hasNext) cur = want.next() else done = true
+            }
+          }
+          out.iterator
+        }
+      }
+      val res = picked.toDF("q_milli", "value")
+        .select(lit(colName).as("column_name"), col("q_milli"), col("value"))
+      res.localCheckpoint(true)
+    } finally sorted.unpersist(false)
+  }
+
   def topK(df: DataFrame, columns: Seq[String], k: Int): DataFrame = {
     val stacked = df
       .select(explode(array(columns.map(c =>

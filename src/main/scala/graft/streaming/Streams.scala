@@ -304,9 +304,29 @@ object Streams {
     * recovered no-op batch. Dirs are small (one AvailableNow run of
     * bounded state) and live under the JVM tmpdir.
     */
+  /** Distinguishes this JVM's checkpoint tree from any previous run's:
+    * the counter alone restarts at 0 in every JVM, so a crashed or
+    * killed earlier process would leave COMPLETED checkpoints at the
+    * exact paths a new run computes — and a streaming query pointed at
+    * a finished checkpoint fails with "does not support recovering"
+    * instead of starting fresh (observed after an interrupted Verify).
+    * pid@host + JVM start time never collides across live runs.
+    */
+  private val jvmTag: String = {
+    val rt = java.lang.management.ManagementFactory.getRuntimeMXBean
+    (rt.getName + "_" + rt.getStartTime).replaceAll("[^0-9a-zA-Z_]", "")
+  }
+
   def freshCheckpointDir(name: String): String = {
     val p = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-      "graft_ckpt", name, ckptCounter.incrementAndGet().toString)
+      "graft_ckpt", jvmTag, name, ckptCounter.incrementAndGet().toString)
+    // belt and braces: even under the per-JVM tag, never hand Spark a
+    // non-empty checkpoint — wipe any leftover and start from nothing
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+    }
     java.nio.file.Files.createDirectories(p)
     p.toString
   }

@@ -948,4 +948,96 @@ object TextOps {
         size(col("_fp")).cast("long").as("fp_count"),
         md5(array_join(col("_fp"), ",")).as("fp_digest"))
   }
+
+  /** CROSS-document exact line deduplication — the C4/RefinedWeb
+    * boilerplate killer: a line that appears in many documents (nav
+    * bars, cookie banners, license footers) survives in exactly ONE
+    * of them. Lines with fewer than `minWords` whitespace tokens are
+    * exempt (headers, list stubs) and always kept.
+    *
+    * Law: the canonical occurrence of a duplicated line is the
+    * global min (doc id, line position) — one min(struct) aggregate
+    * per distinct line (map-side combining, no window over the
+    * occurrence lists, so a line occurring 10⁹ times shuffles one
+    * winner). Kept lines are reassembled in original order via
+    * array_sort over a per-doc collect — bounded by lines-per-doc,
+    * never corpus-global. Docs whose every eligible line lost stay
+    * in the output with the exempt remainder (left join from the doc
+    * universe, not from survivors).
+    *
+    * Scale shape: explode → one groupBy(line-hash) agg → equi-join
+    * back → one groupBy(doc). Matching is on md5(line): 128-bit
+    * exact-match fingerprints shuffle fixed-width keys instead of
+    * arbitrary-length lines.
+    */
+  /** Gopher's required-word set (Rae et al. 2021 §A1.1: "contains at
+    * least 2 of a set of common English words"). */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher rule battery — see [[TextQueries.textGopherRules]] for
+    * the rule list and determinism contract. One projection, per-row
+    * HOFs only; `keep` is the conjunction of all seven named rules.
+    */
+  def gopherRules(docs: DataFrame, id: String, text: String): DataFrame = {
+    val stops = array(GopherStopwords.map(lit): _*)
+    val base = docs.select(col(id),
+      lower(col(text)).as("_t"),
+      split(lower(col(text)), " ").as("_toks"),
+      split(col(text), "\n").as("_ls"))
+    val b = base.select(col(id),
+      size(col("_toks")).cast("long").as("nw"),
+      expr("aggregate(transform(_toks, x -> length(x)), 0L, (a, x) -> a + x)").as("wl"),
+      // '...' count: removed length is always a multiple of 3, so the
+      // integer `div` is exact
+      ((length(col("_t")) - length(expr("replace(_t, '#', '')"))).cast("long") +
+        expr("(length(_t) - length(replace(_t, '...', ''))) div 3").cast("long")).as("sym"),
+      expr("size(filter(_toks, x -> x rlike '[a-z]'))").cast("long").as("alpha"),
+      size(array_intersect(array_distinct(col("_toks")), stops)).cast("long").as("stop_hits"),
+      size(col("_ls")).cast("long").as("nl"),
+      expr("size(filter(_ls, x -> x like '- %' or x like '* %' or x like '• %'))")
+        .cast("long").as("bul"),
+      expr("size(filter(_ls, x -> x like '%...' or x like '%…'))")
+        .cast("long").as("ell"))
+    b.select(col(id), col("nw").as("n_words"),
+      expr("wl * 1000 div nw").as("mean_word_len_milli"),
+      expr("sym * 1000 div nw").as("symbol_ratio_milli"),
+      expr("alpha * 1000 div nw").as("alpha_frac_milli"),
+      col("stop_hits"),
+      expr("bul * 1000 div nl").as("bullet_milli"),
+      expr("ell * 1000 div nl").as("ellipsis_milli"),
+      (col("nw").between(50L, 100000L) &&
+        expr("wl * 1000 div nw").between(3000L, 10000L) &&
+        (expr("sym * 1000 div nw") <= 100L) &&
+        (expr("alpha * 1000 div nw") >= 800L) &&
+        (col("stop_hits") >= 2L) &&
+        (expr("bul * 1000 div nl") <= 900L) &&
+        (expr("ell * 1000 div nl") <= 300L)).as("keep"))
+  }
+
+  def lineDedup(docs: DataFrame, id: String, text: String,
+      minWords: Int = 5): DataFrame = {
+    val base = docs.select(col(id).as("_id"),
+      posexplode(split(col(text), "\n")).as(Seq("_pos", "_line")))
+    val lines = base.withColumn("_elig",
+        size(split(col("_line"), " ")) >= minWords)
+      .withColumn("_h", md5(col("_line")))
+    val winners = lines.filter(col("_elig"))
+      .groupBy(col("_h"))
+      .agg(min(struct(col("_id"), col("_pos"))).as("_w"))
+      .select(col("_h"), col("_w._id").as("_wid"), col("_w._pos").as("_wpos"))
+    val kept = lines.join(winners, Seq("_h"), "left")
+      .filter(!col("_elig") ||
+        (col("_wid") === col("_id") && col("_wpos") === col("_pos")))
+    val rebuilt = kept.groupBy(col("_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(expr("transform(array_sort(collect_list(struct(_pos, _line))), s -> s._line)"),
+          "\n").as("text_dedup"))
+    docs.select(col(id), (size(split(col(text), "\n"))).cast("long").as("n_lines"))
+      .join(rebuilt, col(id) === col("_id"), "left")
+      .select(col(id), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+  }
 }

@@ -896,7 +896,109 @@ object TextQueries {
        |ORDER BY priority, doc_id LIMIT 100""".stripMargin.replace("__EN__", en)
   }
 
+  /** Cross-document exact line dedup (C4/RefinedWeb boilerplate
+    * removal — see [[TextOps.lineDedup]]). The synthetic corpus has
+    * no line structure, so the query PLANTS the boilerplate the
+    * operator exists to remove: every document gets a per-source
+    * header line and a corpus-wide license footer line (the
+    * nav-bar/cookie-banner shape). After dedup each header survives
+    * in one document per source, the footer in one document overall,
+    * and every body line (unique) is untouched — all pinned by the
+    * oracle replaying the same construction.
+    */
+  def textLineDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = documents(s, dir).select(col("doc_id"),
+      concat_ws("\n",
+        concat(lit("shared header boilerplate line for "), col("source")),
+        col("text"),
+        lit("common license footer line every document shares")).as("text"))
+    TextOps.lineDedup(d, "doc_id", "text", minWords = 5).orderBy("doc_id")
+  }
+
+  val textLineDedupOracle: String =
+    """WITH d AS (SELECT doc_id,
+      |  'shared header boilerplate line for ' || source || chr(10) ||
+      |  text || chr(10) ||
+      |  'common license footer line every document shares' AS t
+      |FROM documents),
+      |l AS (SELECT doc_id,
+      |        unnest(list_transform(string_split(t, chr(10)),
+      |          (x, i) -> {'pos': i, 'line': x})) AS s
+      |      FROM d),
+      |lines AS (SELECT doc_id, s.pos AS pos, s.line AS line,
+      |            len(string_split(s.line, ' ')) >= 5 AS elig,
+      |            md5(s.line) AS h
+      |          FROM l),
+      |erank AS (SELECT doc_id, pos,
+      |            row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+      |          FROM lines WHERE elig),
+      |kept AS (SELECT li.doc_id, li.pos, li.line
+      |         FROM lines li LEFT JOIN erank e
+      |           ON e.doc_id = li.doc_id AND e.pos = li.pos
+      |         WHERE NOT li.elig OR e.rn = 1),
+      |reb AS (SELECT doc_id, count(*) AS n_kept,
+      |          string_agg(line, chr(10) ORDER BY pos) AS text_dedup
+      |        FROM kept GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  CAST(len(string_split(d.t, chr(10))) AS BIGINT) AS n_lines,
+      |  coalesce(reb.n_kept, 0) AS n_kept,
+      |  CAST(len(string_split(d.t, chr(10))) AS BIGINT)
+      |    - coalesce(reb.n_kept, 0) AS n_dropped,
+      |  coalesce(reb.text_dedup, '') AS text_dedup
+      |FROM d LEFT JOIN reb ON reb.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
+  /** Gopher rule battery (Rae et al. 2021 §A1.1): the named
+    * threshold filters every pretraining pipeline runs, as ONE scan —
+    * word-count bounds, mean word length, symbol-to-word ratio,
+    * alphabetic-word fraction, stopword presence, bullet/ellipsis
+    * line fractions. All metrics are exact integers (milli-units via
+    * integer division), so keep/drop decisions replay bit-for-bit in
+    * any engine; `keep` is the conjunction. Scan-shaped: per-row
+    * HOFs over the token/line arrays, no shuffle at any scale.
+    */
+  def textGopherRules(s: SparkSession, dir: String): DataFrame =
+    TextOps.gopherRules(documents(s, dir), "doc_id", "text").orderBy("doc_id")
+
+  val textGopherRulesOracle: String = {
+    val stops = TextOps.GopherStopwords.map(w => s"'$w'").mkString(", ")
+    """WITH t AS (SELECT doc_id, lower(text) AS t,
+      |             string_split(lower(text), ' ') AS toks,
+      |             string_split(text, chr(10)) AS ls
+      |           FROM documents),
+      |b AS (SELECT doc_id,
+      |  CAST(len(toks) AS BIGINT) AS nw,
+      |  CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS wl,
+      |  CAST(length(t) - length(replace(t, '#', '')) AS BIGINT)
+      |    + CAST((length(t) - length(replace(t, '...', ''))) // 3 AS BIGINT) AS sym,
+      |  CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS alpha,
+      |  CAST(len(list_intersect(list_distinct(toks), [__STOPS__])) AS BIGINT) AS stop_hits,
+      |  CAST(len(ls) AS BIGINT) AS nl,
+      |  CAST(len(list_filter(ls, x -> x LIKE '- %' OR x LIKE '* %'
+      |    OR x LIKE chr(8226) || ' %')) AS BIGINT) AS bul,
+      |  CAST(len(list_filter(ls, x -> x LIKE '%...' OR x LIKE '%' || chr(8230))) AS BIGINT) AS ell
+      |FROM t)
+      |SELECT doc_id, nw AS n_words,
+      |  wl * 1000 // nw AS mean_word_len_milli,
+      |  sym * 1000 // nw AS symbol_ratio_milli,
+      |  alpha * 1000 // nw AS alpha_frac_milli,
+      |  stop_hits,
+      |  bul * 1000 // nl AS bullet_milli,
+      |  ell * 1000 // nl AS ellipsis_milli,
+      |  (nw BETWEEN 50 AND 100000)
+      |    AND (wl * 1000 // nw BETWEEN 3000 AND 10000)
+      |    AND (sym * 1000 // nw <= 100)
+      |    AND (alpha * 1000 // nw >= 800)
+      |    AND (stop_hits >= 2)
+      |    AND (bul * 1000 // nl <= 900)
+      |    AND (ell * 1000 // nl <= 300) AS keep
+      |FROM b
+      |ORDER BY doc_id""".stripMargin.replace("__STOPS__", stops)
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_line_dedup" -> (textLineDedup _),
+    "text_gopher_rules" -> (textGopherRules _),
     "text_xent_buckets" -> (textXentBuckets _),
     "text_weighted_sample" -> (textWeightedSample _),
     "text_quality_adaptive" -> (textQualityAdaptive _),
@@ -929,6 +1031,8 @@ object TextQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "text_line_dedup" -> textLineDedupOracle,
+    "text_gopher_rules" -> textGopherRulesOracle,
     "text_xent_buckets" -> textXentBucketsOracle,
     "text_weighted_sample" -> textWeightedSampleOracle,
     "text_quality_adaptive" -> textQualityAdaptiveOracle,

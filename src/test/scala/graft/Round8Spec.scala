@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.profiling.Profiler
+import graft.text.TextOps
+
+/** Round-8 additions: exact distributed quantiles, cross-document
+  * line dedup, and the Gopher rule battery.
+  */
+class Round8Spec extends AnyFunSuite {
+  import TestSpark._
+
+  test("quantilesDisc matches in-memory PERCENTILE_DISC selection, with ties") {
+    val spark2 = spark
+    import spark2.implicits._
+    // duplicates + negatives + a skewed tail
+    val vals: Seq[Long] = Seq.fill(40)(7L) ++ (1L to 25L) ++ Seq(-3L, -3L, 0L, 1000L)
+    val qs = Seq(10, 250, 500, 750, 900, 999, 1000)
+    val df = vals.toDF("v")
+    val got = Profiler.quantilesDisc(df, "v", col("v"), qs)
+      .orderBy("q_milli").collect()
+      .map(r => (r.getInt(1), r.getLong(2)))
+    val sorted = vals.sorted
+    val n = sorted.size
+    val want = qs.sorted.map { q =>
+      val rank = math.max(1L, (q.toLong * n + 999L) / 1000L)
+      (q, sorted((rank - 1).toInt))
+    }
+    assert(got.toSeq == want)
+  }
+
+  test("quantilesDisc is partitioning-invariant") {
+    val spark2 = spark
+    import spark2.implicits._
+    val vals = (1L to 5000L).map(i => (i * 2654435761L) % 997L)
+    def run(parts: Int) =
+      Profiler.quantilesDisc(vals.toDF("v").repartition(parts), "v", col("v"),
+          Seq(100, 500, 900, 990))
+        .orderBy("q_milli").collect().map(r => (r.getInt(1), r.getLong(2))).toSeq
+    assert(run(1) == run(7) && run(7) == run(32))
+  }
+
+  test("lineDedup keeps the min-(doc,pos) occurrence, exempts short lines, preserves order") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dup = "this exact line repeats across many documents"
+    val docs = Seq(
+      (1L, s"unique first body line of doc one\n$dup\nshort line"),
+      (2L, s"$dup\nunique body line of doc two here"),
+      (3L, dup), // every eligible line lost -> empty doc survives
+      (4L, s"short line\nshort line")
+    ).toDF("doc_id", "text")
+    val out = TextOps.lineDedup(docs, "doc_id", "text", minWords = 5)
+      .orderBy("doc_id").collect()
+    // doc 1 owns the duplicate (min doc_id); everything kept
+    assert(out(0).getAs[Long]("n_dropped") == 0
+      && out(0).getAs[String]("text_dedup").contains(dup))
+    // doc 2 loses its copy but keeps its unique line, order preserved
+    assert(out(1).getAs[Long]("n_dropped") == 1
+      && out(1).getAs[String]("text_dedup") == "unique body line of doc two here")
+    // doc 3 loses its only line -> present with empty text
+    assert(out(2).getAs[Long]("n_kept") == 0
+      && out(2).getAs[String]("text_dedup") == "")
+    // doc 4: short lines are exempt from dedup even when repeated
+    assert(out(3).getAs[Long]("n_dropped") == 0
+      && out(3).getAs[Long]("n_lines") == 2)
+  }
+
+  test("pqSearch: ADC ranking is partitioning-invariant and finds planted twins") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dim = 16; val m = 4; val sub = dim / m
+    // 13 distinct lattice vectors (the pattern has period 13 in i — more
+    // would duplicate vec 0 and tie with the twin) + a near-twin of vec 0
+    def vec(i: Long): Seq[Double] =
+      (0 until dim).map(j => ((i * 31 + j * 17) % 13).toDouble)
+    val corpus = ((0L until 13L).map(i => (i, vec(i))) :+
+      (99L, vec(0).updated(3, vec(0)(3) + 0.25))).toDF("vec_id", "v")
+    val books = corpus.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("_code"), col("v"))
+      .select(col("_code"), explode(expr(
+        s"transform(sequence(0, ${m - 1}), i -> struct(i as _m, slice(v, i * $sub + 1, $sub) as _cv))")).as("_s"))
+      .select(col("_s._m").as("_m"), col("_code"), col("_s._cv").as("_cv"))
+    def run(parts: Int) = graft.ann.Ann.pqSearch(
+        corpus.filter(col("vec_id") === 0L), corpus.repartition(parts), books,
+        "vec_id", "v", dim, m, k = 3)
+      .orderBy("qid", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
+    val a = run(1); val b = run(13)
+    assert(a == b, "ADC ranks must not depend on partitioning")
+    // the planted twin quantizes to vec 0's codes -> ADC distance equals
+    // vec 0's own table entries, i.e. the minimum -> rank 1
+    assert(a.head._2 == 99L && a.head._4 == 1)
+  }
+
+  test("gopherRules: each rule trips on its crafted violator") {
+    val spark2 = spark
+    import spark2.implicits._
+    val good = (Seq("the", "be", "to", "of", "and") ++
+      Seq.fill(60)("word")).mkString(" ")
+    val docs = Seq(
+      (1L, good),                                  // passes everything
+      (2L, "too few words"),                       // word-count rule
+      (3L, (Seq("the", "be") ++ Seq.fill(60)("a")).mkString(" ")), // mean word len < 3
+      (4L, (Seq("the", "be") ++ Seq.fill(60)("####word")).mkString(" ")), // symbol ratio
+      (5L, (Seq("the", "be") ++ Seq.fill(60)("1234")).mkString(" ")), // alpha fraction
+      (6L, Seq.fill(60)("word").mkString(" ")),    // no required stopwords
+      (7L, (1 to 60).map(i => s"- bullet item number $i the be").mkString("\n")), // bullets
+      (8L, (1 to 60).map(i => s"line number $i of the be doc...").mkString("\n")) // ellipsis
+    ).toDF("doc_id", "text")
+    val keep = TextOps.gopherRules(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.getAs[Boolean]("keep"))
+    assert(keep.toSeq == Seq(true, false, false, false, false, false, false, false))
+  }
+}
