@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
 import graft.blocking.{Blockers, EmScenario}
@@ -625,7 +626,89 @@ object ExtraQueries {
       |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
       |ORDER BY user_id""".stripMargin
 
+  /** Per-user rolling 7-day purchase aggregates — the time-series
+    * feature op (fraud velocity checks, spend caps, engagement
+    * features). A RANGE window frame over event-time micros,
+    * partitioned by user: ONE hash shuffle on user_id, per-key
+    * in-partition sort, frame bounds resolved by binary search — no
+    * self-join, no explode-per-day. Money sums ride exact integer
+    * cents, and a RANGE (not ROWS) frame makes same-timestamp ties
+    * frame-inclusive — deterministic under any shuffle order. At
+    * 100 TB this is the standard shape; a single pathological user
+    * would route through [[graft.operators.AsofJoin]]'s chunked
+    * variant instead.
+    */
+  def eventsRolling(s: SparkSession, dir: String): DataFrame = {
+    val weekUs = 7L * 86400L * 1000000L
+    val e = events(s, dir).filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("tsu"),
+        cents(col("value")).as("cents"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tsu"))
+      .rangeBetween(-(weekUs - 1L), Window.currentRow)
+    e.select(col("user_id"), col("event_id"), col("tsu"),
+        count(lit(1)).over(w).as("roll_cnt"),
+        sum(col("cents")).over(w).as("roll_sum_cents"))
+      .orderBy("user_id", "tsu", "event_id")
+  }
+
+  val eventsRollingOracle: String =
+    """WITH e AS (SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS tsu,
+      |             CAST(round(value * 100) AS BIGINT) AS cents
+      |           FROM events WHERE event_type = 'purchase')
+      |SELECT user_id, event_id, tsu,
+      |  CAST(count(*) OVER w AS BIGINT) AS roll_cnt,
+      |  CAST(sum(cents) OVER w AS BIGINT) AS roll_sum_cents
+      |FROM e
+      |WINDOW w AS (PARTITION BY user_id ORDER BY tsu
+      |             RANGE BETWEEN 604799999999 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, tsu, event_id""".stripMargin
+
+  /** Weekly cohort retention — the product-analytics staple: users
+    * grouped by first-seen week, activity counted per (cohort week,
+    * week offset). Two map-side-combining aggregations (per-user min,
+    * then distinct user-weeks) and one broadcast-size join on the
+    * cohort frame; the output is weeks²-bounded at any event volume.
+    * Rates are exact integer milli-units.
+    */
+  def eventsRetention(s: SparkSession, dir: String): DataFrame = {
+    val weekUs = 7L * 86400L * 1000000L
+    // integer `div`: epoch-micros magnitudes (~1.7e18) exceed 2^53, a
+    // double `/` would round before the floor
+    val e = events(s, dir)
+      .select(col("user_id"), expr(s"unix_micros(ts) div ${weekUs}L").as("wk"))
+    val cohort = e.groupBy("user_id").agg(min(col("wk")).as("cohort_wk"))
+    val active = e.distinct()
+    val sizes = cohort.groupBy("cohort_wk").agg(count(lit(1)).as("cohort_size"))
+    active.join(cohort, "user_id")
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), "cohort_wk")
+      .select(col("cohort_wk"), col("week_offset"), col("n_active"),
+        col("cohort_size"),
+        expr("n_active * 1000 div cohort_size").as("retention_milli"))
+      .orderBy("cohort_wk", "week_offset")
+  }
+
+  val eventsRetentionOracle: String =
+    """WITH e AS (SELECT user_id,
+      |             CAST(epoch_us(ts) AS BIGINT) // 604800000000 AS wk
+      |           FROM events),
+      |cohort AS (SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY 1),
+      |active AS (SELECT DISTINCT user_id, wk FROM e),
+      |sizes AS (SELECT cohort_wk, CAST(count(*) AS BIGINT) AS cohort_size
+      |          FROM cohort GROUP BY 1),
+      |ret AS (SELECT c.cohort_wk, a.wk - c.cohort_wk AS week_offset,
+      |          CAST(count(*) AS BIGINT) AS n_active
+      |        FROM active a JOIN cohort c USING (user_id)
+      |        GROUP BY 1, 2)
+      |SELECT r.cohort_wk, r.week_offset, r.n_active, s.cohort_size,
+      |  r.n_active * 1000 // s.cohort_size AS retention_milli
+      |FROM ret r JOIN sizes s USING (cohort_wk)
+      |ORDER BY cohort_wk, week_offset""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_rolling" -> (eventsRolling _),
+    "events_retention" -> (eventsRetention _),
     "events_funnel" -> (eventsFunnel _),
     "asof_join_tol" -> (asofJoinTol _),
     "asof_join_fwd" -> (asofJoinFwd _),
@@ -648,6 +731,8 @@ object ExtraQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "events_rolling" -> eventsRollingOracle,
+    "events_retention" -> eventsRetentionOracle,
     "events_funnel" -> eventsFunnelOracle,
     "asof_join_tol" -> asofJoinTolOracle,
     "asof_join_fwd" -> asofJoinFwdOracle,

@@ -422,7 +422,118 @@ object DedupQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** INCREMENTAL (snapshot) dedup — the CommonCrawl-dump-N+1 shape:
+    * an arriving batch is near-dup-checked (MinHash-LSH + verified
+    * Jaccard) against the EXISTING corpus, then within itself. Status
+    * per batch doc, by precedence:
+    *   'dup_corpus' — has a verified near-dup in the corpus
+    *     ([[Dedup.minhashLshAgainst]]: batch × corpus band joins, no
+    *     self-join, corpus never re-deduped);
+    *   'dup_batch'  — has a verified near-dup with a SMALLER batch id
+    *     (the greedy first-wins pairwise rule production systems use —
+    *     deterministic, no transitive closure needed);
+    *   'kept'       — novel.
+    * The demo batch plants all three outcomes per seed doc: a
+    * prefixed near-copy of a corpus doc, a novel doc (md5-token
+    * text), and a prefixed near-copy of that novel doc. At scale the
+    * corpus side ships as its persisted banded-signature frame — the
+    * incremental index — so each new dump pays only its own shingling
+    * plus band equi-joins.
+    */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir).select(col("doc_id"), col("text"))
+    val seeds = docs.filter(col("doc_id") % 100 === 0)
+    val gen = expr("array_join(transform(sequence(1, 40), i -> " +
+      "substring(md5(concat(cast(doc_id as string), ':', cast(i as string))), 1, 6)), ' ')")
+    val bA = seeds.select((col("doc_id") + 2000000L).as("doc_id"),
+      concat(lit("inc0 inc1 "), col("text")).as("text"))
+    val bB = seeds.select((col("doc_id") + 3000000L).as("doc_id"), gen.as("text"))
+    val bC = seeds.select((col("doc_id") + 4000000L).as("doc_id"),
+      concat(lit("inc0 inc1 "), gen).as("text"))
+    val batch = bA.unionByName(bB).unionByName(bC)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val corpusHits = Dedup.minhashLshAgainst(batch, docs, "doc_id", "text",
+          n = 3, bands = 4, rows = 3, threshold = 0.8)
+        .select(col("id1").as("doc_id")).distinct()
+        .withColumn("_dc", lit(1))
+      val laterDups = Dedup.minhashLsh(batch, "doc_id", "text",
+          n = 3, bands = 4, rows = 3, threshold = 0.8)
+        .select(col("id2").as("doc_id")).distinct()
+        .withColumn("_db", lit(1))
+      batch.join(corpusHits, Seq("doc_id"), "left")
+        .join(laterDups, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("_dc") === 1, "dup_corpus")
+            .when(col("_db") === 1, "dup_batch")
+            .otherwise("kept").as("status"))
+        .orderBy("doc_id")
+    } finally batch.unpersist(false)
+  }
+
+  val dedupIncrementalOracle: String = {
+    val hashes = (0 until 12)
+      .map(i => s"  min(substr(md5('$i#' || shg), 1, 8)) AS h$i")
+      .mkString(",\n")
+    val bandCols = (0 until 4)
+      .map(b => s"  h${b * 3} || ':' || h${b * 3 + 1} || ':' || h${b * 3 + 2} AS b$b")
+      .mkString(",\n")
+    def bandJoin(l: String, r: String, filter: String) = (0 until 4)
+      .map(b => s"  SELECT a.doc_id AS id1, p.doc_id AS id2 FROM $l a " +
+        s"JOIN $r p ON a.b$b = p.b$b$filter")
+      .mkString("\n  UNION\n")
+    def shingles(src: String) =
+      s"""(SELECT doc_id,
+         |   list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+         |                  for i in range(1, len(w) - 1)]) AS s
+         | FROM (SELECT doc_id, string_split(text, ' ') AS w FROM $src))""".stripMargin
+    s"""WITH seeds AS (SELECT doc_id, text FROM documents WHERE doc_id % 100 = 0),
+       |gen AS (SELECT doc_id, array_to_string(list_transform(range(1, 41),
+       |          i -> substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 6)),
+       |          ' ') AS g
+       |        FROM seeds),
+       |batch AS (
+       |  SELECT doc_id + 2000000 AS doc_id, 'inc0 inc1 ' || text AS text FROM seeds
+       |  UNION ALL SELECT doc_id + 3000000, g FROM gen
+       |  UNION ALL SELECT doc_id + 4000000, 'inc0 inc1 ' || g FROM gen),
+       |shB AS ${shingles("batch")},
+       |shC AS ${shingles("documents")},
+       |sigsB AS (SELECT doc_id,
+       |$hashes
+       |FROM (SELECT doc_id, unnest(s) AS shg FROM shB) GROUP BY doc_id),
+       |sigsC AS (SELECT doc_id,
+       |$hashes
+       |FROM (SELECT doc_id, unnest(s) AS shg FROM shC) GROUP BY doc_id),
+       |bandedB AS (SELECT doc_id,
+       |$bandCols
+       |FROM sigsB),
+       |bandedC AS (SELECT doc_id,
+       |$bandCols
+       |FROM sigsC),
+       |candX AS (
+       |${bandJoin("bandedB", "bandedC", "")}),
+       |hitsX AS (SELECT DISTINCT id1 AS doc_id FROM candX
+       |          JOIN shB a ON a.doc_id = id1 JOIN shC b ON b.doc_id = id2
+       |          WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |                / len(list_distinct(a.s || b.s)), 5) >= 0.8),
+       |candS AS (
+       |${bandJoin("bandedB", "bandedB", " AND a.doc_id < p.doc_id")}),
+       |later AS (SELECT DISTINCT id2 AS doc_id FROM candS
+       |          JOIN shB a ON a.doc_id = id1 JOIN shB b ON b.doc_id = id2
+       |          WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |                / len(list_distinct(a.s || b.s)), 5) >= 0.8)
+       |SELECT ba.doc_id,
+       |  CASE WHEN hx.doc_id IS NOT NULL THEN 'dup_corpus'
+       |       WHEN la.doc_id IS NOT NULL THEN 'dup_batch'
+       |       ELSE 'kept' END AS status
+       |FROM batch ba
+       |LEFT JOIN hitsX hx ON hx.doc_id = ba.doc_id
+       |LEFT JOIN later la ON la.doc_id = ba.doc_id
+       |ORDER BY ba.doc_id""".stripMargin
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_incremental" -> (dedupIncremental _),
     "dedup_cluster_quality" -> (dedupClusterQuality _),
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
@@ -435,6 +546,7 @@ object DedupQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "dedup_incremental" -> dedupIncrementalOracle,
     "dedup_cluster_quality" -> dedupClusterQualityOracle,
     "dedup_exact" -> dedupExactOracle,
     "dedup_ngram_jaccard" -> dedupNgramOracle,

@@ -94,6 +94,55 @@ class Round8Spec extends AnyFunSuite {
     assert(a.head._2 == 99L && a.head._4 == 1)
   }
 
+  private val sf = "/root/testdata/sf0.001"
+
+  test("dedupIncremental: planted batch outcomes map exactly per seed") {
+    val out = graft.dedup.DedupQueries.dedupIncremental(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val seeds = out.keys.map(_ % 1000000L).toSet
+    assert(seeds.nonEmpty)
+    seeds.foreach { s =>
+      assert(out(s + 2000000L) == "dup_corpus", s"seed $s near-copy of corpus doc")
+      assert(out(s + 3000000L) == "kept", s"seed $s novel doc")
+      assert(out(s + 4000000L) == "dup_batch", s"seed $s near-copy of novel batch doc")
+    }
+  }
+
+  test("eventsRolling matches a per-user driver-side replay, incl. the 7-day edge") {
+    val weekUs = 7L * 86400L * 1000000L
+    val rows = ExtraQueries.eventsRolling(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val purchases = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")),
+        expr("cast(round(value * 100) as long)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    rows.foreach { case (u, tsu, cnt, sum) =>
+      val in = purchases(u).filter(p => p._2 > tsu - weekUs && p._2 <= tsu)
+      assert(in.size.toLong == cnt && in.map(_._3).sum == sum,
+        s"user $u at $tsu: got ($cnt,$sum) want (${in.size},${in.map(_._3).sum})")
+    }
+  }
+
+  test("eventsRetention matches a driver-side cohort replay") {
+    val weekUs = 7L * 86400L * 1000000L
+    val got = ExtraQueries.eventsRetention(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1) / weekUs)).distinct
+    val cohort = ev.groupBy(_._1).map { case (u, ws) => u -> ws.map(_._2).min }
+    val sizes = cohort.groupBy(_._2).map { case (w, m) => w -> m.size.toLong }
+    val want = ev.groupBy { case (u, w) => (cohort(u), w - cohort(u)) }
+      .map { case (k, m) =>
+        k -> (m.size.toLong, sizes(k._1), m.size.toLong * 1000L / sizes(k._1))
+      }
+    assert(got == want)
+  }
+
   test("gopherRules: each rule trips on its crafted violator") {
     val spark2 = spark
     import spark2.implicits._
