@@ -532,7 +532,70 @@ object DedupQueries {
        |ORDER BY ba.doc_id""".stripMargin
   }
 
+  /** Cross-source duplication matrix — the corpus-health view a data
+    * lead actually reads: verified near-dup pairs rolled up to
+    * (source, source) counts, pair key normalized by least/greatest so
+    * (A,B) and (B,A) land on one cell. The diagonal is within-source
+    * duplication (scraper re-crawls), off-diagonal is cross-source
+    * syndication — the signal for which sources to drop or down-weight
+    * before near-dup clustering runs corpus-wide. Cost beyond the
+    * already-oracled pair pipeline: two dim joins and a cells-bounded
+    * aggregation.
+    */
+  def dedupCrossSource(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+      n = 3, bands = 4, rows = 3, threshold = 0.8)
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("id1"), col("source").as("_s1")), "id1")
+      .join(src.select(col("doc_id").as("id2"), col("source").as("_s2")), "id2")
+      .select(least(col("_s1"), col("_s2")).as("source_a"),
+        greatest(col("_s1"), col("_s2")).as("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("source_a", "source_b")
+  }
+
+  val dedupCrossSourceOracle: String = {
+    val hashes = (0 until 12)
+      .map(i => s"  min(substr(md5('$i#' || shg), 1, 8)) AS h$i")
+      .mkString(",\n")
+    val bandCols = (0 until 4)
+      .map(b => s"  h${b * 3} || ':' || h${b * 3 + 1} || ':' || h${b * 3 + 2} AS b$b")
+      .mkString(",\n")
+    val bandJoins = (0 until 4)
+      .map(b => s"  SELECT a.doc_id AS id1, b.doc_id AS id2 FROM banded a " +
+        s"JOIN banded b ON a.b$b = b.b$b AND a.doc_id < b.doc_id")
+      .mkString("\n  UNION\n")
+    s"""WITH $shinglePrelude,
+       |sigs AS (SELECT doc_id,
+       |$hashes
+       |FROM inv GROUP BY doc_id),
+       |banded AS (SELECT doc_id,
+       |$bandCols
+       |FROM sigs),
+       |cand AS (
+       |$bandJoins),
+       |pairs AS (
+       |  SELECT id1, id2 FROM (
+       |    SELECT id1, id2,
+       |      round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |            / len(list_distinct(a.s || b.s)), 5) AS jaccard
+       |    FROM cand JOIN sh a ON a.doc_id = id1 JOIN sh b ON b.doc_id = id2)
+       |  WHERE jaccard >= 0.8)
+       |SELECT least(d1.source, d2.source) AS source_a,
+       |       greatest(d1.source, d2.source) AS source_b,
+       |       CAST(count(*) AS BIGINT) AS n_pairs
+       |FROM pairs
+       |JOIN documents d1 ON d1.doc_id = id1
+       |JOIN documents d2 ON d2.doc_id = id2
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_cross_source" -> (dedupCrossSource _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_cluster_quality" -> (dedupClusterQuality _),
     "dedup_exact" -> (dedupExact _),
@@ -546,6 +609,7 @@ object DedupQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "dedup_cross_source" -> dedupCrossSourceOracle,
     "dedup_incremental" -> dedupIncrementalOracle,
     "dedup_cluster_quality" -> dedupClusterQualityOracle,
     "dedup_exact" -> dedupExactOracle,

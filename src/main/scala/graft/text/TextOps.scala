@@ -949,6 +949,29 @@ object TextOps {
         md5(array_join(col("_fp"), ",")).as("fp_digest"))
   }
 
+  /** Per-document n-gram NOVELTY — the inverse signal of the dedup
+    * family: the share of a doc's distinct n-grams that occur in NO
+    * other document. Low novelty means the doc is assembled from
+    * corpus-common phrasing (template/boilerplate/spam) even when no
+    * single near-dup partner exists — a quality gate near-dup pair
+    * mining cannot express. Shape: the inverted shingle index
+    * (explode → ONE groupBy(shingle) document-frequency count,
+    * map-side combining) equi-joined back, then a per-doc aggregation;
+    * ratios are exact integer milli-units.
+    */
+  def ngramNovelty(docs: DataFrame, id: String, text: String,
+      n: Int = 3): DataFrame = {
+    val sh = graft.dedup.Dedup.shingleFrame(docs, id, text, n)
+    val inv = sh.select(col("_id"), explode(col("_sh")).as("_g"))
+    val df = inv.groupBy("_g").agg(count(lit(1)).as("_df"))
+    inv.join(df, "_g")
+      .groupBy(col("_id"))
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(when(col("_df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .select(col("_id").as(id), col("n_ngrams"), col("n_unique"),
+        expr("n_unique * 1000 div n_ngrams").as("novelty_milli"))
+  }
+
   /** CROSS-document exact line deduplication — the C4/RefinedWeb
     * boilerplate killer: a line that appears in many documents (nav
     * bars, cookie banners, license footers) survives in exactly ONE

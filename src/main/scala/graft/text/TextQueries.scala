@@ -996,7 +996,33 @@ object TextQueries {
       |ORDER BY doc_id""".stripMargin.replace("__STOPS__", stops)
   }
 
+  /** Per-doc 3-gram novelty vs the whole corpus (docs with ≥ 1
+    * shingle; see [[TextOps.ngramNovelty]]).
+    */
+  def textNgramNovelty(s: SparkSession, dir: String): DataFrame =
+    TextOps.ngramNovelty(documents(s, dir), "doc_id", "text", 3)
+      .orderBy("doc_id")
+
+  val textNgramNoveltyOracle: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT doc_id,
+      |         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |                        for i in range(1, len(w) - 1)]) AS s
+      |       FROM t),
+      |inv AS (SELECT doc_id, unnest(s) AS shg FROM sh),
+      |df AS (SELECT shg, CAST(count(*) AS BIGINT) AS df FROM inv GROUP BY 1),
+      |b AS (SELECT i.doc_id,
+      |        CAST(count(*) AS BIGINT) AS n_ngrams,
+      |        CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
+      |      FROM inv i JOIN df ON df.shg = i.shg
+      |      GROUP BY 1)
+      |SELECT doc_id, n_ngrams, n_unique,
+      |  n_unique * 1000 // n_ngrams AS novelty_milli
+      |FROM b
+      |ORDER BY doc_id""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_ngram_novelty" -> (textNgramNovelty _),
     "text_line_dedup" -> (textLineDedup _),
     "text_gopher_rules" -> (textGopherRules _),
     "text_xent_buckets" -> (textXentBuckets _),
@@ -1031,6 +1057,7 @@ object TextQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "text_ngram_novelty" -> textNgramNoveltyOracle,
     "text_line_dedup" -> textLineDedupOracle,
     "text_gopher_rules" -> textGopherRulesOracle,
     "text_xent_buckets" -> textXentBucketsOracle,

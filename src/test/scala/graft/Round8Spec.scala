@@ -143,6 +143,55 @@ class Round8Spec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("r8 plan shapes: one shuffle for rolling, no cartesian anywhere, PQ broadcasts") {
+    // events_rolling: exactly ONE exchange (the user_id hash partition);
+    // the RANGE frame must not add a second shuffle or a nested loop
+    val rolling = ExtraQueries.eventsRolling(spark, sf)
+    val rp = rolling.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(rp).size
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges")
+    assert(!rp.contains("CartesianProduct") && !rp.contains("BroadcastNestedLoop"))
+    for (q <- Seq(ExtraQueries.eventsRetention(spark, sf),
+        graft.profiling.ProfileQueries.profileQuantiles(spark, sf),
+        graft.text.TextQueries.textLineDedup(spark, sf))) {
+      val p = q.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p.take(400))
+    }
+    // PQ search: codebook and distance-table joins are broadcasts — the
+    // corpus-sized codes frame must never shuffle onto a tiny side
+    val pq = graft.ann.AnnQueries.all("ann_pq_search")(spark, sf)
+    val pp = pq.queryExecution.executedPlan.toString
+    assert(pp.contains("BroadcastHashJoin"), "PQ joins should broadcast the small side")
+    assert(!pp.contains("CartesianProduct") && !pp.contains("BroadcastNestedLoop"))
+  }
+
+  test("ngramNovelty: duplicated docs score 0, unique docs 1000, mixtures in between") {
+    val spark2 = spark
+    import spark2.implicits._
+    val shared = (1 to 20).map(i => s"s$i").mkString(" ")
+    val unique = (1 to 20).map(i => s"u$i").mkString(" ")
+    val docs = Seq(
+      (1L, shared), (2L, shared),          // exact twins: nothing unique
+      (3L, unique),                        // fully novel
+      (4L, s"$shared x1 x2 x3")            // shares 1's grams + has its own
+    ).toDF("doc_id", "text")
+    val out = TextOps.ngramNovelty(docs, "doc_id", "text", 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(out(1L) == 0L && out(2L) == 0L && out(3L) == 1000L)
+    assert(out(4L) > 0L && out(4L) < 1000L)
+  }
+
+  test("dedupCrossSource: cells are least/greatest-normalized and sum to the pair count") {
+    val cells = graft.dedup.DedupQueries.dedupCrossSource(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(cells.nonEmpty)
+    assert(cells.forall { case (a, b, _) => a <= b })
+    val nPairs = graft.dedup.Dedup.minhashLsh(
+      Tables.documents(spark, sf), "doc_id", "text", 3, 4, 3, 0.8).count()
+    assert(cells.map(_._3).sum == nPairs)
+  }
+
   test("gopherRules: each rule trips on its crafted violator") {
     val spark2 = spark
     import spark2.implicits._
