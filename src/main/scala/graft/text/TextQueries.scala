@@ -1010,16 +1010,17 @@ object TextQueries {
       |                        for i in range(1, len(w) - 1)]) AS s
       |       FROM t),
       |inv AS (SELECT doc_id, unnest(s) AS shg FROM sh),
-      |df AS (SELECT shg, CAST(count(*) AS BIGINT) AS df FROM inv GROUP BY 1),
-      |b AS (SELECT i.doc_id,
-      |        CAST(count(*) AS BIGINT) AS n_ngrams,
-      |        CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
-      |      FROM inv i JOIN df ON df.shg = i.shg
-      |      GROUP BY 1)
-      |SELECT doc_id, n_ngrams, n_unique,
-      |  n_unique * 1000 // n_ngrams AS novelty_milli
-      |FROM b
-      |ORDER BY doc_id""".stripMargin
+      |uniq AS (SELECT owner AS doc_id, CAST(count(*) AS BIGINT) AS n_unique
+      |         FROM (SELECT shg, count(*) AS df, min(doc_id) AS owner
+      |               FROM inv GROUP BY 1)
+      |         WHERE df = 1 GROUP BY 1)
+      |SELECT sh.doc_id,
+      |  CAST(len(sh.s) AS BIGINT) AS n_ngrams,
+      |  coalesce(uniq.n_unique, 0) AS n_unique,
+      |  coalesce(uniq.n_unique, 0) * 1000 // len(sh.s) AS novelty_milli
+      |FROM sh LEFT JOIN uniq ON uniq.doc_id = sh.doc_id
+      |WHERE len(sh.s) > 0
+      |ORDER BY sh.doc_id""".stripMargin
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_ngram_novelty" -> (textNgramNovelty _),
