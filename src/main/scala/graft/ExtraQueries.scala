@@ -290,6 +290,60 @@ object ExtraQueries {
       |SELECT DISTINCT doc_id FROM g JOIN probe USING (gram)
       |ORDER BY doc_id""".stripMargin
 
+  /** Streaming near-dup admission ([[Streams.nearDupStream]]): the
+    * documents stream flagged against the static corpus band index —
+    * run FOR REAL (readStream → AvailableNow → memory sink). Streaming
+    * the corpus against itself means exactly the docs with a verified
+    * near-dup PARTNER (id ≠ partner) flag, so the oracle is the
+    * distinct member set of the `dedup_minhash_lsh` pair replay.
+    */
+  def streamNearDup(s: SparkSession, dir: String): DataFrame = {
+    val name = "graft_stream_neardup_" + java.lang.Integer.toHexString(dir.hashCode)
+    val corpus = graft.Tables.documents(s, dir).select("doc_id", "text")
+    val q = Streams.nearDupStream(Streams.docsStream(s, dir), corpus,
+        "doc_id", "text", n = 3, bands = 4, rows = 3, threshold = 0.8)
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", Streams.freshCheckpointDir(name))
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name).orderBy("doc_id")
+  }
+
+  val streamNearDupOracle: String = {
+    val hashes = (0 until 12)
+      .map(i => s"  min(substr(md5('$i#' || shg), 1, 8)) AS h$i")
+      .mkString(",\n")
+    val bandCols = (0 until 4)
+      .map(b => s"  h${b * 3} || ':' || h${b * 3 + 1} || ':' || h${b * 3 + 2} AS b$b")
+      .mkString(",\n")
+    val bandJoins = (0 until 4)
+      .map(b => s"  SELECT a.doc_id AS id1, b.doc_id AS id2 FROM banded a " +
+        s"JOIN banded b ON a.b$b = b.b$b AND a.doc_id < b.doc_id")
+      .mkString("\n  UNION\n")
+    s"""WITH ${graft.dedup.DedupQueries.shinglePrelude},
+       |sigs AS (SELECT doc_id,
+       |$hashes
+       |FROM inv GROUP BY doc_id),
+       |banded AS (SELECT doc_id,
+       |$bandCols
+       |FROM sigs),
+       |cand AS (
+       |$bandJoins),
+       |pairs AS (
+       |  SELECT id1, id2 FROM (
+       |    SELECT id1, id2,
+       |      round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |            / len(list_distinct(a.s || b.s)), 5) AS jaccard
+       |    FROM cand JOIN sh a ON a.doc_id = id1 JOIN sh b ON b.doc_id = id2)
+       |  WHERE jaccard >= 0.8)
+       |SELECT DISTINCT doc_id FROM (
+       |  SELECT id1 AS doc_id FROM pairs
+       |  UNION SELECT id2 AS doc_id FROM pairs)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   def streamDedup(s: SparkSession, dir: String): DataFrame = {
     val name = "graft_stream_dedup_" + java.lang.Integer.toHexString(dir.hashCode)
     val src = Streams.eventsStream(s, dir)
@@ -726,6 +780,7 @@ object ExtraQueries {
     "stream_sessionize" -> (streamSessionize _),
     "stream_dedup" -> (streamDedup _),
     "stream_contamination" -> (streamContamination _),
+    "stream_neardup" -> (streamNearDup _),
     "stream_asof" -> (streamAsof _),
     "stream_asof_buffered" -> (streamAsofBuffered _)
   )
@@ -745,6 +800,7 @@ object ExtraQueries {
     "match_text_format" -> matchTextFormatOracle,
     "mm_binary_meta" -> mmBinaryMetaOracle,
     "mm_frame_sample" -> mmFrameSampleOracle,
+    "stream_neardup" -> streamNearDupOracle,
     "stream_window_agg" -> streamWindowAggOracle,
     "stream_sessionize" -> streamSessionizeOracle,
     "stream_dedup" -> streamDedupOracle,

@@ -189,6 +189,28 @@ object Dedup {
   private def minhashSig(i: Int, hashHex: (Int, Column) => Column): Column =
     array_min(transform(col("_sh"), s => hashHex(i, s))).as(s"_h$i")
 
+  /** Long-form banded MinHash signatures — one (id, shingles, band
+    * index, band key) row per band, computed ENTIRELY per row before a
+    * single posexplode: no groupBy, no window, no self-reference. This
+    * is the streaming-safe projection of the banding (a stateless
+    * narrow op per micro-batch), and the band frame a deployment
+    * persists as its incremental near-dup index.
+    */
+  def bandedLong(docs: DataFrame, id: String, text: String, n: Int = 3,
+      bands: Int = 4, rows: Int = 3,
+      hashHex: Option[(Int, Column) => Column] = None): DataFrame = {
+    val hh = hashHex.getOrElse(hashFamily(docs.sparkSession))
+    val k = bands * rows
+    val sh = shingleFrame(docs, id, text, n).filter(size(col("_sh")) > 0)
+    val sigs = sh.select(
+      Seq(col("_id"), col("_sh")) ++ (0 until k).map(i => minhashSig(i, hh)): _*)
+    val bandArr = array((0 until bands).map { b =>
+      concat_ws(":", (0 until rows).map(r => col(s"_h${b * rows + r}")): _*)
+    }: _*)
+    sigs.select(col("_id"), col("_sh"),
+      posexplode(bandArr).as(Seq("_bidx", "_bkey")))
+  }
+
   /** LSH candidate pairs BEFORE Jaccard verification — the raw band-join
     * output. Exposed so the banding quality itself can be measured
     * ([[lshCandidateEval]]): post-verification pairs are always precise,

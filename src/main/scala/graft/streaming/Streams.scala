@@ -275,6 +275,39 @@ object Streams {
       .dropDuplicates(Seq(id))
   }
 
+  /** Streaming near-dup ADMISSION CONTROL — the MinHash tier of
+    * stream-side filtering (contaminationStream is the exact-n-gram
+    * tier): arriving docs are banded PER ROW ([[graft.dedup.Dedup
+    * .bandedLong]] — minhash signatures fold inside the scan, then one
+    * posexplode), band-equi-joined against the STATIC corpus band
+    * index, and candidates are Jaccard-verified against the static
+    * shingle frame. Everything before the final id-dedup is STATELESS
+    * (stream-static inner joins; a candidate never waits on another
+    * micro-batch), so state is bounded by the emitted id set alone —
+    * this is the shape that admits/docks documents against a 10⁹-doc
+    * index as they arrive. Duplicate band collisions (≤ `bands` per
+    * pair) are re-verified rather than pre-deduped: one stateful
+    * operator beats two.
+    */
+  def nearDupStream(docs: DataFrame, corpus: DataFrame, id: String,
+      text: String, n: Int = 3, bands: Int = 4, rows: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    import graft.dedup.Dedup
+    val hh = Dedup.hashFamily(corpus.sparkSession)
+    val sBands = Dedup.bandedLong(docs, id, text, n, bands, rows, Some(hh))
+    val cBands = Dedup.bandedLong(corpus, id, text, n, bands, rows, Some(hh))
+      .select(col("_id").as("_cid"), col("_bidx"), col("_bkey"))
+    val cSh = Dedup.shingleFrame(corpus, id, text, n)
+      .select(col("_id").as("_cid"), col("_sh").as("_csh"))
+    sBands.join(cBands, Seq("_bidx", "_bkey"))
+      .filter(col("_id") =!= col("_cid"))
+      .join(cSh, "_cid")
+      .filter(round(size(array_intersect(col("_sh"), col("_csh"))).cast("double")
+        / size(array_union(col("_sh"), col("_csh"))), 5) >= threshold)
+      .select(col("_id").as(id))
+      .dropDuplicates(Seq(id))
+  }
+
   /** Run the streaming windowed agg to completion (AvailableNow) into an
     * in-memory sink and return the result — used by the spec to prove
     * stream ≡ batch.

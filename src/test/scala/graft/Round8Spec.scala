@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.profiling.Profiler
+import graft.streaming.Streams
 import graft.text.TextOps
 
 /** Round-8 additions: exact distributed quantiles, cross-document
@@ -190,6 +191,32 @@ class Round8Spec extends AnyFunSuite {
     val nPairs = graft.dedup.Dedup.minhashLsh(
       Tables.documents(spark, sf), "doc_id", "text", 3, 4, 3, 0.8).count()
     assert(cells.map(_._3).sum == nPairs)
+  }
+
+  test("nearDupStream: flags arrive per batch, repeats emit once, novel docs pass") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def toks(p: String) = (1 to 30).map(i => s"$p$i").mkString(" ")
+    val corpus = Seq((100L, toks("w")), (200L, toks("v"))).toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.nearDupStream(mem.toDF.toDF("doc_id", "text"), corpus,
+        "doc_id", "text")
+      .writeStream.format("memory").queryName("neardup_sink")
+      .outputMode("append")
+      .option("checkpointLocation", Streams.freshCheckpointDir("neardup_spec"))
+      .start()
+    try {
+      mem.addData((1L, "x0 x1 " + toks("w"))) // near-dup of corpus 100
+      q.processAllAvailable()
+      assert(spark.table("neardup_sink").as[Long].collect().toSeq == Seq(1L))
+      mem.addData((2L, toks("z")),            // novel -> passes silently
+        (1L, "x0 x1 " + toks("w")),           // repeat -> state suppresses
+        (3L, "y0 y1 " + toks("v")))           // near-dup of corpus 200 -> flags
+      q.processAllAvailable()
+      assert(spark.table("neardup_sink").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    } finally q.stop()
   }
 
   test("gopherRules: each rule trips on its crafted violator") {
