@@ -267,7 +267,65 @@ object ProfileQueries {
       "\nORDER BY column_name, q_milli"
   }
 
+  /** PSI drift between a baseline snapshot and a shifted one (the
+    * "new scraper appends 40 chars of boilerplate" story): snapshot A
+    * = documents.n_chars, snapshot B = n_chars + 40. The planted
+    * shift makes the monitor fire visibly; the per-bin frame and the
+    * exact detLn circuit replay bit-for-bit in the oracle.
+    */
+  def profileDrift(s: SparkSession, dir: String): DataFrame = {
+    val d = documents(s, dir)
+    val snap = d.select(lit(true).as("in_a"), col("n_chars").as("v"))
+      .unionByName(d.select(lit(false).as("in_a"), (col("n_chars") + 40L).as("v")))
+    Profiler.psiDrift(snap, col("in_a"), col("v"), bins = 10).orderBy("bin")
+  }
+
+  val profileDriftOracle: String = {
+    import graft.functions.DetMath
+    s"""WITH base AS (
+       |  SELECT TRUE AS a, n_chars AS v FROM documents
+       |  UNION ALL SELECT FALSE, n_chars + 40 FROM documents),
+       |stats AS (SELECT min(v) AS mn, max(v) AS mx,
+       |            CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+       |            CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS nb
+       |          FROM base),
+       |counts AS (SELECT ((v - mn) * 10) // (mx - mn + 1) AS bin,
+       |             CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |             CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+       |           FROM base, stats GROUP BY 1),
+       |filled AS (SELECT g.bin, coalesce(c.n_a, 0) AS n_a, coalesce(c.n_b, 0) AS n_b,
+       |             s.na, s.nb
+       |           FROM (SELECT unnest(range(0, 10)) AS bin) g
+       |           LEFT JOIN counts c ON c.bin = g.bin, stats s),
+       |${DetMath.sqlLnCtes("l1", "filled", "bin, n_a, n_b, na, nb",
+            "CAST(n_a + 1 AS DOUBLE)")},
+       |r1 AS (SELECT bin, n_a, n_b, na, nb, lnv AS la FROM l1),
+       |${DetMath.sqlLnCtes("l2", "r1", "bin, n_a, n_b, na, nb, la",
+            "CAST(n_b + 1 AS DOUBLE)")},
+       |r2 AS (SELECT bin, n_a, n_b, na, nb, la, lnv AS lb FROM l2),
+       |${DetMath.sqlLnCtes("l3", "r2", "bin, n_a, n_b, na, nb, la, lb",
+            "CAST(na + 10 AS DOUBLE)")},
+       |r3 AS (SELECT bin, n_a, n_b, na, nb, la, lb, lnv AS lna FROM l3),
+       |${DetMath.sqlLnCtes("l4", "r3", "bin, n_a, n_b, na, nb, la, lb, lna",
+            "CAST(nb + 10 AS DOUBLE)")},
+       |r4 AS (SELECT bin, n_a, n_b, na, nb, la, lb, lna, lnv AS lnb FROM l4),
+       |per AS (SELECT bin, n_a, n_b,
+       |          CAST(floor(((CAST(n_a + 1 AS DOUBLE) / (na + 10))
+       |                      - (CAST(n_b + 1 AS DOUBLE) / (nb + 10)))
+       |                     * (la - lb - lna + lnb) * 1e12) AS BIGINT)
+       |            AS psi_contrib_scaled
+       |        FROM r4),
+       |tot AS (SELECT CAST(sum(psi_contrib_scaled) AS BIGINT) AS psi_total_scaled
+       |        FROM per)
+       |SELECT per.bin, per.n_a, per.n_b, per.psi_contrib_scaled,
+       |  tot.psi_total_scaled,
+       |  CAST(tot.psi_total_scaled AS DOUBLE) / 1e12 AS psi
+       |FROM per, tot
+       |ORDER BY per.bin""".stripMargin
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "profile_drift" -> (profileDrift _),
     "profile_quantiles" -> (profileQuantiles _),
     "profile_columns" -> (profileColumns _),
     "profile_topk" -> (profileTopk _),
@@ -280,6 +338,7 @@ object ProfileQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "profile_drift" -> profileDriftOracle,
     "profile_quantiles" -> profileQuantilesOracle,
     "profile_compare" -> profileCompareOracle,
     "profile_columns" -> profileColumnsOracle,

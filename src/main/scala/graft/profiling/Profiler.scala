@@ -274,6 +274,61 @@ object Profiler {
     pa.join(pb, "column_name").join(overlap, "column_name")
   }
 
+  /** Population Stability Index drift monitor — the standard
+    * model-monitoring statistic for "did this column's distribution
+    * shift between snapshots":
+    *
+    *   PSI = Σ_bins (p_i − q_i) · ln(p_i / q_i)
+    *
+    * over `bins` equi-width buckets of the COMBINED [min, max] (all-
+    * long bin arithmetic, same law as [[histogram]]) with Laplace +1
+    * smoothing so empty bins stay finite. Determinism contract: each
+    * smoothed share is ONE correctly-rounded IEEE division; the log
+    * ratio expands to ±detLn of the four integer counts (every detLn
+    * argument ≥ 1, inside the circuit's exact domain — the shares
+    * themselves are < 1 and would not be); per-bin contributions
+    * floor-scale to 1e12 longs before the order-invariant total.
+    * Shape: one stats pass, one bin-count aggregation, bins-bounded
+    * everything after — at any snapshot size the output is `bins`
+    * rows.
+    */
+  def psiDrift(df: DataFrame, inA: Column, value: Column,
+      bins: Int = 10): DataFrame = {
+    import graft.functions.DetMath.detLn
+    require(bins >= 2)
+    val spark = df.sparkSession
+    val base = df.select(inA.as("_a"), value.cast("long").as("_v"))
+      .filter(col("_v").isNotNull)
+    val stats = base.agg(min("_v").as("mn"), max("_v").as("mx"),
+      sum(when(col("_a"), 1L).otherwise(0L)).as("na"),
+      sum(when(col("_a"), 0L).otherwise(1L)).as("nb"))
+    val counts = base.crossJoin(broadcast(stats))
+      .select(col("_a"), expr(s"((_v - mn) * $bins) div (mx - mn + 1)").as("bin"))
+      .groupBy("bin").agg(
+        sum(when(col("_a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("_a"), 0L).otherwise(1L)).as("n_b"))
+    val filled = spark.range(bins).select(col("id").as("bin"))
+      .join(counts, Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+      .crossJoin(broadcast(stats.select(col("na"), col("nb"))))
+    val bl = lit(bins.toLong)
+    val pa = (col("n_a") + lit(1L)).cast("double") / (col("na") + bl).cast("double")
+    val pb = (col("n_b") + lit(1L)).cast("double") / (col("nb") + bl).cast("double")
+    val lnRatio = detLn((col("n_a") + lit(1L)).cast("double")) -
+      detLn((col("n_b") + lit(1L)).cast("double")) -
+      detLn((col("na") + bl).cast("double")) +
+      detLn((col("nb") + bl).cast("double"))
+    val perBin = filled.select(col("bin"), col("n_a"), col("n_b"),
+      floor((pa - pb) * lnRatio * lit(1.0e12)).cast("long").as("psi_contrib_scaled"))
+    val total = perBin.agg(sum("psi_contrib_scaled").as("psi_total_scaled"))
+    perBin.crossJoin(broadcast(total))
+      .select(col("bin"), col("n_a"), col("n_b"), col("psi_contrib_scaled"),
+        col("psi_total_scaled"),
+        (col("psi_total_scaled").cast("double") / lit(1.0e12)).as("psi"))
+  }
+
   /** Top-k most frequent values per listed column (long form); ties on
     * count break by value asc.
     *

@@ -1022,7 +1022,57 @@ object TextQueries {
       |WHERE len(sh.s) > 0
       |ORDER BY sh.doc_id""".stripMargin
 
+  /** Language-ID CONFUSION MATRIX — the evaluator face of langid
+    * (#60): predictions cross-tabbed against the stored `lang` label,
+    * with per-actual-language totals and exact milli-unit shares.
+    * langs²-bounded output at any corpus size; the diagonal is
+    * per-language accuracy, off-diagonal cells say WHICH languages
+    * the n-gram heuristic confuses (the tuning signal for profile
+    * choice at scale).
+    */
+  def textLangConfusion(s: SparkSession, dir: String): DataFrame = {
+    val pred = TextOps.langId(documents(s, dir), "doc_id", "text")
+      .select(col("doc_id"), col("lang_pred"))
+    val cells = documents(s, dir).select(col("doc_id"), col("lang"))
+      .join(pred, "doc_id")
+      .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
+    val totals = cells.groupBy("lang").agg(sum("n").as("lang_total"))
+    cells.join(broadcast(totals), "lang")
+      .select(col("lang"), col("lang_pred"), col("n"), col("lang_total"),
+        expr("n * 1000 div lang_total").as("share_milli"))
+      .orderBy("lang", "lang_pred")
+  }
+
+  val textLangConfusionOracle: String = {
+    val hitSql = TextOps.LangProfiles.map { case (lang, prof) =>
+      val lst = prof.map(w => s"'$w'").mkString(", ")
+      s"  len(list_filter(toks, x -> list_contains([$lst], x))) AS h_$lang"
+    }.mkString(",\n")
+    val langs = TextOps.LangProfiles.map(_._1)
+    val maxH = s"greatest(${langs.map("h_" + _).mkString(", ")})"
+    val whenChain = langs.map(l => s"WHEN h_$l = mx THEN '$l'").mkString(" ")
+    s"""WITH t AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS toks
+       |           FROM documents),
+       |h AS (SELECT doc_id, lang,
+       |$hitSql
+       |FROM t),
+       |m AS (SELECT *, $maxH AS mx FROM h),
+       |p AS (SELECT doc_id, lang,
+       |        CASE WHEN mx <= 0 THEN 'unknown' $whenChain
+       |             ELSE 'unknown' END AS lang_pred
+       |      FROM m),
+       |cells AS (SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+       |          FROM p GROUP BY 1, 2),
+       |tot AS (SELECT lang, CAST(sum(n) AS BIGINT) AS lang_total
+       |        FROM cells GROUP BY 1)
+       |SELECT c.lang, c.lang_pred, c.n, t.lang_total,
+       |  c.n * 1000 // t.lang_total AS share_milli
+       |FROM cells c JOIN tot t USING (lang)
+       |ORDER BY c.lang, c.lang_pred""".stripMargin
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_lang_confusion" -> (textLangConfusion _),
     "text_ngram_novelty" -> (textNgramNovelty _),
     "text_line_dedup" -> (textLineDedup _),
     "text_gopher_rules" -> (textGopherRules _),
@@ -1058,6 +1108,7 @@ object TextQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "text_lang_confusion" -> textLangConfusionOracle,
     "text_ngram_novelty" -> textNgramNoveltyOracle,
     "text_line_dedup" -> textLineDedupOracle,
     "text_gopher_rules" -> textGopherRulesOracle,

@@ -219,6 +219,35 @@ class Round8Spec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("psiDrift: identical snapshots score exactly 0, a planted shift fires") {
+    val spark2 = spark
+    import spark2.implicits._
+    val vals = (1L to 2000L).map(i => (i % 2 == 0, (i * 2654435761L) % 500L))
+    val same = Profiler.psiDrift(vals.toDF("in_a", "v"), col("in_a"), col("v"), 10)
+      .collect()
+    assert(same.length == 10)
+    // even/odd halves of the same hash sequence: per-bin counts differ
+    // by at most rounding, PSI stays far under the 0.1 "no shift" bar
+    assert(math.abs(same.head.getAs[Double]("psi")) < 0.01)
+    val shifted = vals.map { case (a, v) => (a, if (a) v else v + 250L) }
+    val psi = Profiler.psiDrift(shifted.toDF("in_a", "v"), col("in_a"), col("v"), 10)
+      .collect().head.getAs[Double]("psi")
+    assert(psi > 0.2, s"planted half-range shift must fire the monitor, psi=$psi")
+  }
+
+  test("langConfusion: per-language shares sum to ~1000 milli and the en diagonal exists") {
+    val cells = graft.text.TextQueries.textLangConfusion(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(4)))
+    assert(cells.nonEmpty)
+    cells.groupBy(_._1).foreach { case (lang, cs) =>
+      val total = cs.map(_._4).sum
+      // integer-floor shares: within langs-1 milli of exactly 1000
+      assert(total <= 1000 && total > 1000 - cs.size,
+        s"$lang shares sum to $total")
+    }
+    assert(cells.exists { case (l, p, n, _) => l == "en" && p == "en" && n > 0 })
+  }
+
   test("gopherRules: each rule trips on its crafted violator") {
     val spark2 = spark
     import spark2.implicits._
