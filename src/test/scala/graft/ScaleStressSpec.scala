@@ -199,6 +199,34 @@ class ScaleStressSpec extends AnyFunSuite {
     }
   }
 
+  test("r8 ops keep their bounds at 10×: line-dedup winner rows, banding fanout, quantile output") {
+    val spark2 = spark
+    import spark2.implicits._
+    def corpus(n: Int) = spark.range(n).select(col("id").as("doc_id"),
+      concat_ws("\n",
+        lit("shared boilerplate header line repeated in every doc"),
+        concat(lit("unique body line number "), col("id"),
+          lit(" with enough words to be eligible"))).as("text"))
+      .localCheckpoint(true)
+    for (n <- Seq(20000, 200000)) {
+      val docs = corpus(n)
+      // line dedup: the shared header collapses to ONE surviving copy —
+      // the winner aggregate shuffles one row per DISTINCT line, so
+      // output lines = n (bodies) + 1 (header), exactly, at any n
+      val ld = graft.text.TextOps.lineDedup(docs, "doc_id", "text", 5)
+      assert(ld.agg(sum("n_kept")).collect()(0).getLong(0) == n.toLong + 1L)
+      // banding: long-form band frame is EXACTLY bands × docs rows —
+      // the streaming admission join's stream-side fanout is constant
+      assert(graft.dedup.Dedup.bandedLong(docs, "doc_id", "text").count() == 4L * n)
+      // distributed selection: |qs| output rows regardless of n, and
+      // the p500 of ids 0..n-1 is exactly ceil(n/2)-1
+      val q = graft.profiling.Profiler.quantilesDisc(
+        docs.select(col("doc_id")), "doc_id", col("doc_id"), Seq(500, 999))
+      val rows = q.collect().map(r => (r.getInt(1), r.getLong(2))).toMap
+      assert(rows.size == 2 && rows(500) == (n.toLong + 1) / 2 - 1)
+    }
+  }
+
   test("graph family grows ~linearly from N to 10N (degree-bounded wedges, nodes-bounded pagerank)") {
     val spark2 = spark
     import spark2.implicits._
