@@ -717,6 +717,67 @@ object ExtraQueries {
       |             RANGE BETWEEN 604799999999 PRECEDING AND CURRENT ROW)
       |ORDER BY user_id, tsu, event_id""".stripMargin
 
+  /** Daily event-volume anomaly detection — the observability face of
+    * the events family: per (event_type, day) counts z-scored against
+    * the TRAILING 28-day window (current day excluded — yesterday's
+    * spike must not normalize today's). Daily counts are one map-side-
+    * combining aggregation; the window runs on the types×days-bounded
+    * count frame, never the raw events.
+    *
+    * Determinism: with s = Σc, s2 = Σc² over the n trailing days (all
+    * exact longs via window sums), z = (x−μ)/σ rewrites to
+    * (x·n − s) / sqrt(n·s2 − s²) — an exact-long numerator divided by
+    * the correctly-rounded IEEE sqrt of an exact long: two rounded
+    * ops total, bit-identical in any engine, then floor-scaled to 1e6.
+    */
+  def eventsAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400L * 1000000L
+    val counts = events(s, dir)
+      .select(col("event_type"), expr(s"unix_micros(ts) div ${dayUs}L").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-28, -1)
+    counts
+      .select(col("event_type"), col("day"), col("c"),
+        count(lit(1)).over(w).as("n"),
+        sum(col("c")).over(w).as("s"),
+        sum(col("c") * col("c")).over(w).as("s2"))
+      .filter(col("n") >= 14)
+      .select(col("event_type"), col("day"), col("c"), col("n"),
+        when(col("s2") * col("n") - col("s") * col("s") > 0,
+          floor((col("c") * col("n") - col("s")).cast("double")
+            / sqrt((col("s2") * col("n") - col("s") * col("s")).cast("double"))
+            * lit(1.0e6)).cast("long"))
+          .as("z_scaled"))
+      .withColumn("anomaly", abs(col("z_scaled")) > lit(3000000L))
+      .orderBy("event_type", "day")
+  }
+
+  val eventsAnomalyOracle: String =
+    """WITH c AS (SELECT event_type,
+      |             CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+      |             CAST(count(*) AS BIGINT) AS c
+      |           FROM events GROUP BY 1, 2),
+      |t AS (SELECT event_type, day, c,
+      |        CAST(count(*) OVER w AS BIGINT) AS n,
+      |        CAST(sum(c) OVER w AS BIGINT) AS s,
+      |        CAST(sum(c * c) OVER w AS BIGINT) AS s2
+      |      FROM c
+      |      WINDOW w AS (PARTITION BY event_type ORDER BY day
+      |                   ROWS BETWEEN 28 PRECEDING AND 1 PRECEDING))
+      |SELECT event_type, day, c, n,
+      |  CASE WHEN s2 * n - s * s > 0 THEN
+      |    CAST(floor(CAST(c * n - s AS DOUBLE)
+      |               / sqrt(CAST(s2 * n - s * s AS DOUBLE)) * 1e6) AS BIGINT)
+      |  END AS z_scaled,
+      |  abs(CASE WHEN s2 * n - s * s > 0 THEN
+      |    CAST(floor(CAST(c * n - s AS DOUBLE)
+      |               / sqrt(CAST(s2 * n - s * s AS DOUBLE)) * 1e6) AS BIGINT)
+      |  END) > 3000000 AS anomaly
+      |FROM t
+      |WHERE n >= 14
+      |ORDER BY event_type, day""".stripMargin
+
   /** Weekly cohort retention — the product-analytics staple: users
     * grouped by first-seen week, activity counted per (cohort week,
     * week offset). Two map-side-combining aggregations (per-user min,
@@ -762,6 +823,7 @@ object ExtraQueries {
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_rolling" -> (eventsRolling _),
+    "events_anomaly" -> (eventsAnomaly _),
     "events_retention" -> (eventsRetention _),
     "events_funnel" -> (eventsFunnel _),
     "asof_join_tol" -> (asofJoinTol _),
@@ -787,6 +849,7 @@ object ExtraQueries {
 
   def oracles: Map[String, String] = Map(
     "events_rolling" -> eventsRollingOracle,
+    "events_anomaly" -> eventsAnomalyOracle,
     "events_retention" -> eventsRetentionOracle,
     "events_funnel" -> eventsFunnelOracle,
     "asof_join_tol" -> asofJoinTolOracle,

@@ -248,6 +248,27 @@ class Round8Spec extends AnyFunSuite {
     assert(cells.exists { case (l, p, n, _) => l == "en" && p == "en" && n > 0 })
   }
 
+  test("eventsAnomaly: the z circuit is exact on a hand-computable series") {
+    // replicate the query's arithmetic on a crafted trailing window:
+    // 28 days alternating 10/12, then a 40-count spike
+    val trail = (0 until 28).map(i => if (i % 2 == 0) 10L else 12L)
+    val n = trail.size.toLong
+    val s = trail.sum
+    val s2 = trail.map(c => c * c).sum
+    val x = 40L
+    val z = math.floor((x * n - s).toDouble / math.sqrt((s2 * n - s * s).toDouble) * 1.0e6).toLong
+    assert(z > 3000000L, s"a 4x spike over a tight baseline must fire, z=$z")
+    // and the query end-to-end: all emitted rows carry a full-enough
+    // window, z is defined whenever the window varies, flags are |z|>3
+    val rows = ExtraQueries.eventsAnomaly(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(3) >= 14)
+      if (!r.isNullAt(4))
+        assert(r.getBoolean(5) == (math.abs(r.getLong(4)) > 3000000L))
+    }
+  }
+
   test("gopherRules: each rule trips on its crafted violator") {
     val spark2 = spark
     import spark2.implicits._
