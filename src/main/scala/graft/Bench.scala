@@ -84,7 +84,8 @@ object Bench {
     // Evaluator queries run MORE THAN ONE full pipeline by definition
     // (candidates + exact ground truth); annotate so their totals are
     // read as N-pipeline costs, not single-operator regressions.
-    val pipelinesRun = Map("dedup_eval" -> 2, "block_eval" -> 2)
+    val pipelinesRun = Map("dedup_eval" -> 2, "block_eval" -> 2,
+      "ann_recall_eval" -> 4)
     val prJson = pipelinesRun.toSeq.sorted
       .map { case (k, v) => "\"" + esc(k) + "\":" + v }.mkString("{", ",", "}")
     val json =

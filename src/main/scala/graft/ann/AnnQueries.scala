@@ -432,7 +432,129 @@ object AnnQueries {
        |ORDER BY qid, rank""".stripMargin
   }
 
+  /** ANN recall@5 evaluator — the block_eval/dedup_eval analogue for
+    * the index family: every approximate method (LSH bucket, IVF
+    * fixed-centroid search, PQ/ADC fixed-codebook search) scored
+    * against the brute-force ground truth in ONE query. Recall is THE
+    * acceptance metric for index parameter choice at scale (planes /
+    * nlist·nprobe / m·ksub); this runs all four pipelines by
+    * definition — the truth side is persisted once and each method
+    * joins against it. Output is methods-bounded; shares are exact
+    * milli-units.
+    */
+  def annRecallEval(s: SparkSession, dir: String): DataFrame = {
+    val c = orig(s, dir)
+    val q = c.filter(col("vec_id") < 10)
+    val brute = Ann.bruteForceTopK(q, c, "vec_id", "v", Dim, k = 5)
+      .select("qid", "vec_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cents = c.orderBy("vec_id").limit(16)
+        .select((row_number().over(
+            org.apache.spark.sql.expressions.Window.orderBy("vec_id")) - 1).as("_cell"),
+          col("v").as("_cv"))
+      val sub = Dim / PqM
+      val books = c.orderBy("vec_id").limit(PqK)
+        .select((row_number().over(
+            org.apache.spark.sql.expressions.Window.orderBy("vec_id")) - 1).as("_code"),
+          col("v"))
+        .select(col("_code"), explode(expr(
+          s"transform(sequence(0, ${PqM - 1}), i -> struct(i as _m, slice(v, i * $sub + 1, $sub) as _cv))")).as("_s"))
+        .select(col("_s._m").as("_m"), col("_code"), col("_s._cv").as("_cv"))
+      val methods = Seq(
+        "lsh" -> Ann.lshTopK(q, c, "vec_id", "v", Dim, k = 5),
+        "ivf" -> Ann.ivfSearch(q, c, cents, "vec_id", "v", Dim, k = 5, nprobe = 3),
+        "pq" -> Ann.pqSearch(q, c, books, "vec_id", "v", Dim, m = PqM, k = 5))
+      val hits = methods.map { case (name, df) =>
+        df.select(col("qid"), col("vec_id")).join(brute, Seq("qid", "vec_id"))
+          .agg(count(lit(1)).as("hits"))
+          .select(lit(name).as("method"), col("hits"))
+      }.reduce(_.unionByName(_))
+      val tot = brute.agg(count(lit(1)).as("n_total"))
+      val out = hits.crossJoin(broadcast(tot))
+        .select(col("method"), col("hits"), col("n_total"),
+          expr("hits * 1000 div n_total").as("recall_milli"))
+        .orderBy("method")
+      out.localCheckpoint(true)
+    } finally brute.unpersist(false)
+  }
+
+  val annRecallEvalOracle: String = {
+    val sub = Dim / PqM
+    s"""WITH o AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |c AS (SELECT vec_id, v, ${normSql("v")} AS n, ${bucketSql("v")} AS bk FROM o),
+       |q AS (SELECT vec_id AS qid, v AS qv, n AS qn, bk FROM c WHERE vec_id < 10),
+       |bruteR AS (SELECT qid, vec_id FROM (
+       |  SELECT q.qid, c.vec_id,
+       |         row_number() OVER (PARTITION BY q.qid
+       |           ORDER BY round((${dotSql("q.qv", "c.v")}) / (q.qn * c.n), 7) DESC,
+       |                    c.vec_id) AS rank
+       |  FROM q JOIN c ON c.vec_id <> q.qid) WHERE rank <= 5),
+       |lshR AS (SELECT qid, vec_id FROM (
+       |  SELECT q.qid, c.vec_id,
+       |         row_number() OVER (PARTITION BY q.qid
+       |           ORDER BY round((${dotSql("q.qv", "c.v")}) / (q.qn * c.n), 7) DESC,
+       |                    c.vec_id) AS rank
+       |  FROM q JOIN c ON c.bk = q.bk AND c.vec_id <> q.qid) WHERE rank <= 5),
+       |cents AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cell, v AS cv
+       |          FROM (SELECT * FROM o ORDER BY vec_id LIMIT 16)),
+       |asg0 AS (SELECT c.vec_id, c.v, c.n, cents.cell,
+       |         row_number() OVER (PARTITION BY c.vec_id
+       |           ORDER BY ${l2sqSql("c.v", "cents.cv")}, cents.cell) AS rn
+       |         FROM c CROSS JOIN cents),
+       |asg AS (SELECT vec_id, v, n, cell FROM asg0 WHERE rn = 1),
+       |qc0 AS (SELECT q.qid, q.qv, q.qn, cents.cell,
+       |        row_number() OVER (PARTITION BY q.qid
+       |          ORDER BY (${dotSql("q.qv", "cents.cv")}) DESC, cents.cell) AS rn
+       |        FROM q CROSS JOIN cents),
+       |qc AS (SELECT qid, qv, qn, cell FROM qc0 WHERE rn <= 3),
+       |ivfR AS (SELECT qid, vec_id FROM (
+       |  SELECT qc.qid, asg.vec_id,
+       |         row_number() OVER (PARTITION BY qc.qid
+       |           ORDER BY round((${dotSql("qc.qv", "asg.v")}) / (qc.qn * asg.n), 7) DESC,
+       |                    asg.vec_id) AS rank
+       |  FROM qc JOIN asg ON asg.cell = qc.cell AND asg.vec_id <> qc.qid)
+       |  WHERE rank <= 5),
+       |seeds AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS code, v
+       |          FROM (SELECT * FROM o ORDER BY vec_id LIMIT $PqK)),
+       |mset AS (SELECT unnest([${(0 until PqM).mkString(", ")}]) AS m),
+       |books AS (SELECT m, code, v[m*$sub+1 : m*$sub+$sub] AS cv FROM seeds, mset),
+       |subs AS (SELECT vec_id, m, v[m*$sub+1 : m*$sub+$sub] AS sv FROM o, mset),
+       |enc0 AS (SELECT s.vec_id, s.m, b.code,
+       |           row_number() OVER (PARTITION BY s.vec_id, s.m
+       |             ORDER BY ${l2sqSubSql("s.sv", "b.cv", sub)}, b.code) AS rn
+       |         FROM subs s JOIN books b ON b.m = s.m),
+       |enc AS (SELECT vec_id, m, code FROM enc0 WHERE rn = 1),
+       |pq_q AS (SELECT vec_id AS qid, m, sv FROM subs WHERE vec_id < 10),
+       |dtab AS (SELECT pq_q.qid, b.m, b.code,
+       |           CAST(floor((${l2sqSubSql("pq_q.sv", "b.cv", sub)}) * 1e9) AS BIGINT) AS dq
+       |         FROM pq_q JOIN books b ON b.m = pq_q.m),
+       |adc AS (SELECT d.qid, e.vec_id,
+       |          CAST(sum(d.dq) AS BIGINT) AS adc_scaled
+       |        FROM enc e JOIN dtab d ON d.m = e.m AND d.code = e.code
+       |        WHERE e.vec_id <> d.qid
+       |        GROUP BY 1, 2),
+       |pqR AS (SELECT qid, vec_id FROM (
+       |  SELECT qid, vec_id,
+       |         row_number() OVER (PARTITION BY qid ORDER BY adc_scaled, vec_id) AS rank
+       |  FROM adc) WHERE rank <= 5),
+       |hits AS (
+       |  SELECT 'lsh' AS method, CAST(count(*) AS BIGINT) AS hits
+       |  FROM lshR JOIN bruteR USING (qid, vec_id)
+       |  UNION ALL
+       |  SELECT 'ivf', CAST(count(*) AS BIGINT)
+       |  FROM ivfR JOIN bruteR USING (qid, vec_id)
+       |  UNION ALL
+       |  SELECT 'pq', CAST(count(*) AS BIGINT)
+       |  FROM pqR JOIN bruteR USING (qid, vec_id)),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM bruteR)
+       |SELECT method, hits, n_total, hits * 1000 // n_total AS recall_milli
+       |FROM hits, tot
+       |ORDER BY method""".stripMargin
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_recall_eval" -> (annRecallEval _),
     "ann_pq_search" -> (annPqSearch _),
     "ann_truncate_recall" -> (annTruncateRecall _),
     "ann_centroid_sim" -> (annCentroidSim _),
@@ -448,6 +570,7 @@ object AnnQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "ann_recall_eval" -> annRecallEvalOracle,
     "ann_pq_search" -> annPqSearchOracle,
     "ann_truncate_recall" -> annTruncateRecallOracle,
     "ann_centroid_sim" -> annCentroidSimOracle,
