@@ -363,6 +363,45 @@ object ExtraQueries {
     """SELECT DISTINCT user_id, event_type FROM events
       |ORDER BY user_id, event_type""".stripMargin
 
+  /** Streaming CDC upsert: apply the event stream as last-writer-wins
+    * changes to a keyed state table (the materialized-view shape every
+    * CDC ingestion pipeline needs). Complete-mode streaming aggregation
+    * with `max_by` over the (ts, event_id) change order — state is
+    * key-bounded, not event-bounded, so it holds at 100 TB of churn on
+    * a bounded key space; event_id breaks ts ties deterministically.
+    */
+  def streamUpsert(s: SparkSession, dir: String): DataFrame = {
+    val name = "graft_stream_upsert_" + java.lang.Integer.toHexString(dir.hashCode)
+    val src = Streams.eventsStream(s, dir)
+    val state = src.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        max_by(struct(col("ts"), col("event_type"), col("value")),
+          struct(col("ts"), col("event_id"))).as("last"))
+    val q = state
+      .select(col("user_id"), col("n_events"),
+        col("last.ts").as("last_ts"),
+        col("last.event_type").as("last_event_type"),
+        col("last.value").as("last_value"))
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", Streams.freshCheckpointDir(name))
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name).orderBy("user_id")
+  }
+
+  val streamUpsertOracle: String =
+    """WITH r AS (
+      |  SELECT user_id, ts, event_type, value,
+      |         row_number() OVER (PARTITION BY user_id
+      |                            ORDER BY ts DESC, event_id DESC) AS rn,
+      |         CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_events
+      |  FROM events)
+      |SELECT user_id, n_events, ts AS last_ts, event_type AS last_event_type,
+      |       value AS last_value
+      |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
+
   /** TextFormatter (entitymatching/text_formatting.py): entity pairs →
     * "field … [SEP] field …" strings for PLM matchers, with a
     * missing-value placeholder.
@@ -841,6 +880,7 @@ object ExtraQueries {
     "stream_window_agg" -> (streamWindowAgg _),
     "stream_sessionize" -> (streamSessionize _),
     "stream_dedup" -> (streamDedup _),
+    "stream_upsert" -> (streamUpsert _),
     "stream_contamination" -> (streamContamination _),
     "stream_neardup" -> (streamNearDup _),
     "stream_asof" -> (streamAsof _),
@@ -867,6 +907,7 @@ object ExtraQueries {
     "stream_window_agg" -> streamWindowAggOracle,
     "stream_sessionize" -> streamSessionizeOracle,
     "stream_dedup" -> streamDedupOracle,
+    "stream_upsert" -> streamUpsertOracle,
     "stream_contamination" -> streamContaminationOracle,
     "stream_asof" -> streamAsofOracle,
     "stream_asof_buffered" -> streamAsofOracle

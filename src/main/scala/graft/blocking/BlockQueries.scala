@@ -155,7 +155,75 @@ object BlockQueries {
        |       CAST(gn AS BIGINT) AS total_true_pairs
        |FROM n""".stripMargin
 
+  /** Curated surname spelling-variant pairs (left spelling, right
+    * spelling) — each pair shares a Soundex code (spec-pinned), no two
+    * base names collide except Smith/Schmidt (S530), which demonstrates
+    * phonetic over-blocking honestly.
+    */
+  val SurnameVariants: Seq[(String, String)] = Seq(
+    "Smith" -> "Smyth", "Johnson" -> "Jonson", "Meyer" -> "Meier",
+    "Schmidt" -> "Schmitt", "Baker" -> "Bakker", "Ashcraft" -> "Ashcroft",
+    "Reed" -> "Reid", "Stewart" -> "Stuart", "Mueller" -> "Muller",
+    "Hansen" -> "Hanson", "Pearson" -> "Pierson", "Lawrence" -> "Lowrance")
+
+  private def surnameCol(variants: Seq[String]): org.apache.spark.sql.Column =
+    element_at(
+      array(variants.map(lit): _*),
+      (col("c_custkey") % SurnameVariants.size).cast("int") + 1)
+
+  /** Phonetic (Soundex) blocking: L carries one surname spelling, R a
+    * variant spelling — exact-key blocking finds NOTHING (every pair
+    * differs textually; the spec pins recall 0), the phonetic key
+    * recovers every gold pair. Output is the per-key block-size frame
+    * (keys-bounded — the pair frame itself is the product of the two
+    * key-partition sizes, counted, not materialized): the shape a
+    * blocker-tuning loop reads at 100 TB, where emitting the pairs of a
+    * hot phonetic key is exactly what you audit before running it.
+    */
+  def blockPhonetic(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Phonetic
+    val l = customer(s, dir).select(
+      col("c_custkey").as("id"), surnameCol(SurnameVariants.map(_._1)).as("surname"))
+    val r = customer(s, dir).filter(col("c_custkey") % 10 =!= 3).select(
+      (col("c_custkey") + ROffset).as("id"), surnameCol(SurnameVariants.map(_._2)).as("surname"))
+    val lk = l.groupBy(Phonetic.soundex(col("surname")).as("sx_key"))
+      .agg(count(lit(1)).as("n_l"))
+    val rk = r.groupBy(Phonetic.soundex(col("surname")).as("sx_key"))
+      .agg(count(lit(1)).as("n_r"))
+    lk.join(rk, Seq("sx_key"), "full")
+      .select(col("sx_key"),
+        coalesce(col("n_l"), lit(0L)).as("n_l"),
+        coalesce(col("n_r"), lit(0L)).as("n_r"),
+        (coalesce(col("n_l"), lit(0L)) * coalesce(col("n_r"), lit(0L))).as("n_pairs"))
+      .orderBy("sx_key")
+  }
+
+  val blockPhoneticOracle: String = {
+    import graft.functions.Phonetic
+    val nL = SurnameVariants.map(p => s"'${p._1}'").mkString(", ")
+    val nR = SurnameVariants.map(p => s"'${p._2}'").mkString(", ")
+    val k = SurnameVariants.size
+    s"""WITH l AS (
+       |  SELECT c_custkey AS id,
+       |         ([$nL])[CAST(c_custkey % $k AS INT) + 1] AS surname
+       |  FROM customer),
+       |r AS (
+       |  SELECT c_custkey + 10000000 AS id,
+       |         ([$nR])[CAST(c_custkey % $k AS INT) + 1] AS surname
+       |  FROM customer WHERE c_custkey % 10 <> 3),
+       |lk AS (SELECT ${Phonetic.sqlSoundex("surname")} AS sx_key,
+       |              CAST(count(*) AS BIGINT) AS n_l FROM l GROUP BY 1),
+       |rk AS (SELECT ${Phonetic.sqlSoundex("surname")} AS sx_key,
+       |              CAST(count(*) AS BIGINT) AS n_r FROM r GROUP BY 1)
+       |SELECT sx_key,
+       |       coalesce(n_l, 0) AS n_l, coalesce(n_r, 0) AS n_r,
+       |       coalesce(n_l, 0) * coalesce(n_r, 0) AS n_pairs
+       |FROM lk FULL JOIN rk USING (sx_key)
+       |ORDER BY sx_key""".stripMargin
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "block_phonetic" -> (blockPhonetic _),
     "block_standard" -> (blockStandard _),
     "block_token" -> (blockToken _),
     "block_sorted_nbhd" -> (blockSortedNbhd _),
@@ -164,6 +232,7 @@ object BlockQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "block_phonetic" -> blockPhoneticOracle,
     "block_standard" -> blockStandardOracle,
     "block_token" -> blockTokenOracle,
     "block_sorted_nbhd" -> blockSortedNbhdOracle,

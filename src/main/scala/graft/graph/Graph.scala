@@ -293,3 +293,77 @@ object KCore {
        |         JOIN (SELECT unnest(f.alive) AS v FROM fin f) y ON y.v = e.o
        |         GROUP BY e.v)""".stripMargin
 }
+
+/** Synchronous label propagation (Raghavan et al. 2007) — the cheap
+  * community-detection pass a pipeline runs over near-dup / co-purchase
+  * graphs before per-community work. Deterministic variant: a fixed
+  * number of synchronous sweeps; each node adopts the most frequent
+  * neighbour label, ties broken by smallest label — so the result is a
+  * pure function of the graph, independent of shuffle order.
+  *
+  * Scale shape: adjacency is the persisted distinct symmetrized edge
+  * frame; each sweep is one equi-join + one map-side-combining agg
+  * (argmax via `min(struct(-cnt, label))`, never a per-node window);
+  * isolated nodes keep their own label through the left join.
+  */
+object Lpa {
+
+  /** `nodes`: one column `v`; `pairs`: (id1, id2) undirected, dups ok.
+    * Returns (v, label, community_size), labels seeded with `v`.
+    */
+  def run(nodes: DataFrame, pairs: DataFrame, iters: Int = 4): DataFrame = {
+    require(iters >= 1)
+    val und = pairs.filter(col("id1") =!= col("id2"))
+      .select(least(col("id1"), col("id2")).as("a"),
+        greatest(col("id1"), col("id2")).as("b"))
+      .distinct()
+    val adj = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
+      .persist()
+    var labels = nodes.select(col("v"), col("v").as("label"))
+    for (_ <- 1 to iters) {
+      val counts = adj.join(labels.withColumnRenamed("v", "dst"), "dst")
+        .groupBy(col("src"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      val winner = counts
+        .groupBy(col("src"))
+        .agg(min(struct((-col("cnt")).as("nc"), col("label"))).as("m"))
+        .select(col("src").as("v"), col("m.label").as("wl"))
+      labels = labels.join(winner, Seq("v"), "left")
+        .select(col("v"), coalesce(col("wl"), col("label")).as("label"))
+        .localCheckpoint(true) // keep the sweep plans flat
+    }
+    adj.unpersist(false)
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("community_size"))
+    labels.join(sizes, "label").select(col("v"), col("label"), col("community_size"))
+  }
+
+  /** DuckDB replica over caller CTEs `nodes(v)` and `edges(id1, id2)`:
+    * unrolled sweeps ending in `lpa(v, label, community_size)`. The
+    * argmax here is a row_number window — a deliberately different
+    * circuit from the engine's min(struct) that must agree exactly.
+    */
+  def oracleSql(iters: Int = 4): String = {
+    val steps = (1 to iters).map { t =>
+      s"""c$t AS (SELECT a.src, p.label, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM adj a JOIN l${t - 1} p ON p.v = a.dst GROUP BY 1, 2),
+         |w$t AS (SELECT src, label,
+         |          row_number() OVER (PARTITION BY src ORDER BY cnt DESC, label) AS rn
+         |        FROM c$t),
+         |l$t AS (SELECT p.v, coalesce(w.label, p.label) AS label
+         |        FROM l${t - 1} p
+         |        LEFT JOIN (SELECT src, label FROM w$t WHERE rn = 1) w ON w.src = p.v)""".stripMargin
+    }
+    s"""und AS (
+       |  SELECT DISTINCT least(id1, id2) AS a, greatest(id1, id2) AS b
+       |  FROM edges WHERE id1 <> id2),
+       |adj AS (SELECT a AS src, b AS dst FROM und
+       |        UNION ALL SELECT b, a FROM und),
+       |l0 AS (SELECT v, v AS label FROM nodes),
+       |${steps.mkString(",\n")},
+       |sizes AS (SELECT label, CAST(count(*) AS BIGINT) AS community_size
+       |          FROM l$iters GROUP BY 1),
+       |lpa AS (SELECT l.v, l.label, s.community_size
+       |        FROM l$iters l JOIN sizes s USING (label))""".stripMargin
+  }
+}

@@ -129,15 +129,51 @@ object GraphQueries {
        |${KCore.oracleSql(6)}
        |SELECT v, core_degree FROM core ORDER BY v""".stripMargin
 
+  /** Label-propagation communities (4 deterministic sweeps) over the
+    * customer co-purchase graph — the cheap community pass before
+    * per-community work; the same derived-sparse graph as triangles /
+    * k-core, so the edge derivation cost is the audited one.
+    */
+  def graphLpa(s: SparkSession, dir: String): DataFrame = {
+    val lo = lineitem(s, dir)
+      .select(col("l_suppkey").as("sk"), to_date(col("l_shipdate")).as("dt"),
+        col("l_orderkey"))
+      .join(orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("sk"), col("dt"), col("o_custkey").as("c"))
+      .persist()
+    val pairs = lo.as("x").join(lo.as("y"),
+        col("x.sk") === col("y.sk") && col("x.dt") === col("y.dt") &&
+          col("x.c") < col("y.c"))
+      .select(col("x.c").as("id1"), col("y.c").as("id2"))
+    val nodes = customer(s, dir).select(col("c_custkey").as("v"))
+    Lpa.run(nodes, pairs, iters = 4).orderBy("v")
+  }
+
+  val graphLpaOracle: String =
+    s"""WITH lo AS (
+       |  SELECT l_suppkey AS sk, CAST(l_shipdate AS DATE) AS dt,
+       |         o_custkey AS c
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |edges AS (
+       |  SELECT x.c AS id1, y.c AS id2
+       |  FROM lo x JOIN lo y
+       |    ON y.sk = x.sk AND y.dt = x.dt AND x.c < y.c),
+       |nodes AS (SELECT c_custkey AS v FROM customer),
+       |${Lpa.oracleSql(4)}
+       |SELECT v, label, community_size FROM lpa ORDER BY v""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> (graphPagerank _),
     "graph_triangles" -> (graphTriangles _),
-    "graph_kcore" -> (graphKcore _)
+    "graph_kcore" -> (graphKcore _),
+    "graph_lpa" -> (graphLpa _)
   )
 
   def oracles: Map[String, String] = Map(
     "graph_pagerank" -> graphPagerankOracle,
     "graph_triangles" -> graphTrianglesOracle,
-    "graph_kcore" -> graphKcoreOracle
+    "graph_kcore" -> graphKcoreOracle,
+    "graph_lpa" -> graphLpaOracle
   )
 }

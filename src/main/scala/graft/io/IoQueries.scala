@@ -162,7 +162,115 @@ object IoQueries {
       |WHERE source IN ('src1', 'src2', 'src3')
       |GROUP BY source ORDER BY source""".stripMargin
 
+  private def orcPath(dir: String): String =
+    java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_orc_${dir.hashCode.toHexString}").toString
+
+  /** ORC source roundtrip: write a lineitem projection as ORC (the
+    * second columnar format large pipelines standardize on), read it
+    * back, aggregate. The oracle aggregates the same logical rows from
+    * parquet — identical results prove the format roundtrip is lossless.
+    */
+  def ioOrc(s: SparkSession, dir: String): DataFrame = {
+    val out = orcPath(dir)
+    lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity").cast("long").as("qty"),
+        cents(col("l_extendedprice")).as("price_c"))
+      .write.mode("overwrite").orc(out)
+    s.read.orc(out)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), sum("qty").as("sum_qty"),
+        (sum("price_c").cast("double") / 100.0).as("sum_price"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val ioOrcOracle: String =
+    """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+      |         AS sum_price
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  private def compactPath(dir: String): String =
+    java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_compact_${dir.hashCode.toHexString}").toString
+
+  /** Target rows per output file for the compaction demo. In production
+    * the knob is bytes (`maxRecordsPerFile` / target file size); rows
+    * keep the invariant SQL-checkable.
+    */
+  val CompactTargetRows = 200L
+
+  /** Small-file compaction: rewrite the documents table into
+    * ⌈rows / target⌉ evenly-sized files (round-robin repartition — at
+    * 100 TB this is the nightly job that keeps file counts from
+    * exploding past the NameNode/manifest budget). Output is the
+    * SQL-checkable invariant: file count written = ⌈rows / target⌉ and
+    * no rows lost.
+    */
+  def ioCompact(s: SparkSession, dir: String): DataFrame = {
+    val out = compactPath(dir)
+    val docs = documents(s, dir)
+    val rows = docs.count()
+    val k = math.max(1L, (rows + CompactTargetRows - 1) / CompactTargetRows).toInt
+    docs.repartition(k).write.mode("overwrite").parquet(out)
+    s.read.parquet(out)
+      .select(input_file_name().as("f"), col("doc_id"))
+      .agg(countDistinct("f").as("n_files"), count(lit(1)).as("n_rows"),
+        countDistinct("doc_id").as("n_docs"))
+  }
+
+  val ioCompactOracle: String =
+    s"""SELECT CAST(ceil(CAST(count(*) AS DOUBLE) / $CompactTargetRows) AS BIGINT) AS n_files,
+       |       CAST(count(*) AS BIGINT) AS n_rows,
+       |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+       |FROM documents""".stripMargin
+
+  private def evolvePath(dir: String): String =
+    java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_evolve_${dir.hashCode.toHexString}").toString
+
+  /** Schema-evolution read: two parquet batches with different schemas
+    * (v2 adds a column) merged by `mergeSchema` into one unified view —
+    * the additive-evolution pattern every long-lived 100 TB dataset
+    * hits. Old rows surface NULL for the new column; the oracle is the
+    * explicit UNION the merged scan is sugar for.
+    */
+  def ioMergeSchema(s: SparkSession, dir: String): DataFrame = {
+    val out = evolvePath(dir)
+    val docs = documents(s, dir)
+    docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .write.mode("overwrite").parquet(s"$out/batch=v1")
+    docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("source"), col("n_chars"), col("lang"))
+      .write.mode("overwrite").parquet(s"$out/batch=v2")
+    // v1 rows surface NULL lang; coalesce to '' so the sort key is
+    // NULL-free (Spark and DuckDB default NULL orderings differ).
+    s.read.option("mergeSchema", "true").parquet(out)
+      .groupBy(col("batch"), coalesce(col("lang"), lit("")).as("lang"))
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"))
+      .orderBy("batch", "lang")
+  }
+
+  val ioMergeSchemaOracle: String =
+    """WITH u AS (
+      |  SELECT doc_id, source, n_chars, CAST(NULL AS VARCHAR) AS lang, 'v1' AS batch
+      |  FROM documents WHERE doc_id % 2 = 0
+      |  UNION ALL
+      |  SELECT doc_id, source, n_chars, lang, 'v2' AS batch
+      |  FROM documents WHERE doc_id % 2 = 1)
+      |SELECT batch, coalesce(lang, '') AS lang, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM u GROUP BY 1, 2 ORDER BY batch, lang""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "io_orc" -> (ioOrc _),
+    "io_compact" -> (ioCompact _),
+    "io_merge_schema" -> (ioMergeSchema _),
     "io_partitioned" -> (ioPartitioned _),
     "io_html" -> (ioHtml _),
     "io_fwf" -> (ioFwf _),
@@ -173,6 +281,9 @@ object IoQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "io_orc" -> ioOrcOracle,
+    "io_compact" -> ioCompactOracle,
+    "io_merge_schema" -> ioMergeSchemaOracle,
     "io_partitioned" -> ioPartitionedOracle,
     "io_html" -> ioHtmlOracle,
     "io_fwf" -> ioFwfOracle,

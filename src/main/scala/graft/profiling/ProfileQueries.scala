@@ -324,7 +324,21 @@ object ProfileQueries {
        |ORDER BY per.bin""".stripMargin
   }
 
+  /** Column set for the FD-discovery demo: orders carries real FDs
+    * (o_orderkey → everything) next to non-FDs in both directions.
+    */
+  val FdCols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+
+  /** Exact functional-dependency discovery over the orders column set
+    * (Profiler.functionalDeps): every ordered pair checked in one scan.
+    */
+  def profileFd(s: SparkSession, dir: String): DataFrame =
+    Profiler.functionalDeps(graft.Tables.orders(s, dir), FdCols)
+
+  val profileFdOracle: String = Profiler.sqlFunctionalDeps("orders", FdCols)
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "profile_fd" -> (profileFd _),
     "profile_drift" -> (profileDrift _),
     "profile_quantiles" -> (profileQuantiles _),
     "profile_columns" -> (profileColumns _),
@@ -338,6 +352,7 @@ object ProfileQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "profile_fd" -> profileFdOracle,
     "profile_drift" -> profileDriftOracle,
     "profile_quantiles" -> profileQuantilesOracle,
     "profile_compare" -> profileCompareOracle,

@@ -423,4 +423,53 @@ object Profiler {
       .filter(col("rnk") <= k)
       .select(col("column_name"), col("value"), col("cnt"), col("rnk").cast("long").as("rnk"))
   }
+
+  /** Exact functional-dependency check over every ordered pair of
+    * `cols` (the Metanome/data-profiling staple): A → B holds iff no A
+    * value maps to two B values. ONE table scan: values stack into
+    * (attr, value) structs, the pair explode is |cols|²-bounded per
+    * row, then a single groupBy (lhs, rhs, lhs_value) counts distinct
+    * rhs values and a |cols|²-bounded rollup aggregates violations.
+    * At 100 TB with a wide column list you'd run targeted 2-column
+    * aggs instead (column-pruned scans); the single-scan shape wins
+    * while |cols|²·rows dominates scan cost — both are declarative.
+    * NULL values participate as the string 'NULL' sentinel (a
+    * two-sided convention the oracle mirrors).
+    */
+  def functionalDeps(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2)
+    val arr = array(cols.map(c =>
+      struct(lit(c).as("a"), coalesce(col(c).cast("string"), lit("NULL")).as("v"))): _*)
+    val pairs = df.select(explode(arr).as("x"), arr.as("ys"))
+      .select(col("x.a").as("lhs"), col("x.v").as("lhs_value"), explode(col("ys")).as("y"))
+      .filter(col("lhs") =!= col("y.a"))
+      .select(col("lhs"), col("lhs_value"), col("y.a").as("rhs"), col("y.v").as("rhs_value"))
+    pairs
+      .groupBy("lhs", "rhs", "lhs_value")
+      .agg(countDistinct("rhs_value").as("n_rhs"))
+      .groupBy("lhs", "rhs")
+      .agg(count(lit(1)).as("n_lhs_values"),
+        sum(when(col("n_rhs") > 1, 1L).otherwise(0L)).as("n_violating"))
+      .withColumn("holds", col("n_violating") === 0L)
+      .orderBy("lhs", "rhs")
+  }
+
+  /** The identical FD check as DuckDB SQL over a table name. */
+  def sqlFunctionalDeps(table: String, cols: Seq[String]): String = {
+    val items = cols.map(c =>
+      s"{'a': '$c', 'v': coalesce(CAST($c AS VARCHAR), 'NULL')}").mkString(", ")
+    s"""WITH s AS (SELECT [$items] AS ys FROM $table),
+       |p AS (
+       |  SELECT x.a AS lhs, x.v AS lhs_value, y.a AS rhs, y.v AS rhs_value
+       |  FROM s, LATERAL (SELECT unnest(ys, recursive := true)) x(a, v),
+       |          LATERAL (SELECT unnest(ys, recursive := true)) y(a, v)
+       |  WHERE x.a <> y.a),
+       |g AS (
+       |  SELECT lhs, rhs, lhs_value, count(DISTINCT rhs_value) AS n_rhs
+       |  FROM p GROUP BY 1, 2, 3)
+       |SELECT lhs, rhs, CAST(count(*) AS BIGINT) AS n_lhs_values,
+       |       CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+       |       (sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) = 0) AS holds
+       |FROM g GROUP BY 1, 2 ORDER BY lhs, rhs""".stripMargin
+  }
 }

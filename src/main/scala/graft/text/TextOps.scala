@@ -1076,4 +1076,72 @@ object TextOps {
         (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
         coalesce(col("text_dedup"), lit("")).as("text_dedup"))
   }
+
+  /** Max passes of the boundary-safe pair replace. A same-pair run of
+    * length m needs ≤ ⌈m/2⌉ passes (each pass merges every other
+    * occurrence); 16 covers symbol runs up to 32 — longer than any word
+    * in a byte-level vocabulary.
+    */
+  val BpeReplacePasses = 16
+
+  /** Apply one BPE merge to a space-joined symbol string (padded with a
+    * leading/trailing space). Plain `replace` of " x y " → " xy " is
+    * boundary-safe (symbols never contain spaces) and, iterated
+    * [[BpeReplacePasses]] times, equals the greedy left-to-right merge
+    * scan of reference BPE — the oracle runs the identical circuit.
+    */
+  private def applyMerge(sym: Column, pair: String): Column = {
+    val merged = pair.replace(" ", "")
+    (1 to BpeReplacePasses).foldLeft(sym)((c, _) =>
+      call_function("replace", c, lit(s" $pair "), lit(s" $merged ")))
+  }
+
+  /** Distributed BPE merge training (the Sennrich et al. 2016 algorithm,
+    * counted corpus-wide the way large-scale tokenizer training does it):
+    * one heavy agg shrinks the corpus to its word vocabulary, then each
+    * of `merges` bounded iterations is a vocab-sized adjacent-pair count
+    * (map-side partial agg) + a 1-row argmax collect + a codegen'd
+    * replace projection. At 100 TB the only corpus-sized pass is the
+    * first word count; every later step is vocabulary-bounded.
+    *
+    * Ties on pair count break lexicographically asc — deterministic and
+    * mirrored by the oracle. Output: one row per merge step
+    * (step, pair, merged, pair_count).
+    */
+  def bpeTrain(docs: DataFrame, text: String, merges: Int = 6): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs
+      .select(explode(split(lower(col(text)), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).cast("long").as("cnt"))
+      .withColumn("sym",
+        concat(lit(" "), trim(regexp_replace(col("w"), "(.)", "$1 ")), lit(" ")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var vocab = words
+      val out = Seq.newBuilder[(Long, String, String, Long)]
+      for (step <- 1 to merges) {
+        val best = vocab
+          .select(col("cnt"), split(trim(col("sym")), " ").as("a"))
+          .filter(size(col("a")) >= 2)
+          .select(col("cnt"), explode(expr(
+            "transform(sequence(0, size(a) - 2), j -> concat(a[j], ' ', a[j + 1]))"))
+            .as("pair"))
+          .groupBy("pair").agg(sum("cnt").cast("long").as("c"))
+          .orderBy(col("c").desc, col("pair"))
+          .limit(1).collect()
+        if (best.nonEmpty) {
+          val (pair, c) = (best(0).getString(0), best(0).getLong(1))
+          out += ((step.toLong, pair, pair.replace(" ", ""), c))
+          // localCheckpoint keeps each iteration's plan flat (the replace
+          // chain would otherwise nest merges× passes deep).
+          vocab = vocab
+            .withColumn("sym", applyMerge(col("sym"), pair))
+            .localCheckpoint(true)
+        }
+      }
+      out.result().toDF("step", "pair", "merged", "pair_count").orderBy("step")
+    } finally words.unpersist(false)
+  }
 }

@@ -1071,7 +1071,48 @@ object TextQueries {
        |ORDER BY c.lang, c.lang_pred""".stripMargin
   }
 
+  /** Distributed BPE merge training over the documents corpus: 6 merge
+    * rounds of corpus-weighted adjacent-pair counting (TextOps.bpeTrain).
+    */
+  def textBpeTrain(s: SparkSession, dir: String): DataFrame =
+    TextOps.bpeTrain(documents(s, dir), "text", merges = 6)
+
+  /** Oracle = the same algorithm unrolled: per merge round, a pair-count
+    * CTE, a 1-row argmax CTE (count desc, pair asc), and a vocab CTE
+    * applying the merge via the identical iterated boundary-safe replace
+    * circuit the engine runs (TextOps.applyMerge).
+    */
+  val textBpeTrainOracle: String = {
+    val merges = 6
+    def vnext(i: Int): String = {
+      val repl = (1 to TextOps.BpeReplacePasses).foldLeft("sym")((e, _) =>
+        s"replace($e, ' '||m.pair||' ', ' '||replace(m.pair,' ','')||' ')")
+      s"v${i + 1} AS (SELECT cnt, $repl AS sym FROM v$i, m$i m)"
+    }
+    val parts = Seq.newBuilder[String]
+    parts += s"""words AS (
+       |  SELECT word AS w, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+       |  WHERE word <> '' GROUP BY word),
+       |v1 AS (SELECT cnt, ' '||trim(regexp_replace(w, '(.)', '\\1 ', 'g'))||' ' AS sym
+       |       FROM words)""".stripMargin
+    for (i <- 1 to merges) {
+      parts += s"""p$i AS (
+         |  SELECT a[j]||' '||a[j+1] AS pair, CAST(sum(cnt) AS BIGINT) AS c
+         |  FROM (SELECT cnt, string_split(trim(sym), ' ') AS a FROM v$i),
+         |       LATERAL (SELECT unnest(generate_series(1, len(a)-1)) AS j)
+         |  WHERE len(a) >= 2 GROUP BY 1)""".stripMargin
+      parts += s"m$i AS (SELECT pair, c FROM p$i ORDER BY c DESC, pair LIMIT 1)"
+      if (i < merges) parts += vnext(i)
+    }
+    val sel = (1 to merges).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS step, pair, replace(pair,' ','') AS merged, c AS pair_count FROM m$i")
+      .mkString(" UNION ALL ")
+    "WITH " + parts.result().mkString(",\n") + "\n" + sel + " ORDER BY step"
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bpe_train" -> (textBpeTrain _),
     "text_lang_confusion" -> (textLangConfusion _),
     "text_ngram_novelty" -> (textNgramNovelty _),
     "text_line_dedup" -> (textLineDedup _),
@@ -1108,6 +1149,7 @@ object TextQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "text_bpe_train" -> textBpeTrainOracle,
     "text_lang_confusion" -> textLangConfusionOracle,
     "text_ngram_novelty" -> textNgramNoveltyOracle,
     "text_line_dedup" -> textLineDedupOracle,

@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.text.TextOps
+
+/** Round-8 additions, second batch: distributed BPE merge training, the
+  * ORC / compaction / schema-evolution IO queries, and streaming CDC
+  * upsert.
+  */
+class Round8bSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("bpeTrain reproduces hand-computed merges incl. greedy same-pair runs") {
+    val spark2 = spark
+    import spark2.implicits._
+    // words: aaab ×2, ab ×1
+    //   v1: "a a a b"(2), "a b"(1)
+    //   r1 pairs: (a,a)=4 [two per 'aaab'], (a,b)=3 -> merge "a a" (4)
+    //     greedy left-to-right: "a a a b" -> "aa a b" (NOT "a aa b")
+    //   r2 pairs: (aa,a)=2, (a,b)=3 -> merge "a b" (3)
+    //   r3 pairs: (aa,ab)=2 -> merge "aa ab" (2)
+    val docs = Seq("aaab aaab", "ab").toDF("text")
+    val got = TextOps.bpeTrain(docs, "text", merges = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, "a a", "aa", 4L),
+      (2L, "a b", "ab", 3L),
+      (3L, "aa ab", "aaab", 2L)))
+  }
+
+  test("bpeTrain breaks pair-count ties lexicographically asc") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq("zq zq yx yx").toDF("text")
+    val got = TextOps.bpeTrain(docs, "text", merges = 1).collect()
+    assert(got(0).getString(1) == "y x" && got(0).getLong(3) == 2L)
+  }
+
+  test("io_compact writes exactly ceil(rows/target) files, loses no rows") {
+    val out = graft.io.IoQueries.ioCompact(spark, sf).collect()(0)
+    val rows = Tables.documents(spark, sf).count()
+    val expectFiles = (rows + graft.io.IoQueries.CompactTargetRows - 1) /
+      graft.io.IoQueries.CompactTargetRows
+    assert(out.getAs[Long]("n_files") == expectFiles)
+    assert(out.getAs[Long]("n_rows") == rows)
+    assert(out.getAs[Long]("n_docs") == rows)
+  }
+
+  test("io_orc roundtrip equals the parquet-side aggregate") {
+    val viaOrc = graft.io.IoQueries.ioOrc(spark, sf).collect().toSeq
+    val direct = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity").cast("long").as("qty"),
+        Tables.cents(col("l_extendedprice")).as("price_c"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), sum("qty").as("sum_qty"),
+        (sum("price_c").cast("double") / 100.0).as("sum_price"))
+      .orderBy("l_returnflag", "l_linestatus")
+      .collect().toSeq
+    assert(viaOrc == direct)
+  }
+
+  test("io_merge_schema: v1 rows surface blank lang, per-batch counts add up") {
+    val rows = graft.io.IoQueries.ioMergeSchema(spark, sf).collect()
+    val (v1, v2) = rows.partition(_.getAs[String]("batch") == "v1")
+    assert(v1.length == 1 && v1(0).getAs[String]("lang") == "")
+    assert(v2.forall(_.getAs[String]("lang").nonEmpty))
+    val docs = Tables.documents(spark, sf)
+    assert(v1.map(_.getAs[Long]("n")).sum == docs.filter(col("doc_id") % 2 === 0).count())
+    assert(v2.map(_.getAs[Long]("n")).sum == docs.filter(col("doc_id") % 2 === 1).count())
+  }
+
+  test("soundex circuit: reference codes, H/W rule, leading-run collapse") {
+    val spark2 = spark
+    import spark2.implicits._
+    val cases = Seq(
+      "Robert" -> "R163", "Rupert" -> "R163", "Ashcraft" -> "A261",
+      "Ashcroft" -> "A261", "Tymczak" -> "T522", "Pfister" -> "P236",
+      "Honeyman" -> "H555", "White" -> "W300", "Jackson" -> "J250",
+      "Washington" -> "W252", "Lee" -> "L000", "" -> "", "42!" -> "")
+    val got = cases.map(_._1).toDF("n")
+      .select(graft.functions.Phonetic.soundex(col("n")))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == cases.map(_._2))
+  }
+
+  test("every curated surname variant pair shares a soundex code") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rows = graft.blocking.BlockQueries.SurnameVariants.toDF("a", "b")
+      .select(graft.functions.Phonetic.soundex(col("a")).as("ca"),
+        graft.functions.Phonetic.soundex(col("b")).as("cb"))
+      .collect()
+    assert(rows.forall(r => r.getString(0) == r.getString(1)))
+  }
+
+  test("phonetic blocking recovers every gold pair; exact keys recover none") {
+    val out = graft.blocking.BlockQueries.blockPhonetic(spark, sf).collect()
+    // R drops custkey%10==3; L and R bucket counts must pair up per key
+    assert(out.forall(r => r.getAs[Long]("n_pairs") ==
+      r.getAs[Long]("n_l") * r.getAs[Long]("n_r")))
+    assert(out.forall(r => r.getAs[Long]("n_l") > 0 && r.getAs[Long]("n_r") > 0),
+      "every phonetic key must exist on both sides (variant pairs share codes)")
+    // exact surname equality across sides: zero overlap by construction
+    val variants = graft.blocking.BlockQueries.SurnameVariants
+    assert(variants.map(_._1).toSet.intersect(variants.map(_._2).toSet).isEmpty)
+  }
+
+  test("stream_upsert state equals batch last-writer-wins per key") {
+    import org.apache.spark.sql.expressions.Window
+    val got = ExtraQueries.streamUpsert(spark, sf)
+    val events = Tables.events(spark, sf)
+    // independent circuit: rank-1 row per key via a window, not max_by
+    val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    val want = events
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_events", count(lit(1)).over(Window.partitionBy("user_id")))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("n_events"),
+        col("ts").as("last_ts"),
+        col("event_type").as("last_event_type"),
+        col("value").as("last_value"))
+      .orderBy("user_id")
+    assert(got.collect().toSeq == want.collect().toSeq)
+  }
+}
