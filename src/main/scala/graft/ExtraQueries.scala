@@ -744,6 +744,38 @@ object ExtraQueries {
       .orderBy("user_id", "tsu", "event_id")
   }
 
+  /** SCD2 dimension build: each user's event stream becomes validity
+    * intervals — the event's value holds from its ts until the next
+    * event (open-ended for the latest). ONE key-partitioned window
+    * (lead), no self-join: the standard warehouse shape for building a
+    * slowly-changing dimension from a change log; the interval frame
+    * then feeds the as-of / range-join family. event_id breaks equal-ts
+    * ties so the chain is deterministic.
+    */
+  def eventsScd2(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("valid_from"),
+        cents(col("value")).as("value_cents"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("valid_from"), col("event_id"))
+    e.select(col("user_id"), col("event_id"), col("value_cents"), col("valid_from"),
+        coalesce(lead(col("valid_from"), 1).over(w), lit(Long.MaxValue)).as("valid_to"),
+        (row_number().over(w) === count(lit(1)).over(
+          Window.partitionBy(col("user_id")))).as("is_current"))
+      .orderBy("user_id", "valid_from", "event_id")
+  }
+
+  val eventsScd2Oracle: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS valid_from,
+       |         CAST(round(value * 100) AS BIGINT) AS value_cents
+       |  FROM events WHERE event_type = 'purchase')
+       |SELECT user_id, event_id, value_cents, valid_from,
+       |  coalesce(lead(valid_from, 1) OVER w, ${Long.MaxValue}) AS valid_to,
+       |  (row_number() OVER w = count(*) OVER (PARTITION BY user_id)) AS is_current
+       |FROM e
+       |WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, event_id)
+       |ORDER BY user_id, valid_from, event_id""".stripMargin
+
   val eventsRollingOracle: String =
     """WITH e AS (SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS tsu,
       |             CAST(round(value * 100) AS BIGINT) AS cents
@@ -862,6 +894,7 @@ object ExtraQueries {
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_rolling" -> (eventsRolling _),
+    "events_scd2" -> (eventsScd2 _),
     "events_anomaly" -> (eventsAnomaly _),
     "events_retention" -> (eventsRetention _),
     "events_funnel" -> (eventsFunnel _),
@@ -889,6 +922,7 @@ object ExtraQueries {
 
   def oracles: Map[String, String] = Map(
     "events_rolling" -> eventsRollingOracle,
+    "events_scd2" -> eventsScd2Oracle,
     "events_anomaly" -> eventsAnomalyOracle,
     "events_retention" -> eventsRetentionOracle,
     "events_funnel" -> eventsFunnelOracle,

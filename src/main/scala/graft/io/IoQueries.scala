@@ -267,7 +267,129 @@ object IoQueries {
       |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
       |FROM u GROUP BY 1, 2 ORDER BY batch, lang""".stripMargin
 
+  /** Morton (Z-order) interleave of two `bits`-bit non-negative ints:
+    * x occupies even bit positions, y odd. Pure shift/mask arithmetic —
+    * identical in Spark and DuckDB.
+    */
+  private def morton(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column,
+      bits: Int): org.apache.spark.sql.Column =
+    (0 until bits).map(i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1)))
+      .reduce(_ bitwiseOR _)
+
+  private def sqlMorton(x: String, y: String, bits: Int): String =
+    (0 until bits).map(i =>
+      s"((($x >> $i) & 1) << ${2 * i}) | ((($y >> $i) & 1) << ${2 * i + 1})")
+      .mkString("(", " | ", ")")
+
+  /** Z-order data-skipping layout, measured: customers keyed by
+    * (nation-bucket, balance-bucket) — both bucketed to the same 4-bit
+    * width — are laid out once by Morton code and
+    * once by single-column sort, each split into 16 equal chunks (the
+    * row-group stand-in); per chunk we report each dimension's min/max
+    * — the exact stats a parquet reader prunes row groups with. The
+    * Z-layout bounds BOTH dimensions per chunk; the single-column sort
+    * leaves the other dimension full-range — why 100 TB tables
+    * Z-order their top filter columns before writing. All-integer
+    * (bucket law shared with the oracle), custkey tie-break makes both
+    * orderings total. The global ntile window is the AUDIT-sized demo
+    * (dimension-bounded input); the production write path gets the
+    * same layout from `repartitionByRange(z).sortWithinPartitions(z)`
+    * — no single-task sort.
+    */
+  def ioZorder(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // EQUAL bit-widths per dimension (4 + 4 -> a 16×16 grid): Morton
+    // only tiles when the dims interleave evenly — a 5-bit nation
+    // against an 8-bit balance would be dominated by the wider dim's
+    // high bits (measured: worse than a plain sort).
+    val base = customer(s, dir).select(
+      col("c_custkey").as("id"),
+      expr("CAST(c_nationkey AS BIGINT) * 16 div 25").as("nat"),
+      // acctbal in [-999.99, 9999.99] -> 0..15 bucket, exact int law
+      expr("(CAST(round(c_acctbal * 100) AS BIGINT) + 100000) * 16 div 1200000")
+        .as("bal"))
+      .withColumn("z", morton(col("nat"), col("bal"), 4))
+    def chunks(ordered: DataFrame, layout: String, ord: Seq[org.apache.spark.sql.Column]) =
+      ordered
+        .withColumn("chunk", ntile(16).over(Window.orderBy(ord: _*)).cast("long"))
+        .groupBy("chunk")
+        .agg(min("nat").as("min_nat"), max("nat").as("max_nat"),
+          min("bal").as("min_bal"), max("bal").as("max_bal"))
+        .select(lit(layout).as("layout"), col("chunk"),
+          col("min_nat"), col("max_nat"), col("min_bal"), col("max_bal"),
+          (col("max_nat") - col("min_nat") + col("max_bal") - col("min_bal"))
+            .as("span"))
+    chunks(base, "zorder", Seq(col("z"), col("id")))
+      .unionAll(chunks(base, "single", Seq(col("bal"), col("id"))))
+      .orderBy("layout", "chunk")
+  }
+
+  val ioZorderOracle: String = {
+    val m = sqlMorton("nat", "bal", 4)
+    s"""WITH base AS (
+       |  SELECT c_custkey AS id, CAST(c_nationkey AS BIGINT) * 16 // 25 AS nat,
+       |         (CAST(round(c_acctbal * 100) AS BIGINT) + 100000) * 16 // 1200000 AS bal
+       |  FROM customer),
+       |z AS (SELECT *, $m AS z FROM base),
+       |cz AS (SELECT nat, bal, ntile(16) OVER (ORDER BY z, id) AS chunk FROM z),
+       |cs AS (SELECT nat, bal, ntile(16) OVER (ORDER BY bal, id) AS chunk FROM z),
+       |az AS (SELECT 'zorder' AS layout, CAST(chunk AS BIGINT) AS chunk,
+       |         min(nat) AS min_nat, max(nat) AS max_nat,
+       |         min(bal) AS min_bal, max(bal) AS max_bal
+       |       FROM cz GROUP BY 2),
+       |asg AS (SELECT 'single' AS layout, CAST(chunk AS BIGINT) AS chunk,
+       |         min(nat) AS min_nat, max(nat) AS max_nat,
+       |         min(bal) AS min_bal, max(bal) AS max_bal
+       |       FROM cs GROUP BY 2)
+       |SELECT layout, chunk, min_nat, max_nat, min_bal, max_bal,
+       |       (max_nat - min_nat + max_bal - min_bal) AS span
+       |FROM (SELECT * FROM az UNION ALL SELECT * FROM asg)
+       |ORDER BY layout, chunk""".stripMargin
+  }
+
+  private def csvPath(dir: String): String =
+    java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_csv_${dir.hashCode.toHexString}").toString
+
+  /** CSV roundtrip under adversarial content: every document is
+    * prefixed with an embedded quote, comma and newline (the characters
+    * that break naive CSV), written with RFC-style quote-doubling
+    * (escape = quote), read back with an explicit schema + multiLine.
+    * Output: per-doc md5 of the read-back text — the oracle computes
+    * the same md5 from parquet, so one mangled character fails the
+    * hash. multiLine is the one CSV option that is NOT splittable
+    * (records cross line boundaries) — the documented reason parquet,
+    * not CSV, is the at-scale interchange format.
+    */
+  def ioCsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = csvPath(dir)
+    documents(s, dir)
+      .select(col("doc_id"),
+        concat(lit("a\"b,c\nd "), col("text")).as("t2"))
+      .write.mode("overwrite")
+      .option("header", "true").option("quote", "\"").option("escape", "\"")
+      .csv(out)
+    s.read
+      .schema("doc_id LONG, t2 STRING")
+      .option("header", "true").option("quote", "\"").option("escape", "\"")
+      .option("multiLine", "true")
+      .csv(out)
+      .select(col("doc_id"), md5(col("t2")).as("text_md5"),
+        length(col("t2")).cast("long").as("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  val ioCsvRoundtripOracle: String =
+    """SELECT doc_id,
+      |       md5('a"b,c' || chr(10) || 'd ' || text) AS text_md5,
+      |       CAST(length('a"b,c' || chr(10) || 'd ' || text) AS BIGINT) AS n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "io_csv_roundtrip" -> (ioCsvRoundtrip _),
+    "io_zorder" -> (ioZorder _),
     "io_orc" -> (ioOrc _),
     "io_compact" -> (ioCompact _),
     "io_merge_schema" -> (ioMergeSchema _),
@@ -281,6 +403,8 @@ object IoQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "io_csv_roundtrip" -> ioCsvRoundtripOracle,
+    "io_zorder" -> ioZorderOracle,
     "io_orc" -> ioOrcOracle,
     "io_compact" -> ioCompactOracle,
     "io_merge_schema" -> ioMergeSchemaOracle,

@@ -337,7 +337,34 @@ object ProfileQueries {
 
   val profileFdOracle: String = Profiler.sqlFunctionalDeps("orders", FdCols)
 
+  /** Deequ-style constraint suite over orders: completeness,
+    * key uniqueness, domain membership, bounds — one scan, exact milli
+    * metrics; the under-200k bound is a deliberately failing check so
+    * the output demonstrates both verdicts.
+    */
+  def profileChecks(s: SparkSession, dir: String): DataFrame =
+    Profiler.checkSuite(graft.Tables.orders(s, dir), Seq(
+      ("custkey_complete", count(col("o_custkey")), 1000L),
+      ("orderkey_unique", countDistinct(col("o_orderkey")), 1000L),
+      ("status_in_domain",
+        sum(when(col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L)), 1000L),
+      ("totalprice_nonneg",
+        sum(when(col("o_totalprice") >= 0, 1L).otherwise(0L)), 1000L),
+      ("totalprice_under_200k",
+        sum(when(col("o_totalprice") < 200000.0, 1L).otherwise(0L)), 1000L)))
+
+  val profileChecksOracle: String = Profiler.sqlCheckSuite("orders", Seq(
+    ("custkey_complete", "CAST(count(o_custkey) AS BIGINT)", 1000L),
+    ("orderkey_unique", "CAST(count(DISTINCT o_orderkey) AS BIGINT)", 1000L),
+    ("status_in_domain",
+      "CAST(sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT)", 1000L),
+    ("totalprice_nonneg",
+      "CAST(sum(CASE WHEN o_totalprice >= 0 THEN 1 ELSE 0 END) AS BIGINT)", 1000L),
+    ("totalprice_under_200k",
+      "CAST(sum(CASE WHEN o_totalprice < 200000.0 THEN 1 ELSE 0 END) AS BIGINT)", 1000L)))
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "profile_checks" -> (profileChecks _),
     "profile_fd" -> (profileFd _),
     "profile_drift" -> (profileDrift _),
     "profile_quantiles" -> (profileQuantiles _),
@@ -352,6 +379,7 @@ object ProfileQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "profile_checks" -> profileChecksOracle,
     "profile_fd" -> profileFdOracle,
     "profile_drift" -> profileDriftOracle,
     "profile_quantiles" -> profileQuantilesOracle,

@@ -454,6 +454,46 @@ object Profiler {
       .orderBy("lhs", "rhs")
   }
 
+  /** Declarative data-quality constraint suite (the Deequ pattern —
+    * the verification gate a 100 TB ingestion runs before publishing a
+    * partition): each check contributes ONE aggregate (a satisfied-row
+    * or distinct count) to a single-pass agg; metrics land as exact
+    * integer milli-fractions of the row count, `passed` = metric ≥
+    * threshold. One scan, one 1-row agg, checks-bounded output —
+    * metrics never round-trip through doubles, so the gate is
+    * bit-reproducible across engines and runs.
+    *
+    * `checks`: (name, satisfied-count aggregate, threshold in milli).
+    */
+  def checkSuite(df: DataFrame, checks: Seq[(String, Column, Long)]): DataFrame = {
+    require(checks.nonEmpty)
+    val aggs = count(lit(1)).as("_total") +:
+      checks.zipWithIndex.map { case ((_, c, _), i) => c.cast("long").as(s"_m$i") }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val arr = array(checks.zipWithIndex.map { case ((n, _, t), i) =>
+      struct(lit(n).as("check_name"),
+        expr(s"_m$i * 1000 div _total").as("metric_milli"),
+        lit(t).as("threshold_milli"),
+        (expr(s"_m$i * 1000 div _total") >= t).as("passed"))
+    }: _*)
+    row.select(explode(arr).as("c")).select(col("c.*")).orderBy("check_name")
+  }
+
+  /** The identical suite as DuckDB SQL: (name, satisfied-count SQL
+    * aggregate, threshold) over a table name.
+    */
+  def sqlCheckSuite(table: String, checks: Seq[(String, String, Long)]): String = {
+    val aggs = checks.zipWithIndex.map { case ((_, a, _), i) => s"$a AS m$i" }.mkString(", ")
+    val rows = checks.zipWithIndex.map { case ((n, _, t), i) =>
+      s"""SELECT '$n' AS check_name, m$i * 1000 // total AS metric_milli,
+         |  CAST($t AS BIGINT) AS threshold_milli,
+         |  (m$i * 1000 // total >= $t) AS passed FROM a""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH a AS (SELECT CAST(count(*) AS BIGINT) AS total, $aggs FROM $table)
+       |$rows
+       |ORDER BY check_name""".stripMargin
+  }
+
   /** The identical FD check as DuckDB SQL over a table name. */
   def sqlFunctionalDeps(table: String, cols: Seq[String]): String = {
     val items = cols.map(c =>

@@ -1108,7 +1108,15 @@ object TextOps {
     * mirrored by the oracle. Output: one row per merge step
     * (step, pair, merged, pair_count).
     */
-  def bpeTrain(docs: DataFrame, text: String, merges: Int = 6): DataFrame = {
+  def bpeTrain(docs: DataFrame, text: String, merges: Int = 6): DataFrame =
+    bpeFit(docs, text, merges)._1
+
+  /** Full BPE fit: (merge table, final symbolized vocabulary). The
+    * vocab frame (w, cnt, sym) is the fitted-tokenizer artifact a
+    * deployment persists — encoding any corpus is then a word join
+    * (see [[bpeEncode]]), never a re-fit.
+    */
+  def bpeFit(docs: DataFrame, text: String, merges: Int = 6): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     import spark.implicits._
     val words = docs
@@ -1141,7 +1149,33 @@ object TextOps {
             .localCheckpoint(true)
         }
       }
-      out.result().toDF("step", "pair", "merged", "pair_count").orderBy("step")
+      (out.result().toDF("step", "pair", "merged", "pair_count").orderBy("step"),
+        vocab)
     } finally words.unpersist(false)
+  }
+
+  /** Encode the corpus with the fitted BPE vocabulary: per doc, the
+    * character-level token count vs the BPE token count (the
+    * compression a tokenizer buys). The fit's vocab frame maps word →
+    * final symbol string, so encoding is ONE equi-join of exploded doc
+    * words against the vocabulary — the deployment shape at 100 TB
+    * (the vocab is the bounded, broadcastable artifact; documents are
+    * never re-scanned by the fit).
+    */
+  def bpeEncode(docs: DataFrame, id: String, text: String,
+      merges: Int = 6): DataFrame = {
+    val vocab = bpeFit(docs, text, merges)._2
+      .select(col("w"), size(split(trim(col("sym")), " ")).cast("long").as("n_sym"),
+        length(col("w")).cast("long").as("n_char"))
+    docs.select(col(id), explode(split(lower(col(text)), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .join(broadcast(vocab), "w")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_words"),
+        sum("n_char").as("n_tokens_char"),
+        sum("n_sym").as("n_tokens_bpe"))
+      .withColumn("compression_milli",
+        expr("n_tokens_bpe * 1000 div n_tokens_char"))
+      .orderBy(col(id))
   }
 }

@@ -1082,19 +1082,25 @@ object TextQueries {
     * applying the merge via the identical iterated boundary-safe replace
     * circuit the engine runs (TextOps.applyMerge).
     */
-  val textBpeTrainOracle: String = {
-    val merges = 6
+  /** Shared CTE prelude replaying the BPE fit: word vocab, then per
+    * merge round a pair-count CTE, a 1-row argmax CTE, and a vocab CTE
+    * applying the merge via the identical iterated boundary-safe
+    * replace circuit the engine runs (TextOps.applyMerge). Emits
+    * v1..v{merges+1}, p1..p{merges}, m1..m{merges}; unreferenced CTEs
+    * cost nothing (inlined on use only).
+    */
+  private def bpeOracleCtes(merges: Int): String = {
     def vnext(i: Int): String = {
       val repl = (1 to TextOps.BpeReplacePasses).foldLeft("sym")((e, _) =>
         s"replace($e, ' '||m.pair||' ', ' '||replace(m.pair,' ','')||' ')")
-      s"v${i + 1} AS (SELECT cnt, $repl AS sym FROM v$i, m$i m)"
+      s"v${i + 1} AS (SELECT w, cnt, $repl AS sym FROM v$i, m$i m)"
     }
     val parts = Seq.newBuilder[String]
     parts += s"""words AS (
        |  SELECT word AS w, CAST(count(*) AS BIGINT) AS cnt
        |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
        |  WHERE word <> '' GROUP BY word),
-       |v1 AS (SELECT cnt, ' '||trim(regexp_replace(w, '(.)', '\\1 ', 'g'))||' ' AS sym
+       |v1 AS (SELECT w, cnt, ' '||trim(regexp_replace(w, '(.)', '\\1 ', 'g'))||' ' AS sym
        |       FROM words)""".stripMargin
     for (i <- 1 to merges) {
       parts += s"""p$i AS (
@@ -1103,16 +1109,82 @@ object TextQueries {
          |       LATERAL (SELECT unnest(generate_series(1, len(a)-1)) AS j)
          |  WHERE len(a) >= 2 GROUP BY 1)""".stripMargin
       parts += s"m$i AS (SELECT pair, c FROM p$i ORDER BY c DESC, pair LIMIT 1)"
-      if (i < merges) parts += vnext(i)
+      parts += vnext(i)
     }
+    parts.result().mkString(",\n")
+  }
+
+  val textBpeTrainOracle: String = {
+    val merges = 6
     val sel = (1 to merges).map(i =>
       s"SELECT CAST($i AS BIGINT) AS step, pair, replace(pair,' ','') AS merged, c AS pair_count FROM m$i")
       .mkString(" UNION ALL ")
-    "WITH " + parts.result().mkString(",\n") + "\n" + sel + " ORDER BY step"
+    "WITH " + bpeOracleCtes(merges) + "\n" + sel + " ORDER BY step"
+  }
+
+  /** Encode the corpus with the fitted vocabulary: per-doc char vs BPE
+    * token counts (TextOps.bpeEncode).
+    */
+  def textBpeEncode(s: SparkSession, dir: String): DataFrame =
+    TextOps.bpeEncode(documents(s, dir), "doc_id", "text", merges = 6)
+
+  val textBpeEncodeOracle: String = {
+    val merges = 6
+    s"""WITH ${bpeOracleCtes(merges)},
+       |vf AS (SELECT w, CAST(len(string_split(trim(sym), ' ')) AS BIGINT) AS n_sym,
+       |              CAST(length(w) AS BIGINT) AS n_char
+       |       FROM v${merges + 1}),
+       |dw AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+       |       FROM documents),
+       |j AS (SELECT doc_id, n_sym, n_char FROM dw JOIN vf USING (w) WHERE w <> '')
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |       CAST(sum(n_char) AS BIGINT) AS n_tokens_char,
+       |       CAST(sum(n_sym) AS BIGINT) AS n_tokens_bpe,
+       |       CAST(sum(n_sym) AS BIGINT) * 1000 // CAST(sum(n_char) AS BIGINT)
+       |         AS compression_milli
+       |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** The demo phrase (exists at every scale factor with the synthetic
+    * vocabulary's hit rate; the operator is phrase-agnostic).
+    */
+  val SearchPhrase = Seq("row", "column", "sort")
+
+  /** Positional phrase search — the inverted-index query shape: tokens
+    * posexplode to (doc, pos, term) postings, each phrase term becomes
+    * an equi-join on (doc, pos + offset). At 100 TB the postings frame
+    * is the persisted index and each term's postings list is touched
+    * once — never a substring scan over raw text. Output: matching
+    * docs with occurrence counts.
+    */
+  def textPhraseSearch(s: SparkSession, dir: String): DataFrame = {
+    val posts = documents(s, dir)
+      .select(col("doc_id"), posexplode(split(lower(col("text")), " ")).as(Seq("pos", "w")))
+    val hits = SearchPhrase.zipWithIndex.map { case (t, i) =>
+      posts.filter(col("w") === t)
+        .select(col("doc_id"), (col("pos") - i).as("start"))
+    }.reduce((a, b) => a.join(b, Seq("doc_id", "start")))
+    hits.groupBy("doc_id").agg(count(lit(1)).as("n_occurrences"))
+      .orderBy("doc_id")
+  }
+
+  val textPhraseSearchOracle: String = {
+    val conds = SearchPhrase.zipWithIndex.map { case (t, i) =>
+      s"a[i + $i] = '$t'"
+    }.mkString(" AND ")
+    s"""WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS a FROM documents),
+       |occ AS (
+       |  SELECT doc_id
+       |  FROM w, LATERAL (SELECT unnest(generate_series(1, len(a) - ${SearchPhrase.size - 1})) AS i)
+       |  WHERE $conds)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+       |FROM occ GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bpe_train" -> (textBpeTrain _),
+    "text_bpe_encode" -> (textBpeEncode _),
+    "text_phrase_search" -> (textPhraseSearch _),
     "text_lang_confusion" -> (textLangConfusion _),
     "text_ngram_novelty" -> (textNgramNovelty _),
     "text_line_dedup" -> (textLineDedup _),
@@ -1150,6 +1222,8 @@ object TextQueries {
 
   def oracles: Map[String, String] = Map(
     "text_bpe_train" -> textBpeTrainOracle,
+    "text_bpe_encode" -> textBpeEncodeOracle,
+    "text_phrase_search" -> textPhraseSearchOracle,
     "text_lang_confusion" -> textLangConfusionOracle,
     "text_ngram_novelty" -> textNgramNoveltyOracle,
     "text_line_dedup" -> textLineDedupOracle,

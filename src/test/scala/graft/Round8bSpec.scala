@@ -107,6 +107,88 @@ class Round8bSpec extends AnyFunSuite {
     assert(variants.map(_._1).toSet.intersect(variants.map(_._2).toSet).isEmpty)
   }
 
+  test("bpeEncode: per-doc counts reconcile with the merge table's compression") {
+    val spark2 = spark
+    import spark2.implicits._
+    // corpus: aaab aaab ab -> merges (a a), (a b), (aa ab)
+    val docs = Seq((1L, "aaab aaab"), (2L, "ab")).toDF("doc_id", "text")
+    val got = TextOps.bpeEncode(docs, "doc_id", "text", merges = 3)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_tokens_char"), r.getAs[Long]("n_tokens_bpe"))).toSeq
+    // after 3 merges: "aaab" -> [aaab] (1 token), "ab" -> [ab] (1 token).
+    // NOTE pair_count ≠ tokens removed: "a a a b" holds 2 (a,a) pair
+    // occurrences but greedy merges only the non-overlapping one — the
+    // per-doc BPE counts are the ground truth asserted here.
+    assert(got == Seq((1L, 2L, 8L, 2L), (2L, 1L, 2L, 1L)))
+  }
+
+  test("phrase search: positional join finds exactly the planted occurrences") {
+    val spark2 = spark
+    import spark2.implicits._
+    val phrase = graft.text.TextQueries.SearchPhrase.mkString(" ")
+    val docs = Seq(
+      (1L, s"x $phrase y $phrase"),      // 2 occurrences
+      (2L, s"$phrase"),                  // exact
+      (3L, "row column x sort"),         // broken phrase -> no hit
+      (4L, "nothing here")).toDF("doc_id", "text")
+    val posts = docs.select(col("doc_id"),
+      posexplode(split(lower(col("text")), " ")).as(Seq("pos", "w")))
+    val hits = graft.text.TextQueries.SearchPhrase.zipWithIndex.map { case (t, i) =>
+      posts.filter(col("w") === t).select(col("doc_id"), (col("pos") - i).as("start"))
+    }.reduce((a, b) => a.join(b, Seq("doc_id", "start")))
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("n")).toMap
+    assert(hits == Map(1L -> 2L, 2L -> 1L))
+  }
+
+  test("events_scd2: contiguous intervals, one current row per user") {
+    val rows = ExtraQueries.eventsScd2(spark, sf).collect()
+    val byUser = rows.groupBy(_.getAs[Long]("user_id"))
+    byUser.values.foreach { rs =>
+      val sorted = rs.sortBy(r => (r.getAs[Long]("valid_from"), r.getAs[Long]("event_id")))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("valid_to") == b.getAs[Long]("valid_from"))
+        case _ =>
+      }
+      assert(sorted.last.getAs[Long]("valid_to") == Long.MaxValue)
+      assert(rs.count(_.getAs[Boolean]("is_current")) == 1)
+    }
+    val purchases = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    assert(rows.length.toLong == purchases)
+  }
+
+  test("checkSuite: completeness, uniqueness, domain and a failing bound") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(
+      (1L, Some("a"), 10.0), (2L, Some("b"), 20.0),
+      (2L, None, -5.0), (3L, Some("z"), 30.0)).toDF("k", "s", "v")
+    val out = graft.profiling.Profiler.checkSuite(df, Seq(
+      ("s_complete", count(col("s")), 1000L),
+      ("k_unique", countDistinct(col("k")), 1000L),
+      ("s_domain", sum(when(col("s").isin("a", "b"), 1L).otherwise(0L)), 500L),
+      ("v_nonneg", sum(when(col("v") >= 0, 1L).otherwise(0L)), 1000L)))
+      .collect().map(r => r.getAs[String]("check_name") ->
+        ((r.getAs[Long]("metric_milli"), r.getAs[Boolean]("passed")))).toMap
+    assert(out("s_complete") == ((750L, false)))  // 3/4 non-null
+    assert(out("k_unique") == ((750L, false)))    // 3 distinct of 4
+    assert(out("s_domain") == ((500L, true)))     // 2/4 >= 0.5
+    assert(out("v_nonneg") == ((750L, false)))    // one negative
+  }
+
+  test("morton layout bounds both dimensions: z-span never worse than single-sort span") {
+    val rows = graft.io.IoQueries.ioZorder(spark, sf).collect()
+    val (z, single) = rows.partition(_.getAs[String]("layout") == "zorder")
+    assert(z.length == 16 && single.length == 16)
+    val zSpan = z.map(_.getAs[Long]("span")).sum
+    val sSpan = single.map(_.getAs[Long]("span")).sum
+    // single-column sort leaves nat full-range in every chunk; the
+    // z-layout must beat it overall on the two-dimensional span
+    assert(zSpan < sSpan, s"z=$zSpan single=$sSpan")
+  }
+
   test("stream_upsert state equals batch last-writer-wins per key") {
     import org.apache.spark.sql.expressions.Window
     val got = ExtraQueries.streamUpsert(spark, sf)
