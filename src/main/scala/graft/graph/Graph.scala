@@ -243,10 +243,18 @@ object KCore {
     var n = alive.count()
     var it = 0
     var converged = false
+    // The alive set is nodes-bounded and tracked exactly (n) — below
+    // the threshold each sweep's two joins broadcast it instead of
+    // shuffling the (much larger) symmetric edge frame twice per
+    // sweep. Billion-node graphs stay on the shuffle path.
+    def aliveSide(as: String) = {
+      val a = alive.select(col("v").as(as))
+      if (n < 5000000L) broadcast(a) else a
+    }
     while (!converged && it < maxIter) {
       val next = sym
-        .join(alive, "v")
-        .join(alive.select(col("v").as("o")), "o")
+        .join(aliveSide("v"), "v")
+        .join(aliveSide("o"), "o")
         .groupBy("v").agg(count(lit(1)).as("d"))
         .filter(col("d") >= k)
         .select("v")
@@ -258,8 +266,8 @@ object KCore {
       it += 1
     }
     sym
-      .join(alive, "v")
-      .join(alive.select(col("v").as("o")), "o")
+      .join(aliveSide("v"), "v")
+      .join(aliveSide("o"), "o")
       .groupBy("v").agg(count(lit(1)).as("core_degree"))
   }
 
@@ -321,6 +329,11 @@ object Lpa {
       .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
       .persist()
     var labels = nodes.select(col("v"), col("v").as("label"))
+    // measured: broadcasting the nodes-bounded label frame is NEUTRAL
+    // here (±0.3 s at sf0.1) — unlike k-core's shrinking alive set, the
+    // label frame never shrinks, and the per-sweep agg shuffle
+    // dominates either way. Plain shuffle joins keep the plan uniform
+    // at every node count.
     for (_ <- 1 to iters) {
       val counts = adj.join(labels.withColumnRenamed("v", "dst"), "dst")
         .groupBy(col("src"), col("label"))
