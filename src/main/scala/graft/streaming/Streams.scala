@@ -295,13 +295,14 @@ object Streams {
     import graft.dedup.Dedup
     val hh = Dedup.hashFamily(corpus.sparkSession)
     val sBands = Dedup.bandedLong(docs, id, text, n, bands, rows, Some(hh))
+    // the banded frame already carries each row's shingle set (_sh) —
+    // reusing it for the Jaccard verify saves the corpus a second
+    // shingle pass AND the (_cid) re-join the round-7 shape paid
     val cBands = Dedup.bandedLong(corpus, id, text, n, bands, rows, Some(hh))
-      .select(col("_id").as("_cid"), col("_bidx"), col("_bkey"))
-    val cSh = Dedup.shingleFrame(corpus, id, text, n)
-      .select(col("_id").as("_cid"), col("_sh").as("_csh"))
+      .select(col("_id").as("_cid"), col("_sh").as("_csh"),
+        col("_bidx"), col("_bkey"))
     sBands.join(cBands, Seq("_bidx", "_bkey"))
       .filter(col("_id") =!= col("_cid"))
-      .join(cSh, "_cid")
       .filter(round(size(array_intersect(col("_sh"), col("_csh"))).cast("double")
         / size(array_union(col("_sh"), col("_csh"))), 5) >= threshold)
       .select(col("_id").as(id))
