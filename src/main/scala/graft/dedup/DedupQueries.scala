@@ -594,7 +594,38 @@ object DedupQueries {
        |ORDER BY 1, 2""".stripMargin
   }
 
+  /** One-sided containment dedup (Dedup.containment): directed
+    * (contained, container) pairs at C ≥ 0.9 over the documents corpus.
+    */
+  def dedupContainment(s: SparkSession, dir: String): DataFrame =
+    Dedup.containment(graft.Tables.documents(s, dir), "doc_id", "text",
+        n = 3, threshold = 0.9)
+      .orderBy("contained_id", "container_id")
+
+  val dedupContainmentOracle: String =
+    s"""WITH $shinglePrelude,
+       |ss AS (SELECT doc_id, list_sort(s) AS s FROM sh WHERE len(s) > 0),
+       |ex AS (SELECT doc_id, unnest(s) AS shg FROM ss),
+       |dfc AS (SELECT shg, CAST(count(*) AS BIGINT) AS df FROM ex GROUP BY 1),
+       |rkd AS (
+       |  SELECT e.doc_id, e.shg,
+       |    row_number() OVER (PARTITION BY e.doc_id ORDER BY d.df, e.shg) AS r,
+       |    CAST(len(s.s) - ceil(0.9 * len(s.s)) + 1 AS INT) AS pl
+       |  FROM ex e JOIN dfc d USING (shg) JOIN ss s ON s.doc_id = e.doc_id),
+       |ia AS (SELECT doc_id AS ida, shg FROM rkd WHERE r <= pl),
+       |ib AS (SELECT doc_id AS idb, shg FROM ex),
+       |cand AS (SELECT DISTINCT ida, idb FROM ia JOIN ib USING (shg)
+       |         WHERE ida <> idb),
+       |ver AS (
+       |  SELECT ida AS contained_id, idb AS container_id,
+       |    round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s), 5)
+       |      AS containment
+       |  FROM cand JOIN ss a ON a.doc_id = ida JOIN ss b ON b.doc_id = idb)
+       |SELECT * FROM ver WHERE containment >= 0.9
+       |ORDER BY contained_id, container_id""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_containment" -> (dedupContainment _),
     "dedup_cross_source" -> (dedupCrossSource _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_cluster_quality" -> (dedupClusterQuality _),
@@ -609,6 +640,7 @@ object DedupQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "dedup_containment" -> dedupContainmentOracle,
     "dedup_cross_source" -> dedupCrossSourceOracle,
     "dedup_incremental" -> dedupIncrementalOracle,
     "dedup_cluster_quality" -> dedupClusterQualityOracle,

@@ -387,7 +387,61 @@ object IoQueries {
       |       CAST(length('a"b,c' || chr(10) || 'd ' || text) AS BIGINT) AS n_chars
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Snapshot diff (the data-reconciliation tool every pipeline runs
+    * after a backfill): two table versions full-outer-joined on the
+    * key, rows classified added / removed / changed / unchanged by
+    * content digest. ONE key shuffle regardless of table width (the
+    * digest folds all compared columns), counts-bounded output. The
+    * v2 snapshot is derived deterministically (drop key%10=7, rewrite
+    * text for key%10=3, insert key+10⁶ for key%10=0) so every status
+    * appears.
+    */
+  def ioTableDiff(s: SparkSession, dir: String): DataFrame = {
+    val a = documents(s, dir).select(col("doc_id"), col("text"), col("lang"), col("source"))
+    val b0 = a.filter(col("doc_id") % 10 =!= 7)
+      .select(col("doc_id"),
+        when(col("doc_id") % 10 === 3, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"),
+        col("lang"), col("source"))
+    val b = b0.unionByName(
+      a.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"), col("lang"), col("source")))
+    def dig(df: DataFrame, name: String) = df.select(col("doc_id"),
+      md5(concat_ws("\u0001", col("text"), col("lang"), col("source"))).as(name))
+    dig(a, "ha").join(dig(b, "hb"), Seq("doc_id"), "full")
+      .select(when(col("ha").isNull, "added")
+        .when(col("hb").isNull, "removed")
+        .when(col("ha") === col("hb"), "unchanged")
+        .otherwise("changed").as("status"))
+      .groupBy("status").agg(count(lit(1)).as("n"))
+      .orderBy("status")
+  }
+
+  val ioTableDiffOracle: String =
+    """WITH a AS (
+      |  SELECT doc_id, md5(concat_ws(chr(1), text, lang, source)) AS ha
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id,
+      |    md5(concat_ws(chr(1),
+      |      CASE WHEN doc_id % 10 = 3 THEN text || ' v2' ELSE text END,
+      |      lang, source)) AS hb
+      |  FROM documents WHERE doc_id % 10 <> 7
+      |  UNION ALL
+      |  SELECT doc_id + 1000000,
+      |    md5(concat_ws(chr(1), text, lang, source))
+      |  FROM documents WHERE doc_id % 10 = 0),
+      |j AS (
+      |  SELECT CASE WHEN a.ha IS NULL THEN 'added'
+      |              WHEN b.hb IS NULL THEN 'removed'
+      |              WHEN a.ha = b.hb THEN 'unchanged'
+      |              ELSE 'changed' END AS status
+      |  FROM a FULL JOIN b USING (doc_id))
+      |SELECT status, CAST(count(*) AS BIGINT) AS n
+      |FROM j GROUP BY status ORDER BY status""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "io_table_diff" -> (ioTableDiff _),
     "io_csv_roundtrip" -> (ioCsvRoundtrip _),
     "io_zorder" -> (ioZorder _),
     "io_orc" -> (ioOrc _),
@@ -403,6 +457,7 @@ object IoQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "io_table_diff" -> ioTableDiffOracle,
     "io_csv_roundtrip" -> ioCsvRoundtripOracle,
     "io_zorder" -> ioZorderOracle,
     "io_orc" -> ioOrcOracle,

@@ -1108,6 +1108,32 @@ object TextOps {
     * mirrored by the oracle. Output: one row per merge step
     * (step, pair, merged, pair_count).
     */
+  /** Flesch-Kincaid readability, exact integer milli circuit: words =
+    * space tokens, sentences = '.'-separated segments (min 1),
+    * syllables = vowel-group count with a 1-per-word floor for
+    * vowel-less words. Grade = 0.39·w/s + 11.8·syl/w − 15.59 and ease
+    * = 206.835 − 1.015·w/s − 84.6·syl/w, both in floor-divided milli
+    * units (every operand non-negative before the final subtraction,
+    * so Spark `div` ≡ DuckDB `//`). One scan, per-row HOFs, no
+    * shuffle.
+    */
+  def readability(docs: DataFrame, id: String, text: String): DataFrame = {
+    val t = lower(col(text))
+    docs.select(col(id),
+        size(split(t, " ")).cast("long").as("n_words"),
+        size(split(t, "\\.")).cast("long").as("n_sentences"),
+        (size(regexp_extract_all(t, lit("[aeiouy]+"), lit(0)))
+          + size(filter(split(t, " "), w => !w.rlike("[aeiouy]"))))
+          .cast("long").as("n_syllables"))
+      .select(col(id), col("n_words"), col("n_sentences"), col("n_syllables"),
+        (expr("390 * n_words div n_sentences")
+          + expr("11800 * n_syllables div n_words") - lit(15590L))
+          .as("fk_grade_milli"),
+        (lit(206835L) - expr("1015 * n_words div n_sentences")
+          - expr("84600 * n_syllables div n_words"))
+          .as("flesch_ease_milli"))
+  }
+
   def bpeTrain(docs: DataFrame, text: String, merges: Int = 6): DataFrame =
     bpeFit(docs, text, merges)._1
 

@@ -1181,9 +1181,35 @@ object TextQueries {
        |FROM occ GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** Flesch-Kincaid readability over the documents corpus
+    * (TextOps.readability, exact milli circuit).
+    */
+  def textReadability(s: SparkSession, dir: String): DataFrame =
+    TextOps.readability(documents(s, dir), "doc_id", "text").orderBy("doc_id")
+
+  val textReadabilityOracle: String =
+    """WITH b AS (
+      |  SELECT doc_id, lower(text) AS t FROM documents),
+      |m AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(t, ' ')) AS BIGINT) AS n_words,
+      |    CAST(len(string_split(t, '.')) AS BIGINT) AS n_sentences,
+      |    CAST(len(regexp_extract_all(t, '[aeiouy]+'))
+      |         + len(list_filter(string_split(t, ' '),
+      |                           w -> NOT regexp_matches(w, '[aeiouy]'))) AS BIGINT)
+      |      AS n_syllables
+      |  FROM b)
+      |SELECT doc_id, n_words, n_sentences, n_syllables,
+      |  (390 * n_words // n_sentences + 11800 * n_syllables // n_words - 15590)
+      |    AS fk_grade_milli,
+      |  (206835 - 1015 * n_words // n_sentences - 84600 * n_syllables // n_words)
+      |    AS flesch_ease_milli
+      |FROM m ORDER BY doc_id""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bpe_train" -> (textBpeTrain _),
     "text_bpe_encode" -> (textBpeEncode _),
+    "text_readability" -> (textReadability _),
     "text_phrase_search" -> (textPhraseSearch _),
     "text_lang_confusion" -> (textLangConfusion _),
     "text_ngram_novelty" -> (textNgramNovelty _),
@@ -1223,6 +1249,7 @@ object TextQueries {
   def oracles: Map[String, String] = Map(
     "text_bpe_train" -> textBpeTrainOracle,
     "text_bpe_encode" -> textBpeEncodeOracle,
+    "text_readability" -> textReadabilityOracle,
     "text_phrase_search" -> textPhraseSearchOracle,
     "text_lang_confusion" -> textLangConfusionOracle,
     "text_ngram_novelty" -> textNgramNoveltyOracle,

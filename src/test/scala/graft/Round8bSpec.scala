@@ -189,6 +189,50 @@ class Round8bSpec extends AnyFunSuite {
     assert(zSpan < sSpan, s"z=$zSpan single=$sSpan")
   }
 
+  test("containment: contained-in catches the asymmetric copy Jaccard misses") {
+    val spark2 = spark
+    import spark2.implicits._
+    val core = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, core),                                  // the excerpt
+      (2L, s"intro words here then $core and a very long tail of extra content padding onward"),
+      (3L, "completely different text about nothing shared at all here")).toDF("doc_id", "text")
+    val out = graft.dedup.Dedup.containment(docs, "doc_id", "text", n = 3, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // 1 is contained in 2 (all of 1's shingles appear in 2); NOT vice versa
+    assert(out == Seq((1L, 2L)))
+    // symmetric Jaccard at the same bar misses it
+    val j = graft.dedup.Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.9).count()
+    assert(j == 0L)
+  }
+
+  test("readability: milli circuit on hand-computed inputs") {
+    val spark2 = spark
+    import spark2.implicits._
+    // "spark is fast. very fast." -> words=5, sentences=3 (trailing '.'
+    // yields an empty tail segment), syllables: a/i/a/e-y/a = 1+1+1+2+1=6
+    val out = TextOps.readability(Seq((1L, "spark is fast. very fast."))
+        .toDF("doc_id", "text"), "doc_id", "text")
+      .collect()(0)
+    assert(out.getAs[Long]("n_words") == 5L)
+    assert(out.getAs[Long]("n_sentences") == 3L)
+    assert(out.getAs[Long]("n_syllables") == 6L)
+    // grade_milli = 390*5 div 3 + 11800*6 div 5 - 15590 = 650 + 14160 - 15590
+    assert(out.getAs[Long]("fk_grade_milli") == 650L + 14160L - 15590L)
+  }
+
+  test("table diff classifies every planted status with exact counts") {
+    val rows = graft.io.IoQueries.ioTableDiff(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n")).toMap
+    val docs = Tables.documents(spark, sf)
+    val n0 = docs.filter(col("doc_id") % 10 === 0).count()
+    val n3 = docs.filter(col("doc_id") % 10 === 3).count()
+    val n7 = docs.filter(col("doc_id") % 10 === 7).count()
+    val all = docs.count()
+    assert(rows("added") == n0 && rows("removed") == n7 && rows("changed") == n3)
+    assert(rows("unchanged") == all - n3 - n7)
+  }
+
   test("stream_upsert state equals batch last-writer-wins per key") {
     import org.apache.spark.sql.expressions.Window
     val got = ExtraQueries.streamUpsert(spark, sf)
