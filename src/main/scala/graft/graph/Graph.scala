@@ -380,3 +380,70 @@ object Lpa {
        |        FROM l$iters l JOIN sizes s USING (label))""".stripMargin
   }
 }
+
+/** Common-neighbour link prediction — the classic graph-completion
+  * score (Liben-Nowell & Kleinberg): rank NON-adjacent pairs by the
+  * Jaccard of their neighbourhoods. Candidates are exactly the 2-hop
+  * pairs (one wedge join over the symmetrized adjacency — the same
+  * frame the triangle/k-core family derives), minus existing edges via
+  * one anti join; scores are exact integer milli (cn·1000 div
+  * (d₁+d₂−cn)). Wedge fanout is apex-degree-bounded — on the derived
+  * co-purchase graphs bucket occupancy bounds it (see GraphQueries);
+  * for skewed host graphs cap apex degree or sample wedges per apex.
+  */
+object LinkPredict {
+
+  /** `pairs`: undirected (id1, id2), dups ok. Returns the top-`k`
+    * predicted links (id1 < id2): (id1, id2, common_neighbors,
+    * jaccard_milli), ordered by score desc with (id1, id2) tie-break.
+    */
+  def topK(pairs: DataFrame, k: Int = 100): DataFrame = {
+    val und = pairs.filter(col("id1") =!= col("id2"))
+      .select(least(col("id1"), col("id2")).as("a"),
+        greatest(col("id1"), col("id2")).as("b"))
+      .distinct()
+      .persist()
+    val sym = und.select(col("a").as("v"), col("b").as("o"))
+      .unionAll(und.select(col("b").as("v"), col("a").as("o")))
+    val deg = sym.groupBy("v").agg(count(lit(1)).as("d"))
+    val cand = sym.as("x").join(sym.as("y"),
+        col("x.v") === col("y.v") && col("x.o") < col("y.o"))
+      .select(col("x.o").as("a"), col("y.o").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("cn"))
+      .join(und, Seq("a", "b"), "left_anti")
+    val out = cand
+      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+      .select(col("a").as("id1"), col("b").as("id2"),
+        col("cn").as("common_neighbors"),
+        expr("cn * 1000 div (da + db - cn)").as("jaccard_milli"))
+      .orderBy(col("jaccard_milli").desc, col("common_neighbors").desc,
+        col("id1"), col("id2"))
+      .limit(k)
+    out.localCheckpoint(true)
+  }
+
+  /** DuckDB replica over a caller CTE `edges(id1, id2)`: ends in
+    * `lp_top(id1, id2, common_neighbors, jaccard_milli)` (same order,
+    * same limit).
+    */
+  def oracleSql(k: Int = 100): String =
+    s"""und AS (
+       |  SELECT DISTINCT least(id1, id2) AS a, greatest(id1, id2) AS b
+       |  FROM edges WHERE id1 <> id2),
+       |sym AS (SELECT a AS v, b AS o FROM und UNION ALL SELECT b, a FROM und),
+       |deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY 1),
+       |cn AS (
+       |  SELECT x.o AS a, y.o AS b, CAST(count(*) AS BIGINT) AS cn
+       |  FROM sym x JOIN sym y ON y.v = x.v AND x.o < y.o
+       |  GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT c.a, c.b, c.cn FROM cn c
+       |  LEFT JOIN und u ON u.a = c.a AND u.b = c.b WHERE u.a IS NULL),
+       |lp_top AS (
+       |  SELECT c.a AS id1, c.b AS id2, c.cn AS common_neighbors,
+       |         c.cn * 1000 // (dx.d + dy.d - c.cn) AS jaccard_milli
+       |  FROM cand c JOIN deg dx ON dx.v = c.a JOIN deg dy ON dy.v = c.b
+       |  ORDER BY jaccard_milli DESC, common_neighbors DESC, id1, id2
+       |  LIMIT $k)""".stripMargin
+}

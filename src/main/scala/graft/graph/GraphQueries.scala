@@ -163,7 +163,39 @@ object GraphQueries {
        |${Lpa.oracleSql(4)}
        |SELECT v, label, community_size FROM lpa ORDER BY v""".stripMargin
 
+  /** Common-neighbour link prediction (top-100) over the customer
+    * co-purchase graph: the graph-completion score a recommender or
+    * entity-resolution booster reads.
+    */
+  def graphLinkPredict(s: SparkSession, dir: String): DataFrame = {
+    val lo = lineitem(s, dir)
+      .select(col("l_suppkey").as("sk"), to_date(col("l_shipdate")).as("dt"),
+        col("l_orderkey"))
+      .join(orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("sk"), col("dt"), col("o_custkey").as("c"))
+      .persist()
+    val pairs = lo.as("x").join(lo.as("y"),
+        col("x.sk") === col("y.sk") && col("x.dt") === col("y.dt") &&
+          col("x.c") < col("y.c"))
+      .select(col("x.c").as("id1"), col("y.c").as("id2"))
+    LinkPredict.topK(pairs, k = 100)
+  }
+
+  val graphLinkPredictOracle: String =
+    s"""WITH lo AS (
+       |  SELECT l_suppkey AS sk, CAST(l_shipdate AS DATE) AS dt,
+       |         o_custkey AS c
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |edges AS (
+       |  SELECT x.c AS id1, y.c AS id2
+       |  FROM lo x JOIN lo y
+       |    ON y.sk = x.sk AND y.dt = x.dt AND x.c < y.c),
+       |${LinkPredict.oracleSql(100)}
+       |SELECT id1, id2, common_neighbors, jaccard_milli FROM lp_top""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_link_predict" -> (graphLinkPredict _),
     "graph_pagerank" -> (graphPagerank _),
     "graph_triangles" -> (graphTriangles _),
     "graph_kcore" -> (graphKcore _),
@@ -174,6 +206,7 @@ object GraphQueries {
     "graph_pagerank" -> graphPagerankOracle,
     "graph_triangles" -> graphTrianglesOracle,
     "graph_kcore" -> graphKcoreOracle,
-    "graph_lpa" -> graphLpaOracle
+    "graph_lpa" -> graphLpaOracle,
+    "graph_link_predict" -> graphLinkPredictOracle
   )
 }

@@ -455,7 +455,125 @@ object MatchQueries {
       |GROUP BY w.pid, pr.a, pr.b
       |ORDER BY id1""".stripMargin
 
+  /** Fellegi–Sunter probabilistic record linkage (the 1969 theory
+    * behind every production linkage engine): per comparison field k,
+    * estimate m_k = P(agree | match) from the labeled gold pairs and
+    * u_k = P(agree | non-match) from the candidate non-matches
+    * (Laplace-smoothed, exact integer counts), then score every
+    * candidate by Σ log-likelihood weights — agreement contributes
+    * ln(m/u), disagreement ln((1−m)/(1−u)). All logs are detLn over
+    * INTEGER products (ln(m/u) = detLn((ma+1)(nu+2)) −
+    * detLn((ua+1)(nm+2)) — every argument ≥ 1, inside the circuit's
+    * exact domain), floor-scaled to 1e9 longs pre-sum, so the score
+    * is bit-identical across engines and shuffle orders. The weights
+    * frame is ONE 1-row aggregate broadcast back over the pairs — at
+    * 100 TB the estimation pass and the scoring pass are each one
+    * shuffle-free scan over the attached candidate frame.
+    *
+    * Fields (all exact circuits, no float thresholds): name-sans-
+    * suffix equality (strong: m≈1, u≈0), $2000 balance-band equality
+    * (informative: the 1% perturbation occasionally crosses a band),
+    * balance-within-2% (|Δ|·100 ≤ 2·|cents|).
+    */
+  def matchFellegiSunter(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.DetMath
+    val l = EmScenario.custL(s, dir)
+    val r = EmScenario.custR(s, dir)
+    val cands = Blockers.standard(l, r, Seq("seg", "nat"), "id")
+    val feats = Matching.attachRecords(cands, l, r, "id")
+      .withColumn("cl", cents(col("l_bal")))
+      .withColumn("cr", cents(col("r_bal")))
+      .select(col("id1"), col("id2"),
+        (col("l_name") === expr("substring(r_name, 1, length(r_name) - 2)")).as("a_name"),
+        expr("(cl + 100000) div 200000 = (cr + 100000) div 200000").as("a_band"),
+        expr("abs(cl - cr) * 100 <= 2 * abs(cl)").as("a_bal"))
+    val lab = feats
+      .join(EmScenario.gold(s, dir).withColumn("_g", lit(1)), Seq("id1", "id2"), "left")
+      .withColumn("is_m", col("_g").isNotNull).drop("_g")
+    val fieldNames = Seq("name", "band", "bal")
+    val statAggs =
+      Seq(sum(when(col("is_m"), 1L).otherwise(0L)).as("nm"),
+        sum(when(!col("is_m"), 1L).otherwise(0L)).as("nu")) ++
+      fieldNames.flatMap { f =>
+        Seq(sum(when(col(s"a_$f") && col("is_m"), 1L).otherwise(0L)).as(s"ma_$f"),
+          sum(when(col(s"a_$f") && !col("is_m"), 1L).otherwise(0L)).as(s"ua_$f"))
+      }
+    val stats = lab.agg(statAggs.head, statAggs.tail: _*)
+    def lnw(p: org.apache.spark.sql.Column, q: org.apache.spark.sql.Column) =
+      floor((DetMath.detLn(p.cast("double")) - DetMath.detLn(q.cast("double")))
+        * lit(1e9)).cast("long")
+    val weights = stats.select(fieldNames.flatMap { f =>
+      Seq(
+        lnw((col(s"ma_$f") + 1) * (col("nu") + 2), (col(s"ua_$f") + 1) * (col("nm") + 2))
+          .as(s"w_${f}_a"),
+        lnw((col("nm") + 1 - col(s"ma_$f")) * (col("nu") + 2),
+          (col("nu") + 1 - col(s"ua_$f")) * (col("nm") + 2)).as(s"w_${f}_d"))
+    }: _*)
+    val score = fieldNames.map(f =>
+      when(col(s"a_$f"), col(s"w_${f}_a")).otherwise(col(s"w_${f}_d"))).reduce(_ + _)
+    lab.crossJoin(broadcast(weights))
+      .select(col("id1"), col("id2"), col("a_name"), col("a_band"), col("a_bal"),
+        score.as("score_scaled"))
+      .withColumn("is_match_pred", col("score_scaled") > 0L)
+      .orderBy("id1", "id2")
+  }
+
+  val matchFellegiSunterOracle: String = {
+    import graft.functions.DetMath
+    val fields = Seq("name", "band", "bal")
+    val statCols = fields.flatMap(f => Seq(
+      s"CAST(sum(CASE WHEN a_$f AND m = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ma_$f",
+      s"CAST(sum(CASE WHEN a_$f AND m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ua_$f"))
+      .mkString(",\n  ")
+    val lnRows = fields.flatMap(f => Seq(
+      s"SELECT '$f' AS f, 'a' AS k, CAST((ma_$f + 1) * (nu + 2) AS DOUBLE) AS p, " +
+        s"CAST((ua_$f + 1) * (nm + 2) AS DOUBLE) AS q FROM st",
+      s"SELECT '$f', 'd', CAST((nm + 1 - ma_$f) * (nu + 2) AS DOUBLE), " +
+        s"CAST((nu + 1 - ua_$f) * (nm + 2) AS DOUBLE) FROM st"))
+      .mkString("\n  UNION ALL ")
+    val wCols = fields.flatMap(f => Seq(
+      s"max(CASE WHEN f = '$f' AND k = 'a' THEN w END) AS w_${f}_a",
+      s"max(CASE WHEN f = '$f' AND k = 'd' THEN w END) AS w_${f}_d"))
+      .mkString(",\n  ")
+    val scoreSql = fields.map(f =>
+      s"CASE WHEN a_$f THEN w_${f}_a ELSE w_${f}_d END").mkString(" + ")
+    s"""${EmScenario.oracleWith},
+       |att AS (
+       |  SELECT l.id AS id1, r.id AS id2, l.name AS ln, r.name AS rn,
+       |         CAST(round(l.bal * 100) AS BIGINT) AS cl,
+       |         CAST(round(r.bal * 100) AS BIGINT) AS cr
+       |  FROM l JOIN r ON l.seg = r.seg AND l.nat = r.nat),
+       |feats AS (
+       |  SELECT id1, id2,
+       |    (ln = substr(rn, 1, length(rn) - 2)) AS a_name,
+       |    ((cl + 100000) // 200000 = (cr + 100000) // 200000) AS a_band,
+       |    (abs(cl - cr) * 100 <= 2 * abs(cl)) AS a_bal
+       |  FROM att),
+       |lab AS (
+       |  SELECT f.*, CASE WHEN g.id1 IS NULL THEN 0 ELSE 1 END AS m
+       |  FROM feats f LEFT JOIN gold g USING (id1, id2)),
+       |st AS (
+       |  SELECT CAST(sum(m) AS BIGINT) AS nm,
+       |         CAST(count(*) - sum(m) AS BIGINT) AS nu,
+       |  $statCols
+       |  FROM lab),
+       |lnin AS (
+       |  $lnRows),
+       |${DetMath.sqlLnCtes("plog", "lnin", "f, k, q", "p")},
+       |pmid AS (SELECT f, k, q, lnv AS lnp FROM plog),
+       |${DetMath.sqlLnCtes("qlog", "pmid", "f, k, lnp", "q")},
+       |w AS (SELECT f, k, CAST(floor((lnp - lnv) * 1e9) AS BIGINT) AS w FROM qlog),
+       |wp AS (SELECT
+       |  $wCols
+       |  FROM w)
+       |SELECT id1, id2, a_name, a_band, a_bal,
+       |  ($scoreSql) AS score_scaled,
+       |  ($scoreSql) > 0 AS is_match_pred
+       |FROM lab, wp ORDER BY id1, id2""".stripMargin
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "match_fellegi_sunter" -> (matchFellegiSunter _),
     "sim_ratcliff" -> (simRatcliff _),
     "sim_align" -> (simAlign _),
     "sim_positional" -> (simPositional _),
@@ -527,6 +645,7 @@ object MatchQueries {
        |ORDER BY al.id1""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "match_fellegi_sunter" -> matchFellegiSunterOracle,
     "sim_registry" -> simRegistryOracle,
     "sim_ratcliff" -> simRatcliffOracle,
     "sim_align" -> simAlignOracle,

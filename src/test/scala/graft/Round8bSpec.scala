@@ -233,6 +233,24 @@ class Round8bSpec extends AnyFunSuite {
     assert(rows("unchanged") == all - n3 - n7)
   }
 
+  test("fellegi-sunter: full recall on gold, near-perfect precision") {
+    val out = graft.matching.MatchQueries.matchFellegiSunter(spark, sf)
+    val pred = out.filter(col("is_match_pred"))
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gold = graft.blocking.EmScenario.gold(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every true pair scores positive (the strong field's ln(m/u)
+    // dominates); a couple of chance band+bal agreements may slip in at
+    // threshold 0 — CORRECT F-S behavior, so assert recall exactly and
+    // precision tightly rather than set equality
+    assert(gold.subsetOf(pred), "recall must be 1.0")
+    assert((pred -- gold).size <= math.max(2, gold.size / 50),
+      s"precision too low: ${(pred -- gold).size} false positives")
+    // gold pairs agree on the strong field and must carry its positive weight
+    val goldScores = out.filter(col("a_name")).agg(min("score_scaled")).collect()(0).getLong(0)
+    assert(goldScores > 0L)
+  }
+
   test("stream_upsert state equals batch last-writer-wins per key") {
     import org.apache.spark.sql.expressions.Window
     val got = ExtraQueries.streamUpsert(spark, sf)
