@@ -776,6 +776,37 @@ object ExtraQueries {
        |WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, event_id)
        |ORDER BY user_id, valid_from, event_id""".stripMargin
 
+  /** Semi-structured schema-on-read: the events `props` JSON column
+    * parsed with an EXPLICIT schema (`from_json` — codegen'd, no
+    * sampling pass, the only schema-on-read shape that scales: schema
+    * inference over 100 TB of JSON is itself a full scan) and
+    * aggregated. Malformed documents surface as NULLs (PERMISSIVE),
+    * counted explicitly so corruption is visible, never silently
+    * dropped.
+    */
+  def eventsJson(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .withColumn("k",
+        from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType)))).getField("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_unparsed"),
+        sum(coalesce(col("k"), lit(0L))).as("sum_k"),
+        min("k").as("min_k"), max("k").as("max_k"))
+      .orderBy("event_type")
+
+  val eventsJsonOracle: String =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CASE WHEN json_extract(props, '$.k') IS NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_unparsed,
+      |  CAST(sum(coalesce(CAST(json_extract(props, '$.k') AS BIGINT), 0))
+      |    AS BIGINT) AS sum_k,
+      |  CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+      |  CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val eventsRollingOracle: String =
     """WITH e AS (SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS tsu,
       |             CAST(round(value * 100) AS BIGINT) AS cents
@@ -895,6 +926,7 @@ object ExtraQueries {
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_rolling" -> (eventsRolling _),
     "events_scd2" -> (eventsScd2 _),
+    "events_json" -> (eventsJson _),
     "events_anomaly" -> (eventsAnomaly _),
     "events_retention" -> (eventsRetention _),
     "events_funnel" -> (eventsFunnel _),
@@ -923,6 +955,7 @@ object ExtraQueries {
   def oracles: Map[String, String] = Map(
     "events_rolling" -> eventsRollingOracle,
     "events_scd2" -> eventsScd2Oracle,
+    "events_json" -> eventsJsonOracle,
     "events_anomaly" -> eventsAnomalyOracle,
     "events_retention" -> eventsRetentionOracle,
     "events_funnel" -> eventsFunnelOracle,

@@ -639,7 +639,89 @@ object FuseQueries {
        |ORDER BY name1, name2""".stripMargin
   }
 
+  /** Iterative truth discovery (TruthFinder/Yin-Han-Yu family, the
+    * integer-deterministic variant): claim confidence = Σ source trust
+    * over asserting sources; winner per object = argmax (ties → value
+    * asc); source trust = fraction of its claims that won, in exact
+    * milli. Three synchronous sweeps — each a join + two aggs over the
+    * claims frame (claims persisted once; iterations are
+    * source×object-bounded). Unlike `fuse_voting`'s fixed weights, the
+    * trust here is LEARNED from inter-source agreement with no labels;
+    * the output also scores each source against the (held-out) truth
+    * so the spec can pin that learned trust ranks sources correctly.
+    * Sources: A always right, B wrong on every 7th key, C on every 3rd.
+    */
+  def fuseTruthDiscovery(s: SparkSession, dir: String): DataFrame = {
+    val iters = 3
+    val base = customer(s, dir)
+      .select(col("c_custkey").as("obj"), col("c_mktsegment").as("truth"))
+    def claim(src: String, wrongMod: Int) =
+      base.select(lit(src).as("source"), col("obj"),
+        (if (wrongMod <= 0) col("truth")
+         else when(col("obj") % wrongMod === 0, concat(lit("WRONG-"), col("truth")))
+           .otherwise(col("truth"))).as("value"))
+    val claims = claim("srcA", 0).unionAll(claim("srcB", 7)).unionAll(claim("srcC", 3))
+      .persist()
+    var trust = claims.select("source").distinct()
+      .withColumn("trust_milli", lit(800L))
+    for (_ <- 1 to iters) {
+      val conf = claims.join(broadcast(trust), "source")
+        .groupBy("obj", "value").agg(sum("trust_milli").as("c"))
+      val win = conf.groupBy("obj")
+        .agg(min(struct((-col("c")).as("nc"), col("value"))).as("m"))
+        .select(col("obj"), col("m.value").as("winner"))
+      trust = claims.join(win, "obj")
+        .groupBy("source")
+        .agg(sum(when(col("value") === col("winner"), 1L).otherwise(0L)).as("nc"),
+          count(lit(1)).as("no"))
+        .select(col("source"), expr("nc * 1000 div no").as("trust_milli"))
+        .localCheckpoint(true)
+    }
+    val acc = claims.join(base, "obj").groupBy("source")
+      .agg(sum(when(col("value") === col("truth"), 1L).otherwise(0L)).as("n_correct"),
+        count(lit(1)).as("n_objects"))
+    val out = trust.join(acc, "source")
+      .select(col("source"), col("trust_milli"), col("n_correct"), col("n_objects"))
+      .orderBy("source")
+    claims.unpersist(false)
+    out
+  }
+
+  val fuseTruthDiscoveryOracle: String = {
+    val iters = 3
+    val steps = (1 to iters).map { i =>
+      s"""c$i AS (SELECT cl.obj, cl.value, CAST(sum(t.trust) AS BIGINT) AS c
+         |  FROM claims cl JOIN t${i - 1} t USING (source) GROUP BY 1, 2),
+         |w$i AS (SELECT obj, value AS winner FROM (
+         |  SELECT obj, value, row_number() OVER (PARTITION BY obj ORDER BY c DESC, value) AS rn
+         |  FROM c$i) WHERE rn = 1),
+         |t$i AS (SELECT cl.source,
+         |  CAST(sum(CASE WHEN cl.value = w.winner THEN 1 ELSE 0 END) AS BIGINT) * 1000
+         |    // CAST(count(*) AS BIGINT) AS trust
+         |  FROM claims cl JOIN w$i w USING (obj) GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH base AS (
+       |  SELECT c_custkey AS obj, c_mktsegment AS truth FROM customer),
+       |claims AS (
+       |  SELECT 'srcA' AS source, obj, truth AS value FROM base
+       |  UNION ALL
+       |  SELECT 'srcB', obj,
+       |    CASE WHEN obj % 7 = 0 THEN 'WRONG-' || truth ELSE truth END FROM base
+       |  UNION ALL
+       |  SELECT 'srcC', obj,
+       |    CASE WHEN obj % 3 = 0 THEN 'WRONG-' || truth ELSE truth END FROM base),
+       |t0 AS (SELECT DISTINCT source, CAST(800 AS BIGINT) AS trust FROM claims),
+       |$steps,
+       |acc AS (SELECT cl.source,
+       |  CAST(sum(CASE WHEN cl.value = b.truth THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       |  CAST(count(*) AS BIGINT) AS n_objects
+       |  FROM claims cl JOIN base b USING (obj) GROUP BY 1)
+       |SELECT t.source, t.trust AS trust_milli, acc.n_correct, acc.n_objects
+       |FROM t$iters t JOIN acc USING (source) ORDER BY source""".stripMargin
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fuse_truth_discovery" -> (fuseTruthDiscovery _),
     "fuse_schema_compare" -> (fuseSchemaCompare _),
     "fuse_eval_rules" -> (fuseEvalRules _),
     "fuse_provenance" -> (fuseProvenance _),
@@ -672,6 +754,7 @@ object FuseQueries {
   }
 
   def oracles: Map[String, String] = Map(
+    "fuse_truth_discovery" -> fuseTruthDiscoveryOracle,
     "fuse_schema_compare" -> fuseSchemaCompareOracle,
     "fuse_eval_rules" -> fuseEvalRulesOracle,
     "fuse_provenance" -> fuseProvenanceOracle,

@@ -440,7 +440,38 @@ object IoQueries {
       |SELECT status, CAST(count(*) AS BIGINT) AS n
       |FROM j GROUP BY status ORDER BY status""".stripMargin
 
+  private def jsonlPath(dir: String): String =
+    java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_jsonl_${dir.hashCode.toHexString}").toString
+
+  /** JSONL roundtrip — THE training-data interchange format: documents
+    * written as newline-delimited JSON (with the same embedded
+    * quote/backslash/newline prefix the CSV test plants — JSON escapes
+    * them in-record, so JSONL STAYS splittable, the reason it beats
+    * CSV at 100 TB), read back with an explicit schema (no inference
+    * scan), verified by per-doc md5 against the parquet side.
+    */
+  def ioJsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = jsonlPath(dir)
+    documents(s, dir)
+      .select(col("doc_id"),
+        concat(lit("a\"b\\c\nd "), col("text")).as("t2"), col("lang"))
+      .write.mode("overwrite").json(out)
+    s.read.schema("doc_id LONG, t2 STRING, lang STRING").json(out)
+      .select(col("doc_id"), md5(col("t2")).as("text_md5"),
+        length(col("t2")).cast("long").as("n_chars"), col("lang"))
+      .orderBy("doc_id")
+  }
+
+  val ioJsonlRoundtripOracle: String =
+    """SELECT doc_id,
+      |       md5('a"b\c' || chr(10) || 'd ' || text) AS text_md5,
+      |       CAST(length('a"b\c' || chr(10) || 'd ' || text) AS BIGINT) AS n_chars,
+      |       lang
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "io_jsonl_roundtrip" -> (ioJsonlRoundtrip _),
     "io_table_diff" -> (ioTableDiff _),
     "io_csv_roundtrip" -> (ioCsvRoundtrip _),
     "io_zorder" -> (ioZorder _),
@@ -457,6 +488,7 @@ object IoQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "io_jsonl_roundtrip" -> ioJsonlRoundtripOracle,
     "io_table_diff" -> ioTableDiffOracle,
     "io_csv_roundtrip" -> ioCsvRoundtripOracle,
     "io_zorder" -> ioZorderOracle,

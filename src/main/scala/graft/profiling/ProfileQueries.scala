@@ -363,7 +363,40 @@ object ProfileQueries {
     ("totalprice_under_200k",
       "CAST(sum(CASE WHEN o_totalprice < 200000.0 THEN 1 ELSE 0 END) AS BIGINT)", 1000L)))
 
+  /** k-anonymity audit (k = 5) over the (nationkey, mktsegment)
+    * quasi-identifier: equivalence-class-size histogram + the at-risk
+    * row count — the governance check before releasing a dataset with
+    * quasi-identifiers. Two aggs, classes-bounded intermediate; at
+    * 100 TB the class frame is |QI-domain|-bounded, never row-bounded.
+    */
+  def profileKanon(s: SparkSession, dir: String): DataFrame = {
+    val k = 5L
+    val classes = customer(s, dir)
+      .groupBy("c_nationkey", "c_mktsegment")
+      .agg(count(lit(1)).as("class_size"))
+    classes.agg(
+      count(lit(1)).as("n_classes"),
+      sum(when(col("class_size") < k, 1L).otherwise(0L)).as("n_small_classes"),
+      sum(when(col("class_size") < k, col("class_size")).otherwise(0L)).as("n_rows_at_risk"),
+      min("class_size").as("min_class_size"),
+      max("class_size").as("max_class_size"),
+      sum("class_size").as("n_rows"))
+  }
+
+  val profileKanonOracle: String =
+    """WITH c AS (
+      |  SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS class_size
+      |  FROM customer GROUP BY 1, 2)
+      |SELECT CAST(count(*) AS BIGINT) AS n_classes,
+      |  CAST(sum(CASE WHEN class_size < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_small_classes,
+      |  CAST(sum(CASE WHEN class_size < 5 THEN class_size ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
+      |  min(class_size) AS min_class_size,
+      |  max(class_size) AS max_class_size,
+      |  CAST(sum(class_size) AS BIGINT) AS n_rows
+      |FROM c""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "profile_kanon" -> (profileKanon _),
     "profile_checks" -> (profileChecks _),
     "profile_fd" -> (profileFd _),
     "profile_drift" -> (profileDrift _),
@@ -379,6 +412,7 @@ object ProfileQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "profile_kanon" -> profileKanonOracle,
     "profile_checks" -> profileChecksOracle,
     "profile_fd" -> profileFdOracle,
     "profile_drift" -> profileDriftOracle,

@@ -251,6 +251,39 @@ class Round8bSpec extends AnyFunSuite {
     assert(goldScores > 0L)
   }
 
+  test("truth discovery: learned trust ranks sources by their real accuracy") {
+    val rows = graft.fusion.FuseQueries.fuseTruthDiscovery(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("trust_milli"), r.getAs[Long]("n_correct"), r.getAs[Long]("n_objects"))))
+      .toMap
+    val (ta, tb, tc) = (rows("srcA")._1, rows("srcB")._1, rows("srcC")._1)
+    // accuracy order srcA (always right) > srcB (1/7 wrong) > srcC (1/3 wrong)
+    assert(rows("srcA")._2 == rows("srcA")._3)
+    assert(ta > tb && tb > tc, s"trust order broken: $ta $tb $tc")
+    // unsupervised trust tracks real accuracy but NOT perfectly: on
+    // obj % 21 == 0, B and C collude on the identical wrong value and
+    // outvote A — so even the perfect source scores below 1000 (the
+    // classic truth-discovery failure mode, worth pinning)
+    assert(ta < 1000L)
+    val nColluding = Tables.customer(spark, sf)
+      .filter(col("c_custkey") % 21 === 0).count()
+    assert(ta == (rows("srcA")._3 - nColluding) * 1000 / rows("srcA")._3)
+  }
+
+  test("events_json: schema-on-read parse, zero unparsed on clean data") {
+    val rows = ExtraQueries.eventsJson(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("n_unparsed") == 0L))
+    assert(rows.forall(r => r.getAs[Long]("min_k") <= r.getAs[Long]("max_k")))
+  }
+
+  test("k-anonymity: class rollup reconciles with the row count") {
+    val out = graft.profiling.ProfileQueries.profileKanon(spark, sf).collect()(0)
+    assert(out.getAs[Long]("n_rows") == Tables.customer(spark, sf).count())
+    assert(out.getAs[Long]("n_small_classes") <= out.getAs[Long]("n_classes"))
+    assert(out.getAs[Long]("min_class_size") >= 1L)
+  }
+
   test("stream_upsert state equals batch last-writer-wins per key") {
     import org.apache.spark.sql.expressions.Window
     val got = ExtraQueries.streamUpsert(spark, sf)
