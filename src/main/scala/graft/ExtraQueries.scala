@@ -923,7 +923,195 @@ object ExtraQueries {
       |FROM ret r JOIN sizes s USING (cohort_wk)
       |ORDER BY cohort_wk, week_offset""".stripMargin
 
+  /** Batch gap-based sessionization (30-min inactivity boundary) — the
+    * canonical event-log prep step (web analytics, engagement features,
+    * the offline twin of [[stream_sessionize]]'s session windows).
+    *
+    * Classic two-window shape, both over the SAME (user, ts, event_id)
+    * ordering: lag() marks session starts, a running sum numbers them —
+    * Catalyst plans ONE hash shuffle on user_id plus one in-partition
+    * sort for both windows and the final groupBy. Per-user history is
+    * one partition's sort, the right contract at 100 TB (a pathological
+    * single user is the as-of-chunk case, documented there). Timestamps
+    * ride epoch-µs longs, money rides exact cents; the event_id
+    * tie-break makes equal-ts ordering engine-independent.
+    */
+  def eventsSessionize(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gapUs = 30L * 60 * 1000000
+    val e = events(s, dir).select(
+      col("user_id"), unix_micros(col("ts")).as("tsu"), col("event_id"),
+      cents(col("value")).as("val_c"))
+    val w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+    val flagged = e.withColumn("is_new",
+      when(lag("tsu", 1).over(w).isNull ||
+        col("tsu") - lag("tsu", 1).over(w) > gapUs, 1L).otherwise(0L))
+    flagged
+      .withColumn("session_idx",
+        sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_idx")
+      .agg(min("tsu").as("session_start_us"), max("tsu").as("session_end_us"),
+        count(lit(1)).as("n_events"),
+        (max("tsu") - min("tsu")).as("duration_us"),
+        centsToDouble(sum("val_c")).as("total_value"))
+      .orderBy("user_id", "session_idx")
+  }
+
+  val eventsSessionizeOracle: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_id,
+      |                  CAST(round(value * 100) AS BIGINT) AS val_c FROM events),
+      |x AS (SELECT *, CASE WHEN lag(tsu) OVER w IS NULL
+      |                       OR tsu - lag(tsu) OVER w > 1800000000
+      |                     THEN 1 ELSE 0 END AS is_new
+      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+      |sess AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id
+      |                   ORDER BY tsu, event_id ROWS UNBOUNDED PRECEDING) AS session_idx
+      |         FROM x)
+      |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+      |  min(tsu) AS session_start_us, max(tsu) AS session_end_us,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  max(tsu) - min(tsu) AS duration_us,
+      |  CAST(sum(val_c) AS DOUBLE) / 100.0 AS total_value
+      |FROM sess GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin
+
+  /** Last-touch marketing attribution: each purchase is credited to the
+    * user's most recent click within 3 days; older or missing touches
+    * land in the NULL (unattributed) bucket. The attribution join IS
+    * [[graft.operators.AsofJoin.asofBackward]] with a staleness
+    * tolerance — one keyed shuffle, never a per-purchase scan of click
+    * history — followed by a channels-bounded aggregate. "Channel" is
+    * derived from the click's JSON props (k mod 5), exercising
+    * schema-on-read inside the attribution path the way a real event
+    * log would.
+    */
+  def eventsAttribution(s: SparkSession, dir: String): DataFrame = {
+    val tolUs = 3L * 24 * 3600 * 1000000
+    val e = events(s, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts"),
+        col("event_id").as("purchase_id"), cents(col("value")).as("val_c"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts"),
+        struct(col("event_id"),
+          (get_json_object(col("props"), "$.k").cast("long") % 5).as("ch")).as("c"))
+      // unique right row per (user, ts): latest event_id wins (struct
+      // max orders by event_id first — ids are unique)
+      .groupBy("user_id", "ts").agg(max("c").as("c"))
+      .select(col("user_id"), col("ts"), col("c.ch").as("channel"))
+    graft.operators.AsofJoin.asofBackward(purchases, clicks, "user_id", "ts",
+        tolerance = Some(tolUs))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_purchases"),
+        centsToDouble(sum("val_c")).as("revenue"))
+      .orderBy(col("channel").asc_nulls_first)
+  }
+
+  val eventsAttributionOracle: String =
+    """WITH p AS (SELECT user_id, epoch_us(ts) AS ts, event_id AS purchase_id,
+      |                  CAST(round(value * 100) AS BIGINT) AS val_c
+      |           FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, epoch_us(ts) AS ts,
+      |             max(struct_pack(event_id := event_id,
+      |                             ch := CAST(json_extract_string(props, '$.k') AS BIGINT) % 5)) AS c
+      |      FROM events WHERE event_type = 'click'
+      |      GROUP BY user_id, epoch_us(ts)),
+      |cc AS (SELECT user_id, ts, struct_extract(c, 'ch') AS channel FROM c),
+      |j AS (SELECT p.val_c,
+      |             CASE WHEN cc.ts IS NULL OR p.ts - cc.ts > 259200000000
+      |                  THEN NULL ELSE cc.channel END AS channel
+      |      FROM p ASOF LEFT JOIN cc ON p.user_id = cc.user_id AND p.ts >= cc.ts)
+      |SELECT channel, CAST(count(*) AS BIGINT) AS n_purchases,
+      |       CAST(sum(val_c) AS DOUBLE) / 100.0 AS revenue
+      |FROM j GROUP BY channel ORDER BY channel ASC NULLS FIRST""".stripMargin
+
+  /** Frequent 2-itemset mining (the support-counting core of
+    * Apriori/FP-growth, market-basket form): parts co-occurring in the
+    * same order. Per-basket pair explode → ONE groupBy(pair) count —
+    * identical dataflow to the co-occurrence graphs (GraphQueries) and
+    * token blocking, which is the point: support counting at 100 TB is
+    * a bounded-fanout self-join, not a combinatorial search. The
+    * basket-size cap (≤ 20 items) is the documented guard every
+    * production miner applies — an unbounded hot basket contributes
+    * O(k²) pairs, and capping at the 99.9th-percentile basket size
+    * bounds the fanout without touching support counts of real pairs
+    * (TPC-H orders have ≤ 7 lines; the cap is load-bearing on real
+    * retail data). Top-100 by (support, pair) total order keeps the
+    * audit output bounded at any scale.
+    */
+  def mineItemsets(s: SparkSession, dir: String): DataFrame = {
+    val items = lineitem(s, dir)
+      .select(col("l_orderkey").as("oid"), col("l_partkey").as("item"))
+      .distinct()
+    val small = items.groupBy("oid").agg(count(lit(1)).as("k"))
+      .filter(col("k") <= 20).select("oid")
+    val basket = items.join(small, "oid")
+    basket.as("x").join(basket.as("y"),
+        col("x.oid") === col("y.oid") && col("x.item") < col("y.item"))
+      .groupBy(col("x.item").as("item1"), col("y.item").as("item2"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 2)
+      .orderBy(col("support").desc, col("item1"), col("item2"))
+      .limit(100)
+  }
+
+  val mineItemsetsOracle: String =
+    """WITH items AS (SELECT DISTINCT l_orderkey AS oid, l_partkey AS item
+      |               FROM lineitem),
+      |small AS (SELECT oid FROM items GROUP BY oid HAVING count(*) <= 20),
+      |basket AS (SELECT i.oid, i.item FROM items i JOIN small USING (oid)),
+      |pairs AS (
+      |  SELECT x.item AS item1, y.item AS item2,
+      |         CAST(count(*) AS BIGINT) AS support
+      |  FROM basket x JOIN basket y
+      |    ON y.oid = x.oid AND x.item < y.item
+      |  GROUP BY 1, 2 HAVING count(*) >= 2)
+      |SELECT * FROM pairs
+      |ORDER BY support DESC, item1, item2 LIMIT 100""".stripMargin
+
+  /** First-order Markov transition matrix over per-user event
+    * sequences — the behavioral-model fit (next-event prediction,
+    * anomaly scoring) every event pipeline runs. ONE user-keyed window
+    * (lead) + a (from, to)-bounded groupBy; probabilities in exact
+    * integer milli (count·1000 div row-total) so the matrix is
+    * bit-identical across engines and shuffle orders. Output is
+    * |event_types|²-bounded regardless of data size.
+    */
+  def eventsMarkov(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = events(s, dir).select(col("user_id"),
+      unix_micros(col("ts")).as("tsu"), col("event_id"), col("event_type"))
+    val w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+    val trans = e.withColumn("next_type", lead("event_type", 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = trans.groupBy("from_type").agg(sum("n").as("row_total"))
+    trans.join(totals, "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("n * 1000 div row_total").as("p_milli"))
+      .orderBy("from_type", "to_type")
+  }
+
+  val eventsMarkovOracle: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_id, event_type
+      |           FROM events),
+      |x AS (SELECT event_type AS from_type,
+      |             lead(event_type) OVER (PARTITION BY user_id
+      |               ORDER BY tsu, event_id) AS to_type
+      |      FROM e),
+      |t AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+      |      FROM x WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      |tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS row_total
+      |        FROM t GROUP BY 1)
+      |SELECT from_type, to_type, n, n * 1000 // row_total AS p_milli
+      |FROM t JOIN tot USING (from_type)
+      |ORDER BY from_type, to_type""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mine_itemsets" -> (mineItemsets _),
+    "events_markov" -> (eventsMarkov _),
+    "events_sessionize" -> (eventsSessionize _),
+    "events_attribution" -> (eventsAttribution _),
     "events_rolling" -> (eventsRolling _),
     "events_scd2" -> (eventsScd2 _),
     "events_json" -> (eventsJson _),
@@ -953,6 +1141,10 @@ object ExtraQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "mine_itemsets" -> mineItemsetsOracle,
+    "events_markov" -> eventsMarkovOracle,
+    "events_sessionize" -> eventsSessionizeOracle,
+    "events_attribution" -> eventsAttributionOracle,
     "events_rolling" -> eventsRollingOracle,
     "events_scd2" -> eventsScd2Oracle,
     "events_json" -> eventsJsonOracle,

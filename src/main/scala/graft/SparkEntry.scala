@@ -178,9 +178,79 @@ object CoreQueries {
       |FROM p JOIN iv ON p.bal_c BETWEEN iv.lo AND iv.hi
       |ORDER BY c_custkey, n_nationkey""".stripMargin
 
+  /** Top-3 suppliers by revenue within each nation — the per-group
+    * top-k window shape (rank over a keyed partition AFTER a keyed
+    * pre-aggregation, so the window input is suppliers-bounded, never
+    * fact-bounded — ranking raw lineitem would sort the fact table).
+    * Deterministic rank: ties broken by suppkey inside the ORDER BY.
+    */
+  def q3TopkPerGroup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = lineitem(s, dir)
+    val rev = li.select(col("l_suppkey"),
+        (cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("rev_e4"))
+      .groupBy("l_suppkey").agg(sum("rev_e4").as("rev_e4"))
+    val sup = supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))
+    val w = Window.partitionBy("s_nationkey")
+      .orderBy(col("rev_e4").desc, col("s_suppkey"))
+    rev.join(sup, col("l_suppkey") === col("s_suppkey"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("s_nationkey"), col("rk"), col("s_suppkey"),
+        (col("rev_e4").cast("double") / 10000.0).as("revenue"))
+      .orderBy("s_nationkey", "rk")
+  }
+
+  val q3Oracle: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS rev_e4
+      |  FROM lineitem GROUP BY 1),
+      |r AS (SELECT s_nationkey, s_suppkey, rev_e4,
+      |        row_number() OVER (PARTITION BY s_nationkey
+      |          ORDER BY rev_e4 DESC, s_suppkey) AS rk
+      |      FROM rev JOIN supplier ON l_suppkey = s_suppkey)
+      |SELECT s_nationkey, CAST(rk AS INT) AS rk, s_suppkey,
+      |       CAST(rev_e4 AS DOUBLE) / 10000.0 AS revenue
+      |FROM r WHERE rk <= 3 ORDER BY s_nationkey, rk""".stripMargin
+
+  /** ROLLUP pricing summary — the OLAP subtotal/grand-total shape
+    * (GROUPING SETS planned as ONE pass with partial aggregation, not
+    * one scan per level). grouping() flags disambiguate real NULLs
+    * from subtotal rows — the correctness trap rollup queries hit.
+    */
+  def q4Rollup(s: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(s, dir)
+    li.select(col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity").cast("long").as("qty"),
+        cents(col("l_extendedprice")).as("price_c"))
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(sum("qty").as("sum_qty"),
+        (sum("price_c").cast("double") / 100.0).as("sum_base_price"),
+        count(lit(1)).as("n"),
+        grouping(col("l_returnflag")).cast("long").as("g_flag"),
+        grouping(col("l_linestatus")).cast("long").as("g_status"))
+      .orderBy(col("g_flag"), col("g_status"),
+        col("l_returnflag").asc_nulls_last, col("l_linestatus").asc_nulls_last)
+  }
+
+  val q4Oracle: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_base_price,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(CASE WHEN GROUPING(l_returnflag) THEN 1 ELSE 0 END AS BIGINT) AS g_flag,
+      |  CAST(CASE WHEN GROUPING(l_linestatus) THEN 1 ELSE 0 END AS BIGINT) AS g_status
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY g_flag, g_status,
+      |  l_returnflag ASC NULLS LAST, l_linestatus ASC NULLS LAST""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_nation_revenue" -> (q2NationRevenue _),
+    "q3_topk_per_group" -> (q3TopkPerGroup _),
+    "q4_rollup" -> (q4Rollup _),
     "sim_functions" -> (simFunctions _),
     "range_join" -> (rangeJoin _)
   )
@@ -188,6 +258,8 @@ object CoreQueries {
   def oracles: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Oracle,
     "q2_nation_revenue" -> q2Oracle,
+    "q3_topk_per_group" -> q3Oracle,
+    "q4_rollup" -> q4Oracle,
     "sim_functions" -> simOracle,
     "range_join" -> rangeJoinOracle
   )

@@ -222,7 +222,67 @@ object BlockQueries {
        |ORDER BY sx_key""".stripMargin
   }
 
+  /** Meta-blocking, WEP scheme (Papadakis et al., TKDE 2014): token
+    * blocking over-generates, so re-weight every candidate pair by how
+    * many blocks it co-occurs in (CBS — common blocks scheme) and keep
+    * only pairs at or above the mean weight. The standard redundancy-
+    * aware pruning layer between a cheap blocker and an expensive
+    * matcher at 100 TB.
+    *
+    * Shape: token explode (distinct per (id, tok) so a repeated word
+    * counts once — both engines agree) → in-block pair join → ONE
+    * groupBy(pair) = the CBS weight — the same shuffle any blocker
+    * pays — then the mean gate as an exact integer cross-multiply
+    * (cbs · n_pairs ≥ Σcbs; no float mean, no engine disagreement at
+    * the boundary). Output is the weight histogram with kept/pruned
+    * counts (weight-bounded — ≤ words per name), i.e. the audit frame
+    * a tuning loop reads; the kept-pair frame itself stays distributed.
+    * Deterministic subset (p_partkey % 4 = 0) keeps the demo's pair
+    * frame ~1M rows at sf0.1 while exercising the full dataflow.
+    */
+  def blockMeta(s: SparkSession, dir: String): DataFrame = {
+    val toks = part(s, dir)
+      .filter(col("p_partkey") % 4 === 0)
+      .select(col("p_partkey").as("id"),
+        explode(split(lower(col("p_name")), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .distinct()
+    val pairs = toks.as("x").join(toks.as("y"),
+        col("x.tok") === col("y.tok") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("id1"), col("y.id").as("id2"))
+      .agg(count(lit(1)).as("cbs"))
+    val stats = pairs.agg(sum("cbs").as("total_cbs"),
+      count(lit(1)).as("n_pairs"))
+    pairs.crossJoin(broadcast(stats)) // 1-row stats frame
+      .withColumn("kept", col("cbs") * col("n_pairs") >= col("total_cbs"))
+      .groupBy("cbs", "kept")
+      .agg(count(lit(1)).as("n"),
+        min(struct(col("id1"), col("id2"))).as("m"))
+      .select(col("cbs"), col("kept"), col("n"),
+        col("m.id1").as("min_id1"), col("m.id2").as("min_id2"))
+      .orderBy("cbs")
+  }
+
+  val blockMetaOracle: String =
+    """WITH toks AS (
+      |  SELECT DISTINCT p_partkey AS id, tok
+      |  FROM part, LATERAL unnest(string_split(lower(p_name), ' ')) AS u(tok)
+      |  WHERE p_partkey % 4 = 0 AND tok <> ''),
+      |pairs AS (
+      |  SELECT x.id AS id1, y.id AS id2, CAST(count(*) AS BIGINT) AS cbs
+      |  FROM toks x JOIN toks y ON y.tok = x.tok AND x.id < y.id
+      |  GROUP BY 1, 2),
+      |st AS (SELECT CAST(sum(cbs) AS BIGINT) AS total_cbs,
+      |              CAST(count(*) AS BIGINT) AS n_pairs FROM pairs)
+      |SELECT cbs, (cbs * n_pairs >= total_cbs) AS kept,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       first(id1 ORDER BY id1, id2) AS min_id1,
+      |       first(id2 ORDER BY id1, id2) AS min_id2
+      |FROM pairs, st
+      |GROUP BY 1, 2 ORDER BY cbs""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "block_meta" -> (blockMeta _),
     "block_phonetic" -> (blockPhonetic _),
     "block_standard" -> (blockStandard _),
     "block_token" -> (blockToken _),
@@ -232,6 +292,7 @@ object BlockQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "block_meta" -> blockMetaOracle,
     "block_phonetic" -> blockPhoneticOracle,
     "block_standard" -> blockStandardOracle,
     "block_token" -> blockTokenOracle,

@@ -337,6 +337,30 @@ object ProfileQueries {
 
   val profileFdOracle: String = Profiler.sqlFunctionalDeps("orders", FdCols)
 
+  /** (attr label, table, column) refs for the IND/FK-discovery demo:
+    * the real TPC-H foreign keys (o_custkey → c_custkey, c/s_nationkey
+    * → n_nationkey, n_regionkey → r_regionkey) next to the reverse
+    * directions, which mostly do NOT hold (customers without orders).
+    */
+  val IndRefs = Seq(
+    ("orders.o_custkey", "orders", "o_custkey"),
+    ("customer.c_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey", "customer", "c_nationkey"),
+    ("supplier.s_nationkey", "supplier", "s_nationkey"),
+    ("nation.n_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey", "nation", "n_regionkey"),
+    ("region.r_regionkey", "region", "r_regionkey"))
+
+  /** Cross-table inclusion-dependency discovery (Profiler.inclusionDeps)
+    * over the TPC-H key columns — finds every FK edge of the schema.
+    */
+  def profileInd(s: SparkSession, dir: String): DataFrame =
+    Profiler.inclusionDeps(IndRefs.map { case (attr, table, c) =>
+      (attr, graft.Tables.t(s, dir, table), c)
+    })
+
+  val profileIndOracle: String = Profiler.sqlInclusionDeps(IndRefs)
+
   /** Deequ-style constraint suite over orders: completeness,
     * key uniqueness, domain membership, bounds — one scan, exact milli
     * metrics; the under-200k bound is a deliberately failing check so
@@ -399,6 +423,7 @@ object ProfileQueries {
     "profile_kanon" -> (profileKanon _),
     "profile_checks" -> (profileChecks _),
     "profile_fd" -> (profileFd _),
+    "profile_ind" -> (profileInd _),
     "profile_drift" -> (profileDrift _),
     "profile_quantiles" -> (profileQuantiles _),
     "profile_columns" -> (profileColumns _),
@@ -415,6 +440,7 @@ object ProfileQueries {
     "profile_kanon" -> profileKanonOracle,
     "profile_checks" -> profileChecksOracle,
     "profile_fd" -> profileFdOracle,
+    "profile_ind" -> profileIndOracle,
     "profile_drift" -> profileDriftOracle,
     "profile_quantiles" -> profileQuantilesOracle,
     "profile_compare" -> profileCompareOracle,

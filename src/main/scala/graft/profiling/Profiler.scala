@@ -494,6 +494,70 @@ object Profiler {
        |ORDER BY check_name""".stripMargin
   }
 
+  /** Cross-table inclusion-dependency (foreign-key candidate)
+    * discovery: for every ordered attribute pair (A, B), does
+    * values(A) ⊆ values(B)? The schema-profiling step that finds the
+    * join keys BEFORE anyone writes a join.
+    *
+    * The published at-scale shape (SPIDER / S-INDD family): ONE
+    * distinct (attr, value) frame unioned across inputs — each side's
+    * dedup runs where the data is — then one groupBy(value) builds the
+    * attribute set per value; a value REFUTES A ⊆ B iff A is in its
+    * set and B is not. Every shuffle key is a value; the per-value
+    * state is bounded by the attribute count (schema-sized, never
+    * data-sized — even a value present in every input carries at most
+    * |attrs| entries), and the output is |attrs|²-bounded. No per-pair
+    * scans, no k² joins: one scan per input + two shuffles total.
+    *
+    * `inputs`: (attrName, frame, column) triples; values compare as
+    * strings with NULLs folded to a sentinel so nullable FK columns
+    * participate (a NULL FK does not refute containment in SQL
+    * semantics — mirrored here by comparing the sentinel like any
+    * value, identically in the oracle).
+    */
+  def inclusionDeps(inputs: Seq[(String, DataFrame, String)]): DataFrame = {
+    require(inputs.size >= 2)
+    val attrNames = inputs.map(_._1)
+    val d = inputs.map { case (attr, df, c) =>
+      df.select(lit(attr).as("attr"),
+        coalesce(col(c).cast("string"), lit("NULL")).as("v")).distinct()
+    }.reduce(_.unionByName(_))
+    val byValue = d.groupBy("v").agg(collect_set("attr").as("attrs"))
+    byValue
+      .select(explode(col("attrs")).as("lhs"), col("attrs"))
+      .select(col("lhs"), col("attrs"),
+        explode(array(attrNames.map(lit): _*)).as("rhs"))
+      .filter(col("lhs") =!= col("rhs"))
+      .groupBy("lhs", "rhs")
+      .agg(count(lit(1)).as("n_lhs_values"),
+        sum(when(array_contains(col("attrs"), col("rhs")), 0L).otherwise(1L))
+          .as("n_missing"))
+      .withColumn("holds", col("n_missing") === 0L)
+      .orderBy("lhs", "rhs")
+  }
+
+  /** The identical IND check as DuckDB SQL; `inputs` = (attrName,
+    * tableName, column). Set membership only — list order never
+    * observed, so collect_set vs list(DISTINCT) cannot diverge.
+    */
+  def sqlInclusionDeps(inputs: Seq[(String, String, String)]): String = {
+    val sides = inputs.map { case (attr, table, c) =>
+      s"SELECT DISTINCT '$attr' AS attr, coalesce(CAST($c AS VARCHAR), 'NULL') AS v FROM $table"
+    }.mkString("\nUNION ALL\n")
+    val attrList = inputs.map(i => s"'${i._1}'").mkString(", ")
+    s"""WITH d AS (
+       |$sides),
+       |bv AS (SELECT v, list(DISTINCT attr) AS attrs FROM d GROUP BY v),
+       |e AS (SELECT unnest(attrs) AS lhs, attrs FROM bv),
+       |p AS (SELECT e.lhs, r.rhs, e.attrs
+       |      FROM e, (SELECT unnest([$attrList]) AS rhs) r
+       |      WHERE e.lhs <> r.rhs)
+       |SELECT lhs, rhs, CAST(count(*) AS BIGINT) AS n_lhs_values,
+       |  CAST(sum(CASE WHEN list_contains(attrs, rhs) THEN 0 ELSE 1 END) AS BIGINT) AS n_missing,
+       |  (sum(CASE WHEN list_contains(attrs, rhs) THEN 0 ELSE 1 END) = 0) AS holds
+       |FROM p GROUP BY 1, 2 ORDER BY lhs, rhs""".stripMargin
+  }
+
   /** The identical FD check as DuckDB SQL over a table name. */
   def sqlFunctionalDeps(table: String, cols: Seq[String]): String = {
     val items = cols.map(c =>
