@@ -1107,7 +1107,78 @@ object ExtraQueries {
       |FROM t JOIN tot USING (from_type)
       |ORDER BY from_type, to_type""".stripMargin
 
+  /** RFM customer segmentation (recency / frequency / monetary) — the
+    * standard behavioral-scoring rollup. Per-user aggregates from ONE
+    * purchase scan; each dimension scored 1–3 against exact-tertile
+    * cutoffs computed by [[graft.profiling.Profiler.quantilesDisc]]
+    * (distributed selection — no single-task percentile buffer, no
+    * global ntile window), broadcast back as a 1-row frame; final
+    * segment rollup is 27-bounded. Cutoff comparisons are pure integer
+    * (epoch-µs, counts, cents) and the rank law is the engine/oracle-
+    * shared ceil(q·n/1000) — bit-identical segmentation at any scale.
+    */
+  def eventsRfm(s: SparkSession, dir: String): DataFrame = {
+    import graft.profiling.Profiler
+    val users = events(s, dir).filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("tsu"),
+        cents(col("value")).as("val_c"))
+      .groupBy("user_id")
+      .agg(max("tsu").as("recency_us"), count(lit(1)).as("frequency"),
+        sum("val_c").as("monetary_c"))
+      .persist()
+    def cuts(c: String) = Profiler.quantilesDisc(users, c, col(c), Seq(333, 667))
+      .agg(max(when(col("q_milli") === 333, col("value"))).as(s"${c}_t1"),
+        max(when(col("q_milli") === 667, col("value"))).as(s"${c}_t2"))
+    def score(c: String) =
+      (lit(1L) + (col(c) > col(s"${c}_t1")).cast("long") +
+        (col(c) > col(s"${c}_t2")).cast("long")).as(s"${c.take(1)}_score")
+    val out = users
+      .crossJoin(broadcast(cuts("recency_us")))
+      .crossJoin(broadcast(cuts("frequency")))
+      .crossJoin(broadcast(cuts("monetary_c")))
+      .select(col("user_id"), col("monetary_c"),
+        score("recency_us"), score("frequency"), score("monetary_c"))
+      .groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_users"),
+        centsToDouble(sum("monetary_c")).as("revenue"))
+      .orderBy("r_score", "f_score", "m_score")
+      .localCheckpoint(true) // eager: users persist released below
+    users.unpersist(false)
+    out
+  }
+
+  val eventsRfmOracle: String =
+    """WITH u AS (
+      |  SELECT user_id, CAST(max(epoch_us(ts)) AS BIGINT) AS recency_us,
+      |         CAST(count(*) AS BIGINT) AS frequency,
+      |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS monetary_c
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS c FROM u),
+      |cr AS (SELECT
+      |  (SELECT recency_us FROM (SELECT recency_us, row_number() OVER (ORDER BY recency_us) AS rk FROM u) x, n
+      |   WHERE rk = greatest((333 * n.c + 999) // 1000, 1)) AS r_t1,
+      |  (SELECT recency_us FROM (SELECT recency_us, row_number() OVER (ORDER BY recency_us) AS rk FROM u) x, n
+      |   WHERE rk = greatest((667 * n.c + 999) // 1000, 1)) AS r_t2,
+      |  (SELECT frequency FROM (SELECT frequency, row_number() OVER (ORDER BY frequency) AS rk FROM u) x, n
+      |   WHERE rk = greatest((333 * n.c + 999) // 1000, 1)) AS f_t1,
+      |  (SELECT frequency FROM (SELECT frequency, row_number() OVER (ORDER BY frequency) AS rk FROM u) x, n
+      |   WHERE rk = greatest((667 * n.c + 999) // 1000, 1)) AS f_t2,
+      |  (SELECT monetary_c FROM (SELECT monetary_c, row_number() OVER (ORDER BY monetary_c) AS rk FROM u) x, n
+      |   WHERE rk = greatest((333 * n.c + 999) // 1000, 1)) AS m_t1,
+      |  (SELECT monetary_c FROM (SELECT monetary_c, row_number() OVER (ORDER BY monetary_c) AS rk FROM u) x, n
+      |   WHERE rk = greatest((667 * n.c + 999) // 1000, 1)) AS m_t2),
+      |scored AS (
+      |  SELECT monetary_c,
+      |    1 + CAST(recency_us > r_t1 AS BIGINT) + CAST(recency_us > r_t2 AS BIGINT) AS r_score,
+      |    1 + CAST(frequency > f_t1 AS BIGINT) + CAST(frequency > f_t2 AS BIGINT) AS f_score,
+      |    1 + CAST(monetary_c > m_t1 AS BIGINT) + CAST(monetary_c > m_t2 AS BIGINT) AS m_score
+      |  FROM u, cr)
+      |SELECT r_score, f_score, m_score, CAST(count(*) AS BIGINT) AS n_users,
+      |       CAST(sum(monetary_c) AS DOUBLE) / 100.0 AS revenue
+      |FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_rfm" -> (eventsRfm _),
     "mine_itemsets" -> (mineItemsets _),
     "events_markov" -> (eventsMarkov _),
     "events_sessionize" -> (eventsSessionize _),
@@ -1141,6 +1212,7 @@ object ExtraQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "events_rfm" -> eventsRfmOracle,
     "mine_itemsets" -> mineItemsetsOracle,
     "events_markov" -> eventsMarkovOracle,
     "events_sessionize" -> eventsSessionizeOracle,

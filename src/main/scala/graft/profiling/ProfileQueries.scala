@@ -419,7 +419,90 @@ object ProfileQueries {
       |  CAST(sum(class_size) AS BIGINT) AS n_rows
       |FROM c""".stripMargin
 
+  /** l-diversity audit (l = 3) over the same QI set as
+    * [[profileKanon]], with account-balance sign+bucket as the
+    * sensitive attribute: a QI class is l-diverse iff it contains ≥ l
+    * DISTINCT sensitive values — k-anonymity alone does not stop
+    * attribute disclosure when a large class is homogeneous (the
+    * classic homogeneity attack, Machanavajjhala et al. 2007). ONE
+    * groupBy(QI) with count + countDistinct(sensitive) — same
+    * |QI-domain|-bounded shape as the k-anon audit, never row-bounded.
+    */
+  def profileLdiv(s: SparkSession, dir: String): DataFrame = {
+    val l = 3L
+    val sens = (col("c_acctbal") < 0).cast("long") * 10 +
+      floor(col("c_acctbal") / lit(2000.0)).cast("long")
+    val classes = customer(s, dir)
+      .groupBy("c_nationkey", "c_mktsegment")
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(sens).as("n_sensitive"))
+    classes.agg(
+      count(lit(1)).as("n_classes"),
+      sum(when(col("n_sensitive") < l, 1L).otherwise(0L)).as("n_undiverse_classes"),
+      sum(when(col("n_sensitive") < l, col("class_size")).otherwise(0L))
+        .as("n_rows_at_risk"),
+      min("n_sensitive").as("min_diversity"),
+      max("n_sensitive").as("max_diversity"))
+  }
+
+  val profileLdivOracle: String =
+    """WITH c AS (
+      |  SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS class_size,
+      |    CAST(count(DISTINCT CAST(c_acctbal < 0 AS BIGINT) * 10 +
+      |      CAST(floor(c_acctbal / 2000.0) AS BIGINT)) AS BIGINT) AS n_sensitive
+      |  FROM customer GROUP BY 1, 2)
+      |SELECT CAST(count(*) AS BIGINT) AS n_classes,
+      |  CAST(sum(CASE WHEN n_sensitive < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_undiverse_classes,
+      |  CAST(sum(CASE WHEN n_sensitive < 3 THEN class_size ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
+      |  min(n_sensitive) AS min_diversity,
+      |  max(n_sensitive) AS max_diversity
+      |FROM c""".stripMargin
+
+  /** Benford's-law first-digit audit over order totals — the classic
+    * fabricated-numbers screen (forensic accounting, synthetic-data
+    * detection). First significant digit via string head of the cents
+    * integer (no float log10 — engine-exact); observed per-digit counts
+    * + exact-milli frequencies next to the Benford expectation
+    * (log10(1+1/d), constant-folded as literal milli values so no
+    * runtime transcendental). ONE scan, 9-row output at any scale.
+    */
+  def profileBenford(s: SparkSession, dir: String): DataFrame = {
+    // 1000 * log10(1 + 1/d), d = 1..9 — fixed constants of the law
+    val benfordMilli = Seq(301L, 176L, 124L, 96L, 79L, 66L, 57L, 51L, 45L)
+    val exp = element_at(array(benfordMilli.map(lit): _*),
+      col("digit").cast("int"))
+    val d = graft.Tables.orders(s, dir)
+      .select(substring(graft.Tables.cents(col("o_totalprice")).cast("string"), 1, 1)
+        .as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val tot = d.agg(sum("n").as("total"))
+    d.crossJoin(broadcast(tot)) // 1-row stats frame
+      .select(col("digit"), col("n"),
+        expr("n * 1000 div total").as("freq_milli"),
+        exp.as("benford_milli"))
+      .withColumn("dev_milli", abs(col("freq_milli") - col("benford_milli")))
+      .orderBy("digit")
+  }
+
+  val profileBenfordOracle: String =
+    """WITH d AS (
+      |  SELECT substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS digit,
+      |         CAST(count(*) AS BIGINT) AS n
+      |  FROM orders GROUP BY 1),
+      |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM d)
+      |SELECT digit, n, n * 1000 // total AS freq_milli,
+      |  CAST(CASE digit WHEN '1' THEN 301 WHEN '2' THEN 176 WHEN '3' THEN 124
+      |       WHEN '4' THEN 96 WHEN '5' THEN 79 WHEN '6' THEN 66 WHEN '7' THEN 57
+      |       WHEN '8' THEN 51 WHEN '9' THEN 45 END AS BIGINT) AS benford_milli,
+      |  abs(n * 1000 // total -
+      |      CAST(CASE digit WHEN '1' THEN 301 WHEN '2' THEN 176 WHEN '3' THEN 124
+      |       WHEN '4' THEN 96 WHEN '5' THEN 79 WHEN '6' THEN 66 WHEN '7' THEN 57
+      |       WHEN '8' THEN 51 WHEN '9' THEN 45 END AS BIGINT)) AS dev_milli
+      |FROM d, t ORDER BY digit""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "profile_benford" -> (profileBenford _),
+    "profile_ldiv" -> (profileLdiv _),
     "profile_kanon" -> (profileKanon _),
     "profile_checks" -> (profileChecks _),
     "profile_fd" -> (profileFd _),
@@ -437,6 +520,8 @@ object ProfileQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "profile_benford" -> profileBenfordOracle,
+    "profile_ldiv" -> profileLdivOracle,
     "profile_kanon" -> profileKanonOracle,
     "profile_checks" -> profileChecksOracle,
     "profile_fd" -> profileFdOracle,

@@ -118,6 +118,44 @@ class Round8cSpec extends AnyFunSuite {
     assert(grand.length == 1 && grand.head == detail && byFlag == detail)
   }
 
+  test("profile_ldiv: risk counts reconcile; diversity bounded by class size") {
+    val r = graft.profiling.ProfileQueries.profileLdiv(spark, sf).collect()(0)
+    val (nClasses, undiverse, atRisk) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(undiverse <= nClasses && atRisk >= undiverse) // ≥1 row per class
+    assert(r.getLong(3) >= 1L && r.getLong(4) >= r.getLong(3))
+  }
+
+  test("profile_benford: digits 1-9 partition all orders; law constants attached") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rows = graft.profiling.ProfileQueries.profileBenford(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq.sorted == (1 to 9).map(_.toString))
+    assert(rows.map(_.getLong(1)).sum == Tables.orders(spark, sf).count())
+    val law = Map("1" -> 301L, "2" -> 176L, "3" -> 124L, "4" -> 96L,
+      "5" -> 79L, "6" -> 66L, "7" -> 57L, "8" -> 51L, "9" -> 45L)
+    rows.foreach(r => assert(r.getLong(3) == law(r.getString(0))))
+  }
+
+  test("events_rfm: segments partition users; scores in 1..3; tertiles roughly balance") {
+    val rows = ExtraQueries.eventsRfm(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val purchasers = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select("user_id").distinct().count()
+    assert(rows.map(_._4).sum == purchasers)
+    rows.foreach { case (a, b, c, _) =>
+      assert(Seq(a, b, c).forall(x => x >= 1 && x <= 3)) }
+    // each dimension actually discriminates (≥2 distinct scores; ties
+    // at both tertile cutoffs can legitimately empty the middle band)
+    for (dim <- 0 to 2) {
+      val marg = rows.groupBy(r => dim match {
+        case 0 => r._1; case 1 => r._2; case _ => r._3
+      }).view.mapValues(_.map(_._4).sum).toMap
+      assert(marg.keySet.subsetOf(Set(1L, 2L, 3L)) && marg.size >= 2,
+        s"dim $dim marginals: $marg")
+    }
+  }
+
   test("events_attribution: buckets partition all purchases; revenue reconciles") {
     val spark2 = spark
     import spark2.implicits._
