@@ -1068,6 +1068,66 @@ object ExtraQueries {
       |SELECT * FROM pairs
       |ORDER BY support DESC, item1, item2 LIMIT 100""".stripMargin
 
+  /** Association rules over the [[mineItemsets]] support core:
+    * confidence(a→b) = sup(a,b)/sup(a) and lift = conf·N/sup(b), both
+    * in exact integer milli (floor-divided products of counts — no
+    * float ratios, no engine drift). Item supports and the basket
+    * count re-aggregate the SAME distinct-items frame the pair counts
+    * use (one persisted scan feeds all three); each directed rule is
+    * one broadcast-joined lookup against the items-bounded support
+    * frame. Top-50 by (lift, conf, rule) total order.
+    */
+  def mineAssocRules(s: SparkSession, dir: String): DataFrame = {
+    val items = lineitem(s, dir)
+      .select(col("l_orderkey").as("oid"), col("l_partkey").as("item"))
+      .distinct()
+      .persist()
+    try {
+      val small = items.groupBy("oid").agg(count(lit(1)).as("k"))
+        .filter(col("k") <= 20).select("oid")
+      val basket = items.join(small, "oid")
+      val nBaskets = small.agg(count(lit(1)).as("n_baskets"))
+      val sup = basket.groupBy("item").agg(count(lit(1)).as("sup"))
+      val pairs = basket.as("x").join(basket.as("y"),
+          col("x.oid") === col("y.oid") && col("x.item") =!= col("y.item"))
+        .groupBy(col("x.item").as("ante"), col("y.item").as("cons"))
+        .agg(count(lit(1)).as("sup_ab"))
+        .filter(col("sup_ab") >= 2)
+      val out = pairs
+        .join(sup.select(col("item").as("ante"), col("sup").as("sup_a")), "ante")
+        .join(sup.select(col("item").as("cons"), col("sup").as("sup_b")), "cons")
+        .crossJoin(broadcast(nBaskets)) // 1-row stats frame
+        .select(col("ante"), col("cons"), col("sup_ab"),
+          expr("sup_ab * 1000 div sup_a").as("conf_milli"),
+          expr("sup_ab * n_baskets * 1000 div (sup_a * sup_b)").as("lift_milli"))
+        .orderBy(col("lift_milli").desc, col("conf_milli").desc,
+          col("ante"), col("cons"))
+        .limit(50)
+        .localCheckpoint(true) // eager: items persist released below
+      out
+    } finally items.unpersist(false)
+  }
+
+  val mineAssocRulesOracle: String =
+    """WITH items AS (SELECT DISTINCT l_orderkey AS oid, l_partkey AS item
+      |               FROM lineitem),
+      |small AS (SELECT oid FROM items GROUP BY oid HAVING count(*) <= 20),
+      |basket AS (SELECT i.oid, i.item FROM items i JOIN small USING (oid)),
+      |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_baskets FROM small),
+      |sup AS (SELECT item, CAST(count(*) AS BIGINT) AS sup FROM basket GROUP BY 1),
+      |pairs AS (
+      |  SELECT x.item AS ante, y.item AS cons, CAST(count(*) AS BIGINT) AS sup_ab
+      |  FROM basket x JOIN basket y ON y.oid = x.oid AND x.item <> y.item
+      |  GROUP BY 1, 2 HAVING count(*) >= 2)
+      |SELECT ante, cons, sup_ab,
+      |  sup_ab * 1000 // a.sup AS conf_milli,
+      |  sup_ab * n_baskets * 1000 // (a.sup * b.sup) AS lift_milli
+      |FROM pairs
+      |JOIN sup a ON a.item = ante
+      |JOIN sup b ON b.item = cons
+      |CROSS JOIN nb
+      |ORDER BY lift_milli DESC, conf_milli DESC, ante, cons LIMIT 50""".stripMargin
+
   /** First-order Markov transition matrix over per-user event
     * sequences — the behavioral-model fit (next-event prediction,
     * anomaly scoring) every event pipeline runs. ONE user-keyed window
@@ -1180,6 +1240,7 @@ object ExtraQueries {
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_rfm" -> (eventsRfm _),
     "mine_itemsets" -> (mineItemsets _),
+    "mine_assoc_rules" -> (mineAssocRules _),
     "events_markov" -> (eventsMarkov _),
     "events_sessionize" -> (eventsSessionize _),
     "events_attribution" -> (eventsAttribution _),
@@ -1214,6 +1275,7 @@ object ExtraQueries {
   def oracles: Map[String, String] = Map(
     "events_rfm" -> eventsRfmOracle,
     "mine_itemsets" -> mineItemsetsOracle,
+    "mine_assoc_rules" -> mineAssocRulesOracle,
     "events_markov" -> eventsMarkovOracle,
     "events_sessionize" -> eventsSessionizeOracle,
     "events_attribution" -> eventsAttributionOracle,
