@@ -192,15 +192,15 @@ class ScaleStressSpec extends AnyFunSuite {
     names.zip(ratios).zipWithIndex.foreach { case ((nm, rt), i) =>
       info(f"$nm%-24s small=${tS(i)}%6.2fs big=${tB(i)}%6.2fs ratio=$rt%5.1f× (linear=10×)")
     }
-    // ~linear: a quadratic generator would be ~100×; allow 1.5× of
-    // linear plus timer-noise headroom on a busy box. The ROW-COUNT
-    // asserts above are the exact linearity proof; the wall-clock
-    // ratio is a backstop only, so exempt runs whose BIG side is
-    // absolutely small (< 6 s) — a 0.09 s small run under suite
-    // contention can "grow" 50× into a 4 s big run on pure GC/timer
-    // noise, which is not a scaling signal (observed r8).
+    // The ROW-COUNT asserts above are the exact linearity proof; the
+    // wall-clock ratio is a coarse backstop ONLY. A genuinely
+    // quadratic generator lands ~100×; suite contention (GC of ~20
+    // earlier suites' state, parallel stages) was measured inflating
+    // honest runs to 18× in-suite vs ~3× solo (r8, twice), so the
+    // ceiling is 30× plus an absolute-size exemption — still an order
+    // of magnitude below quadratic, no longer a coin-flip.
     ratios.zip(names).zipWithIndex.foreach { case ((rt, nm), i) =>
-      assert(rt < 15.0 || tB(i) < 6.0,
+      assert(rt < 30.0 || tB(i) < 6.0,
         s"$nm grew ${rt}× from N to 10N — super-linear")
     }
   }
@@ -294,10 +294,10 @@ class ScaleStressSpec extends AnyFunSuite {
       info(f"$nm%-20s small=${tS(i)}%6.2fs big=${tB(i)}%6.2fs ratio=$rt%5.1f× (linear=10×)")
     }
     // same backstop semantics as the pair-generator test: the row
-    // counts above are the exact linearity proof; exempt absolutely-
-    // small big runs from the wall-clock ratio (contention noise, r8)
+    // counts above are the exact linearity proof; 30× ceiling +
+    // absolute-size exemption (in-suite contention measured 18×, r8)
     ratios.zip(names).zipWithIndex.foreach { case ((rt, nm), i) =>
-      assert(rt < 15.0 || tB(i) < 6.0,
+      assert(rt < 30.0 || tB(i) < 6.0,
         s"$nm grew ${rt}× from N to 10N — super-linear")
     }
   }
