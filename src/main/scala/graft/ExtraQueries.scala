@@ -1167,6 +1167,35 @@ object ExtraQueries {
       |FROM t JOIN tot USING (from_type)
       |ORDER BY from_type, to_type""".stripMargin
 
+  /** Daily activity pivot (long → wide), the pandas `pivot_table`
+    * idiom: one row per day, one count column per event type. The
+    * pivot values are EXPLICIT — Spark's two-pass value discovery is
+    * itself a full scan, and an unbounded pivot column is a schema
+    * explosion at 100 TB; a declared domain keeps it one groupBy with
+    * map-side combine, days-bounded output. Missing cells coalesce to
+    * 0 exactly like the oracle's conditional sums.
+    */
+  def eventsPivot(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val e = events(s, dir)
+      .select(to_date(col("ts")).as("day"), col("event_type"))
+    val wide = e.groupBy("day")
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+    wide.select(col("day") +: types.map(t =>
+        coalesce(col(s"`$t`"), lit(0L)).as(s"n_$t")): _*)
+      .orderBy("day")
+  }
+
+  val eventsPivotOracle: String =
+    """SELECT CAST(ts AS DATE) AS day,
+      |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+      |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+      |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+      |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+      |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+      |FROM events GROUP BY 1 ORDER BY day""".stripMargin
+
   /** RFM customer segmentation (recency / frequency / monetary) — the
     * standard behavioral-scoring rollup. Per-user aggregates from ONE
     * purchase scan; each dimension scored 1–3 against exact-tertile
@@ -1239,6 +1268,7 @@ object ExtraQueries {
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_rfm" -> (eventsRfm _),
+    "events_pivot" -> (eventsPivot _),
     "mine_itemsets" -> (mineItemsets _),
     "mine_assoc_rules" -> (mineAssocRules _),
     "events_markov" -> (eventsMarkov _),
@@ -1274,6 +1304,7 @@ object ExtraQueries {
 
   def oracles: Map[String, String] = Map(
     "events_rfm" -> eventsRfmOracle,
+    "events_pivot" -> eventsPivotOracle,
     "mine_itemsets" -> mineItemsetsOracle,
     "mine_assoc_rules" -> mineAssocRulesOracle,
     "events_markov" -> eventsMarkovOracle,

@@ -15,6 +15,20 @@ import org.apache.spark.sql.functions._
   */
 object Profiler {
 
+  /** Unpivot a 1-row aggregate frame into one row per entry WITHOUT
+    * a union of per-column selects: a union's branches are separate
+    * subtrees to Catalyst (no cross-branch CSE), so `k` branches over
+    * the same agg re-run the scan+aggregate `k` times — measured by
+    * PlanShapeSpec as k parquet scans where one suffices, which at
+    * 100 TB is the difference between one pass and k passes. Exploding
+    * an array of structs over the single agg row keeps ONE scan and
+    * one aggregate in the plan. All struct branches must share field
+    * names/types (they do: each profiler's per-column output schema is
+    * uniform by construction).
+    */
+  private def unpivotAgg(agg: DataFrame, rows: Seq[Column]): DataFrame =
+    agg.select(explode(array(rows: _*)).as("__m")).select(col("__m.*"))
+
   def profile(df: DataFrame): DataFrame = {
     val metrics = df.columns.toSeq.flatMap { c =>
       val sc = col(c).cast("string")
@@ -26,16 +40,15 @@ object Profiler {
         max(sc).as(s"__max_$c"))
     }
     val agg = df.agg(metrics.head, metrics.tail: _*)
-    val stacked = df.columns.toSeq.map { c =>
-      agg.select(
+    unpivotAgg(agg, df.columns.toSeq.map { c =>
+      struct(
         lit(c).as("column_name"),
         col(s"__n_$c").as("n_rows"),
         col(s"__nulls_$c").as("n_nulls"),
         col(s"__dist_$c").as("n_distinct"),
         col(s"__min_$c").as("min_value"),
         col(s"__max_$c").as("max_value"))
-    }
-    stacked.reduce(_.unionByName(_))
+    })
   }
 
   /** DataProfiler.summary (profiler.py:108): dataset-level row/column/
@@ -50,15 +63,15 @@ object Profiler {
       sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"))
     val agg = df.agg(metrics.head, metrics.tail: _*)
     val total = cols.map(c => col(s"__nulls_$c")).reduce(_ + _)
-    cols.map { c =>
-      agg.select(
+    unpivotAgg(agg, cols.map { c =>
+      struct(
         lit(c).as("column_name"),
         lit(df.schema(c).dataType.catalogString).as("dtype"),
         col(s"__nulls_$c").as("n_nulls"),
         col("__n").as("n_rows"),
         lit(cols.size.toLong).as("n_cols"),
         total.as("nulls_total"))
-    }.reduce(_.unionByName(_))
+    })
   }
 
   /** Numeric `describe()` face of the profiler (pandas describe
@@ -90,11 +103,11 @@ object Profiler {
         percentile(x, array(lit(0.25), lit(0.5), lit(0.75))).as(s"__q_$c"))
     }
     val agg = df.agg(metrics.head, metrics.tail: _*)
-    cols.map { c =>
+    unpivotAgg(agg, cols.map { c =>
       val n = col(s"__n_$c").cast("double")
       val s = col(s"__s_$c").cast("double")
       val s2 = col(s"__s2_$c").cast("double")
-      agg.select(
+      struct(
         lit(c).as("column_name"),
         col(s"__n_$c").as("n"),
         (s / n).as("mean"),
@@ -104,7 +117,7 @@ object Profiler {
         element_at(col(s"__q_$c"), 2).as("median"),
         element_at(col(s"__q_$c"), 3).as("q75"),
         col(s"__max_$c").cast("double").as("max_value"))
-    }.reduce(_.unionByName(_))
+    })
   }
 
   /** Pearson correlation matrix over INTEGRAL columns (scale decimals
@@ -141,7 +154,7 @@ object Profiler {
     }
     val metrics = count(lit(1)).as("__n") +: (singles ++ crosses)
     val agg = df.agg(metrics.head, metrics.tail: _*)
-    pairs.map { case (a, b) =>
+    unpivotAgg(agg, pairs.map { case (a, b) =>
       val n = col("__n").cast("double")
       val sa = col(s"__s_$a").cast("double")
       val sb = col(s"__s_$b").cast("double")
@@ -149,13 +162,13 @@ object Profiler {
       val sbb = col(s"__s2_$b").cast("double")
       val sab = col(s"__x_${a}_$b").cast("double")
       val den = sqrt(n * saa - sa * sa) * sqrt(n * sbb - sb * sb)
-      agg.select(
+      struct(
         lit(a).as("col_x"),
         lit(b).as("col_y"),
         col("__n").cast("long").as("n"),
         when(den === 0.0, lit(null).cast("double"))
           .otherwise((n * sab - sa * sb) / den).as("corr"))
-    }.reduce(_.unionByName(_))
+    })
   }
 
   /** Mutual information between two categorical columns — the
@@ -237,15 +250,15 @@ object Profiler {
         max(sc).as(s"__max_$c"))
     }
     val agg = df.agg(metrics.head, metrics.tail: _*)
-    df.columns.toSeq.map { c =>
-      agg.select(
+    unpivotAgg(agg, df.columns.toSeq.map { c =>
+      struct(
         lit(c).as("column_name"),
         col(s"__n_$c").as("n_rows"),
         col(s"__nulls_$c").as("n_nulls"),
         col(s"__dist_$c").as("n_distinct_approx"),
         col(s"__min_$c").as("min_value"),
         col(s"__max_$c").as("max_value"))
-    }.reduce(_.unionByName(_))
+    })
   }
 
   /** Two-dataset comparison (profiler.py `compare`, statistics core):
@@ -260,18 +273,33 @@ object Profiler {
     val pb = profile(b.select(common.map(col): _*))
       .select(col("column_name"), col("n_rows").as("b_rows"),
         col("n_nulls").as("b_nulls"), col("n_distinct").as("b_distinct"))
-    val overlap = common.map { c =>
-      val av = a.select(col(c).cast("string").as("v")).filter(col("v").isNotNull).distinct()
-      val bv = b.select(col(c).cast("string").as("v")).filter(col("v").isNotNull).distinct()
-      val i = av.join(bv, "v").agg(count(lit(1)).as("_i"))
-      val na = av.agg(count(lit(1)).as("_na"))
-      val nb = bv.agg(count(lit(1)).as("_nb"))
-      i.crossJoin(na).crossJoin(nb)
-        .select(lit(c).as("column_name"),
-          round(col("_i") / greatest(col("_na") + col("_nb") - col("_i"), lit(1L)), 5)
-            .as("value_jaccard"))
-    }.reduce(_.unionByName(_))
-    pa.join(pb, "column_name").join(overlap, "column_name")
+    // ONE (column, value) explode per side (was a distinct pipeline
+    // per column per side = 2·k scans): each side is scanned once,
+    // deduped on (column, value), and every column's Jaccard falls out
+    // of one join + column-keyed counts — the same SPIDER shape as
+    // inclusionDeps. Division is long/long → double, identical to the
+    // per-column original.
+    def sideValues(df: DataFrame) = df
+      .select(explode(array(common.map(c =>
+        struct(lit(c).as("column_name"), col(c).cast("string").as("v"))): _*)).as("m"))
+      .select(col("m.*")).filter(col("v").isNotNull).distinct()
+    val av = sideValues(a)
+    val bv = sideValues(b)
+    val na = av.groupBy("column_name").agg(count(lit(1)).as("_na"))
+    val nb = bv.groupBy("column_name").agg(count(lit(1)).as("_nb"))
+    val ii = av.join(bv, Seq("column_name", "v"))
+      .groupBy("column_name").agg(count(lit(1)).as("_i"))
+    val overlap = na.join(nb, Seq("column_name"), "full")
+      .join(ii, Seq("column_name"), "left")
+      .select(col("column_name"),
+        round(coalesce(col("_i"), lit(0L)) /
+          greatest(coalesce(col("_na"), lit(0L)) + coalesce(col("_nb"), lit(0L))
+            - coalesce(col("_i"), lit(0L)), lit(1L)), 5)
+          .as("value_jaccard"))
+    pa.join(pb, "column_name").join(overlap, Seq("column_name"), "left")
+      // an all-null column has no (column, value) rows at all — its
+      // Jaccard is 0, exactly as the per-column original computed
+      .withColumn("value_jaccard", coalesce(col("value_jaccard"), lit(0.0)))
   }
 
   /** Population Stability Index drift monitor — the standard

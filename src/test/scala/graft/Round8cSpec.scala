@@ -156,6 +156,21 @@ class Round8cSpec extends AnyFunSuite {
     }
   }
 
+  test("mine_assoc_rules: lift is direction-symmetric; confidence bounded by 1000") {
+    val rows = ExtraQueries.mineAssocRules(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3), r.getLong(4))))
+    assert(rows.nonEmpty)
+    val m = rows.toMap
+    rows.foreach { case ((a, b), (supAb, conf, lift)) =>
+      assert(conf >= 0L && conf <= 1000L && supAb >= 2L)
+      // lift = sup_ab·N/(sup_a·sup_b) is symmetric in (a, b); when the
+      // reverse rule also survived the top-50 cut they must agree
+      m.get((b, a)).foreach { case (s2, _, l2) =>
+        assert(s2 == supAb && l2 == lift, s"asymmetric lift for ($a,$b)")
+      }
+    }
+  }
+
   test("events_attribution: buckets partition all purchases; revenue reconciles") {
     val spark2 = spark
     import spark2.implicits._
