@@ -42,13 +42,16 @@ object Extract {
       sum(col(name).isNotNull.cast("long")).as(s"_m_$name")
     } :+ count(lit(1)).as("_n")
     val row = extracted.agg(aggs.head, aggs.tail: _*)
-    rules.map { case (name, _) =>
-      row.select(
+    // explode the 1-row agg — unioned per-rule selects would re-run the
+    // regex extraction scan once per rule (r8)
+    val entries = rules.map { case (name, _) =>
+      struct(
         lit(name).as("rule"),
         col(s"_m_$name").as("n_matched"),
         round(col(s"_m_$name") / greatest(col("_n"), lit(1L)), 5).as("coverage"),
         (col(s"_m_$name") / greatest(col("_n"), lit(1L)) >= minCoverage).as("kept"))
-    }.reduce(_.unionByName(_))
+    }
+    row.select(explode(array(entries: _*)).as("__m")).select(col("__m.*"))
   }
 
   /** ExtractorPipeline (base.py:215): chain extractors sequentially —

@@ -29,11 +29,15 @@ object SchemaMatch {
     * string-cast values — the instance matcher's column signature.
     */
   def columnValues(df: DataFrame, cols: Seq[String]): DataFrame =
-    cols.map { c =>
-      df.select(lit(c).as("column_name"), col(c).cast("string").as("value"))
-        .filter(col("value").isNotNull)
-        .distinct()
-    }.reduce(_.unionByName(_))
+    // ONE scan: explode (column, value) structs — a union of per-column
+    // selects is k separate scans+distincts of the same input to
+    // Catalyst (no cross-branch CSE); the distinct lands on the stacked
+    // frame either way (r8, same fix as Profiler.unpivotAgg)
+    df.select(explode(array(cols.map(c =>
+        struct(lit(c).as("column_name"), col(c).cast("string").as("value"))): _*)).as("__m"))
+      .select(col("__m.*"))
+      .filter(col("value").isNotNull)
+      .distinct()
 
   /** InstanceBasedSchemaMatcher (instance_based.py:20, binary_occurrence
     * vectors + jaccard): distinct-value-set overlap between every column
@@ -72,10 +76,12 @@ object SchemaMatch {
       avg(when(col(s"l_$lc").cast("string") === col(s"r_$rc").cast("string"), 1.0)
         .otherwise(0.0)).as(s"__ag_${lc}__$rc")
     val row = joined.agg(aggs.head, aggs.tail: _*)
-    val stacked = for (lc <- leftCols; rc <- rightCols) yield
-      row.select(lit(lc).as("col_l"), lit(rc).as("col_r"),
+    // explode the 1-row agg — unioned per-pair selects would re-run the
+    // gold⋈left⋈right join once per attribute pair (r8)
+    val entries = for (lc <- leftCols; rc <- rightCols) yield
+      struct(lit(lc).as("col_l"), lit(rc).as("col_r"),
         round(col(s"__ag_${lc}__$rc"), 5).as("agreement"))
-    stacked.reduce(_.unionByName(_))
+    row.select(explode(array(entries: _*)).as("__m")).select(col("__m.*"))
   }
 
   /** SchemaMappingEvaluator (schemamatching/evaluation.py): P/R/F1 of a
