@@ -1196,6 +1196,29 @@ object ExtraQueries {
       |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
       |FROM events GROUP BY 1 ORDER BY day""".stripMargin
 
+  /** Wide → long melt (`Dataset.unpivot`, the pandas `melt` idiom),
+    * demonstrated as the exact inverse of [[eventsPivot]]: the wide
+    * daily matrix unpivots back to (day, event_type, n) rows. unpivot
+    * is a zero-shuffle projection (each input row fans out to its
+    * value columns in place) — the cheap direction of the pivot pair;
+    * the oracle reproduces it from the long frame directly, proving
+    * the roundtrip loses nothing.
+    */
+  def eventsUnpivot(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    eventsPivot(s, dir)
+      .unpivot(Array(col("day")), types.map(t => col(s"n_$t")).toArray,
+        "event_type", "n")
+      .withColumn("event_type", expr("substring(event_type, 3)"))
+      .filter(col("n") > 0)
+      .orderBy("day", "event_type")
+  }
+
+  val eventsUnpivotOracle: String =
+    """SELECT CAST(ts AS DATE) AS day, event_type,
+      |       CAST(count(*) AS BIGINT) AS n
+      |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
+
   /** RFM customer segmentation (recency / frequency / monetary) — the
     * standard behavioral-scoring rollup. Per-user aggregates from ONE
     * purchase scan; each dimension scored 1–3 against exact-tertile
@@ -1269,6 +1292,7 @@ object ExtraQueries {
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_rfm" -> (eventsRfm _),
     "events_pivot" -> (eventsPivot _),
+    "events_unpivot" -> (eventsUnpivot _),
     "mine_itemsets" -> (mineItemsets _),
     "mine_assoc_rules" -> (mineAssocRules _),
     "events_markov" -> (eventsMarkov _),
@@ -1305,6 +1329,7 @@ object ExtraQueries {
   def oracles: Map[String, String] = Map(
     "events_rfm" -> eventsRfmOracle,
     "events_pivot" -> eventsPivotOracle,
+    "events_unpivot" -> eventsUnpivotOracle,
     "mine_itemsets" -> mineItemsetsOracle,
     "mine_assoc_rules" -> mineAssocRulesOracle,
     "events_markov" -> eventsMarkovOracle,
