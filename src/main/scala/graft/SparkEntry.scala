@@ -246,7 +246,35 @@ object CoreQueries {
       |ORDER BY g_flag, g_status,
       |  l_returnflag ASC NULLS LAST, l_linestatus ASC NULLS LAST""".stripMargin
 
+  /** NOT EXISTS as a left-anti join — lapsed customers (no order since
+    * 1998), rolled up per nation. The anti join is the plan Spark picks for
+    * NOT EXISTS subqueries: one hash shuffle per side, no row
+    * explosion, null-safe by construction (unlike NOT IN, whose
+    * three-valued NULL semantics silently empty the result — the
+    * classic SQL trap this query documents by NOT using it).
+    */
+  def q5AntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+    val o = orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1998-01-01"))
+      .select(col("o_custkey"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_lapsed"))
+      .orderBy("c_nationkey")
+  }
+
+  val q5Oracle: String =
+    """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_lapsed
+      |FROM customer c
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey
+      |    AND o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
+      |GROUP BY 1 ORDER BY c_nationkey""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q5_anti_join" -> (q5AntiJoin _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_nation_revenue" -> (q2NationRevenue _),
     "q3_topk_per_group" -> (q3TopkPerGroup _),
@@ -256,6 +284,7 @@ object CoreQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q5_anti_join" -> q5Oracle,
     "q1_pricing_summary" -> q1Oracle,
     "q2_nation_revenue" -> q2Oracle,
     "q3_topk_per_group" -> q3Oracle,
