@@ -300,15 +300,25 @@ object ExtraQueries {
   def streamNearDup(s: SparkSession, dir: String): DataFrame = {
     val name = "graft_stream_neardup_" + java.lang.Integer.toHexString(dir.hashCode)
     val corpus = graft.Tables.documents(s, dir).select("doc_id", "text")
-    val q = Streams.nearDupStream(Streams.docsStream(s, dir), corpus,
-        "doc_id", "text", n = 3, bands = 4, rows = 3, threshold = 0.8)
-      .writeStream.format("memory").queryName(name)
-      .option("checkpointLocation", Streams.freshCheckpointDir(name))
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    s.table(name).orderBy("doc_id")
+    // production lifecycle: the corpus band index is PREPARED once per
+    // corpus version (persisted — here cached, at scale the bucketed
+    // parquet artifact), the stream admits against it, and it is
+    // released when the version rotates
+    val index = Streams.nearDupIndex(corpus, "doc_id", "text", n = 3,
+      bands = 4, rows = 3)
+    try {
+      val q = Streams.nearDupStreamIndexed(Streams.docsStream(s, dir), index,
+          "doc_id", "text", n = 3, bands = 4, rows = 3, threshold = 0.8)
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", Streams.freshCheckpointDir(name))
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // the memory sink holds materialized rows — safe to release the
+      // index before the caller consumes the result
+      s.table(name).orderBy("doc_id")
+    } finally index.unpersist(false)
   }
 
   val streamNearDupOracle: String = {
@@ -1099,7 +1109,12 @@ object ExtraQueries {
         .crossJoin(broadcast(nBaskets)) // 1-row stats frame
         .select(col("ante"), col("cons"), col("sup_ab"),
           expr("sup_ab * 1000 div sup_a").as("conf_milli"),
-          expr("sup_ab * n_baskets * 1000 div (sup_a * sup_b)").as("lift_milli"))
+          // numerator and denominator both through 128-bit integers:
+          // at n_baskets ~1e11 the Long products overflow silently in
+          // non-ANSI Spark (r8 advice) — decimal(38,0) here, HUGEINT in
+          // the oracle; the milli quotient itself always fits a Long
+          expr("CAST(CAST(sup_ab AS DECIMAL(38,0)) * n_baskets * 1000 div " +
+            "(CAST(sup_a AS DECIMAL(38,0)) * sup_b) AS BIGINT)").as("lift_milli"))
         .orderBy(col("lift_milli").desc, col("conf_milli").desc,
           col("ante"), col("cons"))
         .limit(50)
@@ -1121,7 +1136,8 @@ object ExtraQueries {
       |  GROUP BY 1, 2 HAVING count(*) >= 2)
       |SELECT ante, cons, sup_ab,
       |  sup_ab * 1000 // a.sup AS conf_milli,
-      |  sup_ab * n_baskets * 1000 // (a.sup * b.sup) AS lift_milli
+      |  CAST(CAST(sup_ab AS HUGEINT) * n_baskets * 1000
+      |       // (CAST(a.sup AS HUGEINT) * b.sup) AS BIGINT) AS lift_milli
       |FROM pairs
       |JOIN sup a ON a.item = ante
       |JOIN sup b ON b.item = cons

@@ -247,7 +247,8 @@ object CoreQueries {
       |  l_returnflag ASC NULLS LAST, l_linestatus ASC NULLS LAST""".stripMargin
 
   /** NOT EXISTS as a left-anti join — lapsed customers (no order since
-    * 1998), rolled up per nation. The anti join is the plan Spark picks for
+    * 2000 — non-empty at every test sf, unlike the original 1998 cutoff
+    * which was vacuous at sf0.001), rolled up per nation. The anti join is the plan Spark picks for
     * NOT EXISTS subqueries: one hash shuffle per side, no row
     * explosion, null-safe by construction (unlike NOT IN, whose
     * three-valued NULL semantics silently empty the result — the
@@ -256,7 +257,7 @@ object CoreQueries {
   def q5AntiJoin(s: SparkSession, dir: String): DataFrame = {
     val c = customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
     val o = orders(s, dir)
-      .filter(col("o_orderdate") >= lit("1998-01-01"))
+      .filter(col("o_orderdate") >= lit("2000-01-01"))
       .select(col("o_custkey"))
     c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy("c_nationkey")
@@ -270,7 +271,7 @@ object CoreQueries {
       |WHERE NOT EXISTS (
       |  SELECT 1 FROM orders o
       |  WHERE o.o_custkey = c.c_custkey
-      |    AND o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
+      |    AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
       |GROUP BY 1 ORDER BY c_nationkey""".stripMargin
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(

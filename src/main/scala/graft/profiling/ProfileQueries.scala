@@ -474,6 +474,10 @@ object ProfileQueries {
     val d = graft.Tables.orders(s, dir)
       .select(substring(graft.Tables.cents(col("o_totalprice")).cast("string"), 1, 1)
         .as("digit"))
+      // the law is defined on significant digits only: a zero total
+      // yields digit '0' (element_at index 0 throws), a negative yields
+      // '-' — degenerate rows drop out instead of failing the stage
+      .filter(col("digit").between("1", "9"))
       .groupBy("digit").agg(count(lit(1)).as("n"))
     val tot = d.agg(sum("n").as("total"))
     d.crossJoin(broadcast(tot)) // 1-row stats frame
@@ -488,7 +492,7 @@ object ProfileQueries {
     """WITH d AS (
       |  SELECT substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS digit,
       |         CAST(count(*) AS BIGINT) AS n
-      |  FROM orders GROUP BY 1),
+      |  FROM orders GROUP BY 1 HAVING digit BETWEEN '1' AND '9'),
       |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM d)
       |SELECT digit, n, n * 1000 // total AS freq_milli,
       |  CAST(CASE digit WHEN '1' THEN 301 WHEN '2' THEN 176 WHEN '3' THEN 124

@@ -545,6 +545,10 @@ object Profiler {
     */
   def inclusionDeps(inputs: Seq[(String, DataFrame, String)]): DataFrame = {
     require(inputs.size >= 2)
+    // duplicate attr labels would silently MERGE their value sets into
+    // one attribute and emit wrong containment verdicts (r8 advice)
+    require(inputs.map(_._1).distinct.size == inputs.size,
+      s"attribute labels must be distinct, got: ${inputs.map(_._1).mkString(", ")}")
     val attrNames = inputs.map(_._1)
     val d = inputs.map { case (attr, df, c) =>
       df.select(lit(attr).as("attr"),

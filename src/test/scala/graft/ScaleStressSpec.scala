@@ -197,11 +197,14 @@ class ScaleStressSpec extends AnyFunSuite {
     // quadratic generator lands ~100×; suite contention (GC of ~20
     // earlier suites' state, parallel stages) was measured inflating
     // honest runs to 18× in-suite vs ~3× solo (r8, twice), so the
-    // ceiling is 30× plus an absolute-size exemption — still an order
-    // of magnitude below quadratic, no longer a coin-flip.
+    // ceiling is 30× — still an order of magnitude below quadratic.
+    // The exemption fires only when the SMALL run is timer/contention
+    // noise (the ratio denominator is meaningless then); the old
+    // absolute big-run exemption (tB < 6 s) let a fast super-linear
+    // generator skip the check entirely (r8 advice).
     ratios.zip(names).zipWithIndex.foreach { case ((rt, nm), i) =>
-      assert(rt < 30.0 || tB(i) < 6.0,
-        s"$nm grew ${rt}× from N to 10N — super-linear")
+      assert(rt < 30.0 || tS(i) < 0.3,
+        s"$nm grew ${rt}× from N to 10N (small=${tS(i)}s big=${tB(i)}s) — super-linear")
     }
   }
 
@@ -294,11 +297,12 @@ class ScaleStressSpec extends AnyFunSuite {
       info(f"$nm%-20s small=${tS(i)}%6.2fs big=${tB(i)}%6.2fs ratio=$rt%5.1f× (linear=10×)")
     }
     // same backstop semantics as the pair-generator test: the row
-    // counts above are the exact linearity proof; 30× ceiling +
-    // absolute-size exemption (in-suite contention measured 18×, r8)
+    // counts above are the exact linearity proof; 30× ceiling, with
+    // the exemption tied to a noise-level SMALL run (not the big run's
+    // absolute time, which exempted fast super-linear work — r8 advice)
     ratios.zip(names).zipWithIndex.foreach { case ((rt, nm), i) =>
-      assert(rt < 30.0 || tB(i) < 6.0,
-        s"$nm grew ${rt}× from N to 10N — super-linear")
+      assert(rt < 30.0 || tS(i) < 0.3,
+        s"$nm grew ${rt}× from N to 10N (small=${tS(i)}s big=${tB(i)}s) — super-linear")
     }
   }
 
