@@ -38,11 +38,15 @@ object Dedup {
     * splits).
     */
   def shinglesOf(w: Column, n: Int = 3): Column =
-    array_distinct(filter(
-      transform(
-        sequence(lit(0), greatest(size(w) - n, lit(0))),
-        i => concat_ws(" ", (0 until n).map(o => element_at(w, i + o + 1)): _*)),
-      s => size(split(s, " ")) === n))
+    // native codegen'd kernel (graft.functions.WordShingles) — the same
+    // law as the former declarative chain
+    //   array_distinct(filter(transform(sequence(0, greatest(|w|-n, 0)),
+    //     i -> concat_ws(' ', w[i+1..i+n])), s -> size(split(s,' ')) = n))
+    // proven element-by-element in the kernel's scaladoc; the chain's
+    // higher-order lambdas are interpreted, and when a filter or a
+    // collapsed projection inlined it the split re-ran per element slot
+    // (r3 and r9 both paid this)
+    graft.functions.minhash.wordShingles(w, n)
 
   /** Backwards-compatible single-Column shingler (tests / ad-hoc use).
     * Hot paths go through [[shingleFrame]] instead.
@@ -200,15 +204,34 @@ object Dedup {
       bands: Int = 4, rows: Int = 3,
       hashHex: Option[(Int, Column) => Column] = None): DataFrame = {
     val hh = hashHex.getOrElse(hashFamily(docs.sparkSession))
-    val k = bands * rows
-    val sh = shingleFrame(docs, id, text, n).filter(size(col("_sh")) > 0)
-    val sigs = sh.select(
-      Seq(col("_id"), col("_sh")) ++ (0 until k).map(i => minhashSig(i, hh)): _*)
-    val bandArr = array((0 until bands).map { b =>
-      concat_ws(":", (0 until rows).map(r => col(s"_h${b * rows + r}")): _*)
-    }: _*)
-    sigs.select(col("_id"), col("_sh"),
-      posexplode(bandArr).as(Seq("_bidx", "_bkey")))
+    // no size(_sh) > 0 filter: the kernel emits NULL band keys for an
+    // empty shingle set and posexplode drops those rows — the filter
+    // form was pushed below the projection and inlined the whole
+    // interpreted shingle chain per row (r9 plan audit)
+    val sh = shingleFrame(docs, id, text, n)
+    // All k signature minima + the band keys in ONE codegen'd kernel
+    // call referencing `_sh` exactly once (graft.functions.minhash
+    // .bandKeys — bit-identical to the declarative law, see the
+    // kernel's scaladoc). The former shape (k separate
+    // array_min(transform) projections) collapsed with the shingle
+    // projection and re-evaluated the full shingle construction k+1
+    // times per row — measured 6.4 s of banding vs 0.8 s for one
+    // shingling pass at sf0.1 (r9).
+    val bandKeys: Column =
+      if (hh eq Md5Hash) graft.functions.minhash.bandKeys(col("_sh"), bands, rows, md5Family = true)
+      else if (hh eq XxHash) graft.functions.minhash.bandKeys(col("_sh"), bands, rows, md5Family = false)
+      else {
+        // custom hash family: correct but k-fold shingle re-evaluation;
+        // null on empty shingle sets mirrors the kernel paths
+        when(size(col("_sh")) > 0,
+          array((0 until bands).map { b =>
+            concat_ws(":", (0 until rows).map { r =>
+              array_min(transform(col("_sh"), s => hh(b * rows + r, s)))
+            }: _*)
+          }: _*))
+      }
+    sh.select(col("_id"), col("_sh"),
+      posexplode(bandKeys).as(Seq("_bidx", "_bkey")))
   }
 
   /** LSH candidate pairs BEFORE Jaccard verification — the raw band-join
