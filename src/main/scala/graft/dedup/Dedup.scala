@@ -472,33 +472,12 @@ object Dedup {
     */
   def containment(docs: DataFrame, id: String, text: String, n: Int = 3,
       threshold: Double = 0.9): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val sh = shingleFrame(docs, id, text, n, sorted = true)
       .filter(size(col("_sh")) > 0)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      // Prefix order = GLOBAL document frequency ASC (ties: shingle
-      // asc) — Chaudhuri's idf-order refinement: the contained side
-      // indexes its RAREST |A| − ⌈t·|A|⌉ + 1 shingles, so the
-      // candidate join lands on low-df keys instead of the corpus's
-      // hottest n-grams (lexicographic prefix order measured 4×
-      // slower here on a small-vocabulary corpus). Any fixed global
-      // order preserves the zero-false-negative guarantee.
-      val ex = sh.select(col("_id"), explode(col("_sh")).as("_s"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val df = ex.groupBy("_s").agg(count(lit(1)).as("_df"))
-      val pl = size(col("_sh")) - ceil(lit(threshold) * size(col("_sh"))) + 1
-      val rk = Window.partitionBy(col("_id")).orderBy(col("_df"), col("_s"))
-      val invA = ex.join(df, "_s")
-        .join(sh.select(col("_id"), pl.cast("int").as("_pl")), "_id")
-        .withColumn("_r", row_number().over(rk))
-        .filter(col("_r") <= col("_pl"))
-        .select(col("_id").as("ida"), col("_s"))
-      val invB = ex.select(col("_id").as("idb"), col("_s"))
-      val cands = invA.join(invB, "_s")
-        .filter(col("ida") =!= col("idb"))
-        .select("ida", "idb").distinct()
-        .localCheckpoint(true)
+      val (candsPlan, ex) = containmentCandidates(sh, threshold)
+      val cands = candsPlan.localCheckpoint(true)
       ex.unpersist(false)
       cands
         .join(sh.select(col("_id").as("ida"), col("_sh").as("_sa")), "ida")
@@ -509,5 +488,38 @@ object Dedup {
         .filter(col("containment") >= threshold)
         .localCheckpoint(true)
     } finally sh.unpersist(false)
+  }
+
+  /** [[containment]]'s candidate stage, exposed pre-checkpoint so the
+    * plan-shape spec can assert its physical form (equi-join on the
+    * shingle key, window on the df-ordered prefix, no nested loop).
+    * Returns (candidate frame, the persisted exploded frame the caller
+    * must unpersist after materializing the candidates).
+    *
+    * Prefix order = GLOBAL document frequency ASC (ties: shingle
+    * asc) — Chaudhuri's idf-order refinement: the contained side
+    * indexes its RAREST |A| − ⌈t·|A|⌉ + 1 shingles, so the
+    * candidate join lands on low-df keys instead of the corpus's
+    * hottest n-grams (lexicographic prefix order measured 4×
+    * slower here on a small-vocabulary corpus). Any fixed global
+    * order preserves the zero-false-negative guarantee.
+    */
+  def containmentCandidates(sh: DataFrame, threshold: Double): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val ex = sh.select(col("_id"), explode(col("_sh")).as("_s"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val df = ex.groupBy("_s").agg(count(lit(1)).as("_df"))
+    val pl = size(col("_sh")) - ceil(lit(threshold) * size(col("_sh"))) + 1
+    val rk = Window.partitionBy(col("_id")).orderBy(col("_df"), col("_s"))
+    val invA = ex.join(df, "_s")
+      .join(sh.select(col("_id"), pl.cast("int").as("_pl")), "_id")
+      .withColumn("_r", row_number().over(rk))
+      .filter(col("_r") <= col("_pl"))
+      .select(col("_id").as("ida"), col("_s"))
+    val invB = ex.select(col("_id").as("idb"), col("_s"))
+    val cands = invA.join(invB, "_s")
+      .filter(col("ida") =!= col("idb"))
+      .select("ida", "idb").distinct()
+    (cands, ex)
   }
 }

@@ -74,4 +74,57 @@ class PlanShapeSpec extends AnyFunSuite {
       count(p, "CartesianProduct") == 0,
       "range join degraded to a nested loop")
   }
+
+  test("events_scd2: validity intervals from ONE keyed exchange, no self-join") {
+    val p = planOf("events_scd2")
+    assert(count(p, "Exchange hashpartitioning") == 1,
+      s"SCD2 must build both windows on one user_id exchange:\n$p")
+    assert(count(p, "Join") == 0, s"SCD2 grew a self-join:\n$p")
+  }
+
+  test("mine_itemsets: basket-size cap applied BELOW the pair self-join") {
+    // tree-printed plan: the self-join row (join condition item < item)
+    // must come BEFORE the k <= 20 cap filter, i.e. the cap sits in the
+    // join's input subtree — a cap applied after the join would let one
+    // hot basket produce O(k²) pair rows first. (String positions, not
+    // SparkPlan.collect: AQE's AdaptiveSparkPlanExec has no children
+    // until finalized, so collect sees nothing.)
+    val p = planOf("mine_itemsets")
+    val joinLine = p.linesIterator.zipWithIndex.find { case (l, _) =>
+      l.contains("Join") && l.contains("item#") && l.contains("<")
+    }
+    val capLine = p.linesIterator.zipWithIndex.find(_._1.contains("<= 20"))
+    assert(joinLine.nonEmpty, s"pair self-join not found:\n$p")
+    assert(capLine.nonEmpty, s"basket cap (k <= 20) missing from the plan:\n$p")
+    assert(capLine.get._2 > joinLine.get._2,
+      s"basket cap not below the self-join:\n$p")
+    assert(count(p, "CartesianProduct") == 0 &&
+      count(p, "BroadcastNestedLoopJoin") == 0)
+  }
+
+  test("dedup_containment candidates: equi-join on the shingle key, df-ordered prefix window, no nested loop") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = (1L to 40L).map(i =>
+      (i, (0 to 12).map(j => s"w${(i + j) % 29}").mkString(" "))).toDF("doc_id", "text")
+    val sh = graft.dedup.Dedup
+      .shingleFrame(docs, "doc_id", "text", 3, sorted = true)
+      .filter(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.col("_sh")) > 0)
+      .persist()
+    try {
+      val (cands, ex) = graft.dedup.Dedup.containmentCandidates(sh, 0.9)
+      val p = cands.queryExecution.executedPlan.toString
+      assert(count(p, "BroadcastNestedLoopJoin") == 0 &&
+        count(p, "CartesianProduct") == 0,
+        s"containment candidates degraded to a nested loop:\n$p")
+      // candidate join keyed on the shingle (_s) — an equi-join
+      assert(p.contains("_s#") && count(p, "Join") >= 1,
+        s"candidate join not keyed on the shingle:\n$p")
+      // prefix selection = row_number over (_id, ordered by _df asc)
+      assert(p.contains("windowspecdefinition(_id") && p.contains("_df"),
+        s"df-ordered prefix window missing:\n$p")
+      ex.unpersist(false)
+    } finally sh.unpersist(false)
+  }
 }
