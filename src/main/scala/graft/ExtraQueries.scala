@@ -117,6 +117,53 @@ object ExtraQueries {
       .orderBy("id1", "id2")
   }
 
+  /** The 100 TB-scale HALF of match_ml, oracled (r8 verdict ask #7):
+    * scoring candidates with a FIXED published weight vector is pure
+    * arithmetic over the codegen'd comparator features — margin =
+    * Σ wᵢ·round(fᵢ,5) + b, floor-scaled to integer micro units so the
+    * decision boundary is an integer law shared bit-for-bit with the
+    * oracle (prediction = score_micro > 0, never a float compare). The
+    * LBFGS FIT remains the declared rows-only query (`match_ml`); this
+    * is model SERVING — the part that actually runs at corpus scale
+    * once a model ships. Features are rounded to 5 decimals first, the
+    * same proven-safe equalization the sim oracles use.
+    */
+  def matchMlScore(s: SparkSession, dir: String): DataFrame = {
+    val l = EmScenario.custL(s, dir)
+    val r = EmScenario.custR(s, dir)
+    val cands = Blockers.standard(l, r, Seq("seg", "nat"), "id")
+    val attached = graft.matching.Matching.attachRecords(cands, l, r, "id")
+    val margin =
+      round(sims.jaroWinkler(col("l_name"), col("r_name")), 5) * lit(2.9) +
+      round(sims.levenshteinSim(col("l_name"), col("r_name")), 5) * lit(2.1) +
+      round(sims.numericAbsSim(col("l_bal"), col("r_bal"), 1000.0), 5) * lit(0.9) +
+      round(sims.exactSim(col("l_seg"), col("r_seg")), 5) * lit(1.9) +
+      lit(-3.7)
+    attached
+      .select(col("id1"), col("id2"),
+        floor(margin * lit(1000000.0)).cast("long").as("score_micro"))
+      .withColumn("prediction", (col("score_micro") > 0L).cast("long"))
+      .orderBy("id1", "id2")
+  }
+
+  val matchMlScoreOracle: String =
+    s"""${graft.blocking.EmScenario.oracleWith},
+       |cand AS (SELECT l.id AS id1, r.id AS id2, l.name AS ln, r.name AS rn,
+       |                l.seg AS ls, r.seg AS rs, l.bal AS lb, r.bal AS rb
+       |         FROM l JOIN r ON l.seg = r.seg AND l.nat = r.nat),
+       |scored AS (SELECT id1, id2,
+       |  CAST(floor((round(jaro_winkler_similarity(ln, rn), 5) * 2.9
+       |    + round(CASE WHEN greatest(len(ln), len(rn)) = 0 THEN 1.0
+       |        ELSE 1.0 - CAST(levenshtein(ln, rn) AS DOUBLE)
+       |               / greatest(len(ln), len(rn)) END, 5) * 2.1
+       |    + round(greatest(0.0, 1.0 - abs(lb - rb) / 1000.0), 5) * 0.9
+       |    + round(CASE WHEN ls = rs THEN 1.0 ELSE 0.0 END, 5) * 1.9
+       |    - 3.7) * 1000000.0) AS BIGINT) AS score_micro
+       |  FROM cand)
+       |SELECT id1, id2, score_micro,
+       |  CAST(CASE WHEN score_micro > 0 THEN 1 ELSE 0 END AS BIGINT) AS prediction
+       |FROM scored ORDER BY id1, id2""".stripMargin
+
   /** Multimodal: binary payload + typed metadata through the batched
     * feature-extraction kernel (deterministic fake digest).
     */
@@ -1329,6 +1376,7 @@ object ExtraQueries {
     "pipeline_e2e" -> (pipelineE2e _),
     "pipeline_data_e2e" -> (pipelineDataE2e _),
     "match_ml" -> (matchMl _),
+    "match_ml_score" -> (matchMlScore _),
     "match_text_format" -> (matchTextFormat _),
     "mm_binary_meta" -> (mmBinaryMeta _),
     "mm_frame_sample" -> (mmFrameSample _),
@@ -1343,6 +1391,7 @@ object ExtraQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "match_ml_score" -> matchMlScoreOracle,
     "events_rfm" -> eventsRfmOracle,
     "events_pivot" -> eventsPivotOracle,
     "events_unpivot" -> eventsUnpivotOracle,

@@ -30,8 +30,11 @@ object AnnQueries {
 
   private def normSql(v: String): String = s"sqrt(${dotSql(v, v)})"
 
-  private def bucketSql(v: String): String =
-    (0 until 8).map { j =>
+  private def bucketSql(v: String): String = bucketSqlRange(v, 0, 8)
+
+  /** Bucket over plane family [off, off+p) — multi-table LSH table keys. */
+  private def bucketSqlRange(v: String, off: Int, p: Int): String =
+    (off until off + p).map { j =>
       val terms = (1 to Dim).map(d => s"$v[$d]*${Ann.planeSign(j, d)}").mkString(" + ")
       s"CASE WHEN $terms > 0 THEN '1' ELSE '0' END"
     }.mkString(" || ")
@@ -462,7 +465,14 @@ object AnnQueries {
           s"transform(sequence(0, ${PqM - 1}), i -> struct(i as _m, slice(v, i * $sub + 1, $sub) as _cv))")).as("_s"))
         .select(col("_s._m").as("_m"), col("_code"), col("_s._cv").as("_cv"))
       val methods = Seq(
+        // single-table 8-plane LSH: the deliberately BAD operating point
+        // (recall 0 at bench params) kept as the tuning signal...
         "lsh" -> Ann.lshTopK(q, c, "vec_id", "v", Dim, k = 5),
+        // ...and the OR-construction the signal points at: 8 tables ×
+        // 4 planes (recall ~820 milli here) — both rows together are
+        // what a deployment reads off this evaluator (r8 verdict ask)
+        "lsh_tuned" -> Ann.lshTopKMulti(q, c, "vec_id", "v", Dim, k = 5,
+          planes = 4, tables = 8),
         "ivf" -> Ann.ivfSearch(q, c, cents, "vec_id", "v", Dim, k = 5, nprobe = 3),
         "pq" -> Ann.pqSearch(q, c, books, "vec_id", "v", Dim, m = PqM, k = 5))
       val hits = methods.map { case (name, df) =>
@@ -496,6 +506,21 @@ object AnnQueries {
        |           ORDER BY round((${dotSql("q.qv", "c.v")}) / (q.qn * c.n), 7) DESC,
        |                    c.vec_id) AS rank
        |  FROM q JOIN c ON c.bk = q.bk AND c.vec_id <> q.qid) WHERE rank <= 5),
+       |cm AS (SELECT vec_id, v, n,
+       |${(0 until 8).map(t => s"  ${bucketSqlRange("v", t * 4, 4)} AS tk$t").mkString(",\n")}
+       |       FROM c),
+       |qm AS (SELECT vec_id AS qid, v AS qv, n AS qn,
+       |${(0 until 8).map(t => s"  tk$t").mkString(", ")}
+       |       FROM cm WHERE vec_id < 10),
+       |mcand AS (SELECT DISTINCT qm.qid, cm.vec_id, qm.qv, qm.qn, cm.v, cm.n
+       |          FROM qm JOIN cm ON cm.vec_id <> qm.qid AND (
+       |${(0 until 8).map(t => s"            cm.tk$t = qm.tk$t").mkString(" OR\n")})),
+       |lshTunedR AS (SELECT qid, vec_id FROM (
+       |  SELECT qid, vec_id,
+       |         row_number() OVER (PARTITION BY qid
+       |           ORDER BY round((${dotSql("qv", "v")}) / (qn * n), 7) DESC,
+       |                    vec_id) AS rank
+       |  FROM mcand) WHERE rank <= 5),
        |cents AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cell, v AS cv
        |          FROM (SELECT * FROM o ORDER BY vec_id LIMIT 16)),
        |asg0 AS (SELECT c.vec_id, c.v, c.n, cents.cell,
@@ -541,6 +566,9 @@ object AnnQueries {
        |hits AS (
        |  SELECT 'lsh' AS method, CAST(count(*) AS BIGINT) AS hits
        |  FROM lshR JOIN bruteR USING (qid, vec_id)
+       |  UNION ALL
+       |  SELECT 'lsh_tuned', CAST(count(*) AS BIGINT)
+       |  FROM lshTunedR JOIN bruteR USING (qid, vec_id)
        |  UNION ALL
        |  SELECT 'ivf', CAST(count(*) AS BIGINT)
        |  FROM ivfR JOIN bruteR USING (qid, vec_id)

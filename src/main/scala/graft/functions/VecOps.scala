@@ -56,17 +56,20 @@ object VecKernels {
     if (md5hex(s"$j-$d").charAt(0) >= '8') 1.0 else -1.0
 
   private val signCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Array[Double]]]()
 
-  /** planes × dim sign matrix, memoized per executor. */
-  def signs(planes: Int, dim: Int): Array[Array[Double]] =
-    signCache.computeIfAbsent((planes, dim), { case (p, n) =>
-      Array.tabulate(p, n)((j, d0) => planeSign(j, d0 + 1))
+  /** planes × dim sign matrix for plane indices [off, off+planes),
+    * memoized per executor. `off` selects an independent plane family —
+    * multi-table LSH table t uses off = t·planes.
+    */
+  def signs(planes: Int, dim: Int, off: Int = 0): Array[Array[Double]] =
+    signCache.computeIfAbsent((planes, dim, off), { case (p, n, o) =>
+      Array.tabulate(p, n)((j, d0) => planeSign(o + j, d0 + 1))
     })
 
-  /** '0'/'1' bucket signature: bit j = (Σ v(d)·sign(j,d) > 0). */
-  def bucket(v: ArrayData, planes: Int, dim: Int): UTF8String = {
-    val sg = signs(planes, dim)
+  /** '0'/'1' bucket signature: bit j = (Σ v(d)·sign(off+j,d) > 0). */
+  def bucket(v: ArrayData, planes: Int, dim: Int, off: Int = 0): UTF8String = {
+    val sg = signs(planes, dim, off)
     val out = new Array[Char](planes)
     var j = 0
     while (j < planes) {
@@ -107,18 +110,20 @@ case class VecBinary(left: Expression, right: Expression, op: String)
     copy(left = l, right = r)
 }
 
-/** Hyperplane LSH bucket signature of an `array<double>` vector. */
-case class HyperplaneBits(child: Expression, planes: Int, dim: Int)
-    extends UnaryExpression {
+/** Hyperplane LSH bucket signature of an `array<double>` vector;
+  * `off` picks the plane family (multi-table LSH: table t → off = t·planes).
+  */
+case class HyperplaneBits(child: Expression, planes: Int, dim: Int,
+    off: Int = 0) extends UnaryExpression {
   override def dataType: DataType = StringType
   override def prettyName: String = "hyperplane_bits"
 
   override def nullSafeEval(v: Any): Any =
-    VecKernels.bucket(v.asInstanceOf[ArrayData], planes, dim)
+    VecKernels.bucket(v.asInstanceOf[ArrayData], planes, dim, off)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, v =>
-      s"graft.functions.VecKernels.bucket($v, $planes, $dim)")
+      s"graft.functions.VecKernels.bucket($v, $planes, $dim, $off)")
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
@@ -132,6 +137,6 @@ object vecs {
     Bridge.column(VecBinary(Bridge.expression(a), Bridge.expression(b), "l2sq"))
   def l1(a: Column, b: Column): Column =
     Bridge.column(VecBinary(Bridge.expression(a), Bridge.expression(b), "l1"))
-  def hyperplaneBits(v: Column, planes: Int, dim: Int): Column =
-    Bridge.column(HyperplaneBits(Bridge.expression(v), planes, dim))
+  def hyperplaneBits(v: Column, planes: Int, dim: Int, off: Int = 0): Column =
+    Bridge.column(HyperplaneBits(Bridge.expression(v), planes, dim, off))
 }
