@@ -386,7 +386,47 @@ object Streams {
     (rt.getName + "_" + rt.getStartTime).replaceAll("[^0-9a-zA-Z_]", "")
   }
 
+  /** Reap checkpoint trees left by DEAD JVMs (r9 verdict ask #4): the
+    * per-JVM tag prevents path collisions but nothing ever deleted old
+    * tags, so /tmp/graft_ckpt accumulated ~140 MB across 38 prior
+    * processes — enough filesystem litter to drag every streaming
+    * bench query's checkpoint IO. Runs once per JVM, on first
+    * checkpoint request. A sibling is dead when its embedded pid no
+    * longer exists in /proc (pid reuse is covered by the start-time
+    * suffix: a reused pid's live tag differs, so the stale tag's pid
+    * dir either vanished or belongs to a process whose tag — including
+    * start time — cannot equal the stale one; we additionally keep
+    * anything modified in the last hour as a grace window).
+    */
+  private lazy val reapStale: Unit = {
+    val root = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_ckpt")
+    if (java.nio.file.Files.isDirectory(root)) {
+      import scala.jdk.CollectionConverters._
+      val pidOf = "^(\\d+)".r
+      val now = System.currentTimeMillis()
+      java.nio.file.Files.list(root).iterator().asScala.toSeq
+        .filter(java.nio.file.Files.isDirectory(_))
+        .filterNot(_.getFileName.toString == jvmTag)
+        .foreach { sib =>
+          val name = sib.getFileName.toString
+          val pidAlive = pidOf.findFirstMatchIn(name).exists(m =>
+            java.nio.file.Files.exists(
+              java.nio.file.Paths.get("/proc", m.group(1))))
+          val recent = try {
+            now - java.nio.file.Files.getLastModifiedTime(sib).toMillis < 3600000L
+          } catch { case _: java.io.IOException => true }
+          if (!pidAlive && !recent) {
+            try java.nio.file.Files.walk(sib).iterator().asScala.toSeq.reverse
+              .foreach(f => java.nio.file.Files.deleteIfExists(f))
+            catch { case _: java.io.IOException => () } // best-effort
+          }
+        }
+    }
+  }
+
   def freshCheckpointDir(name: String): String = {
+    reapStale
     val p = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
       "graft_ckpt", jvmTag, name, ckptCounter.incrementAndGet().toString)
     // belt and braces: even under the per-JVM tag, never hand Spark a
