@@ -46,6 +46,17 @@ object MinhashKernels {
     prefixCache.computeIfAbsent(k,
       (kk: Integer) => Array.tabulate(kk)(j => s"$j#".getBytes("UTF-8")))
 
+  // xxhash64 family: hash of the band index j alone depends only on
+  // (j, k-independent seed 42) — memoized like the md5 prefixes
+  private val xxSeedCache =
+    new java.util.concurrent.ConcurrentHashMap[Integer, Array[Long]]()
+
+  private def xxSeeds(k: Int): Array[Long] =
+    xxSeedCache.computeIfAbsent(k, (kk: Integer) => Array.tabulate(kk) { j =>
+      org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        .hash(j, IntegerType, 42L)
+    })
+
   private val HexChars = "0123456789abcdef".toCharArray
 
   private def hex8(v: Int, sb: java.lang.StringBuilder): Unit = {
@@ -85,8 +96,18 @@ object MinhashKernels {
     while (i < m) {
       val parts = new Array[UTF8String](n)
       var j = 0
-      while (j < n) { parts(j) = w.getUTF8String(i + j); j += 1 }
-      seen.add(UTF8String.concatWs(sep, parts: _*))
+      var hasNull = false
+      while (j < n) {
+        parts(j) = w.getUTF8String(i + j)
+        if (parts(j) == null) hasNull = true
+        j += 1
+      }
+      // windows containing a null word are dropped, matching the old
+      // declarative chain exactly: concatWs SKIPS nulls, so its shingle
+      // re-split to fewer than n words and failed the size filter
+      // (r9 advice — split()-derived arrays never hit this, but the
+      // minhash.wordShingles API is public)
+      if (!hasNull) seen.add(UTF8String.concatWs(sep, parts: _*))
       i += 1
     }
     new GenericArrayData(seen.toArray(new Array[UTF8String](seen.size))
@@ -138,6 +159,7 @@ object MinhashKernels {
       }
     } else {
       import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+      val seeds = xxSeeds(k)
       val mins = new Array[Long](k)
       java.util.Arrays.fill(mins, -1L)
       var i = 0
@@ -145,9 +167,10 @@ object MinhashKernels {
         val s = sh.getUTF8String(i)
         var j = 0
         while (j < k) {
-          // exactly Spark's xxhash64(lit(j), s): seed 42, children chained
-          val h1 = XxHash64Function.hash(j, IntegerType, 42L)
-          val h = XxHash64Function.hash(s, StringType, h1)
+          // exactly Spark's xxhash64(lit(j), s): seed 42, children
+          // chained — the j-only prefix hash is memoized per k (it was
+          // recomputed n·k times per row; r9 advice)
+          val h = XxHash64Function.hash(s, StringType, seeds(j))
           if (java.lang.Long.compareUnsigned(h, mins(j)) < 0) mins(j) = h
           j += 1
         }

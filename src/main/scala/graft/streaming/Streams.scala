@@ -310,16 +310,29 @@ object Streams {
     * cache until session clear — fine for one-shot runs, wrong for a
     * long-lived driver, hence this explicit handle).
     */
+  /** Column-metadata key carrying the hash family an index was banded
+    * with — survives persist/unpersist AND a parquet roundtrip (Spark
+    * stores field metadata in the parquet footer schema).
+    */
+  private val HashFamilyMetaKey = "graft.hashFamily"
+
   def nearDupIndex(corpus: DataFrame, id: String, text: String, n: Int = 3,
       bands: Int = 4, rows: Int = 3): DataFrame = {
     import graft.dedup.Dedup
+    val famName = corpus.sparkSession.conf.get(Dedup.HashFamilyConf, "md5")
     val hh = Dedup.hashFamily(corpus.sparkSession)
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putString(HashFamilyMetaKey, famName).build()
     // the banded frame already carries each row's shingle set (_sh) —
     // reusing it for the Jaccard verify saves the corpus a second
-    // shingle pass AND the (_cid) re-join the round-7 shape paid
+    // shingle pass AND the (_cid) re-join the round-7 shape paid.
+    // The band-key column is TAGGED with the family in effect NOW: the
+    // stream side derives its family from the tag, so a session conf
+    // change between index build and stream build can no longer make
+    // band keys silently never match (r9 advice).
     Dedup.bandedLong(corpus, id, text, n, bands, rows, Some(hh))
       .select(col("_id").as("_cid"), col("_sh").as("_csh"),
-        col("_bidx"), col("_bkey"))
+        col("_bidx"), col("_bkey").as("_bkey", meta))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
@@ -334,7 +347,19 @@ object Streams {
       id: String, text: String, n: Int = 3, bands: Int = 4, rows: Int = 3,
       threshold: Double = 0.8): DataFrame = {
     import graft.dedup.Dedup
-    val hh = Dedup.hashFamily(corpusBands.sparkSession)
+    // band the ARRIVING rows with the family the INDEX was built with
+    // (carried in _bkey's column metadata) — not whatever the session
+    // conf says at stream-build time; untagged index (hand-built frame)
+    // falls back to the session conf as before
+    val hh = corpusBands.schema.fields.find(_.name == "_bkey")
+      .filter(_.metadata.contains(HashFamilyMetaKey))
+      .map(_.metadata.getString(HashFamilyMetaKey)) match {
+        case Some("md5") => Dedup.Md5Hash
+        case Some("xxhash64") => Dedup.XxHash
+        case Some(other) => throw new IllegalArgumentException(
+          s"near-dup index tagged with unknown hash family: $other")
+        case None => Dedup.hashFamily(corpusBands.sparkSession)
+      }
     val sBands = Dedup.bandedLong(docs, id, text, n, bands, rows, Some(hh))
     sBands.join(corpusBands, Seq("_bidx", "_bkey"))
       .filter(col("_id") =!= col("_cid"))

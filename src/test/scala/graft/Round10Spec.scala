@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.Streams
+
+/** Round-10 hardening (r9 advice closures):
+  *  - the near-dup corpus index carries its hash family, so a session
+  *    conf flip between index build and stream build cannot silently
+  *    yield zero matches;
+  *  - the shingle kernel drops windows containing null words (the old
+  *    declarative chain's law) instead of emitting short shingles;
+  *  - the xxhash64 band-key kernel (now with memoized per-band seeds)
+  *    still equals the declarative composition bit-for-bit.
+  */
+class Round10Spec extends AnyFunSuite {
+  import TestSpark._
+
+  test("nearDupStreamIndexed uses the index's banded hash family, not the session conf") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def toks(p: String) = (1 to 30).map(i => s"$p$i").mkString(" ")
+    val corpus = Seq((100L, toks("w"))).toDF("doc_id", "text")
+    // index banded under the default md5 family
+    val index = Streams.nearDupIndex(corpus, "doc_id", "text")
+    // conf flips AFTER the index is built — the r9 advice scenario that
+    // used to band the stream side with xxhash64 and match nothing
+    spark.conf.set(graft.dedup.Dedup.HashFamilyConf, "xxhash64")
+    try {
+      val mem = MemoryStream[(Long, String)]
+      val q = Streams.nearDupStreamIndexed(mem.toDF.toDF("doc_id", "text"), index,
+          "doc_id", "text")
+        .writeStream.format("memory").queryName("neardup_fam_sink")
+        .outputMode("append")
+        .option("checkpointLocation", Streams.freshCheckpointDir("neardup_fam_spec"))
+        .start()
+      try {
+        mem.addData((1L, "x0 x1 " + toks("w")))
+        q.processAllAvailable()
+        assert(spark.table("neardup_fam_sink").as[Long].collect().toSeq == Seq(1L),
+          "near-dup of corpus doc must still be admitted after a conf flip: " +
+            "the index's column-metadata tag owns the family")
+      } finally { q.stop() }
+    } finally {
+      spark.conf.unset(graft.dedup.Dedup.HashFamilyConf)
+      index.unpersist(false)
+    }
+  }
+
+  test("shingle kernel drops windows containing null words (declarative-chain law)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(Tuple1(Seq[String]("a", "b", "c"))).toDF("w")
+      .select(graft.functions.minhash.wordShingles(
+        // inject a null element: array('a', NULL, 'b', 'c')
+        array(lit("a"), lit(null).cast("string"), lit("b"), lit("c")), 2).as("sh"))
+    val got = df.as[Seq[String]].head()
+    // windows: (a,NULL) drop, (NULL,b) drop, (b,c) keep
+    assert(got == Seq("b c"),
+      s"null-word windows must be dropped like the old size-filter chain, got $got")
+  }
+
+  test("xxhash64 band-key kernel equals the declarative composition (seed memoization)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val bands = 4; val rows = 3
+    val docs = Seq.tabulate(20)(i =>
+      (i.toLong, (0 to 10).map(j => s"tok${(i * 7 + j * 3) % 13}").mkString(" ")))
+      .toDF("id", "text")
+    val sh = docs.select(col("id"),
+      graft.functions.minhash.wordShingles(split(col("text"), " "), 3).as("_sh"))
+    val kernel = sh.select(col("id"),
+      posexplode(graft.functions.minhash.bandKeys(col("_sh"), bands, rows,
+        md5Family = false)).as(Seq("b", "k")))
+    val declarative = sh.filter(size(col("_sh")) > 0).select(col("id"),
+      posexplode(array((0 until bands).map { b =>
+        concat_ws(":", (0 until rows).map { r =>
+          array_min(transform(col("_sh"),
+            s => format_string("%016x", xxhash64(lit(b * rows + r), s))))
+        }: _*)
+      }: _*)).as(Seq("b", "k")))
+    assert(kernel.exceptAll(declarative).isEmpty && declarative.exceptAll(kernel).isEmpty,
+      "kernel and declarative xxhash64 band keys must be bit-identical")
+  }
+}
