@@ -69,21 +69,93 @@ object AsofJoin {
         rightCols.map(c => col("_m")(c).as(c))): _*)
   }
 
-  /** Session conf: set to a positive long to route every
-    * [[asofBackward]] through [[asofBackwardChunked]] with that chunk
-    * width — the hot-key-safe path — without touching call sites.
+  /** Session conf routing [[asofBackward]] through
+    * [[asofBackwardChunked]] — the hot-key-safe path — without touching
+    * call sites:
+    *  - `auto` (DEFAULT, r10): decide per call. A FREE stats gate
+    *    (`optimizedPlan.stats.sizeInBytes`, no job) keeps small inputs
+    *    on the one-shuffle unchunked plan; past it, ONE bounded
+    *    sampling job estimates the max per-key history and the ts
+    *    range (the same planning-time-sample idiom RangeJoinRule's
+    *    `auto` uses), and a key whose history would exceed one
+    *    partition's sort routes chunked with a width that splits it
+    *    into ~[[AutoTargetChunkRows]]-row chunks. The two plans are
+    *    result-identical (spec-enforced), so routing never changes an
+    *    answer — only whether one key's history may span partitions.
+    *  - a positive long: always chunk with that width.
+    *  - `0` / `off`: never chunk (the pre-r10 default).
     * Only applies when the ts column is numeric (the chunked path's
-    * contract); calls with timestamp/date ts columns keep the unchunked
+    * contract) and both sides are batch (a streaming side can't be
+    * sampled and has its own operators); such calls keep the unchunked
     * plan rather than failing at a distance. A malformed conf value is
     * rejected eagerly with the offending text in the message.
     */
   val ChunkWidthConf = "spark.graft.asof.chunkWidth"
 
-  private def confChunkWidth(df: DataFrame): Long = {
-    val raw = df.sparkSession.conf.get(ChunkWidthConf, "0").trim
-    scala.util.Try(raw.toLong).getOrElse(
-      throw new IllegalArgumentException(
-        s"$ChunkWidthConf must be a long, got: '$raw'"))
+  /** `auto` pays its sampling job only past this many bytes of combined
+    * plan-stats size (default 256 MB — far below any input whose single
+    * key could break a partition sort, far above every test table).
+    */
+  val AutoMinBytesConf = "spark.graft.asof.autoMinBytes"
+
+  /** `auto` routes chunked when the estimated max per-key row count
+    * (left+right) crosses this (default 4M rows ≈ a few hundred MB of
+    * one partition's sort buffer — spill territory).
+    */
+  val AutoMaxKeyRowsConf = "spark.graft.asof.autoMaxKeyRows"
+
+  private val AutoTargetChunkRows = 1000000L
+  private val AutoSampleRows = 200000.0
+
+  private def longConf(df: DataFrame, key: String, dflt: Long): Long = {
+    val raw = df.sparkSession.conf.get(key, dflt.toString).trim
+    scala.util.Try(raw.toLong).getOrElse(throw new IllegalArgumentException(
+      s"$key must be a long, got: '$raw'"))
+  }
+
+  /** Auto-mode decision: Some(width) → route chunked. */
+  private def autoChunkWidth(left: DataFrame, right: DataFrame,
+      key: String, ts: String): Option[Long] = {
+    if (left.isStreaming || right.isStreaming) return None
+    val bytes =
+      left.queryExecution.optimizedPlan.stats.sizeInBytes +
+        right.queryExecution.optimizedPlan.stats.sizeInBytes
+    val minBytes = longConf(left, AutoMinBytesConf, 256L << 20)
+    // unknown stats propagate as astronomically large sizeInBytes
+    // (defaultSizeInBytes products); treat those as "don't know" and
+    // keep the old plan instead of paying a sampling job on every call
+    val unknown = bytes > (BigInt(1) << 62)
+    if (bytes < minBytes || unknown) return None
+    // one bounded job over BOTH sides' (key, ts) — a hot LEFT key
+    // breaks the partition sort just as a hot right history does
+    val u = left.select(col(key).as("_k"), col(ts).cast("long").as("_t"))
+      .unionAll(right.select(col(key).as("_k"), col(ts).cast("long").as("_t")))
+    val estRows = (bytes / 64).min(BigInt(Long.MaxValue)).toLong.max(1L)
+    val frac = (AutoSampleRows / estRows.toDouble).min(1.0)
+    val perKey = u.sample(withReplacement = false, frac, seed = 42L)
+      .groupBy(col("_k"))
+      .agg(count(lit(1)).as("_c"), min(col("_t")).as("_lo"), max(col("_t")).as("_hi"))
+      .agg(max(col("_c")).as("_maxc"), min(col("_lo")).as("_lo"), max(col("_hi")).as("_hi"))
+      .head()
+    if (perKey.isNullAt(0)) return None // empty sample
+    val maxPerKey = (perKey.getLong(0) / frac).toLong
+    val maxKeyRows = longConf(left, AutoMaxKeyRowsConf, 4000000L)
+    if (maxPerKey <= maxKeyRows) return None
+    val range = math.max(1L, perKey.getLong(2) - perKey.getLong(1))
+    val chunks = math.max(2L, maxPerKey / AutoTargetChunkRows)
+    Some(math.max(1L, range / chunks))
+  }
+
+  private def confChunkWidth(df: DataFrame): Option[Long] = {
+    df.sparkSession.conf.get(ChunkWidthConf, "auto").trim match {
+      case "auto" => None
+      case "off" => Some(0L)
+      case raw => scala.util.Try(raw.toLong).toOption match {
+        case Some(v) => Some(v)
+        case None => throw new IllegalArgumentException(
+          s"$ChunkWidthConf must be a long, 'auto', or 'off', got: '$raw'")
+      }
+    }
   }
 
   /** `tolerance`: maximum allowed staleness `l.ts - r.ts` (same unit
@@ -92,11 +164,17 @@ object AsofJoin {
     */
   def asofBackward(left: DataFrame, right: DataFrame,
       key: String, ts: String, tolerance: Option[Long] = None): DataFrame = {
-    val conf = confChunkWidth(left)
+    val conf = confChunkWidth(left) // validated eagerly even when not routable
     val tsNumeric = left.schema(ts).dataType.isInstanceOf[NumericType] &&
       right.schema(ts).dataType.isInstanceOf[NumericType]
-    if (conf > 0 && tsNumeric)
-      return asofBackwardChunked(left, right, key, ts, conf, tolerance)
+    if (tsNumeric) {
+      val width = conf match {
+        case Some(w) => if (w > 0) Some(w) else None // forced / off
+        case None => autoChunkWidth(left, right, key, ts)
+      }
+      if (width.isDefined)
+        return asofBackwardChunked(left, right, key, ts, width.get, tolerance)
+    }
     val (leftCols, rightCols) = checkCols(left, right, key, ts)
     require(tolerance.isEmpty ||
       left.schema(ts).dataType.isInstanceOf[NumericType],

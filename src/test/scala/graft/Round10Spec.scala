@@ -62,6 +62,50 @@ class Round10Spec extends AnyFunSuite {
       s"null-word windows must be dropped like the old size-filter chain, got $got")
   }
 
+  test("asof auto mode: skewed key routes chunked with identical output; small input stays unchunked") {
+    import graft.operators.AsofJoin
+    val spark2 = spark
+    import spark2.implicits._
+    // one hot key with 2000 history rows, a few cold keys
+    val right = ((1 to 2000).map(i => (1L, i.toLong * 3, s"v$i")) ++
+      (1 to 5).map(i => (100L + i, i.toLong * 10, s"w$i"))).toDF("k", "ts", "vname")
+    val left = ((1 to 200).map(i => (1L, i.toLong * 31, s"p$i")) ++
+      (1 to 5).map(i => (100L + i, i.toLong * 10 + 5, s"q$i"))).toDF("k", "ts", "pname")
+    def plan(df: org.apache.spark.sql.DataFrame) = df.queryExecution.analyzed.toString
+
+    // default auto on a tiny input: FREE stats gate keeps the unchunked
+    // one-shuffle plan (no _ck chunk column anywhere in the plan)
+    val small = AsofJoin.asofBackward(left, right, "k", "ts")
+    assert(!plan(small).contains("_ck"), "tiny input must not pay the chunked shape")
+    val expected = small.orderBy("k", "ts", "pname").collect().toSeq
+
+    // shrink the auto thresholds so this input counts as hot-keyed:
+    // the decision must route through the chunked plan, same rows out
+    spark.conf.set(AsofJoin.AutoMinBytesConf, "1")
+    spark.conf.set(AsofJoin.AutoMaxKeyRowsConf, "50")
+    try {
+      val routed = AsofJoin.asofBackward(left, right, "k", "ts")
+      assert(plan(routed).contains("_ck"),
+        "skewed-key input past the thresholds must auto-route to the chunked plan")
+      assert(routed.orderBy("k", "ts", "pname").collect().toSeq == expected,
+        "auto-chunked result must be identical to the unchunked result")
+    } finally {
+      spark.conf.unset(AsofJoin.AutoMinBytesConf)
+      spark.conf.unset(AsofJoin.AutoMaxKeyRowsConf)
+    }
+
+    // 'off' pins the pre-r10 behavior even past the thresholds
+    spark.conf.set(AsofJoin.ChunkWidthConf, "off")
+    spark.conf.set(AsofJoin.AutoMinBytesConf, "1")
+    spark.conf.set(AsofJoin.AutoMaxKeyRowsConf, "50")
+    try assert(!plan(AsofJoin.asofBackward(left, right, "k", "ts")).contains("_ck"))
+    finally {
+      spark.conf.unset(AsofJoin.ChunkWidthConf)
+      spark.conf.unset(AsofJoin.AutoMinBytesConf)
+      spark.conf.unset(AsofJoin.AutoMaxKeyRowsConf)
+    }
+  }
+
   test("xxhash64 band-key kernel equals the declarative composition (seed memoization)") {
     val spark2 = spark
     import spark2.implicits._
