@@ -281,7 +281,61 @@ object BlockQueries {
       |FROM pairs, st
       |GROUP BY 1, 2 ORDER BY cbs""".stripMargin
 
+  /** Canopy pre-blocking over L∪R grouped by the standard blocking key
+    * (seg, nat): loose 300 milli catches same-side name-shape neighbours,
+    * tight 600 milli retires each record's perturbed twin from the
+    * center pool — so centers end up being exactly the left records and
+    * every record lands in ≥ 1 canopy (T2 ⊆ T1 guarantees coverage).
+    */
+  def blockCanopy(s: SparkSession, dir: String): DataFrame = {
+    val u = custL(s, dir).select("id", "name", "seg", "nat")
+      .unionByName(custR(s, dir).select("id", "name", "seg", "nat"))
+    Blockers.canopy(u, Seq("seg", "nat"), "id", "name",
+        t1Milli = 300L, t2Milli = 600L)
+      .orderBy("canopy", "id")
+  }
+
+  /** Recursive-fold replay: the fold state is ONLY the retired-center
+    * pool (canopy membership is derivable after the walk by joining the
+    * surviving centers back to the pairwise-sim frame); upstream frames
+    * are MATERIALIZED so the recursive term doesn't re-evaluate the
+    * pairwise computation once per step (measured: >5 min without, 2.4 s
+    * with, at sf0.01's 2850-step walk).
+    */
+  val blockCanopyOracle: String =
+    s"""WITH RECURSIVE $oracleWithBody,
+       |u AS (SELECT id, name, seg, nat FROM l UNION ALL SELECT id, name, seg, nat FROM r),
+       |tk AS MATERIALIZED (SELECT id, seg, nat,
+       |         list_distinct(list_filter(string_split_regex(name, '[^a-z0-9]+'), t -> t <> '')) AS toks
+       |       FROM u),
+       |pw AS MATERIALIZED (SELECT a.id AS a, b.id AS b,
+       |         CASE WHEN len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) = 0 THEN 1000
+       |              ELSE (len(list_intersect(a.toks, b.toks)) * 1000)
+       |                   // (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) END AS sim
+       |       FROM tk a JOIN tk b ON a.seg = b.seg AND a.nat = b.nat),
+       |cand AS MATERIALIZED (
+       |  SELECT t.id, row_number() OVER (ORDER BY t.seg, t.nat, t.id) AS rn,
+       |         COALESCE(j.tight, []) AS tight
+       |  FROM tk t LEFT JOIN (
+       |    SELECT a, list(CAST(b AS BIGINT) ORDER BY b) FILTER (sim >= 600) AS tight
+       |    FROM pw GROUP BY a) j ON j.a = t.id),
+       |walk(rn, removed, centre) AS (
+       |  SELECT CAST(0 AS BIGINT), CAST([] AS BIGINT[]), CAST(NULL AS BIGINT)
+       |  UNION ALL
+       |  SELECT c.rn,
+       |    CASE WHEN list_contains(w.removed, c.id) THEN w.removed
+       |         ELSE w.removed || c.tight END,
+       |    CASE WHEN list_contains(w.removed, c.id) THEN NULL ELSE CAST(c.id AS BIGINT) END
+       |  FROM walk w JOIN cand c ON c.rn = w.rn + 1),
+       |centres AS (SELECT centre FROM walk WHERE centre IS NOT NULL)
+       |SELECT CAST(p.a AS BIGINT) AS canopy, CAST(p.b AS BIGINT) AS id,
+       |       CAST(p.sim AS BIGINT) AS sim_milli
+       |FROM pw p JOIN centres c ON p.a = c.centre
+       |WHERE p.sim >= 300
+       |ORDER BY canopy, id""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "block_canopy" -> (blockCanopy _),
     "block_meta" -> (blockMeta _),
     "block_phonetic" -> (blockPhonetic _),
     "block_standard" -> (blockStandard _),
@@ -292,6 +346,7 @@ object BlockQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "block_canopy" -> blockCanopyOracle,
     "block_meta" -> blockMetaOracle,
     "block_phonetic" -> blockPhoneticOracle,
     "block_standard" -> blockStandardOracle,

@@ -167,6 +167,71 @@ object Blockers {
     left.select(col(idCol).as("id1"))
       .crossJoin(right.select(col(idCol).as("id2")))
 
+  /** Deterministic canopy clustering (McCallum–Nigam–Ungar, KDD 2000) as
+    * a cheap pre-blocker — the classic two-threshold scheme with the
+    * randomness removed so it can be oracle-replayed: within each group
+    * (a cheap partition key, e.g. the standard blocking key — group
+    * sizes are the caller's contract, exactly as for the per-component
+    * clustering kernels), centers are picked in ASCENDING ID ORDER from
+    * the pool; each center's canopy is every group member with cheap
+    * similarity ≥ t1 (loose — membership is evaluated over ALL members,
+    * so a record can sit in several canopies, the property that makes
+    * canopies a valid pre-blocker), and members at ≥ t2 (tight, t2 ≥ t1
+    * in similarity space) leave the POOL (never become centers; the
+    * center itself leaves at sim 1000).
+    *
+    * Cheap similarity: token-set Jaccard over lowercased alphanumeric
+    * runs, in EXACT integer milli (inter·1000 div union; both-empty →
+    * 1000) — threshold compares and the emitted sim are integer laws
+    * shared bit-for-bit with the DuckDB oracle.
+    *
+    * Scale: one shuffle on the group key; per group O(centers·members)
+    * integer set intersections in a single task — the same bounded-
+    * group contract every sequential kernel in this library uses. The
+    * canopy frame then feeds pair generation as a self-join on the
+    * canopy id (pairs sharing a canopy), never an all-pairs compare.
+    * Output: (canopy, id, sim_milli), one row per membership.
+    */
+  def canopy(records: DataFrame, groupCols: Seq[String], idCol: String,
+      textCol: String, t1Milli: Long, t2Milli: Long): DataFrame = {
+    require(t2Milli >= t1Milli, "t2 (tight) must be >= t1 (loose) in similarity space")
+    val spark = records.sparkSession
+    import spark.implicits._
+    val prepped = records.select(
+      concat_ws("||", groupCols.map(c => coalesce(col(c).cast("string"), lit("nan"))): _*).as("_g"),
+      col(idCol).cast("long").as("_id"),
+      coalesce(lower(col(textCol).cast("string")), lit("")).as("_t"))
+    prepped.as[(String, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val members = it.map { case (_, id, t) =>
+          (id, t.split("[^a-z0-9]+").filter(_.nonEmpty).distinct.toSet)
+        }.toArray.sortBy(_._1)
+        val n = members.length
+        val removed = new java.util.HashSet[java.lang.Long]()
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+        var i = 0
+        while (i < n) {
+          val (cid, ctoks) = members(i)
+          if (!removed.contains(cid)) {
+            var j = 0
+            while (j < n) {
+              val (mid, mtoks) = members(j)
+              val inter = ctoks.count(mtoks.contains)
+              val union = ctoks.size + mtoks.size - inter
+              val sim = if (union == 0) 1000L else inter.toLong * 1000L / union
+              if (sim >= t1Milli) out += ((cid, mid, sim))
+              if (sim >= t2Milli) removed.add(mid)
+              j += 1
+            }
+          }
+          i += 1
+        }
+        out
+      }
+      .toDF("canopy", "id", "sim_milli")
+  }
+
   /** Blocking evaluation (evaluation.py:104 evaluate_blocking): pair
     * completeness (blocking recall), pair quality (blocking precision) and
     * reduction ratio vs the full cross product. One metrics row.

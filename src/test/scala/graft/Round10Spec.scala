@@ -62,6 +62,39 @@ class Round10Spec extends AnyFunSuite {
       s"null-word windows must be dropped like the old size-filter chain, got $got")
   }
 
+  test("canopy: full coverage, multi-membership, tight-removed never centers, repartition-stable") {
+    import graft.blocking.Blockers
+    val spark2 = spark
+    import spark2.implicits._
+    // two groups; in g1: 1 and 2 are near-dups (tight), 3 shares a token
+    // with both (loose only), 4 is isolated; g2: a lone record
+    val recs = Seq(
+      (1L, "alpha beta gamma", "g1"),
+      (2L, "alpha beta gamma delta", "g1"),   // jacc(1,2) = 3/4 = 750 (tight)
+      (3L, "alpha zeta eta theta", "g1"),     // jacc(1,3) = 1/6 = 166; jacc(3,2)=1/7
+      (4L, "omega psi", "g1"),
+      (5L, "solo record", "g2")).toDF("id", "text", "grp")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Blockers.canopy(df, Seq("grp"), "id", "text", t1Milli = 150L, t2Milli = 700L)
+        .orderBy("canopy", "id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val got = run(recs)
+    // center 1 retires 2 (750 >= 700) and itself; canopy(1) = {1, 2, 3}
+    // (3 at 166 >= 150 loose); 3 and 4 then center themselves; 5 centers g2
+    assert(got.filter(_._1 == 1L).map(_._2) == Seq(1L, 2L, 3L))
+    assert(!got.map(_._1).contains(2L), "tight-removed record must never center")
+    // every input id is a member of at least one canopy (T2 >= T1 coverage law)
+    assert(got.map(_._2).toSet == Set(1L, 2L, 3L, 4L, 5L))
+    // 3 is in two canopies: canopy(1) loosely and its own — the
+    // multi-membership property that makes canopies a valid pre-blocker
+    assert(got.count(_._2 == 3L) == 2)
+    // deterministic under partitioning
+    assert(run(recs.repartition(7)) == got)
+    intercept[IllegalArgumentException] {
+      Blockers.canopy(recs, Seq("grp"), "id", "text", t1Milli = 700L, t2Milli = 300L)
+    }
+  }
+
   test("asof auto mode: skewed key routes chunked with identical output; small input stays unchunked") {
     import graft.operators.AsofJoin
     val spark2 = spark
