@@ -263,6 +263,38 @@ object Ann {
     ivfSearch(queries, corpus, cents, id, vec, dim, k, nprobe)
   }
 
+  /** PQ codebook FIT (the training half of the PQ family, completing
+    * the fit/search split `ann_ivf` vs `ann_ivf_search` established):
+    * m INDEPENDENT seeded k-means fits, one per `dim/m`-wide subspace
+    * slice — the Jégou et al. 2011 training procedure. Each fit is a
+    * distributed spark.ml KMeans over the corpus's slice; the result
+    * is the tiny (m·ksub)-row codebook frame [[pqSearch]] broadcasts.
+    * m is a small constant (4–16 in practice), so the driver-side loop
+    * over subspaces is bounded by the PARAMETER, not the data; at
+    * 100 TB you fit on a bounded sample of the corpus (pass the sample
+    * as `corpus` — FAISS trains the same way) and search the full set.
+    * Like the IVF fit, k-means is float-iterative → the consumer query
+    * is declared rows-only and recall-spec'd instead of hash-gated.
+    */
+  def pqFit(corpus: DataFrame, id: String, vec: String, dim: Int, m: Int,
+      ksub: Int, seed: Long = 42L, maxIter: Int = 10): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val sub = dim / m
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val books = (0 until m).flatMap { mi =>
+      val slice = corpus.select(
+        array_to_vector(expr(s"slice($vec, ${mi * sub} + 1, $sub)")).as("_fv"))
+      val model = new KMeans().setK(ksub).setSeed(seed + mi).setMaxIter(maxIter)
+        .setFeaturesCol("_fv").setPredictionCol("_p")
+        .fit(slice)
+      model.clusterCenters.zipWithIndex.map { case (v, c) => (mi, c, v.toArray) }
+    }
+    spark.createDataset(books).toDF("_m", "_code", "_cv")
+  }
+
   /** Euclidean distance √Σ(a[i]−b[i])² — native left-assoc loop. */
   def euclidean(a: Column, b: Column, dim: Int): Column =
     sqrt(graft.functions.vecs.l2sq(a, b))

@@ -401,6 +401,22 @@ object AnnQueries {
   private val PqM = 4
   private val PqK = 16
 
+  /** PQ codebook FIT + search with the TRAINED books — the training
+    * half of the PQ family ([[Ann.pqFit]]: m independent seeded
+    * k-means fits on subspace slices), mirroring `ann_ivf`'s fit/search
+    * verification split. k-means is float-iterative, so this is the
+    * declared-rows-only member of the family (recall spec in
+    * Round10Spec proves trained codebooks recover planted twins);
+    * `ann_pq_search` hash-gates the relational search half.
+    */
+  def annPqFit(s: SparkSession, dir: String): DataFrame = {
+    val c = orig(s, dir)
+    val books = Ann.pqFit(c, "vec_id", "v", Dim, m = PqM, ksub = PqK)
+    Ann.pqSearch(c.filter(col("vec_id") < 10), c, books, "vec_id", "v", Dim,
+        m = PqM, k = 5)
+      .orderBy("qid", "rank")
+  }
+
   private def l2sqSubSql(a: String, b: String, sub: Int): String =
     (1 to sub).map(i => s"($a[$i]-$b[$i])*($a[$i]-$b[$i])").mkString(" + ")
 
@@ -584,6 +600,7 @@ object AnnQueries {
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_recall_eval" -> (annRecallEval _),
     "ann_pq_search" -> (annPqSearch _),
+    "ann_pq_fit" -> (annPqFit _),
     "ann_truncate_recall" -> (annTruncateRecall _),
     "ann_centroid_sim" -> (annCentroidSim _),
     "dedup_embedding" -> (dedupEmbedding _),

@@ -31,12 +31,14 @@ class DocSyncSpec extends AnyFunSuite {
       s"queries missing a SURVEY.md row: ${missing.mkString(", ")}")
   }
 
-  test("every oracle belongs to a registered query; rows-only set is the declared trio") {
+  test("every oracle belongs to a registered query; rows-only set is the declared quartet") {
     val q = SparkEntry.queries.keySet
     val orphans = SparkEntry.oracleSql.keySet.diff(q)
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
     val rowsOnly = q.diff(SparkEntry.oracleSql.keySet)
-    assert(rowsOnly == Set("match_ml", "ann_ivf", "cluster_max_bipartite"),
+    // every member is float-iterative by construction (LBFGS, Hungarian
+    // LP degeneracy, k-means × 2) and carries a property/recall spec
+    assert(rowsOnly == Set("match_ml", "ann_ivf", "cluster_max_bipartite", "ann_pq_fit"),
       s"undeclared rows-only queries: $rowsOnly")
   }
 

@@ -10,17 +10,18 @@ import org.scalatest.funsuite.AnyFunSuite
   * nondeterminism (float fold order, unstable top-1 picks, row_number
   * ties) that a single-configuration oracle compare cannot see.
   *
-  * The 3 declared rows-only queries are excluded on principle:
-  * match_ml (LBFGS gradients fold per-partition) and ann_ivf (KMeans
-  * init samples per-partition) are float-iterative by nature;
-  * cluster_max_bipartite would pass but shares the rows-only gate, so
-  * it stays with its property spec. (sim_registry gained a composed
-  * oracle in r6 and is invariance-gated like any oracled query.)
+  * The 4 declared rows-only queries are excluded on principle:
+  * match_ml (LBFGS gradients fold per-partition), ann_ivf and
+  * ann_pq_fit (KMeans init samples per-partition) are float-iterative
+  * by nature; cluster_max_bipartite would pass but shares the
+  * rows-only gate, so it stays with its property spec. (sim_registry
+  * gained a composed oracle in r6 and is invariance-gated like any
+  * oracled query.)
   */
 class InvarianceSpec extends AnyFunSuite {
   import TestSpark._
 
-  private val rowsOnly = Set("match_ml", "ann_ivf", "cluster_max_bipartite")
+  private val rowsOnly = Set("match_ml", "ann_ivf", "cluster_max_bipartite", "ann_pq_fit")
 
   private def hashOf(name: String): (Long, Long) = {
     val df = SparkEntry.queries(name)(spark, sf)

@@ -62,6 +62,27 @@ class Round10Spec extends AnyFunSuite {
       s"null-word windows must be dropped like the old size-filter chain, got $got")
   }
 
+  test("PQ fit: trained codebooks recover planted twins (recall@1 vs brute truth)") {
+    import graft.ann.Ann
+    val spark2 = spark
+    import spark2.implicits._
+    val orig = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val twins = orig.select((col("vec_id") + 100000).as("vec_id"),
+      concat(array(element_at(col("v"), 1) + lit(0.2)), slice(col("v"), 2, 63)).as("v"))
+    val corpus = orig.unionByName(twins)
+    val queries = orig.limit(20)
+    val books = Ann.pqFit(corpus, "vec_id", "v", dim = 64, m = 4, ksub = 16)
+    assert(books.count() == 4L * 16L, "one codebook entry per (subspace, code)")
+    val pq = Ann.pqSearch(queries, corpus, books, "vec_id", "v", dim = 64,
+      m = 4, k = 1).collect()
+    // ADC distance to the twin (one coordinate off by 0.2) must beat
+    // every unrelated vector for nearly all queries — the signal that
+    // the TRAINED subspace codebooks actually quantize this corpus
+    val hits = pq.count(r => r.getLong(1) == r.getLong(0) + 100000)
+    assert(hits >= (pq.length * 0.9).toInt, s"trained-PQ recall@1 too low: $hits/${pq.length}")
+  }
+
   test("canopy: full coverage, multi-membership, tight-removed never centers, repartition-stable") {
     import graft.blocking.Blockers
     val spark2 = spark
