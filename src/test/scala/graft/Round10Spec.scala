@@ -62,6 +62,30 @@ class Round10Spec extends AnyFunSuite {
       s"null-word windows must be dropped like the old size-filter chain, got $got")
   }
 
+  test("near-dup index hash-family tag survives a parquet roundtrip") {
+    val spark2 = spark
+    import spark2.implicits._
+    def toks(p: String) = (1 to 30).map(i => s"$p$i").mkString(" ")
+    val corpus = Seq((100L, toks("w"))).toDF("doc_id", "text")
+    val index = Streams.nearDupIndex(corpus, "doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ndidx").toString
+    try {
+      index.write.mode("overwrite").parquet(dir)
+      val back = spark.read.parquet(dir)
+      val tag = back.schema.fields.find(_.name == "_bkey")
+        .filter(_.metadata.contains("graft.hashFamily"))
+        .map(_.metadata.getString("graft.hashFamily"))
+      assert(tag.contains("md5"),
+        s"column metadata must survive the parquet footer roundtrip, got $tag")
+    } finally {
+      index.unpersist(false)
+      val p = java.nio.file.Paths.get(dir)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+  }
+
   test("PQ fit: trained codebooks recover planted twins (recall@1 vs brute truth)") {
     import graft.ann.Ann
     val spark2 = spark
