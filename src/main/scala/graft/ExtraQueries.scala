@@ -459,6 +459,71 @@ object ExtraQueries {
       |       value AS last_value
       |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
 
+  /** STREAM-STREAM interval join run FOR REAL: the events dir read as
+    * TWO independent streaming sources (views / purchases), inner-
+    * joined on user within a 24 h event-time window
+    * ([[Streams.intervalJoinStream]]) → AvailableNow → memory sink.
+    * Inner + single-batch ⇒ output equals the batch window join
+    * exactly, while the plan is the real stateful stream-stream join
+    * operator (watermark-pruned buffers on both sides).
+    */
+  def streamIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val name = "graft_stream_ivj_" + java.lang.Integer.toHexString(dir.hashCode)
+    // two SOURCES (not one filtered twice): each side advances its own
+    // watermark, the shape a real two-topic deployment has
+    val views = Streams.eventsStream(s, dir)
+      .filter(col("event_type") === "view")
+      .select(col("ts"), col("user_id"), col("event_id"))
+    val purchases = Streams.eventsStream(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("ts"), col("user_id"), col("event_id"))
+    val q = Streams.intervalJoinStream(views, purchases, withinHours = 24)
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", Streams.freshCheckpointDir(name))
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name).orderBy("view_id", "purchase_id")
+  }
+
+  val streamIntervalJoinOracle: String =
+    """SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+      |       epoch_us(p.ts) - epoch_us(v.ts) AS lag_us
+      |FROM events v JOIN events p
+      |  ON v.user_id = p.user_id
+      | AND v.event_type = 'view' AND p.event_type = 'purchase'
+      | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 24 HOUR
+      |ORDER BY view_id, purchase_id""".stripMargin
+
+  /** [[streamNearDup]] against the ON-DISK bucketed index artifact
+    * ([[Streams.nearDupIndexSave]] → bucketed parquet table →
+    * [[Streams.nearDupIndexLoad]]) instead of the session cache — the
+    * full corpus-version lifecycle exercised end to end: band once,
+    * write bucketed on (_bidx, _bkey), stream admits against the
+    * read-back table with the index side never re-shuffled. Same
+    * result contract as `stream_neardup` (same oracle).
+    */
+  def streamNearDupBucketed(s: SparkSession, dir: String): DataFrame = {
+    val name = "graft_stream_neardupb_" + java.lang.Integer.toHexString(dir.hashCode)
+    val tbl = "graft_neardup_band_idx"
+    val corpus = graft.Tables.documents(s, dir).select("doc_id", "text")
+    Streams.nearDupIndexSave(corpus, tbl, "doc_id", "text", n = 3,
+      bands = 4, rows = 3, buckets = 8)
+    try {
+      val index = Streams.nearDupIndexLoad(s, tbl)
+      val q = Streams.nearDupStreamIndexed(Streams.docsStream(s, dir), index,
+          "doc_id", "text", n = 3, bands = 4, rows = 3, threshold = 0.8)
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", Streams.freshCheckpointDir(name))
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name).orderBy("doc_id")
+    } finally s.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   /** TextFormatter (entitymatching/text_formatting.py): entity pairs →
     * "field … [SEP] field …" strings for PLM matchers, with a
     * missing-value placeholder.
@@ -1387,7 +1452,9 @@ object ExtraQueries {
     "stream_contamination" -> (streamContamination _),
     "stream_neardup" -> (streamNearDup _),
     "stream_asof" -> (streamAsof _),
-    "stream_asof_buffered" -> (streamAsofBuffered _)
+    "stream_asof_buffered" -> (streamAsofBuffered _),
+    "stream_interval_join" -> (streamIntervalJoin _),
+    "stream_neardup_bucketed" -> (streamNearDupBucketed _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -1424,6 +1491,8 @@ object ExtraQueries {
     "stream_upsert" -> streamUpsertOracle,
     "stream_contamination" -> streamContaminationOracle,
     "stream_asof" -> streamAsofOracle,
-    "stream_asof_buffered" -> streamAsofOracle
+    "stream_asof_buffered" -> streamAsofOracle,
+    "stream_interval_join" -> streamIntervalJoinOracle,
+    "stream_neardup_bucketed" -> streamNearDupOracle
   )
 }

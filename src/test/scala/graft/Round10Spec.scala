@@ -206,4 +206,94 @@ class Round10Spec extends AnyFunSuite {
     assert(kernel.exceptAll(declarative).isEmpty && declarative.exceptAll(kernel).isEmpty,
       "kernel and declarative xxhash64 band keys must be bit-identical")
   }
+
+  test("bucketed on-disk near-dup index: tag survives saveAsTable; micro-batch " +
+      "reads the index in place (no Exchange above the bucketed scan)") {
+    import org.apache.spark.sql.execution.streaming.runtime.{MemoryStream, StreamingQueryWrapper}
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def toks(p: String) = (1 to 30).map(i => s"$p$i").mkString(" ")
+    val corpus = Seq((100L, toks("w")), (200L, toks("v"))).toDF("doc_id", "text")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Streams.nearDupIndexSave(corpus, "b_ndidx_spec", "doc_id", "text", buckets = 4)
+      val index = Streams.nearDupIndexLoad(spark, "b_ndidx_spec")
+      // family tag rides through the catalog schema / parquet footer
+      val tag = index.schema.fields.find(_.name == "_bkey")
+        .filter(_.metadata.contains("graft.hashFamily"))
+        .map(_.metadata.getString("graft.hashFamily"))
+      assert(tag.contains("md5"),
+        s"hash-family tag must survive the bucketed-table roundtrip, got $tag")
+      val mem = MemoryStream[(Long, String)]
+      val q = Streams.nearDupStreamIndexed(mem.toDF.toDF("doc_id", "text"), index,
+          "doc_id", "text")
+        .writeStream.format("memory").queryName("ndb_sink")
+        .outputMode("append")
+        .option("checkpointLocation", Streams.freshCheckpointDir("ndb_spec"))
+        .start()
+      try {
+        mem.addData((1L, "x0 x1 " + toks("w")))
+        q.processAllAvailable()
+        assert(spark.table("ndb_sink").as[Long].collect().toSeq == Seq(1L))
+        val exec = q.asInstanceOf[StreamingQueryWrapper].streamingQuery.lastExecution
+        val plan = exec.executedPlan
+        assert(plan.toString.contains("Bucketed: true"),
+          "index side must be the bucketed in-place scan:\n" + plan.toString.take(4000))
+        // the ONLY shuffle allowed is the arriving batch hashing into the
+        // index's bucketing — never the index itself. An exchange is
+        // offending iff its ENTIRE subtree is the static index (the
+        // post-join stateful-dedup repartition legitimately has the
+        // file scan among its leaves, alongside the stream scan).
+        val offending = plan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+              if e.collectLeaves().forall(
+                _.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec]) => e
+        }
+        assert(offending.isEmpty,
+          "bucketed index side must not re-shuffle:\n" + plan.toString.take(4000))
+      } finally q.stop()
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS b_ndidx_spec")
+    }
+  }
+
+  test("stream-stream interval join: view buffered across the batch boundary " +
+      "matches a later purchase (symmetric hash join state)") {
+    import org.apache.spark.sql.execution.streaming.runtime.{MemoryStream, StreamingQueryWrapper}
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val memV = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val memP = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val views = memV.toDF.toDF("ts", "user_id", "event_id").withWatermark("ts", "1 hour")
+    val purchases = memP.toDF.toDF("ts", "user_id", "event_id").withWatermark("ts", "1 hour")
+    val q = Streams.intervalJoinStream(views, purchases, withinHours = 24)
+      .writeStream.format("memory").queryName("ivj_sink")
+      .outputMode("append")
+      .option("checkpointLocation", Streams.freshCheckpointDir("ivj_spec"))
+      .start()
+    try {
+      // batch 1: only the view arrives
+      memV.addData((ts("2024-01-01 00:00:00"), 7L, 1L))
+      q.processAllAvailable()
+      assert(spark.table("ivj_sink").count() == 0)
+      // batch 2: its purchase 30 min later, plus one outside the window
+      memP.addData((ts("2024-01-01 00:30:00"), 7L, 2L),
+        (ts("2024-01-03 05:00:00"), 7L, 3L))
+      q.processAllAvailable()
+      val got = spark.table("ivj_sink")
+        .select("user_id", "view_id", "purchase_id", "lag_us")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      assert(got == Seq((7L, 1L, 2L, 1800L * 1000000L)),
+        s"buffered view must match the later in-window purchase only, got $got")
+      val exec = q.asInstanceOf[StreamingQueryWrapper].streamingQuery.lastExecution
+      assert(exec.executedPlan.toString.contains("StreamingSymmetricHashJoin"),
+        "must be the real stateful stream-stream join operator:\n" +
+          exec.executedPlan.toString.take(3000))
+    } finally q.stop()
+  }
 }
