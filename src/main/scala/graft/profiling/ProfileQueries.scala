@@ -504,7 +504,76 @@ object ProfileQueries {
       |       WHEN '8' THEN 51 WHEN '9' THEN 45 END AS BIGINT)) AS dev_milli
       |FROM d, t ORDER BY digit""".stripMargin
 
+  /** CountMin heavy hitters (Sketches.cmsCounters — SURVEY §2.12): the
+    * top-20 users by event count, with the exact count alongside the
+    * CMS point estimate (d=4 rows × w=512 buckets). The counter build
+    * is one map-side-combined pass whose shuffle payload is ≤ d·w
+    * cells; the estimate lookup broadcasts the counter table. CMS
+    * never underestimates — Round10Spec pins the bound and the
+    * shard-merge law.
+    */
+  def profileCmsTopk(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = events(s, dir)
+    val top = ev.groupBy("user_id").agg(count(lit(1)).as("exact_cnt"))
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(col("exact_cnt").desc, col("user_id")))
+          .cast("long"))
+      .filter(col("rnk") <= 20)
+    val counters = Sketches.cmsCounters(ev, col("user_id"), d = 4, w = 512)
+    Sketches.cmsEstimate(counters, top.select("user_id"), "user_id", d = 4, w = 512)
+      .join(top, "user_id")
+      .select("user_id", "exact_cnt", "cms_cnt", "rnk")
+      .orderBy("rnk")
+  }
+
+  val profileCmsTopkOracle: String =
+    """WITH cnt AS (
+      |  SELECT j, ('0x'||substr(md5('cms'||j||'#'||CAST(user_id AS VARCHAR)),1,13))::BIGINT % 512 AS bucket,
+      |         CAST(count(*) AS BIGINT) AS c
+      |  FROM events, range(0,4) t(j) GROUP BY 1, 2),
+      |top AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS exact_cnt,
+      |         row_number() OVER (ORDER BY count(*) DESC, user_id) AS rnk
+      |  FROM events GROUP BY user_id ORDER BY exact_cnt DESC, user_id LIMIT 20),
+      |est AS (
+      |  SELECT top.user_id, min(c) AS cms_cnt
+      |  FROM top, range(0,4) t(j)
+      |  JOIN cnt ON cnt.j = t.j
+      |    AND cnt.bucket = ('0x'||substr(md5('cms'||t.j||'#'||CAST(top.user_id AS VARCHAR)),1,13))::BIGINT % 512
+      |  GROUP BY top.user_id)
+      |SELECT top.user_id, top.exact_cnt, est.cms_cnt, CAST(top.rnk AS BIGINT) AS rnk
+      |FROM top JOIN est USING (user_id) ORDER BY rnk""".stripMargin
+
+  /** HyperLogLog distinct-user estimate (Sketches.hllRegisters /
+    * hllSummary — SURVEY §2.12): 256 registers, exact integer sketch
+    * state (S = Σ 2^(53−r)), raw estimate via two correctly-rounded
+    * IEEE ops, LinearCounting small-range correction through the
+    * exact detLn circuit — every column hash-gated, including the
+    * estimates. exact_distinct rides along as the evaluator face.
+    */
+  def profileHll(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val exact = ev.agg(countDistinct(col("user_id")).as("exact_distinct"))
+    Sketches.hllSummary(Sketches.hllRegisters(ev, col("user_id")))
+      .crossJoin(exact) // 1 row × 1 row
+      .select("m", "occupied", "s_scaled", "est_raw", "est", "exact_distinct")
+  }
+
+  val profileHllOracle: String =
+    s"""WITH h AS (
+       |  SELECT ('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,2))::BIGINT AS reg,
+       |         ('0x'||substr(md5(CAST(user_id AS VARCHAR)),3,13))::BIGINT AS w
+       |  FROM events),
+       |regs AS (SELECT reg, max(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS r
+       |         FROM h GROUP BY reg),
+       |${Sketches.hllSummaryOracleCtes("regs")},
+       |ex AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct FROM events)
+       |SELECT m, occupied, s_scaled, est_raw, est, exact_distinct FROM hfin, ex""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "profile_cms_topk" -> (profileCmsTopk _),
+    "profile_hll" -> (profileHll _),
     "profile_benford" -> (profileBenford _),
     "profile_ldiv" -> (profileLdiv _),
     "profile_kanon" -> (profileKanon _),
@@ -524,6 +593,8 @@ object ProfileQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "profile_cms_topk" -> profileCmsTopkOracle,
+    "profile_hll" -> profileHllOracle,
     "profile_benford" -> profileBenfordOracle,
     "profile_ldiv" -> profileLdivOracle,
     "profile_kanon" -> profileKanonOracle,

@@ -178,6 +178,39 @@ object TextQueries {
       |FROM tot LEFT JOIN hit ON hit.doc_id = tot.doc_id
       |ORDER BY tot.doc_id""".stripMargin
 
+  /** Bloom-prefilter decontamination (Bloom.scala — SURVEY §2.12):
+    * the zero-shuffle tier of eval-set filtering. Same probe split as
+    * [[textContamination]]; output = per-doc Bloom flag (broadcast
+    * 2^17-bit bitmap probed in a pure projection — no join, no
+    * Exchange on the corpus side) next to the exact-join flag, so the
+    * one-sided FP behavior is hash-gated, not just spec'd.
+    */
+  def textBloomContamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    val probes = docs.filter(col("doc_id") % 100 === 0)
+    Bloom.contaminationBloom(docs, probes, "doc_id", "text", n = 3)
+      .orderBy("doc_id")
+  }
+
+  val textBloomContaminationOracle: String =
+    """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      |g AS (SELECT doc_id, unnest(
+      |        [array_to_string(w[i:i+2], ' ')
+      |         for i in range(1, greatest(len(w) - 2, 1) + 1)]) AS gram FROM t),
+      |probe AS (SELECT DISTINCT gram FROM g WHERE doc_id % 100 = 0),
+      |pos AS (SELECT DISTINCT ('0x'||substr(md5('bf'||i||'#'||gram),1,13))::BIGINT % 131072 AS p
+      |        FROM probe, range(0,3) t(i)),
+      |cand AS (SELECT DISTINCT doc_id FROM g
+      |         WHERE ('0x'||substr(md5('bf0#'||gram),1,13))::BIGINT % 131072 IN (SELECT p FROM pos)
+      |           AND ('0x'||substr(md5('bf1#'||gram),1,13))::BIGINT % 131072 IN (SELECT p FROM pos)
+      |           AND ('0x'||substr(md5('bf2#'||gram),1,13))::BIGINT % 131072 IN (SELECT p FROM pos)),
+      |exact AS (SELECT DISTINCT g.doc_id FROM g JOIN probe USING (gram))
+      |SELECT d.doc_id, cand.doc_id IS NOT NULL AS bloom_flag,
+      |       exact.doc_id IS NOT NULL AS exact_flag
+      |FROM (SELECT doc_id FROM documents) d
+      |LEFT JOIN cand USING (doc_id) LEFT JOIN exact USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
   /** FUZZY decontamination (r6): minhash-LSH near-dups of the corpus
     * against a perturbed eval set — every 100th doc with a two-word
     * prefix (shingle jaccard ≈ (L−2)/L to its source, well above the
@@ -1231,6 +1264,7 @@ object TextQueries {
     "text_substring_dedup" -> (textSubstringDedup _),
     "text_pii_scrub" -> (textPiiScrub _),
     "text_contamination" -> (textContamination _),
+    "text_bloom_contamination" -> (textBloomContamination _),
     "text_contamination_fuzzy" -> (textContaminationFuzzy _),
     "text_mixture" -> (textMixture _),
     "text_split" -> (textSplit _),
@@ -1271,6 +1305,7 @@ object TextQueries {
     "text_substring_dedup" -> textSubstringDedupOracle,
     "text_pii_scrub" -> textPiiScrubOracle,
     "text_contamination" -> textContaminationOracle,
+    "text_bloom_contamination" -> textBloomContaminationOracle,
     "text_contamination_fuzzy" -> textContaminationFuzzyOracle,
     "text_mixture" -> textMixtureOracle,
     "text_split" -> textSplitOracle,

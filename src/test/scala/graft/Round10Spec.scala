@@ -260,6 +260,80 @@ class Round10Spec extends AnyFunSuite {
     }
   }
 
+  test("CMS: never underestimates, and shard sketches sum cell-wise into the " +
+      "union sketch (the mergeability that makes it a one-pass cluster profile)") {
+    import graft.profiling.Sketches
+    val spark2 = spark
+    import spark2.implicits._
+    val items = (1 to 400).flatMap(i => Seq.fill(1 + i % 7)(i.toLong))
+    val df = items.toDF("x")
+    val counters = Sketches.cmsCounters(df, col("x"), d = 4, w = 64) // tight w: collisions guaranteed
+    val exact = df.groupBy("x").agg(count(lit(1)).as("exact"))
+    val est = Sketches.cmsEstimate(counters, exact.select("x"), "x", d = 4, w = 64)
+      .join(exact, "x")
+      .select($"x", $"cms_cnt", $"exact").as[(Long, Long, Long)].collect()
+    assert(est.length == 400)
+    assert(est.forall { case (_, cms, ex) => cms >= ex },
+      "CMS is an upper bound — it must never undercount")
+    // merge law: sketch(A) + sketch(B) cell-wise == sketch(A union B)
+    val (a, b) = (items.filter(_ % 2 == 0), items.filter(_ % 2 == 1))
+    val merged = Sketches.cmsCounters(a.toDF("x"), col("x"), 4, 64)
+      .unionByName(Sketches.cmsCounters(b.toDF("x"), col("x"), 4, 64))
+      .groupBy("j", "bucket").agg(sum("c").as("c"))
+    assert(merged.exceptAll(counters).isEmpty && counters.exceptAll(merged).isEmpty,
+      "cell-wise sum of shard sketches must equal the union's sketch")
+  }
+
+  test("HLL: halves merge by element-wise register max, and the estimate " +
+      "lands within the theoretical error band") {
+    import graft.profiling.Sketches
+    val spark2 = spark
+    import spark2.implicits._
+    val n = 5000
+    val df = (1 to n).map(_.toLong).toDF("x")
+    val whole = Sketches.hllRegisters(df, col("x"))
+    assert(whole.count() <= 256)
+    val halves = Sketches.hllRegisters((1 to n / 2).map(_.toLong).toDF("x"), col("x"))
+      .unionByName(Sketches.hllRegisters((n / 2 + 1 to n).map(_.toLong).toDF("x"), col("x")))
+      .groupBy("reg").agg(max("r").as("r"))
+    assert(halves.exceptAll(whole).isEmpty && whole.exceptAll(halves).isEmpty,
+      "element-wise max of the halves' registers must equal the whole's registers")
+    val est = Sketches.hllSummary(whole).select("est").as[Long].head()
+    // sigma = 1.04/sqrt(256) = 6.5%; allow 3 sigma
+    assert(math.abs(est - n) <= 0.195 * n, s"estimate $est too far from $n")
+    // small-range branch: 150 distinct over 256 registers must take the
+    // LinearCounting correction and beat the raw estimate
+    val small = Sketches.hllSummary(
+      Sketches.hllRegisters((1 to 150).map(_.toLong).toDF("x"), col("x")))
+      .select("est_raw", "est").as[(Long, Long)].head()
+    assert(math.abs(small._2 - 150) < math.abs(small._1 - 150),
+      s"LC-corrected ${small._2} must beat raw ${small._1} at 150 distinct")
+    assert(math.abs(small._2 - 150) <= 30)
+  }
+
+  test("Bloom decontamination: no false negatives, and the flag plan is a " +
+      "pure scan — zero Exchange, zero joins on the corpus side") {
+    import graft.text.Bloom
+    val spark2 = spark
+    import spark2.implicits._
+    def doc(p: String, k: Int) = (1 to 12).map(i => s"$p${(i + k) % 9}x$i").mkString(" ")
+    val docs = (1L to 200L).map(i => (i, doc(s"d${i % 17}_", i.toInt))).toDF("doc_id", "text")
+    val probes = docs.filter($"doc_id" % 10 === 0)
+    val out = Bloom.contaminationBloom(docs, probes, "doc_id", "text", n = 3)
+    val rows = out.select("doc_id", "bloom_flag", "exact_flag")
+      .as[(Long, Boolean, Boolean)].collect()
+    assert(rows.length == 200)
+    assert(rows.forall { case (_, bf, ef) => !ef || bf },
+      "bloom_flag must be a superset of exact_flag (no false negatives)")
+    assert(rows.count(_._3) >= 20, "planted probes must be exact-flagged")
+    // the scale claim: flagging is a single-scan projection
+    val flagOnly = Bloom.bloomFlag(docs, "doc_id", "text",
+      Bloom.evalBitmap(probes, "text"), n = 3)
+    val plan = flagOnly.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      "bloom flag must be a zero-shuffle projection:\n" + plan.take(3000))
+  }
+
   test("stream-stream interval join: view buffered across the batch boundary " +
       "matches a later purchase (symmetric hash join state)") {
     import org.apache.spark.sql.execution.streaming.runtime.{MemoryStream, StreamingQueryWrapper}
