@@ -380,7 +380,49 @@ object BlockQueries {
        |SELECT id1, id2, score FROM scored WHERE score >= 0.95
        |ORDER BY id1, id2""".stripMargin
 
+  /** Grid-bucketed geo blocker (Blockers.geoNearest): nearest supplier
+    * per customer over deterministic md5-derived micro-degree
+    * coordinates (the md5-hex-prefix law, so the DuckDB oracle derives
+    * the SAME plane) on a 100 000-µ° grid — candidates meet in one
+    * (cellX, cellY) equi-join, never a cross product.
+    */
+  def blockGeo(s: SparkSession, dir: String): DataFrame = {
+    def coords(df: DataFrame, key: String, out: String, saltLat: String,
+        saltLon: String): DataFrame = {
+      def c(salt: String) =
+        (conv(substring(md5(concat(lit(salt), col(key).cast("string"))), 1, 13), 16, 10)
+          .cast("long") % 1000000L)
+      df.select(col(key).as(out), c(saltLat).as("lat"), c(saltLon).as("lon"))
+    }
+    val probes = coords(customer(s, dir), "c_custkey", "id", "lat#", "lon#")
+    val index = coords(supplier(s, dir), "s_suppkey", "sid", "slat#", "slon#")
+    Blockers.geoNearest(probes, index, cell = 100000L)
+      .select(col("id").as("c_custkey"), col("sid").as("s_suppkey"), col("dist_sq"))
+      .orderBy("c_custkey")
+  }
+
+  val blockGeoOracle: String =
+    """WITH c AS (SELECT c_custkey AS id,
+      |    ('0x'||substr(md5('lat#'||CAST(c_custkey AS VARCHAR)),1,13))::BIGINT % 1000000 AS lat,
+      |    ('0x'||substr(md5('lon#'||CAST(c_custkey AS VARCHAR)),1,13))::BIGINT % 1000000 AS lon
+      |  FROM customer),
+      |s AS (SELECT s_suppkey AS sid,
+      |    ('0x'||substr(md5('slat#'||CAST(s_suppkey AS VARCHAR)),1,13))::BIGINT % 1000000 AS lat,
+      |    ('0x'||substr(md5('slon#'||CAST(s_suppkey AS VARCHAR)),1,13))::BIGINT % 1000000 AS lon
+      |  FROM supplier),
+      |cand AS (
+      |  SELECT c.id, s.sid,
+      |         (c.lat - s.lat) * (c.lat - s.lat) + (c.lon - s.lon) * (c.lon - s.lon) AS dist_sq,
+      |         row_number() OVER (PARTITION BY c.id
+      |           ORDER BY (c.lat-s.lat)*(c.lat-s.lat)+(c.lon-s.lon)*(c.lon-s.lon), s.sid) AS rn
+      |  FROM c, range(-1,2) dx(x), range(-1,2) dy(y)
+      |  JOIN s ON s.lat // 100000 = c.lat // 100000 + dx.x
+      |        AND s.lon // 100000 = c.lon // 100000 + dy.y)
+      |SELECT id AS c_custkey, sid AS s_suppkey, dist_sq
+      |FROM cand WHERE rn = 1 ORDER BY c_custkey""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "block_geo" -> (blockGeo _),
     "pipeline_canopy_match" -> (pipelineCanopyMatch _),
     "block_canopy" -> (blockCanopy _),
     "block_meta" -> (blockMeta _),
@@ -393,6 +435,7 @@ object BlockQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "block_geo" -> blockGeoOracle,
     "pipeline_canopy_match" -> pipelineCanopyMatchOracle,
     "block_canopy" -> blockCanopyOracle,
     "block_meta" -> blockMetaOracle,

@@ -236,6 +236,43 @@ object Blockers {
     * completeness (blocking recall), pair quality (blocking precision) and
     * reduction ratio vs the full cross product. One metrics row.
     */
+  /** Grid-bucketed nearest-neighbour GEO blocker — the spatial member
+    * of the family (reference anchor: CoordinateParser,
+    * normalization/rules.py — PyDI parses coordinates; matching on
+    * them at scale needs a blocker that never goes all-pairs).
+    * Coordinates are exact integer micro-degrees; each probe is
+    * hashed to its `cell`-width grid cell and exploded to the 3×3
+    * neighbourhood (probe side ×9, index side stays 1× — the LSH
+    * banding asymmetry), candidates meet in ONE equi-join on
+    * (cellX, cellY), and the nearest index record per probe is the
+    * lexicographic min of (squared distance, sid) — all-long
+    * arithmetic, engine-identical. A probe whose 3×3 window is empty
+    * is dropped (blocker contract: candidates only; widen `cell` for
+    * sparser indexes). Skew is bounded by cell occupancy, the
+    * explicit tuning knob.
+    *
+    * `probes` must have (id, lat, lon); `index` (sid, lat, lon).
+    */
+  def geoNearest(probes: DataFrame, index: DataFrame, cell: Long): DataFrame = {
+    val offs = for (dx <- -1 to 1; dy <- -1 to 1)
+      yield struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))
+    val l = probes
+      .withColumn("_o", explode(array(offs: _*)))
+      .select(col("id"), col("lat"), col("lon"),
+        (expr(s"lat div $cell") + col("_o.dx")).as("_cx"),
+        (expr(s"lon div $cell") + col("_o.dy")).as("_cy"))
+    val r = index.select(col("sid"), col("lat").as("_rlat"), col("lon").as("_rlon"))
+      .withColumn("_rcx", expr(s"_rlat div $cell"))
+      .withColumn("_rcy", expr(s"_rlon div $cell"))
+    l.join(r, l("_cx") === r("_rcx") && l("_cy") === r("_rcy"))
+      .withColumn("_d",
+        (col("lat") - col("_rlat")) * (col("lat") - col("_rlat")) +
+          (col("lon") - col("_rlon")) * (col("lon") - col("_rlon")))
+      .groupBy(col("id"))
+      .agg(min(struct(col("_d").as("dist_sq"), col("sid"))).as("_m"))
+      .select(col("id"), col("_m.sid").as("sid"), col("_m.dist_sq").as("dist_sq"))
+  }
+
   def evaluate(candidates: DataFrame, gold: DataFrame, totalPossiblePairs: Long): DataFrame = {
     val cand = candidates.select("id1", "id2").distinct()
     val g = gold.select("id1", "id2").distinct()

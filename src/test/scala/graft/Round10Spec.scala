@@ -334,6 +334,39 @@ class Round10Spec extends AnyFunSuite {
       "bloom flag must be a zero-shuffle projection:\n" + plan.take(3000))
   }
 
+  test("geo blocker: equals brute-force nearest within the 3x3 window, finds " +
+      "planted twins, and plans an equi-join (never a cross product)") {
+    import graft.blocking.Blockers
+    val spark2 = spark
+    import spark2.implicits._
+    // planted: probe i sits at (i*1000, i*1000); its twin index record at
+    // distance sqrt(2)*10; decoys far away but inside the window
+    val probes = (1L to 50L).map(i => (i, i * 1000L, i * 1000L)).toDF("id", "lat", "lon")
+    val index = ((1L to 50L).map(i => (i * 100L, i * 1000L + 10L, i * 1000L + 10L)) ++
+      (1L to 50L).map(i => (i * 100L + 1L, i * 1000L + 900L, i * 1000L)))
+      .toDF("sid", "lat", "lon")
+    val got = Blockers.geoNearest(probes, index, cell = 5000L)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.length == 50)
+    assert(got.forall { case (i, sid, d) => sid == i * 100L && d == 200L },
+      s"every probe must pick its planted twin, got ${got.take(5).toSeq}")
+    // brute-force within-window replay
+    val brute = probes.as[(Long, Long, Long)].collect().map { case (i, la, lo) =>
+      val cands = index.as[(Long, Long, Long)].collect().filter { case (_, rla, rlo) =>
+        math.abs(rla / 5000L - la / 5000L) <= 1 && math.abs(rlo / 5000L - lo / 5000L) <= 1
+      }
+      val best = cands.map { case (sid, rla, rlo) =>
+        ((rla - la) * (rla - la) + (rlo - lo) * (rlo - lo), sid)
+      }.min
+      (i, best._2, best._1)
+    }
+    assert(got.toSeq == brute.toSeq.sortBy(_._1))
+    val plan = Blockers.geoNearest(probes, index, cell = 5000L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      "grid blocker must plan an equi-join:\n" + plan.take(2000))
+  }
+
   test("stream-stream interval join: view buffered across the batch boundary " +
       "matches a later purchase (symmetric hash join state)") {
     import org.apache.spark.sql.execution.streaming.runtime.{MemoryStream, StreamingQueryWrapper}
