@@ -459,6 +459,45 @@ object ExtraQueries {
       |       value AS last_value
       |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
 
+  /** Per-window HLL distinct-user sketch ([[Streams.hllWindowRegisters]]
+    * + [[graft.profiling.Sketches.hllSummaryBy]]): batch semantics here
+    * (hash-gated incl. the LinearCounting-corrected estimates);
+    * Round10Spec proves the streaming form emits the identical
+    * registers from a stateful windowed agg whose state is
+    * windows × 256 longs — never per-user.
+    */
+  def streamHll(s: SparkSession, dir: String): DataFrame = {
+    import graft.profiling.Sketches
+    val ev = events(s, dir)
+    val summ = Sketches.hllSummaryBy(
+      Streams.hllWindowRegisters(ev, "1 day"), col("window_start"))
+    val exact = ev
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(countDistinct(col("user_id")).as("exact_distinct"))
+      .select(col("w.start").as("window_start"), col("exact_distinct"))
+    summ.join(exact, "window_start")
+      .select("window_start", "m", "occupied", "s_scaled", "est_raw", "est",
+        "exact_distinct")
+      .orderBy("window_start")
+  }
+
+  val streamHllOracle: String = {
+    import graft.profiling.Sketches
+    s"""WITH hr AS (SELECT date_trunc('day', ts) AS window_start,
+       |  ('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,2))::BIGINT AS reg,
+       |  ('0x'||substr(md5(CAST(user_id AS VARCHAR)),3,13))::BIGINT AS w
+       |  FROM events),
+       |regs AS (SELECT window_start, reg,
+       |  max(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS r
+       |  FROM hr GROUP BY 1, 2),
+       |${Sketches.hllSummaryOracleCtes("regs", Seq("window_start"))},
+       |ex AS (SELECT date_trunc('day', ts) AS window_start,
+       |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+       |  FROM events GROUP BY 1)
+       |SELECT hfin.window_start, m, occupied, s_scaled, est_raw, est, exact_distinct
+       |FROM hfin JOIN ex USING (window_start) ORDER BY window_start""".stripMargin
+  }
+
   /** STREAM-STREAM interval join run FOR REAL: the events dir read as
     * TWO independent streaming sources (views / purchases), inner-
     * joined on user within a 24 h event-time window
@@ -1454,7 +1493,8 @@ object ExtraQueries {
     "stream_asof" -> (streamAsof _),
     "stream_asof_buffered" -> (streamAsofBuffered _),
     "stream_interval_join" -> (streamIntervalJoin _),
-    "stream_neardup_bucketed" -> (streamNearDupBucketed _)
+    "stream_neardup_bucketed" -> (streamNearDupBucketed _),
+    "stream_hll" -> (streamHll _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -1493,6 +1533,7 @@ object ExtraQueries {
     "stream_asof" -> streamAsofOracle,
     "stream_asof_buffered" -> streamAsofOracle,
     "stream_interval_join" -> streamIntervalJoinOracle,
-    "stream_neardup_bucketed" -> streamNearDupOracle
+    "stream_neardup_bucketed" -> streamNearDupOracle,
+    "stream_hll" -> streamHllOracle
   )
 }

@@ -83,15 +83,20 @@ object Sketches {
     * Only p = 8 is wired (two whole hex digits keep the register
     * derivation inside the cross-engine substring law).
     */
-  def hllRegisters(df: DataFrame, item: Column): DataFrame = {
-    val h = md5(item.cast("string"))
-    val reg = conv(substring(h, 1, 2), 16, 10).cast("long")
-    val w = conv(substring(h, 3, 13), 16, 10).cast("long")
-    val rank = when(w === 0, lit(53L)).otherwise(lit(53L) - length(bin(w)))
-    df.select(reg.as("reg"), rank.as("rank"))
+  /** The register id of a value: its first p=8 md5 bits. */
+  def hllRegCol(item: Column): Column =
+    conv(substring(md5(item.cast("string")), 1, 2), 16, 10).cast("long")
+
+  /** The rank of a value: leftmost-1 position of md5 bits 9..60. */
+  def hllRankCol(item: Column): Column = {
+    val w = conv(substring(md5(item.cast("string")), 3, 13), 16, 10).cast("long")
+    when(w === 0, lit(53L)).otherwise(lit(53L) - length(bin(w)))
+  }
+
+  def hllRegisters(df: DataFrame, item: Column): DataFrame =
+    df.select(hllRegCol(item).as("reg"), hllRankCol(item).as("rank"))
       .groupBy("reg")
       .agg(max("rank").as("r"))
-  }
 
   private val HllP = 8
   private val HllM = 1 << HllP // 256
@@ -114,14 +119,22 @@ object Sketches {
     * m·(ln m − detLn(V)) so the DuckDB oracle replays the exact
     * ln circuit — DetMath.scala:16).
     */
-  def hllSummary(registers: DataFrame): DataFrame = {
+  def hllSummary(registers: DataFrame): DataFrame =
+    hllSummaryBy(registers)
+
+  /** [[hllSummary]] grouped by `keys` (e.g. a time-window column): one
+    * summary row per group — the shape a per-window streaming sketch
+    * consumer reads.
+    */
+  def hllSummaryBy(registers: DataFrame, keys: Column*): DataFrame = {
     val m = HllM
-    val s = registers.agg(
+    val agged = registers.groupBy(keys: _*).agg(
       count(lit(1)).as("occupied"),
       sum(expr("shiftleft(1L, cast(53 - r as int))")).as("s_occ"))
-      .select(lit(m).as("m"), col("occupied"),
+    val s = agged
+      .select((keys :+ lit(m).as("m") :+ col("occupied") :+
         (col("s_occ") + (lit(m.toLong) - col("occupied")) * lit(1L << 53))
-          .as("s_scaled"))
+          .as("s_scaled")): _*)
     val raw = floor(lit(HllRawNum) / (lit(HllRawDen) * col("s_scaled").cast("double")))
       .cast("long")
     val empties = (lit(m.toLong) - col("occupied")).cast("double")
@@ -136,19 +149,21 @@ object Sketches {
     * emits CTEs computing the identical summary row. `finalSelect`
     * receives the summary CTE name and appends its own projection.
     */
-  def hllSummaryOracleCtes(regsCte: String): String = {
+  def hllSummaryOracleCtes(regsCte: String, keys: Seq[String] = Nil): String = {
     val m = HllM
-    s"""hsum AS (SELECT CAST(count(*) AS BIGINT) AS occupied,
-       |  CAST(sum(1::BIGINT << (53 - r)) AS BIGINT) AS s_occ FROM $regsCte),
-       |hsc AS (SELECT $m AS m, occupied,
+    val k = if (keys.isEmpty) "" else keys.mkString("", ", ", ", ")
+    val grp = if (keys.isEmpty) "" else keys.mkString(" GROUP BY ", ", ", "")
+    s"""hsum AS (SELECT ${k}CAST(count(*) AS BIGINT) AS occupied,
+       |  CAST(sum(1::BIGINT << (53 - r)) AS BIGINT) AS s_occ FROM $regsCte$grp),
+       |hsc AS (SELECT $k$m AS m, occupied,
        |  s_occ + ($m - occupied) * (1::BIGINT << 53) AS s_scaled FROM hsum),
-       |hraw AS (SELECT m, occupied, s_scaled,
+       |hraw AS (SELECT $k m, occupied, s_scaled,
        |  CAST(floor(${java.lang.Double.toString(HllRawNum)} /
        |       (${java.lang.Double.toString(HllRawDen)} * CAST(s_scaled AS DOUBLE))) AS BIGINT) AS est_raw
        |  FROM hsc),
-       |${DetMath.sqlLnCtes("hln", "hraw", "m, occupied, s_scaled, est_raw",
+       |${DetMath.sqlLnCtes("hln", "hraw", s"${k}m, occupied, s_scaled, est_raw",
           s"CAST($m - occupied AS DOUBLE)")},
-       |hfin AS (SELECT m, occupied, s_scaled, est_raw,
+       |hfin AS (SELECT $k m, occupied, s_scaled, est_raw,
        |  CASE WHEN est_raw <= ${(5L * m) / 2} AND occupied < $m
        |       THEN CAST(floor($m.0 * (${java.lang.Double.toString(HllLnM)} - lnv)) AS BIGINT)
        |       ELSE est_raw END AS est

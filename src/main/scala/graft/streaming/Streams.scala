@@ -258,6 +258,30 @@ object Streams {
         (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("lag_us"))
   }
 
+  /** Per-window HyperLogLog register maintenance — the streaming face
+    * of the sketch family (Sketches.scala): distinct-user cardinality
+    * per event-time window WITHOUT per-window distinct state. The
+    * stateful aggregation keys on (window, register) with max(rank),
+    * so state is windows × 2^p small longs no matter how many users
+    * stream by — the property that makes per-window `countDistinct`
+    * (state = every key seen) affordable at 100 TB/day. Works
+    * identically as a batch transform (the oracle) and a streaming one
+    * (append-mode windowed agg — Round10Spec runs it on MemoryStream
+    * and checks the emitted registers equal the batch sketch).
+    * Consumers compute estimates from the emitted registers with
+    * [[graft.profiling.Sketches.hllSummaryBy]].
+    */
+  def hllWindowRegisters(events: DataFrame, dur: String = "1 day",
+      item: String = "user_id"): DataFrame = {
+    import graft.profiling.Sketches
+    events
+      .select(col("ts"), Sketches.hllRegCol(col(item)).as("reg"),
+        Sketches.hllRankCol(col(item)).as("rank"))
+      .groupBy(window(col("ts"), dur).as("w"), col("reg"))
+      .agg(max("rank").as("r"))
+      .select(col("w.start").as("window_start"), col("reg"), col("r"))
+  }
+
   /** Streaming exact dedup: drop repeated keys arriving within the
     * watermark horizon — the streaming face of Dedup.exact for
     * continuous ingest (state is bounded by the watermark; an unbounded

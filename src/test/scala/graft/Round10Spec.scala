@@ -334,6 +334,44 @@ class Round10Spec extends AnyFunSuite {
       "bloom flag must be a zero-shuffle projection:\n" + plan.take(3000))
   }
 
+  test("streaming HLL: stateful windowed agg emits the identical register " +
+      "sketch the batch transform computes, with (window x 256)-bounded state") {
+    import org.apache.spark.sql.execution.streaming.runtime.{MemoryStream, StreamingQueryWrapper}
+    import graft.profiling.Sketches
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val day1 = (1L to 300L).map(u => (ts("2024-01-01 06:00:00"), u))
+    val day1b = (250L to 400L).map(u => (ts("2024-01-01 18:00:00"), u))
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    val q = Streams.hllWindowRegisters(
+        mem.toDF.toDF("ts", "user_id").withWatermark("ts", "1 hour"), "1 day")
+      .writeStream.format("memory").queryName("hll_sink")
+      .outputMode("append")
+      .option("checkpointLocation", Streams.freshCheckpointDir("hll_spec"))
+      .start()
+    try {
+      mem.addData(day1: _*)
+      q.processAllAvailable()
+      mem.addData(day1b: _*)
+      q.processAllAvailable()
+      // day-3 marker advances the watermark past day 1 -> its window closes
+      mem.addData((ts("2024-01-03 12:00:00"), 9999L))
+      q.processAllAvailable()
+      val streamed = spark.table("hll_sink")
+        .filter($"window_start" === ts("2024-01-01 00:00:00"))
+        .select("reg", "r")
+      val batch = Sketches.hllRegisters((day1 ++ day1b).map(_._2).toDF("x"), col("x"))
+      assert(streamed.count() > 0, "day-1 window must have emitted")
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+        "streamed registers must equal the batch sketch exactly")
+      val exec = q.asInstanceOf[StreamingQueryWrapper].streamingQuery.lastExecution
+      assert(exec.executedPlan.toString.contains("StateStoreSave"),
+        "must be a real stateful streaming aggregation")
+    } finally q.stop()
+  }
+
   test("geo blocker: equals brute-force nearest within the 3x3 window, finds " +
       "planted twins, and plans an equi-join (never a cross product)") {
     import graft.blocking.Blockers
