@@ -212,6 +212,68 @@ object Ann {
       .select(col("qid"), col("_id").as(id), col("adc_scaled"), col("rank"))
   }
 
+  /** IVF-PQ composed search — the FAISS IndexIVFPQ shape and the ANN
+    * configuration 100 TB deployments actually run: the coarse
+    * quantizer prunes the corpus to the query's `nprobe` cells
+    * (search cost O(n·nprobe/nlist)), then ADC over the PQ codes
+    * ranks WITHIN the probed cells (memory cost m bytes/vector, not
+    * dim floats). Raw-vector PQ codes (FAISS by_residual=false) keep
+    * the encoding identical to [[pqSearch]] so both phases stay
+    * relationally replayable: every step is a broadcast join against
+    * the bounded cents/books frames plus ONE integer-sum aggregation;
+    * the corpus is never compared all-pairs and never carried as full
+    * vectors past the assignment step. Routing and ADC both use L2
+    * (min-struct / floor-scaled integer sums — engine-exact).
+    */
+  def ivfpqSearch(queries: DataFrame, corpus: DataFrame, cents: DataFrame,
+      books: DataFrame, id: String, vec: String, dim: Int, m: Int, k: Int,
+      nprobe: Int): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val sub = dim / m
+    def subspaces(df: DataFrame, idAs: String): DataFrame = df
+      .select(col(id).as(idAs), col(vec).as("_v"))
+      .select(col(idAs), explode(expr(
+        s"transform(sequence(0, ${m - 1}), i -> struct(i as _m, slice(_v, i * $sub + 1, $sub) as _sv))")).as("_s"))
+      .select(col(idAs), col("_s._m").as("_m"), col("_s._sv").as("_sv"))
+    val l2cent = graft.functions.vecs.l2sq(col("_v"), col("_cv"))
+    val l2book = graft.functions.vecs.l2sq(col("_sv"), col("_cv"))
+    // coarse: corpus → nearest cell (broadcast cents, one pass)
+    val assigned = corpus.select(col(id).as("_id"), col(vec).as("_v"))
+      .crossJoin(broadcast(cents))
+      .groupBy(col("_id"))
+      .agg(min(struct(l2cent.as("_d"), col("_cell"))).as("_b"))
+      .select(col("_id"), col("_b._cell").as("_cell"))
+    // fine: corpus → m PQ codes (broadcast books)
+    val codes = subspaces(corpus, "_id")
+      .join(broadcast(books), Seq("_m"))
+      .groupBy(col("_id"), col("_m"))
+      .agg(min(struct(l2book.as("_d"), col("_code"))).as("_b"))
+      .select(col("_id"), col("_m"), col("_b._code").as("_code"))
+    // query → nprobe cells
+    val cellW = Window.partitionBy(col("qid")).orderBy(col("_d"), col("_cell"))
+    val qCells = broadcast(queries.select(col(id).as("qid"), col(vec).as("_qv")))
+      .crossJoin(broadcast(cents))
+      .withColumn("_d", graft.functions.vecs.l2sq(col("_qv"), col("_cv")))
+      .withColumn("_rn", row_number().over(cellW))
+      .filter(col("_rn") <= nprobe)
+      .select(col("qid"), col("_cell"))
+    // query ADC distance table
+    val dtab = subspaces(queries, "qid")
+      .join(broadcast(books), Seq("_m"))
+      .select(col("qid"), col("_m"), col("_code"),
+        floor(l2book * lit(1.0e9)).cast("long").as("_dq"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc_scaled"), col("_id"))
+    assigned.join(broadcast(qCells), Seq("_cell"))
+      .join(codes, Seq("_id"))
+      .join(broadcast(dtab), Seq("qid", "_m", "_code"))
+      .filter(col("qid") =!= col("_id"))
+      .groupBy(col("qid"), col("_id"))
+      .agg(sum(col("_dq")).as("adc_scaled"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("_id").as(id), col("adc_scaled"), col("rank"))
+  }
+
   def ivfSearch(queries: DataFrame, corpus: DataFrame, cents: DataFrame,
       id: String, vec: String, dim: Int, k: Int, nprobe: Int = 3): DataFrame = {
     val c = withNorm(corpus, id, vec, dim)

@@ -401,6 +401,74 @@ object AnnQueries {
   private val PqM = 4
   private val PqK = 16
 
+  /** IVF-PQ composed search ([[Ann.ivfpqSearch]]): coarse routing to
+    * nprobe of 16 fixed cells + ADC over raw-vector PQ codes within
+    * them — both quantizers deterministic (lowest-id seeds, same as
+    * `ann_ivf_search` / `ann_pq_search`), so the COMPOSED index is
+    * hash-gated end to end.
+    */
+  def annIvfpq(s: SparkSession, dir: String): DataFrame = {
+    val c = orig(s, dir)
+    val sub = Dim / PqM
+    val w16 = org.apache.spark.sql.expressions.Window.orderBy("vec_id")
+    val cents = c.orderBy("vec_id").limit(16)
+      .select((row_number().over(w16) - 1).as("_cell"), col("v").as("_cv"))
+    val seeds = c.orderBy("vec_id").limit(PqK)
+      .select((row_number().over(w16) - 1).as("_code"), col("v"))
+    val books = seeds.select(col("_code"), explode(expr(
+        s"transform(sequence(0, ${PqM - 1}), i -> struct(i as _m, slice(v, i * $sub + 1, $sub) as _cv))")).as("_s"))
+      .select(col("_s._m").as("_m"), col("_code"), col("_s._cv").as("_cv"))
+    Ann.ivfpqSearch(c.filter(col("vec_id") < 10), c, cents, books,
+        "vec_id", "v", Dim, m = PqM, k = 5, nprobe = 3)
+      .orderBy("qid", "rank")
+  }
+
+  val annIvfpqOracle: String = {
+    val sub = Dim / PqM
+    s"""WITH o AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cents AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cell, v AS cv
+       |          FROM (SELECT * FROM o ORDER BY vec_id LIMIT 16)),
+       |asg0 AS (SELECT o.vec_id, cents.cell,
+       |         row_number() OVER (PARTITION BY o.vec_id
+       |           ORDER BY ${l2sqSql("o.v", "cents.cv")}, cents.cell) AS rn
+       |         FROM o CROSS JOIN cents),
+       |asg AS (SELECT vec_id, cell FROM asg0 WHERE rn = 1),
+       |seeds AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS code, v
+       |          FROM (SELECT * FROM o ORDER BY vec_id LIMIT $PqK)),
+       |mset AS (SELECT unnest([${(0 until PqM).mkString(", ")}]) AS m),
+       |books AS (SELECT m, code, v[m*$sub+1 : m*$sub+$sub] AS cv FROM seeds, mset),
+       |subs AS (SELECT vec_id, m, v[m*$sub+1 : m*$sub+$sub] AS sv FROM o, mset),
+       |enc0 AS (SELECT s.vec_id, s.m, b.code,
+       |           row_number() OVER (PARTITION BY s.vec_id, s.m
+       |             ORDER BY ${l2sqSubSql("s.sv", "b.cv", sub)}, b.code) AS rn
+       |         FROM subs s JOIN books b ON b.m = s.m),
+       |enc AS (SELECT vec_id, m, code FROM enc0 WHERE rn = 1),
+       |qc0 AS (SELECT o.vec_id AS qid, cents.cell,
+       |        row_number() OVER (PARTITION BY o.vec_id
+       |          ORDER BY ${l2sqSql("o.v", "cents.cv")}, cents.cell) AS rn
+       |        FROM o CROSS JOIN cents WHERE o.vec_id < 10),
+       |qc AS (SELECT qid, cell FROM qc0 WHERE rn <= 3),
+       |q AS (SELECT vec_id AS qid, m, sv FROM subs WHERE vec_id < 10),
+       |dtab AS (SELECT q.qid, b.m, b.code,
+       |           CAST(floor((${l2sqSubSql("q.sv", "b.cv", sub)}) * 1e9) AS BIGINT) AS dq
+       |         FROM q JOIN books b ON b.m = q.m),
+       |adc AS (SELECT d.qid, e.vec_id,
+       |          CAST(sum(d.dq) AS BIGINT) AS adc_scaled
+       |        FROM qc
+       |        JOIN asg ON asg.cell = qc.cell
+       |        JOIN enc e ON e.vec_id = asg.vec_id
+       |        JOIN dtab d ON d.qid = qc.qid AND d.m = e.m AND d.code = e.code
+       |        WHERE e.vec_id <> qc.qid
+       |        GROUP BY 1, 2),
+       |ranked AS (SELECT qid, vec_id, adc_scaled,
+       |             row_number() OVER (PARTITION BY qid
+       |               ORDER BY adc_scaled, vec_id) AS rank
+       |           FROM adc)
+       |SELECT qid, vec_id, adc_scaled, CAST(rank AS INT) AS rank FROM ranked
+       |WHERE rank <= 5
+       |ORDER BY qid, rank""".stripMargin
+  }
+
   /** PQ codebook FIT + search with the TRAINED books — the training
     * half of the PQ family ([[Ann.pqFit]]: m independent seeded
     * k-means fits on subspace slices), mirroring `ann_ivf`'s fit/search
@@ -600,6 +668,7 @@ object AnnQueries {
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_recall_eval" -> (annRecallEval _),
     "ann_pq_search" -> (annPqSearch _),
+    "ann_ivfpq" -> (annIvfpq _),
     "ann_pq_fit" -> (annPqFit _),
     "ann_truncate_recall" -> (annTruncateRecall _),
     "ann_centroid_sim" -> (annCentroidSim _),
@@ -617,6 +686,7 @@ object AnnQueries {
   def oracles: Map[String, String] = Map(
     "ann_recall_eval" -> annRecallEvalOracle,
     "ann_pq_search" -> annPqSearchOracle,
+    "ann_ivfpq" -> annIvfpqOracle,
     "ann_truncate_recall" -> annTruncateRecallOracle,
     "ann_centroid_sim" -> annCentroidSimOracle,
     "dedup_embedding" -> dedupEmbeddingOracle,

@@ -284,6 +284,25 @@ class Round10Spec extends AnyFunSuite {
       "cell-wise sum of shard sketches must equal the union's sketch")
   }
 
+  test("CMS plans: counter build is one partial-agg shuffle; estimate lookup " +
+      "broadcasts the counter table") {
+    import graft.profiling.Sketches
+    val spark2 = spark
+    import spark2.implicits._
+    val df = (1L to 1000L).toDF("x")
+    val counters = Sketches.cmsCounters(df, col("x"), d = 4, w = 512)
+    val buildPlan = counters.queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(buildPlan).size == 1,
+      "counter build must be exactly one shuffle (the sketch merge):\n" +
+        buildPlan.take(2000))
+    assert(buildPlan.contains("partial_count") || buildPlan.contains("partial count") ||
+      buildPlan.toLowerCase.contains("hashaggregate"),
+      "counter build must combine map-side:\n" + buildPlan.take(2000))
+    val est = Sketches.cmsEstimate(counters, df.limit(5), "x", d = 4, w = 512)
+    assert(est.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "estimate lookup must broadcast the bounded counter table")
+  }
+
   test("HLL: halves merge by element-wise register max, and the estimate " +
       "lands within the theoretical error band") {
     import graft.profiling.Sketches
@@ -332,6 +351,41 @@ class Round10Spec extends AnyFunSuite {
     val plan = flagOnly.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange") && !plan.contains("Join"),
       "bloom flag must be a zero-shuffle projection:\n" + plan.take(3000))
+  }
+
+  test("IVF-PQ: probing every cell degenerates to plain PQ exactly; pruned " +
+      "probing still recovers planted twins") {
+    import graft.ann.Ann
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(7)
+    // 4 well-separated clusters of 15 vectors each, dim 8
+    val base = Array(Array.fill(8)(0.0), Array.fill(8)(10.0),
+      Array(0.0, 10, 0, 10, 0, 10, 0, 10), Array(10.0, 0, 10, 0, 10, 0, 10, 0))
+    val vecs = (0 until 60).map { i =>
+      (i.toLong, base(i % 4).map(_ + rnd.nextDouble() * 0.5).toSeq)
+    }.toDF("vec_id", "v")
+    val w = org.apache.spark.sql.expressions.Window.orderBy("vec_id")
+    val cents = vecs.orderBy("vec_id").limit(4)
+      .select((row_number().over(w) - 1).as("_cell"), col("v").as("_cv"))
+    val seeds = vecs.orderBy("vec_id").limit(8)
+      .select((row_number().over(w) - 1).as("_code"), col("v"))
+    val books = seeds.select(col("_code"), explode(expr(
+        "transform(sequence(0, 1), i -> struct(i as _m, slice(v, i * 4 + 1, 4) as _cv))")).as("_s"))
+      .select(col("_s._m").as("_m"), col("_code"), col("_s._cv").as("_cv"))
+    val q = vecs.filter($"vec_id" < 4)
+    val full = Ann.ivfpqSearch(q, vecs, cents, books, "vec_id", "v",
+      dim = 8, m = 2, k = 5, nprobe = 4)
+    val pq = Ann.pqSearch(q, vecs, books, "vec_id", "v", dim = 8, m = 2, k = 5)
+    assert(full.exceptAll(pq).isEmpty && pq.exceptAll(full).isEmpty,
+      "nprobe = nlist must reproduce plain PQ bit-for-bit")
+    // pruned: nprobe=1 — every result must come from the query's own cluster
+    val pruned = Ann.ivfpqSearch(q, vecs, cents, books, "vec_id", "v",
+      dim = 8, m = 2, k = 5, nprobe = 1)
+      .select("qid", "vec_id").as[(Long, Long)].collect()
+    assert(pruned.nonEmpty)
+    assert(pruned.forall { case (qid, id) => id % 4 == qid % 4 },
+      s"nprobe=1 results must stay in the query's cluster, got ${pruned.take(8).toSeq}")
   }
 
   test("streaming HLL: stateful windowed agg emits the identical register " +
