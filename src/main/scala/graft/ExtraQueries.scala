@@ -459,6 +459,33 @@ object ExtraQueries {
       |       value AS last_value
       |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
 
+  /** Native session_window sessions ([[Streams.sessionWindowAgg]]):
+    * batch semantics here (hash-gated); Round10Spec runs the same
+    * transform on MemoryStream and proves sessions MERGE across
+    * micro-batches in the dedicated session-window state store.
+    */
+  def streamSessionWindow(s: SparkSession, dir: String): DataFrame =
+    Streams.sessionWindowAgg(events(s, dir), 30)
+      .orderBy("user_id", "session_start")
+
+  val streamSessionWindowOracle: String =
+    """WITH t AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+      |         THEN 1 ELSE 0 END AS newf
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (SELECT user_id, ts,
+      |        sum(newf) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                        ROWS UNBOUNDED PRECEDING) AS sidx
+      |      FROM t)
+      |SELECT user_id, min(ts) AS session_start,
+      |       max(ts) + INTERVAL 30 MINUTE AS session_end,
+      |       count(*) AS n_events
+      |FROM s GROUP BY user_id, sidx
+      |ORDER BY user_id, session_start""".stripMargin
+
   /** Per-window HLL distinct-user sketch ([[Streams.hllWindowRegisters]]
     * + [[graft.profiling.Sketches.hllSummaryBy]]): batch semantics here
     * (hash-gated incl. the LinearCounting-corrected estimates);
@@ -1494,7 +1521,8 @@ object ExtraQueries {
     "stream_asof_buffered" -> (streamAsofBuffered _),
     "stream_interval_join" -> (streamIntervalJoin _),
     "stream_neardup_bucketed" -> (streamNearDupBucketed _),
-    "stream_hll" -> (streamHll _)
+    "stream_hll" -> (streamHll _),
+    "stream_session_window" -> (streamSessionWindow _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -1534,6 +1562,7 @@ object ExtraQueries {
     "stream_asof_buffered" -> streamAsofOracle,
     "stream_interval_join" -> streamIntervalJoinOracle,
     "stream_neardup_bucketed" -> streamNearDupOracle,
-    "stream_hll" -> streamHllOracle
+    "stream_hll" -> streamHllOracle,
+    "stream_session_window" -> streamSessionWindowOracle
   )
 }

@@ -89,6 +89,27 @@ object Streams {
         count(lit(1)).as("n_events"))
   }
 
+  /** Gap-based sessions via Spark's NATIVE session_window operator —
+    * the declarative sibling of [[sessionizeStream]]'s
+    * flatMapGroupsWithState form, and the one to prefer at scale: the
+    * dedicated SessionWindowStateStore merges/expires sessions inside
+    * the state store (no user-code state object, codegen'd agg), and
+    * sessions MERGE across micro-batches (an open session absorbs a
+    * later event that lands within the gap — Round10Spec proves the
+    * cross-batch merge on MemoryStream). Works identically as a batch
+    * transform, which is the oracle path. Note the native boundary
+    * law: a new session starts when the time since the previous event
+    * is ≥ the gap (session intervals are [start, last+gap)), vs
+    * [[sessionizeBatch]]'s strict >.
+    */
+  def sessionWindowAgg(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    events
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMinutes minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"))
+
   /** Streaming sessionization via flatMapGroupsWithState: per-user
     * state carries the open session; events are sorted within the
     * micro-batch, sessions closed by the gap rule are emitted, the open

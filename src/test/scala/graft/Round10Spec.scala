@@ -353,6 +353,41 @@ class Round10Spec extends AnyFunSuite {
       "bloom flag must be a zero-shuffle projection:\n" + plan.take(3000))
   }
 
+  test("native session_window: open session absorbs a later micro-batch's " +
+      "event (cross-batch merge in the session state store)") {
+    import org.apache.spark.sql.execution.streaming.runtime.{MemoryStream, StreamingQueryWrapper}
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val q = Streams.sessionWindowAgg(
+        mem.toDF.toDF("ts", "user_id", "event_id").withWatermark("ts", "0 seconds"), 30)
+      .writeStream.format("memory").queryName("swin_sink")
+      .outputMode("append")
+      .option("checkpointLocation", Streams.freshCheckpointDir("swin_spec"))
+      .start()
+    try {
+      mem.addData((ts("2024-01-01 10:00:00"), 7L, 1L), (ts("2024-01-01 10:10:00"), 7L, 2L))
+      q.processAllAvailable()
+      // second batch: lands INSIDE the open session's gap -> must merge
+      mem.addData((ts("2024-01-01 10:20:00"), 7L, 3L))
+      q.processAllAvailable()
+      // third batch: far future advances the watermark, closing the session
+      mem.addData((ts("2024-01-01 13:00:00"), 8L, 4L))
+      q.processAllAvailable()
+      val got = spark.table("swin_sink")
+        .select("user_id", "session_start", "session_end", "n_events")
+        .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)].collect().toSeq
+      assert(got == Seq((7L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:50:00"), 3L)),
+        s"the three events must merge into ONE session across batches, got $got")
+      val exec = q.asInstanceOf[StreamingQueryWrapper].streamingQuery.lastExecution
+      assert(exec.executedPlan.toString.contains("SessionWindowStateStore"),
+        "must run on the dedicated session-window state store operator:\n" +
+          exec.executedPlan.toString.take(3000))
+    } finally q.stop()
+  }
+
   test("IVF-PQ: probing every cell degenerates to plain PQ exactly; pruned " +
       "probing still recovers planted twins") {
     import graft.ann.Ann
