@@ -244,8 +244,12 @@ class ScaleStressSpec extends AnyFunSuite {
     // are asserted where the operator's contract fixes them (top-k /
     // per-doc outputs); wall-clock ratios are the coarse backstop with
     // the same noise exemption as the synthetic-generator tests.
+    // r10 adds the sketch/bloom newcomers: the whole point of a sketch
+    // is sublinear state — bloom's per-doc output must scale exactly
+    // with docs while the sketch summaries stay constant-size.
     val hot = Seq("dedup_containment", "dedup_eval", "text_bm25",
-      "mine_assoc_rules", "text_substring_dedup")
+      "mine_assoc_rules", "text_substring_dedup",
+      "text_bloom_contamination", "profile_cms_topk", "profile_hll")
     def timeAll(sfDir: String): Map[String, (Double, Long)] = hot.map { name =>
       val fn = SparkEntry.queries(name)
       // min of 2 reps: rep 1 pays Janino for each new plan shape
@@ -272,6 +276,11 @@ class ScaleStressSpec extends AnyFunSuite {
     // linear in docs, pinned by the 10× transition below.
     assert(t1("dedup_eval")._2 == 1 && t3("dedup_eval")._2 == 1)
     assert(t3("mine_assoc_rules")._2 <= 50)
+    // sketch contracts: summaries are constant-size at ANY scale,
+    // top-k output is k-bounded, bloom flags are exactly one per doc
+    assert(t1("profile_hll")._2 == 1 && t3("profile_hll")._2 == 1)
+    assert(t3("profile_cms_topk")._2 == 20)
+    assert(t3("text_bloom_contamination")._2 == 10 * t2("text_bloom_contamination")._2)
     assert(t3("text_substring_dedup")._2 == 10 * t2("text_substring_dedup")._2)
     assert(t3("dedup_containment")._2 <= 11 * t2("dedup_containment")._2,
       s"containment pairs grew super-linearly: ${t2("dedup_containment")._2} -> ${t3("dedup_containment")._2}")
