@@ -89,7 +89,10 @@ object Bench {
       // admission control runs the full MinHash banding pipeline on
       // BOTH sides (corpus index + arriving stream) inside one
       // streaming query — a 2-pipeline cost by definition
-      "stream_neardup" -> 2)
+      "stream_neardup" -> 2,
+      // theta overlap ships the sketch agg AND the exact-face
+      // shingle-grouped agg (evaluator idiom, like dedup_eval)
+      "profile_theta_overlap" -> 2)
     val prJson = pipelinesRun.toSeq.sorted
       .map { case (k, v) => "\"" + esc(k) + "\":" + v }.mkString("{", ",", "}")
     val json =

@@ -525,6 +525,66 @@ object ExtraQueries {
        |FROM hfin JOIN ex USING (window_start) ORDER BY window_start""".stripMargin
   }
 
+  /** Per-window CountMin heavy hitters ([[Streams.cmsWindowCounters]] —
+    * the CMS sibling of `stream_hll`): batch semantics here, hash-gated
+    * including the estimates; Round10Spec proves the streaming form
+    * emits the identical counter cells from a stateful windowed agg
+    * whose state is windows × d·w cells at ANY key cardinality. The
+    * estimate lookup broadcasts the (bounded: days × 4·512) counter
+    * frame and takes min over the d rows — same CMS law as
+    * `profile_cms_topk`, now per event-time window.
+    */
+  def streamCms(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.profiling.Sketches
+    val ev = events(s, dir)
+    val counters = Streams.cmsWindowCounters(ev, "1 day", "user_id", 4, 512)
+    val top = ev.groupBy(window(col("ts"), "1 day").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("exact_cnt"))
+      .select(col("w.start").as("window_start"), col("user_id"), col("exact_cnt"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("window_start")
+          .orderBy(col("exact_cnt").desc, col("user_id"))).cast("long"))
+      .filter(col("rnk") <= 5)
+    val probes = top.select("window_start", "user_id")
+      .withColumn("_j", explode(array((0 until 4).map(j => lit(j)): _*)))
+      .withColumn("_bucket", Sketches.md5Bucket(
+        concat(lit("cms"), col("_j").cast("string"), lit("#")), col("user_id"), 512))
+    val est = probes.join(broadcast(counters),
+        probes("window_start") === counters("window_start") &&
+          probes("_j") === counters("j") && probes("_bucket") === counters("bucket"))
+      .groupBy(probes("window_start"), probes("user_id"))
+      .agg(min(col("c")).as("cms_cnt"))
+    top.join(est, Seq("window_start", "user_id"))
+      .select("window_start", "user_id", "exact_cnt", "cms_cnt", "rnk")
+      .orderBy("window_start", "rnk")
+  }
+
+  val streamCmsOracle: String =
+    """WITH cnt AS (
+      |  SELECT date_trunc('day', ts) AS window_start, j,
+      |         ('0x'||substr(md5('cms'||j||'#'||CAST(user_id AS VARCHAR)),1,13))::BIGINT % 512 AS bucket,
+      |         CAST(count(*) AS BIGINT) AS c
+      |  FROM events, range(0,4) t(j) GROUP BY 1, 2, 3),
+      |top AS (
+      |  SELECT * FROM (
+      |    SELECT date_trunc('day', ts) AS window_start, user_id,
+      |           CAST(count(*) AS BIGINT) AS exact_cnt,
+      |           row_number() OVER (PARTITION BY date_trunc('day', ts)
+      |                              ORDER BY count(*) DESC, user_id) AS rnk
+      |    FROM events GROUP BY 1, 2)
+      |  WHERE rnk <= 5),
+      |est AS (
+      |  SELECT top.window_start, top.user_id, min(c) AS cms_cnt
+      |  FROM top, range(0,4) t(j)
+      |  JOIN cnt ON cnt.j = t.j AND cnt.window_start = top.window_start
+      |    AND cnt.bucket = ('0x'||substr(md5('cms'||t.j||'#'||CAST(top.user_id AS VARCHAR)),1,13))::BIGINT % 512
+      |  GROUP BY 1, 2)
+      |SELECT top.window_start, top.user_id, top.exact_cnt, est.cms_cnt,
+      |       CAST(top.rnk AS BIGINT) AS rnk
+      |FROM top JOIN est USING (window_start, user_id)
+      |ORDER BY window_start, rnk""".stripMargin
+
   /** STREAM-STREAM interval join run FOR REAL: the events dir read as
     * TWO independent streaming sources (views / purchases), inner-
     * joined on user within a 24 h event-time window
@@ -1522,6 +1582,7 @@ object ExtraQueries {
     "stream_interval_join" -> (streamIntervalJoin _),
     "stream_neardup_bucketed" -> (streamNearDupBucketed _),
     "stream_hll" -> (streamHll _),
+    "stream_cms" -> (streamCms _),
     "stream_session_window" -> (streamSessionWindow _)
   )
 
@@ -1563,6 +1624,7 @@ object ExtraQueries {
     "stream_interval_join" -> streamIntervalJoinOracle,
     "stream_neardup_bucketed" -> streamNearDupOracle,
     "stream_hll" -> streamHllOracle,
+    "stream_cms" -> streamCmsOracle,
     "stream_session_window" -> streamSessionWindowOracle
   )
 }

@@ -1,6 +1,6 @@
 package graft.profiling
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
 
@@ -571,7 +571,140 @@ object ProfileQueries {
        |ex AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct FROM events)
        |SELECT m, occupied, s_scaled, est_raw, est, exact_distinct FROM hfin, ex""".stripMargin
 
+  /** KMV (k-minimum-values) distinct-count sketch over event ids
+    * (SURVEY §2.12; Beyer et al. SIGMOD'07 — the bottom-k synopsis
+    * theta sketches build on): hash every value with the 52-bit md5
+    * law, keep the k smallest DISTINCT hashes via the custom
+    * [[graft.functions.BottomK]] TypedImperativeAggregate (bounded
+    * per-partition state, ≤ k longs per partition on the wire — the
+    * declarative distinct+sort would shuffle EVERY distinct value),
+    * estimate = (k−1)·2^52 div h_(k), exact integer division so the
+    * estimate itself is hash-gated. Fewer than k distinct → the sketch
+    * is the exact distinct set. exact_distinct rides along as the
+    * evaluator face.
+    */
+  def profileKmv(s: SparkSession, dir: String): DataFrame = {
+    val k = 256
+    val ev = events(s, dir)
+    val sk = ev.agg(
+      graft.functions.bottomk.bottomK(Sketches.hash52(col("event_id")), k).as("ks"))
+    val exact = ev.agg(countDistinct(col("event_id")).as("exact_distinct"))
+    sk.crossJoin(exact) // 1 row × 1 row
+      .select(
+        lit(k.toLong).as("k"),
+        size(col("ks")).cast("long").as("n_in_sketch"),
+        when(size(col("ks")) === 0, lit(null).cast("long"))
+          .otherwise(element_at(col("ks"), least(size(col("ks")), lit(k))))
+          .as("kth_hash"),
+        Sketches.kmvEstimate(col("ks"), k).as("est"),
+        col("exact_distinct"))
+  }
+
+  val profileKmvOracle: String =
+    """WITH h AS (SELECT DISTINCT ('0x'||substr(md5(CAST(event_id AS VARCHAR)),1,13))::BIGINT AS h FROM events),
+      |b AS (SELECT h FROM h ORDER BY h LIMIT 256),
+      |s AS (SELECT CAST(count(*) AS BIGINT) AS n_in_sketch, max(h) AS kth_hash FROM b),
+      |ex AS (SELECT CAST(count(DISTINCT event_id) AS BIGINT) AS exact_distinct FROM events)
+      |SELECT CAST(256 AS BIGINT) AS k, n_in_sketch, kth_hash,
+      |  CASE WHEN n_in_sketch < 256 THEN n_in_sketch
+      |       ELSE (255 * 4503599627370496::BIGINT) // kth_hash END AS est,
+      |  exact_distinct
+      |FROM s, ex""".stripMargin
+
+  /** Theta-sketch corpus overlap (SURVEY §2.12; the DataSketches theta
+    * set-operation shape over [[graft.functions.BottomK]] synopses):
+    * estimate the 3-gram shingle intersection / union / Jaccard
+    * between two document source halves from two CONSTANT-SIZE
+    * sketches — the way a 100 TB deployment estimates train/eval
+    * contamination without ever joining the corpora. Per group one
+    * bottom-k sketch of the distinct-shingle hash set (one pass, k
+    * longs out); then every estimator is pure array arithmetic on the
+    * two k-arrays: θ = min of the two k-th minima (2^52 in exact
+    * mode), retained = hashes < θ, est = |retained| · 2^52 div θ.
+    * Exact faces ride along from one shingle-grouped agg (no join) —
+    * pipelines_run: 2 (sketch agg + exact agg; evaluator annotated,
+    * same idiom as dedup_eval).
+    */
+  def profileThetaOverlap(s: SparkSession, dir: String): DataFrame = {
+    val k = 256
+    val space = Sketches.Hash52Space
+    val docs = documents(s, dir)
+    val grp = when(substring(col("source"), 4, 10).cast("int") < 10, "A")
+      .otherwise("B")
+    val sh = docs.select(grp.as("grp"),
+        explode(graft.dedup.Dedup.shingles(col("text"), 3)).as("shg"))
+    val sk = sh.groupBy("grp")
+      .agg(graft.functions.bottomk.bottomK(Sketches.hash52(col("shg")), k).as("ks"))
+      // 2 rows → 1 row without re-scanning per branch (r8 CSE lesson)
+      .agg(max(when(col("grp") === "A", col("ks"))).as("ka"),
+        max(when(col("grp") === "B", col("ks"))).as("kb"))
+    val exact = sh.groupBy("shg")
+      .agg(max(when(col("grp") === "A", 1).otherwise(0)).as("inA"),
+        max(when(col("grp") === "B", 1).otherwise(0)).as("inB"))
+      .agg(sum("inA").cast("long").as("exact_a"),
+        sum("inB").cast("long").as("exact_b"),
+        sum(when(col("inA") === 1 && col("inB") === 1, 1L).otherwise(0L))
+          .as("exact_inter"))
+    def thetaOf(arr: Column): Column =
+      when(size(arr) === k, element_at(arr, k)).otherwise(lit(space))
+    sk.crossJoin(exact) // 1 row × 1 row
+      .withColumn("theta", least(thetaOf(col("ka")), thetaOf(col("kb"))))
+      .withColumn("ba", filter(col("ka"), x => x < col("theta")))
+      .withColumn("bb", filter(col("kb"), x => x < col("theta")))
+      .withColumn("inter_below",
+        size(array_intersect(col("ba"), col("bb"))).cast("long"))
+      .withColumn("union_below",
+        size(array_distinct(concat(col("ba"), col("bb")))).cast("long"))
+      .select(
+        lit(k.toLong).as("k"),
+        col("theta"),
+        col("inter_below"),
+        col("union_below"),
+        Sketches.idiv(col("inter_below") * space, col("theta")).as("est_inter"),
+        Sketches.idiv(col("union_below") * space, col("theta")).as("est_union"),
+        when(col("union_below") > 0,
+          Sketches.idiv(col("inter_below") * 1000L, col("union_below")))
+          .otherwise(0L).as("jaccard_est_milli"),
+        col("exact_a"), col("exact_b"), col("exact_inter"),
+        Sketches.idiv(col("exact_inter") * 1000L,
+          col("exact_a") + col("exact_b") - col("exact_inter"))
+          .as("jaccard_milli"))
+  }
+
+  val profileThetaOverlapOracle: String =
+    """WITH docs AS (SELECT doc_id, text,
+      |    CASE WHEN CAST(substr(source, 4) AS INT) < 10 THEN 'A' ELSE 'B' END AS grp
+      |  FROM documents),
+      |t AS (SELECT grp, doc_id, string_split(text, ' ') AS w FROM docs),
+      |sh AS (SELECT grp, doc_id, unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |         for i in range(1, len(w) - 1)])) AS shg FROM t),
+      |hh AS (SELECT DISTINCT grp, shg, ('0x'||substr(md5(shg),1,13))::BIGINT AS h FROM sh),
+      |ka AS (SELECT DISTINCT h FROM hh WHERE grp='A' ORDER BY h LIMIT 256),
+      |kb AS (SELECT DISTINCT h FROM hh WHERE grp='B' ORDER BY h LIMIT 256),
+      |na AS (SELECT count(*) AS n, max(h) AS kth FROM ka),
+      |nb AS (SELECT count(*) AS n, max(h) AS kth FROM kb),
+      |th AS (SELECT least(CASE WHEN na.n = 256 THEN na.kth ELSE 4503599627370496 END,
+      |                    CASE WHEN nb.n = 256 THEN nb.kth ELSE 4503599627370496 END) AS theta FROM na, nb),
+      |ib AS (SELECT CAST(count(*) AS BIGINT) AS inter_below FROM ka JOIN kb USING (h), th WHERE h < theta),
+      |ub AS (SELECT CAST(count(DISTINCT h) AS BIGINT) AS union_below
+      |       FROM (SELECT h FROM ka UNION ALL SELECT h FROM kb) u, th WHERE h < theta),
+      |exact AS (
+      |  SELECT (SELECT CAST(count(DISTINCT shg) AS BIGINT) FROM hh WHERE grp='A') AS exact_a,
+      |         (SELECT CAST(count(DISTINCT shg) AS BIGINT) FROM hh WHERE grp='B') AS exact_b,
+      |         (SELECT CAST(count(*) AS BIGINT) FROM
+      |            (SELECT DISTINCT shg FROM hh WHERE grp='A') x
+      |            JOIN (SELECT DISTINCT shg FROM hh WHERE grp='B') y USING (shg)) AS exact_inter)
+      |SELECT CAST(256 AS BIGINT) AS k, theta, inter_below, union_below,
+      |  (inter_below * 4503599627370496::BIGINT) // theta AS est_inter,
+      |  (union_below * 4503599627370496::BIGINT) // theta AS est_union,
+      |  CASE WHEN union_below > 0 THEN (inter_below * 1000) // union_below ELSE 0 END AS jaccard_est_milli,
+      |  exact_a, exact_b, exact_inter,
+      |  (exact_inter * 1000) // (exact_a + exact_b - exact_inter) AS jaccard_milli
+      |FROM th, ib, ub, exact""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "profile_kmv" -> (profileKmv _),
+    "profile_theta_overlap" -> (profileThetaOverlap _),
     "profile_cms_topk" -> (profileCmsTopk _),
     "profile_hll" -> (profileHll _),
     "profile_benford" -> (profileBenford _),
@@ -593,6 +726,8 @@ object ProfileQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "profile_kmv" -> profileKmvOracle,
+    "profile_theta_overlap" -> profileThetaOverlapOracle,
     "profile_cms_topk" -> profileCmsTopkOracle,
     "profile_hll" -> profileHllOracle,
     "profile_benford" -> profileBenfordOracle,

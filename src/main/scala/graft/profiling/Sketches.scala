@@ -27,9 +27,49 @@ object Sketches {
     * hex digits = 52 bits, exactly representable and positive in both
     * engines' BIGINT.
     */
-  private def md5Bucket(salt: Column, item: Column, w: Int): Column =
+  private[graft] def md5Bucket(salt: Column, item: Column, w: Int): Column =
     conv(substring(md5(concat(salt, item.cast("string"))), 1, 13), 16, 10)
       .cast("long") % w
+
+  /** The d (row, bucket) CMS cells of a value, as an array of structs —
+    * the explode payload [[cmsCounters]] builds from; public so the
+    * streaming windowed variant ([[graft.streaming.Streams]]) shares
+    * the identical cell law.
+    */
+  def cmsCells(item: Column, d: Int, w: Int): Column =
+    array((0 until d).map { j =>
+      struct(lit(j).as("j"), md5Bucket(lit(s"cms$j#"), item, w).as("bucket"))
+    }: _*)
+
+  /** The repo's 52-bit hash law as a plain value hash: 13 md5 hex
+    * digits → a uniform long in [0, 2^52). Cross-engine:
+    * DuckDB `('0x'||substr(md5(x),1,13))::BIGINT`.
+    */
+  def hash52(item: Column): Column =
+    conv(substring(md5(item.cast("string")), 1, 13), 16, 10).cast("long")
+
+  /** Size of the [[hash52]] value space. */
+  val Hash52Space: Long = 1L << 52
+
+  /** KMV distinct estimate from a [[graft.functions.BottomK]] array
+    * column: fewer than k distinct hashes seen → the sketch IS the
+    * distinct set (exact mode); otherwise the classic unbiased
+    * (k−1)·|space| / h_(k) with exact integer division, so the
+    * estimate is hash-gated, not a float.
+    */
+  def kmvEstimate(ks: Column, k: Int): Column =
+    when(size(ks) < k, size(ks).cast("long"))
+      .otherwise(idiv(lit((k - 1).toLong * Hash52Space), element_at(ks, k)))
+
+  /** Exact integer division as a Column (`a div b`) — `/` on longs is
+    * float division, which cannot carry the >2^53 numerators the KMV
+    * estimators use.
+    */
+  def idiv(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+      Bridge.expression(a), Bridge.expression(b)))
+  }
 
   // ---- CountMin: heavy-hitter counts in d*w integers -----------------
 
@@ -42,10 +82,7 @@ object Sketches {
     * the records.
     */
   def cmsCounters(df: DataFrame, item: Column, d: Int, w: Int): DataFrame = {
-    val cells = (0 until d).map { j =>
-      struct(lit(j).as("j"), md5Bucket(lit(s"cms$j#"), item, w).as("bucket"))
-    }
-    df.select(explode(array(cells: _*)).as("_jb"))
+    df.select(explode(cmsCells(item, d, w)).as("_jb"))
       .select(col("_jb.j").as("j"), col("_jb.bucket").as("bucket"))
       .groupBy("j", "bucket")
       .agg(count(lit(1)).as("c"))

@@ -303,6 +303,27 @@ object Streams {
       .select(col("w.start").as("window_start"), col("reg"), col("r"))
   }
 
+  /** Per-window CountMin counter cells — the CMS sibling of
+    * [[hllWindowRegisters]]: one transform serves batch (hash-gated via
+    * `stream_cms`) and streaming, where it is a stateful windowed agg
+    * whose state is windows × d·w counter cells at ANY key cardinality
+    * (the per-key exact count state a naive streaming top-k needs is
+    * unbounded; the sketch's is a constant). Cell law shared with
+    * [[graft.profiling.Sketches.cmsCells]] so batch estimates replay
+    * bit-for-bit.
+    */
+  def cmsWindowCounters(events: DataFrame, dur: String = "1 day",
+      item: String = "user_id", d: Int = 4, w: Int = 512): DataFrame = {
+    import graft.profiling.Sketches
+    events
+      .select(col("ts"), Sketches.cmsCells(col(item), d, w).as("_cells"))
+      .select(col("ts"), explode(col("_cells")).as("_c"))
+      .groupBy(window(col("ts"), dur).as("w"),
+        col("_c.j").as("j"), col("_c.bucket").as("bucket"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("w.start").as("window_start"), col("j"), col("bucket"), col("c"))
+  }
+
   /** Streaming exact dedup: drop repeated keys arriving within the
     * watermark horizon — the streaming face of Dedup.exact for
     * continuous ingest (state is bounded by the watermark; an unbounded

@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.bottomk.bottomK
+import graft.profiling.Sketches
+import graft.streaming.Streams
+
+/** Round-10 (session b): KMV / theta-sketch primitives and the
+  * streaming CMS.
+  *  - [[graft.functions.BottomK]] is a pure set property of the input
+  *    (smallest k distinct longs): partition-invariant, shard-mergeable,
+  *    planned as an ObjectHashAggregate with a map-side partial;
+  *  - KMV estimates are exact below k and tight above it;
+  *  - theta overlap estimation recovers a planted Jaccard;
+  *  - [[Streams.cmsWindowCounters]] emits the identical counter cells
+  *    from a real stateful streaming windowed agg.
+  */
+class Round10bSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def sketchOf(values: Seq[Long], k: Int, parts: Int): Seq[Long] = {
+    val spark2 = spark
+    import spark2.implicits._
+    values.toDF("x").repartition(parts)
+      .agg(bottomK(col("x"), k).as("ks"))
+      .collect()(0).getSeq[Long](0)
+  }
+
+  test("bottom_k: equals sorted distinct take-k, partition-invariant, " +
+      "and plans a partial ObjectHashAggregate") {
+    val spark2 = spark
+    import spark2.implicits._
+    // duplicates + out-of-order arrivals
+    val values: Seq[Long] = (1L to 500L).flatMap(i => Seq(i * 977 % 1009, i * 977 % 1009))
+    val expected = values.distinct.sorted.take(16)
+    assert(sketchOf(values, 16, 1) == expected)
+    assert(sketchOf(values, 16, 7) == expected, "7-partition run must agree")
+    // fewer distinct than k -> the sketch IS the distinct set
+    assert(sketchOf(Seq(5L, 3L, 5L, 9L), 16, 3) == Seq(3L, 5L, 9L))
+    val plan = values.toDF("x").repartition(7)
+      .agg(bottomK(col("x"), 16).as("ks"))
+    plan.collect()
+    val exec = plan.queryExecution.executedPlan.toString
+    assert(exec.contains("ObjectHashAggregate"),
+      s"bottom_k must plan as ObjectHashAggregate (map-side partial), got:\n$exec")
+    assert("partial_bottom_k|partial bottom_k|Partial".r.findFirstIn(exec).isDefined,
+      s"expected a partial aggregation stage in:\n$exec")
+  }
+
+  test("bottom_k shard merge law: merging two shard sketches equals the " +
+      "whole-input sketch (the property that makes KMV a sketch)") {
+    val a = (1L to 300L).map(i => i * 7919 % 100003)
+    val b = (1L to 300L).map(i => i * 104729 % 100003)
+    val k = 32
+    val ska = sketchOf(a, k, 3)
+    val skb = sketchOf(b, k, 3)
+    val merged = (ska ++ skb).distinct.sorted.take(k)
+    assert(sketchOf(a ++ b, k, 5) == merged,
+      "union-of-shards sketch must equal capped merge of shard sketches")
+  }
+
+  test("KMV estimate: exact below k, within 3 sigma above it") {
+    val spark2 = spark
+    import spark2.implicits._
+    val k = 256
+    def estOf(n: Int): Long =
+      (1 to n).map(_.toString).toDF("x")
+        .agg(bottomK(Sketches.hash52(col("x")), k).as("ks"))
+        .select(Sketches.kmvEstimate(col("ks"), k).as("est"))
+        .collect()(0).getLong(0)
+    assert(estOf(200) == 200L, "below k the sketch is exact")
+    val est = estOf(5000)
+    // RSE ~ 1/sqrt(k-1) ~ 6.3%; 3 sigma ~ 19%
+    assert(math.abs(est - 5000L) < 1000L,
+      s"KMV estimate $est too far from true 5000")
+  }
+
+  test("theta overlap: planted Jaccard recovered within sketch error, " +
+      "exact mode below k is exact") {
+    val spark2 = spark
+    import spark2.implicits._
+    // A = 1..2000, B = 1001..3000: inter 1000, union 3000, J = 1/3
+    val rows = (1 to 2000).map(i => ("A", i.toString)) ++
+      (1001 to 3000).map(i => ("B", i.toString))
+    val k = 256
+    val sk = rows.toDF("grp", "shg").groupBy("grp")
+      .agg(bottomK(Sketches.hash52(col("shg")), k).as("ks"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val thetaOf = (s: Seq[Long]) => if (s.size == k) s.last else Sketches.Hash52Space
+    val theta = math.min(thetaOf(sk("A")), thetaOf(sk("B")))
+    val ba = sk("A").filter(_ < theta).toSet
+    val bb = sk("B").filter(_ < theta).toSet
+    val jEst = 1000L * ba.intersect(bb).size / ba.union(bb).size
+    assert(math.abs(jEst - 333L) < 150L, s"planted Jaccard 333 milli, estimated $jEst")
+    val estInter = ba.intersect(bb).size * Sketches.Hash52Space / theta
+    assert(math.abs(estInter - 1000L) < 500L, s"planted |A inter B| 1000, estimated $estInter")
+    // below k: theta = full space, sketches are the exact hash sets
+    val small = ((1 to 50).map(i => ("A", i.toString)) ++
+      (26 to 75).map(i => ("B", i.toString))).toDF("grp", "shg")
+    val sk2 = small.groupBy("grp")
+      .agg(bottomK(Sketches.hash52(col("shg")), k).as("ks"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(sk2("A").toSet.intersect(sk2("B").toSet).size == 25,
+      "exact mode must count the planted 25-element intersection exactly")
+  }
+
+  test("streaming CMS: stateful windowed agg emits the identical counter " +
+      "cells the batch transform computes, with (window x d*w)-bounded state") {
+    import org.apache.spark.sql.execution.streaming.runtime.{MemoryStream, StreamingQueryWrapper}
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val day1 = (1L to 200L).map(u => (ts("2024-01-01 06:00:00"), u % 37))
+    val day1b = (1L to 90L).map(u => (ts("2024-01-01 18:00:00"), u % 11))
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    val q = Streams.cmsWindowCounters(
+        mem.toDF.toDF("ts", "user_id").withWatermark("ts", "1 hour"), "1 day")
+      .writeStream.format("memory").queryName("cms_sink")
+      .outputMode("append")
+      .option("checkpointLocation", Streams.freshCheckpointDir("cms_spec"))
+      .start()
+    try {
+      mem.addData(day1: _*)
+      q.processAllAvailable()
+      mem.addData(day1b: _*)
+      q.processAllAvailable()
+      // day-3 marker advances the watermark past day 1 -> its window closes
+      mem.addData((ts("2024-01-03 12:00:00"), 9999L))
+      q.processAllAvailable()
+      val streamed = spark.table("cms_sink")
+        .filter($"window_start" === ts("2024-01-01 00:00:00"))
+        .select("j", "bucket", "c")
+      val batch = Streams.cmsWindowCounters(
+          (day1 ++ day1b).toDF("ts", "user_id"), "1 day")
+        .select("j", "bucket", "c")
+      assert(streamed.count() > 0, "day-1 window must have emitted")
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+        "streamed counter cells must equal the batch sketch exactly")
+      val exec = q.asInstanceOf[StreamingQueryWrapper].streamingQuery.lastExecution
+      assert(exec.executedPlan.toString.contains("StateStoreSave"),
+        "must be a real stateful streaming aggregation")
+    } finally q.stop()
+  }
+}
