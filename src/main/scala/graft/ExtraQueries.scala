@@ -585,6 +585,75 @@ object ExtraQueries {
       |FROM top JOIN est USING (window_start, user_id)
       |ORDER BY window_start, rnk""".stripMargin
 
+  /** Consistent (coordinated) hash sampling across tables — the
+    * technique that makes a 100 TB pipeline DEBUGGABLE at 1% cost:
+    * sample every table by the SAME deterministic hash law on the
+    * JOIN KEY (`hash52(custkey) < 2^52/10` ≈ 10%), and joins between
+    * samples stay referentially intact — every sampled order finds its
+    * customer, so a sampled dev run exercises the same plan shapes as
+    * production. The query demonstrates the law against its failure
+    * mode: orders sampled independently (by o_orderkey) find their
+    * customer in the customer sample only ~10% of the time. All counts
+    * and coverages exact integers; the hash law is the repo-wide
+    * md5-prefix law so the whole demonstration replays in the oracle.
+    * Scale shape: three predicate-pushdown scans + two equi-joins on
+    * the already-sampled (~10%/~1%) frames — never a full-table join.
+    */
+  def sampleHashConsistent(s: SparkSession, dir: String): DataFrame = {
+    import graft.profiling.Sketches
+    val thr = Sketches.Hash52Space / 10
+    val cust = customer(s, dir)
+    val ord = orders(s, dir)
+    val cs = cust.filter(Sketches.hash52(col("c_custkey")) < thr)
+      .select(col("c_custkey"))
+    val consistent = ord.filter(Sketches.hash52(col("o_custkey")) < thr)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val indep = ord.filter(Sketches.hash52(col("o_orderkey")) < thr)
+      .select(col("o_orderkey"), col("o_custkey"))
+    def cov(sample: DataFrame) = sample
+      .join(cs, sample("o_custkey") === cs("c_custkey"), "left")
+      .agg(count(lit(1)).as("n"),
+        sum(when(cs("c_custkey").isNotNull, 1L).otherwise(0L)).as("hit"))
+    val base = cust.agg(count(lit(1)).as("n_cust"))
+      .crossJoin(ord.agg(count(lit(1)).as("n_ord"))) // 1 row × 1 row
+    val cc = cov(consistent).select(col("n").as("n_consistent"),
+      col("hit").as("consistent_hits"))
+    val ci = cov(indep).select(col("n").as("n_indep"),
+      col("hit").as("indep_hits"))
+    base.crossJoin(cs.agg(count(lit(1)).as("n_cust_sampled"))) // 1-row frames
+      .crossJoin(cc).crossJoin(ci)
+      .select(col("n_cust"), col("n_cust_sampled"), col("n_ord"),
+        col("n_consistent"), col("consistent_hits"),
+        Sketches.idiv(col("consistent_hits") * 1000L, col("n_consistent"))
+          .as("consistent_cov_milli"),
+        col("n_indep"), col("indep_hits"),
+        Sketches.idiv(col("indep_hits") * 1000L, col("n_indep"))
+          .as("indep_cov_milli"))
+  }
+
+  val sampleHashConsistentOracle: String =
+    """WITH cs AS (SELECT c_custkey FROM customer
+      |            WHERE ('0x'||substr(md5(CAST(c_custkey AS VARCHAR)),1,13))::BIGINT < 450359962737049),
+      |con AS (SELECT o_orderkey, o_custkey FROM orders
+      |        WHERE ('0x'||substr(md5(CAST(o_custkey AS VARCHAR)),1,13))::BIGINT < 450359962737049),
+      |ind AS (SELECT o_orderkey, o_custkey FROM orders
+      |        WHERE ('0x'||substr(md5(CAST(o_orderkey AS VARCHAR)),1,13))::BIGINT < 450359962737049),
+      |cc AS (SELECT CAST(count(*) AS BIGINT) AS n_consistent,
+      |              CAST(sum(CASE WHEN cs.c_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS consistent_hits
+      |       FROM con LEFT JOIN cs ON con.o_custkey = cs.c_custkey),
+      |ci AS (SELECT CAST(count(*) AS BIGINT) AS n_indep,
+      |              CAST(sum(CASE WHEN cs.c_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS indep_hits
+      |       FROM ind LEFT JOIN cs ON ind.o_custkey = cs.c_custkey),
+      |base AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM customer) AS n_cust,
+      |                (SELECT CAST(count(*) AS BIGINT) FROM cs) AS n_cust_sampled,
+      |                (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_ord)
+      |SELECT n_cust, n_cust_sampled, n_ord,
+      |       n_consistent, consistent_hits,
+      |       (consistent_hits * 1000) // n_consistent AS consistent_cov_milli,
+      |       n_indep, indep_hits,
+      |       (indep_hits * 1000) // n_indep AS indep_cov_milli
+      |FROM base, cc, ci""".stripMargin
+
   /** STREAM-STREAM interval join run FOR REAL: the events dir read as
     * TWO independent streaming sources (views / purchases), inner-
     * joined on user within a 24 h event-time window
@@ -1581,6 +1650,7 @@ object ExtraQueries {
     "stream_asof_buffered" -> (streamAsofBuffered _),
     "stream_interval_join" -> (streamIntervalJoin _),
     "stream_neardup_bucketed" -> (streamNearDupBucketed _),
+    "sample_hash_consistent" -> (sampleHashConsistent _),
     "stream_hll" -> (streamHll _),
     "stream_cms" -> (streamCms _),
     "stream_session_window" -> (streamSessionWindow _)
@@ -1623,6 +1693,7 @@ object ExtraQueries {
     "stream_asof_buffered" -> streamAsofOracle,
     "stream_interval_join" -> streamIntervalJoinOracle,
     "stream_neardup_bucketed" -> streamNearDupOracle,
+    "sample_hash_consistent" -> sampleHashConsistentOracle,
     "stream_hll" -> streamHllOracle,
     "stream_cms" -> streamCmsOracle,
     "stream_session_window" -> streamSessionWindowOracle

@@ -702,8 +702,73 @@ object ProfileQueries {
       |  (exact_inter * 1000) // (exact_a + exact_b - exact_inter) AS jaccard_milli
       |FROM th, ib, ub, exact""".stripMargin
 
+  /** Quantile estimation from a deterministic hash reservoir (SURVEY
+    * §2.12 — the QUANTILE member of the mergeable-sketch family, after
+    * frequency/CMS, cardinality/HLL+KMV, membership/Bloom and
+    * set-ops/theta): [[graft.functions.BottomKPairs]] keeps the
+    * k=1024 rows with the smallest event-id hashes, each carrying its
+    * value in exact cents — a uniform row sample that is a pure SET
+    * property of the input (partition/order-invariant, merge = capped
+    * union), unlike Vitter reservoir sampling whose result depends on
+    * arrival order. Estimate = the same discrete rank law as
+    * `profile_quantiles` applied to the k sampled values (sorted by
+    * (v, h) — the hash breaks value ties deterministically); the exact
+    * quantiles ride along via [[Profiler.quantilesDisc]] (evaluator
+    * face; sampling error at k=1024 is ~±1.6% rank — abs_err is the
+    * visible measure). At 100 TB the sketch is ONE map-side-combined
+    * agg whose wire payload is ≤ k pairs per partition; the exact face
+    * is the thing you can no longer afford, which is the point.
+    */
+  def profileQuantileSketch(s: SparkSession, dir: String): DataFrame = {
+    val k = 1024
+    val qs = Seq(100, 250, 500, 750, 900, 990)
+    val ev = events(s, dir)
+    val sk = ev.agg(graft.functions.bottomk.bottomKPairs(
+      Sketches.hash52(col("event_id")), cents(col("value")), k).as("rs"))
+    val est = sk
+      .withColumn("srt", array_sort(transform(col("rs"),
+        p => struct(p.getField("v").as("v"), p.getField("h").as("h")))))
+      .withColumn("n", size(col("srt")).cast("long"))
+      .select(col("n"), explode(array(qs.map { q =>
+        struct(lit(q).as("q_milli"),
+          element_at(col("srt"),
+            greatest(lit(1L),
+              Sketches.idiv(lit(q.toLong) * col("n") + 999L, lit(1000L)))
+              .cast("int")).getField("v").as("est"))
+      }: _*)).as("_e"))
+      .select(col("_e.q_milli"), col("_e.est"), col("n").as("n_sample"))
+    val exact = Profiler.quantilesDisc(ev, "value_cents",
+        cents(col("value")), qs)
+      .select(col("q_milli"), col("value").as("exact"))
+    est.join(exact, "q_milli")
+      .select(col("q_milli"), col("n_sample"), col("est"), col("exact"),
+        abs(col("est") - col("exact")).as("abs_err"))
+      .orderBy("q_milli")
+  }
+
+  val profileQuantileSketchOracle: String =
+    """WITH src AS (SELECT ('0x'||substr(md5(CAST(event_id AS VARCHAR)),1,13))::BIGINT AS h,
+      |                    CAST(round(value * 100) AS BIGINT) AS v FROM events),
+      |rs AS (SELECT h, min(v) AS v FROM src GROUP BY h ORDER BY h LIMIT 1024),
+      |s AS (SELECT v, row_number() OVER (ORDER BY v, h) AS rk FROM rs),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n_sample FROM rs),
+      |q AS (SELECT unnest([100, 250, 500, 750, 900, 990]) AS q_milli),
+      |tg AS (SELECT q_milli, n_sample,
+      |         greatest((q_milli * n_sample + 999) // 1000, 1) AS target FROM q, n),
+      |est AS (SELECT q_milli, n_sample, v AS est FROM tg JOIN s ON s.rk = tg.target),
+      |xt AS (SELECT q_milli, greatest((q_milli * c + 999) // 1000, 1) AS target
+      |       FROM q, (SELECT CAST(count(*) AS BIGINT) AS c FROM events) cn),
+      |ex AS (SELECT q_milli, v AS exact FROM xt
+      |       JOIN (SELECT CAST(round(value * 100) AS BIGINT) AS v,
+      |                    row_number() OVER (ORDER BY CAST(round(value * 100) AS BIGINT)) AS rk
+      |             FROM events) r ON r.rk = xt.target)
+      |SELECT est.q_milli, n_sample, est, exact, abs(est - exact) AS abs_err
+      |FROM est JOIN ex ON est.q_milli = ex.q_milli
+      |ORDER BY est.q_milli""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "profile_kmv" -> (profileKmv _),
+    "profile_quantile_sketch" -> (profileQuantileSketch _),
     "profile_theta_overlap" -> (profileThetaOverlap _),
     "profile_cms_topk" -> (profileCmsTopk _),
     "profile_hll" -> (profileHll _),
@@ -727,6 +792,7 @@ object ProfileQueries {
 
   def oracles: Map[String, String] = Map(
     "profile_kmv" -> profileKmvOracle,
+    "profile_quantile_sketch" -> profileQuantileSketchOracle,
     "profile_theta_overlap" -> profileThetaOverlapOracle,
     "profile_cms_topk" -> profileCmsTopkOracle,
     "profile_hll" -> profileHllOracle,

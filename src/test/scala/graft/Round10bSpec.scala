@@ -105,6 +105,54 @@ class Round10bSpec extends AnyFunSuite {
       "exact mode must count the planted 25-element intersection exactly")
   }
 
+  test("bottom_k_pairs: equals the relational replay (min payload per key, " +
+      "order by key, limit k), partition-invariant, ObjectHashAggregate partial") {
+    val spark2 = spark
+    import spark2.implicits._
+    import graft.functions.bottomk.bottomKPairs
+    // duplicate keys with DIFFERENT payloads exercise the min-payload law
+    val rows: Seq[(Long, Long)] =
+      (1L to 400L).map(i => (i * 977 % 503, i)) ++
+      (1L to 400L).map(i => (i * 977 % 503, i + 7))
+    val k = 16
+    val expected = rows.groupBy(_._1).view.mapValues(_.map(_._2).min)
+      .toSeq.sortBy(_._1).take(k)
+    def run(parts: Int): Seq[(Long, Long)] = {
+      val df = rows.toDF("h", "v").repartition(parts)
+        .agg(bottomKPairs(col("h"), col("v"), k).as("rs"))
+      df.collect()(0).getSeq[org.apache.spark.sql.Row](0)
+        .map(r => (r.getLong(0), r.getLong(1)))
+    }
+    assert(run(1) == expected)
+    assert(run(7) == expected, "7-partition run must agree (set property)")
+    val plan = rows.toDF("h", "v").repartition(5)
+      .agg(bottomKPairs(col("h"), col("v"), k).as("rs"))
+    plan.collect()
+    val exec = plan.queryExecution.executedPlan.toString
+    assert(exec.contains("ObjectHashAggregate"),
+      s"bottom_k_pairs must plan as ObjectHashAggregate, got:\n$exec")
+  }
+
+  test("quantile sketch law: sampled discrete quantiles of a planted " +
+      "uniform 1..10000 land within 5% rank of truth at k=1024") {
+    val spark2 = spark
+    import spark2.implicits._
+    import graft.functions.bottomk.bottomKPairs
+    val k = 1024
+    val df = (1L to 10000L).map(v => (v.toString, v)).toDF("id", "v")
+    val sampled = df
+      .agg(bottomKPairs(Sketches.hash52(col("id")), col("v"), k).as("rs"))
+      .select(explode(col("rs")).as("p")).select(col("p.v").as("v"))
+      .as[Long].collect().sorted
+    assert(sampled.length == k)
+    for (q <- Seq(250, 500, 750)) {
+      val est = sampled((q * k + 999) / 1000 - 1) // 1-indexed rank → 0-index
+      // value IS rank here (uniform 1..10000): 5% rank = ±500
+      assert(math.abs(est - q * 10L) < 500L,
+        s"q=$q: sampled quantile $est vs true ${q * 10} — outside 5% rank")
+    }
+  }
+
   test("streaming CMS: stateful windowed agg emits the identical counter " +
       "cells the batch transform computes, with (window x d*w)-bounded state") {
     import org.apache.spark.sql.execution.streaming.runtime.{MemoryStream, StreamingQueryWrapper}
