@@ -92,7 +92,10 @@ object Bench {
       "stream_neardup" -> 2,
       // theta overlap ships the sketch agg AND the exact-face
       // shingle-grouped agg (evaluator idiom, like dedup_eval)
-      "profile_theta_overlap" -> 2)
+      "profile_theta_overlap" -> 2,
+      // SQ8 search runs its exact micro-L2 ground truth alongside
+      // (rank-aligned output + recall@5 by definition)
+      "ann_sq8" -> 2)
     val prJson = pipelinesRun.toSeq.sorted
       .map { case (k, v) => "\"" + esc(k) + "\":" + v }.mkString("{", ",", "}")
     val json =

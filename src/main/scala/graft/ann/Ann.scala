@@ -357,6 +357,94 @@ object Ann {
     spark.createDataset(books).toDF("_m", "_code", "_cv")
   }
 
+  // ---- SQ8: scalar 8-bit quantization (FAISS IndexScalarQuantizer
+  // QT_8bit shape) — the 4× memory-reduction tier below PQ: each
+  // dimension independently mapped to 256 uniform levels between the
+  // corpus per-dimension min and max. Unlike PQ (k-means codebooks →
+  // float-iterative → rows-only) the SQ8 train step is just per-dim
+  // min/max, so by carrying vectors in exact integer MICRO-UNITS
+  // (round(x·1e7), the repo's embedding law) the ENTIRE family —
+  // codes, reconstruction, asymmetric distances, ranks, recall — is
+  // exact integer arithmetic and hash-gates against the oracle.
+
+  /** Per-dimension element in micro-units. Each dimension reads its own
+    * array element directly (no shared `transform` array that projection
+    * collapse would re-evaluate per reference — the r9 MinhashOps
+    * lesson).
+    */
+  private def microD(vec: Column, d: Int): Column =
+    round(element_at(vec, d) * lit(1e7)).cast("long")
+
+  private def idivL(a: Column, b: Column): Column =
+    graft.profiling.Sketches.idiv(a, b)
+
+  /** SQ8 codebook: ONE 1-row agg of per-dimension micro min/max —
+    * 2·dim longs, broadcast to every coder/scorer. (PQ's train is a
+    * k-means; SQ8's is this agg — why SQ8 is the cheap tier.)
+    */
+  def sq8Stats(corpus: DataFrame, vec: String, dim: Int): DataFrame =
+    corpus.agg(
+      array((1 to dim).map(d => min(microD(col(vec), d))): _*).as("_mn"),
+      array((1 to dim).map(d => max(microD(col(vec), d))): _*).as("_mx"))
+
+  /** SQ8 top-k with asymmetric distance (ADC): corpus rows carry only
+    * their 8-bit codes (the compressed artifact — at 100 TB this is
+    * what fits in memory), queries stay exact micro vectors; distance
+    * = Σ (q_d − recon_d)² where recon_d = mn_d + code_d·(mx_d−mn_d)/255,
+    * every step exact integer. Plan: the 1-row stats frame and the
+    * query side broadcast; the corpus streams through one projection +
+    * per-query window rank — no shuffle of the corpus.
+    */
+  def sq8TopK(queries: DataFrame, corpus: DataFrame, id: String, vec: String,
+      dim: Int, k: Int): DataFrame = {
+    val stats = sq8Stats(corpus, vec, dim)
+    def mn(d: Int) = element_at(col("_mn"), d)
+    def mx(d: Int) = element_at(col("_mx"), d)
+    def codeD(d: Int) =
+      when(mx(d) > mn(d),
+        idivL((microD(col(vec), d) - mn(d)) * 255L, mx(d) - mn(d)))
+        .otherwise(0L)
+    val coded = corpus.crossJoin(broadcast(stats)) // 1-row stats
+      .select(col(id).as("_id"), col("_mn"), col("_mx"),
+        array((1 to dim).map(codeD): _*).as("_code"))
+    val q = queries.select(col(id).as("qid"),
+      array((1 to dim).map(d => microD(col(vec), d)): _*).as("_qm"))
+    def reconD(d: Int) =
+      mn(d) + idivL(element_at(col("_code"), d) * (mx(d) - mn(d)), lit(255L))
+    val dist = (1 to dim).map { d =>
+      val diff = element_at(col("_qm"), d) - reconD(d)
+      diff * diff
+    }.reduceLeft(_ + _)
+    val w = Window.partitionBy(col("qid")).orderBy(col("_dist"), col("_id"))
+    broadcast(q).join(coded, col("qid") =!= col("_id"))
+      .withColumn("_dist", dist)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("_id").as(id), col("_dist"), col("rank"))
+  }
+
+  /** Exact integer-L2 top-k in micro-units — the ground-truth face
+    * [[sq8TopK]]'s recall is measured against (same contract, distance
+    * over the exact micro vectors).
+    */
+  def microTopK(queries: DataFrame, corpus: DataFrame, id: String, vec: String,
+      dim: Int, k: Int): DataFrame = {
+    val q = queries.select(col(id).as("qid"),
+      array((1 to dim).map(d => microD(col(vec), d)): _*).as("_qm"))
+    val c = corpus.select(col(id).as("_id"),
+      array((1 to dim).map(d => microD(col(vec), d)): _*).as("_cm"))
+    val dist = (1 to dim).map { d =>
+      val diff = element_at(col("_qm"), d) - element_at(col("_cm"), d)
+      diff * diff
+    }.reduceLeft(_ + _)
+    val w = Window.partitionBy(col("qid")).orderBy(col("_dist"), col("_id"))
+    broadcast(q).join(c, col("qid") =!= col("_id"))
+      .withColumn("_dist", dist)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("_id").as(id), col("_dist"), col("rank"))
+  }
+
   /** Euclidean distance √Σ(a[i]−b[i])² — native left-assoc loop. */
   def euclidean(a: Column, b: Column, dim: Int): Column =
     sqrt(graft.functions.vecs.l2sq(a, b))

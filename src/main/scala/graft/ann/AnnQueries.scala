@@ -665,8 +665,83 @@ object AnnQueries {
        |ORDER BY method""".stripMargin
   }
 
+  // ---- SQ8 scalar quantization (Ann.sq8TopK) ----
+
+  /** SQ8 ANN search with its exact face riding along: the FAISS
+    * IndexScalarQuantizer tier — per-dim min/max codebook (ONE 1-row
+    * agg, vs PQ's k-means), 8-bit codes, asymmetric integer distance
+    * on micro-units. Because SQ8's train step is min/max (not
+    * float-iterative k-means), the WHOLE family is exact integer
+    * arithmetic: codes, reconstructions, distances, ranks and recall@5
+    * all hash-gate — the quantization tier PQ can't oracle, SQ8 can.
+    * Output: sq8 top-5 vs exact micro-L2 top-5 per query, rank-aligned,
+    * with per-query recall@5 (800–1000 milli across the 10 queries at
+    * sf0.01, mean 920 — the honest 8-bit loss, visible next to the 4×
+    * memory win).
+    */
+  def annSq8(s: SparkSession, dir: String): DataFrame = {
+    val c = orig(s, dir)
+    val q = c.filter(col("vec_id") < 10)
+    val sq = Ann.sq8TopK(q, c, "vec_id", "v", Dim, k = 5)
+      .select(col("qid"), col("rank"), col("vec_id").as("sq8_id"),
+        col("_dist").as("sq8_dist"))
+    val ex = Ann.microTopK(q, c, "vec_id", "v", Dim, k = 5)
+      .select(col("qid"), col("rank"), col("vec_id").as("exact_id"),
+        col("_dist").as("exact_dist"))
+    val hits = sq.select(col("qid"), col("sq8_id").as("_id"))
+      .join(ex.select(col("qid"), col("exact_id").as("_id")), Seq("qid", "_id"))
+      .groupBy("qid").agg(count(lit(1)).as("_h"))
+    sq.join(ex, Seq("qid", "rank"))
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"), col("rank"), col("sq8_id"), col("sq8_dist"),
+        col("exact_id"), col("exact_dist"),
+        (coalesce(col("_h"), lit(0L)) * 200L).as("recall5_milli"))
+      .orderBy("qid", "rank")
+  }
+
+  val annSq8Oracle: String = {
+    val mnL = (1 to Dim).map(d => s"min(vm[$d])").mkString("[", ", ", "]")
+    val mxL = (1 to Dim).map(d => s"max(vm[$d])").mkString("[", ", ", "]")
+    val codeL = (1 to Dim).map(d =>
+      s"CASE WHEN mx[$d] > mn[$d] THEN ((vm[$d]-mn[$d])*255)//(mx[$d]-mn[$d]) ELSE 0 END")
+      .mkString("[", ", ", "]")
+    def reconD(d: Int) = s"(c.mn[$d] + (c.code[$d]*(c.mx[$d]-c.mn[$d]))//255)"
+    val sqDist = (1 to Dim).map(d =>
+      s"(q.qm[$d]-${reconD(d)})*(q.qm[$d]-${reconD(d)})").mkString(" + ")
+    val exDist = (1 to Dim).map(d =>
+      s"(q.qm[$d]-c.vm[$d])*(q.qm[$d]-c.vm[$d])").mkString(" + ")
+    s"""WITH o AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |m AS (SELECT vec_id, list_transform(v, x -> CAST(round(x*10000000) AS BIGINT)) AS vm FROM o),
+       |st AS (SELECT $mnL AS mn, $mxL AS mx FROM m),
+       |cd AS (SELECT vec_id, mn, mx, $codeL AS code FROM m, st),
+       |q AS (SELECT vec_id AS qid, vm AS qm FROM m WHERE vec_id < 10),
+       |sqd AS (SELECT q.qid, c.vec_id, $sqDist AS dist
+       |        FROM q JOIN cd c ON c.vec_id <> q.qid),
+       |sq AS (SELECT qid, vec_id, dist,
+       |         row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rank
+       |       FROM sqd),
+       |exd AS (SELECT q.qid, c.vec_id, $exDist AS dist
+       |        FROM q JOIN m c ON c.vec_id <> q.qid),
+       |ex AS (SELECT qid, vec_id, dist,
+       |         row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rank
+       |       FROM exd),
+       |sq5 AS (SELECT * FROM sq WHERE rank <= 5),
+       |ex5 AS (SELECT * FROM ex WHERE rank <= 5),
+       |hits AS (SELECT sq5.qid, CAST(count(*) AS BIGINT) AS h
+       |         FROM sq5 JOIN ex5 ON sq5.qid = ex5.qid AND sq5.vec_id = ex5.vec_id
+       |         GROUP BY sq5.qid)
+       |SELECT sq5.qid, CAST(sq5.rank AS INT) AS rank,
+       |       sq5.vec_id AS sq8_id, sq5.dist AS sq8_dist,
+       |       ex5.vec_id AS exact_id, ex5.dist AS exact_dist,
+       |       coalesce(h, 0) * 200 AS recall5_milli
+       |FROM sq5 JOIN ex5 ON sq5.qid = ex5.qid AND sq5.rank = ex5.rank
+       |LEFT JOIN hits ON hits.qid = sq5.qid
+       |ORDER BY sq5.qid, sq5.rank""".stripMargin
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_recall_eval" -> (annRecallEval _),
+    "ann_sq8" -> (annSq8 _),
     "ann_pq_search" -> (annPqSearch _),
     "ann_ivfpq" -> (annIvfpq _),
     "ann_pq_fit" -> (annPqFit _),
@@ -685,6 +760,7 @@ object AnnQueries {
 
   def oracles: Map[String, String] = Map(
     "ann_recall_eval" -> annRecallEvalOracle,
+    "ann_sq8" -> annSq8Oracle,
     "ann_pq_search" -> annPqSearchOracle,
     "ann_ivfpq" -> annIvfpqOracle,
     "ann_truncate_recall" -> annTruncateRecallOracle,

@@ -153,6 +153,58 @@ class Round10bSpec extends AnyFunSuite {
     }
   }
 
+  test("SQ8: exact on the 256-level grid, top-k = exact top-k there; " +
+      "bounded reconstruction error and a broadcast-corpus-stream plan off it") {
+    val spark2 = spark
+    import spark2.implicits._
+    import graft.ann.Ann
+    val dim = 4
+    // components exactly on the 256-level grid of [0, 0.0255], with two
+    // anchor rows pinning every dim's min to 0 and max to 255 so the
+    // quantizer's range is exactly 255 steps: code = v_micro/1000,
+    // recon = code·1000 = v_micro — lossless by construction
+    val grid = (0L until 40L).map { i =>
+      (i, (1 to dim).map(d => (i * 977 + d * 31) % 256 * 0.0001))
+    } ++ Seq((100L, Seq.fill(dim)(0.0)), (101L, Seq.fill(dim)(0.0255)))
+    val df = grid.toDF("vec_id", "v")
+      .select(col("vec_id"), col("v").cast("array<double>").as("v"))
+    val q = df.filter(col("vec_id") < 3)
+    val sq = Ann.sq8TopK(q, df, "vec_id", "v", dim, k = 5)
+      .select("qid", "rank", "vec_id", "_dist")
+    val ex = Ann.microTopK(q, df, "vec_id", "v", dim, k = 5)
+      .select("qid", "rank", "vec_id", "_dist")
+    assert(sq.exceptAll(ex).isEmpty && ex.exceptAll(sq).isEmpty,
+      "on-grid vectors must quantize losslessly: SQ8 ranks ≡ exact ranks")
+    // off-grid: reconstruction error per dim < range/255 + 1 micro
+    val off = (0L until 30L).map { i =>
+      (i, (1 to dim).map(d => ((i * 613 + d * 97) % 1000) * 0.000777))
+    }.toDF("vec_id", "v").select(col("vec_id"), col("v").cast("array<double>").as("v"))
+    val qo = off.filter(col("vec_id") < 2)
+    val sqo = Ann.sq8TopK(qo, off, "vec_id", "v", dim, k = 3)
+    val exo = Ann.microTopK(qo, off, "vec_id", "v", dim, k = 3)
+    // per-dim recon error e_d ≤ range_d/255 + 1 → the squared-distance
+    // perturbation is bounded by Σ_d (2·range_d·e_d + e_d²), computed
+    // from the ACTUAL per-dim ranges (no hand constants)
+    val st = Ann.sq8Stats(off, "v", dim).collect()(0)
+    val mns = st.getSeq[Long](0); val mxs = st.getSeq[Long](1)
+    val bound = (0 until dim).map { j =>
+      val range = mxs(j) - mns(j); val e = range / 255 + 1
+      2L * range * e + e * e
+    }.sum
+    val sqTop = sqo.filter(col("rank") === 1).select("qid", "_dist")
+      .as[(Long, Long)].collect().toMap
+    val exTop = exo.filter(col("rank") === 1).select("qid", "_dist")
+      .as[(Long, Long)].collect().toMap
+    for ((qid, d) <- exTop) {
+      assert(math.abs(sqTop(qid) - d) <= bound,
+        s"q$qid: SQ8 top-1 dist ${sqTop(qid)} vs exact $d exceeds error bound $bound")
+    }
+    val exec = { val p = Ann.sq8TopK(q, df, "vec_id", "v", dim, 5); p.collect()
+      p.queryExecution.executedPlan.toString }
+    assert(exec.contains("BroadcastNestedLoopJoin"),
+      s"queries must broadcast (corpus streams):\n$exec")
+  }
+
   test("streaming CMS: stateful windowed agg emits the identical counter " +
       "cells the batch transform computes, with (window x d*w)-bounded state") {
     import org.apache.spark.sql.execution.streaming.runtime.{MemoryStream, StreamingQueryWrapper}
