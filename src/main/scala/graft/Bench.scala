@@ -95,7 +95,10 @@ object Bench {
       "profile_theta_overlap" -> 2,
       // SQ8 search runs its exact micro-L2 ground truth alongside
       // (rank-aligned output + recall@5 by definition)
-      "ann_sq8" -> 2)
+      "ann_sq8" -> 2,
+      // sketch estimators whose exact faces ride along by definition
+      "profile_join_size_est" -> 2,
+      "stream_quantile" -> 2)
     val prJson = pipelinesRun.toSeq.sorted
       .map { case (k, v) => "\"" + esc(k) + "\":" + v }.mkString("{", ",", "}")
     val json =

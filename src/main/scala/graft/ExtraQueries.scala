@@ -654,6 +654,90 @@ object ExtraQueries {
       |       (indep_hits * 1000) // n_indep AS indep_cov_milli
       |FROM base, cc, ci""".stripMargin
 
+  /** Per-window quantile estimates from the streaming hash reservoir
+    * ([[Streams.reservoirWindow]]) — the QUANTILE member of the
+    * per-window sketch family (HLL `stream_hll`, CMS `stream_cms`,
+    * now the reservoir): per event-time day, p50/p90 of the value
+    * column estimated from a k=256 bottom-k-by-hash reservoir whose
+    * streaming state is ≤ k pairs per window at ANY event rate, with
+    * the exact per-window quantiles riding along (same discrete rank
+    * law; one window-function pass, no per-q re-scan — targets ride an
+    * exploded filtered array). Batch semantics here, hash-gated
+    * including estimates; Round10bSpec proves the MemoryStream
+    * windowed agg emits bit-identical reservoirs across batches.
+    */
+  def streamQuantile(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.profiling.Sketches
+    val k = 256
+    val qs = Seq(500, 900)
+    val ev = events(s, dir)
+    val rs = Streams.reservoirWindow(ev, "1 day", "event_id",
+      cents(col("value")), k)
+    val est = rs
+      .withColumn("srt", array_sort(transform(col("rs"),
+        p => struct(p.getField("v").as("v"), p.getField("h").as("h")))))
+      .withColumn("n", size(col("srt")).cast("long"))
+      .select(col("window_start"), col("n").as("n_sample"),
+        explode(array(qs.map { q =>
+          struct(lit(q).as("q_milli"),
+            element_at(col("srt"),
+              greatest(lit(1L),
+                Sketches.idiv(lit(q.toLong) * col("n") + 999L, lit(1000L)))
+                .cast("int")).getField("v").as("est"))
+        }: _*)).as("_e"))
+      .select(col("window_start"), col("_e.q_milli"), col("n_sample"),
+        col("_e.est"))
+    val vals = ev.select(
+      window(col("ts"), "1 day").getField("start").as("window_start"),
+      cents(col("value")).as("_v"))
+    val wP = Window.partitionBy("window_start")
+    val exact = vals
+      .withColumn("rn", row_number().over(wP.orderBy("_v")).cast("long"))
+      .withColumn("cnt", count(lit(1)).over(wP))
+      .select(col("window_start"), col("_v"),
+        explode(filter(array(qs.map { q =>
+          struct(lit(q).as("q_milli"),
+            greatest(lit(1L),
+              Sketches.idiv(lit(q.toLong) * col("cnt") + 999L, lit(1000L)))
+              .as("t"))
+        }: _*), x => x.getField("t") === col("rn"))).as("_x"))
+      .select(col("window_start"), col("_x.q_milli"), col("_v").as("exact"))
+    est.join(exact, Seq("window_start", "q_milli"))
+      .select(col("window_start"), col("q_milli"), col("n_sample"),
+        col("est"), col("exact"), abs(col("est") - col("exact")).as("abs_err"))
+      .orderBy("window_start", "q_milli")
+  }
+
+  val streamQuantileOracle: String =
+    """WITH e AS (SELECT date_trunc('day', ts) AS window_start,
+      |         ('0x'||substr(md5(CAST(event_id AS VARCHAR)),1,13))::BIGINT AS h,
+      |         CAST(round(value * 100) AS BIGINT) AS v FROM events),
+      |d AS (SELECT window_start, h, min(v) AS v FROM e GROUP BY 1, 2),
+      |r AS (SELECT window_start, h, v,
+      |        row_number() OVER (PARTITION BY window_start ORDER BY h) AS hr FROM d),
+      |rs AS (SELECT window_start, h, v FROM r WHERE hr <= 256),
+      |s AS (SELECT window_start, v,
+      |        row_number() OVER (PARTITION BY window_start ORDER BY v, h) AS rk FROM rs),
+      |n AS (SELECT window_start, CAST(count(*) AS BIGINT) AS n_sample FROM rs GROUP BY 1),
+      |q AS (SELECT unnest([500, 900]) AS q_milli),
+      |tg AS (SELECT window_start, q_milli, n_sample,
+      |         greatest((q_milli * n_sample + 999) // 1000, 1) AS t FROM n, q),
+      |est AS (SELECT tg.window_start, tg.q_milli, tg.n_sample, s.v AS est
+      |        FROM tg JOIN s ON s.window_start = tg.window_start AND s.rk = tg.t),
+      |x AS (SELECT window_start, v,
+      |        row_number() OVER (PARTITION BY window_start ORDER BY v) AS rk,
+      |        count(*) OVER (PARTITION BY window_start) AS cnt FROM e),
+      |xc AS (SELECT window_start, CAST(count(*) AS BIGINT) AS cnt FROM e GROUP BY 1),
+      |xtg AS (SELECT window_start, q_milli,
+      |          greatest((q_milli * cnt + 999) // 1000, 1) AS t FROM xc, q),
+      |ex AS (SELECT xtg.window_start, xtg.q_milli, x.v AS exact
+      |       FROM xtg JOIN x ON x.window_start = xtg.window_start AND x.rk = xtg.t)
+      |SELECT est.window_start, est.q_milli, est.n_sample, est.est, ex.exact,
+      |       abs(est.est - ex.exact) AS abs_err
+      |FROM est JOIN ex ON est.window_start = ex.window_start AND est.q_milli = ex.q_milli
+      |ORDER BY est.window_start, est.q_milli""".stripMargin
+
   /** STREAM-STREAM interval join run FOR REAL: the events dir read as
     * TWO independent streaming sources (views / purchases), inner-
     * joined on user within a 24 h event-time window
@@ -1653,6 +1737,7 @@ object ExtraQueries {
     "sample_hash_consistent" -> (sampleHashConsistent _),
     "stream_hll" -> (streamHll _),
     "stream_cms" -> (streamCms _),
+    "stream_quantile" -> (streamQuantile _),
     "stream_session_window" -> (streamSessionWindow _)
   )
 
@@ -1696,6 +1781,7 @@ object ExtraQueries {
     "sample_hash_consistent" -> sampleHashConsistentOracle,
     "stream_hll" -> streamHllOracle,
     "stream_cms" -> streamCmsOracle,
+    "stream_quantile" -> streamQuantileOracle,
     "stream_session_window" -> streamSessionWindowOracle
   )
 }

@@ -766,8 +766,100 @@ object ProfileQueries {
       |FROM est JOIN ex ON est.q_milli = ex.q_milli
       |ORDER BY est.q_milli""".stripMargin
 
+  /** Join-size estimation from constant-size key sketches (SURVEY
+    * §2.12 — the optimizer-statistics face of the bottom-k family;
+    * the quantity a planner needs BEFORE committing a 100 TB shuffle):
+    * per side, group keys to (key, count), sketch them with
+    * [[graft.functions.BottomKPairs]] (hash → count, ≤ k pairs), then
+    * |A ⋈ B| ≈ (2^52 div θ) · Σ_{h<θ, h∈both} cA(h)·cB(h) with
+    * θ = min of the two k-th minima — the Beyer et al. multiset
+    * extension of theta intersection. Two demonstrations in one frame:
+    * the FK join orders⋈customer, and the SELF-join of lineitem on
+    * l_partkey — whose size is F2 = Σc², the second frequency moment
+    * (the AMS-sketch target and the standard skew statistic). Exact
+    * faces ride along from the same pre-agg frames (evaluator idiom;
+    * pipelines_run: 2). Every estimator is exact integer arithmetic on
+    * the exploded k-row sketches — one tiny (≤ k rows) equi-join each,
+    * never a join of the base tables.
+    */
+  def profileJoinSizeEst(s: SparkSession, dir: String): DataFrame = {
+    val k = 256
+    val space = Sketches.Hash52Space
+    def keyCounts(df: DataFrame, key: String) =
+      df.groupBy(col(key).as("_key")).agg(count(lit(1)).as("_c"))
+    def sketch(kc: DataFrame) =
+      kc.agg(graft.functions.bottomk.bottomKPairs(
+        Sketches.hash52(col("_key")), col("_c"), k).as("ks"))
+    def thetaOf(arr: Column): Column =
+      when(size(arr) === k, element_at(arr, k).getField("h")).otherwise(lit(space))
+    // one (join_name, est-side) row from two sketches: explode to ≤ k
+    // rows each, equi-join on hash below θ, Σ cA·cB, scale by 2^52/θ
+    def estimate(name: String, ska: DataFrame, skb: DataFrame): DataFrame = {
+      val pair = ska.select(col("ks").as("ka"))
+        .crossJoin(skb.select(col("ks").as("kb"))) // 1 row × 1 row
+        .withColumn("theta", least(thetaOf(col("ka")), thetaOf(col("kb"))))
+      val ea = pair.select(col("theta"), explode(col("ka")).as("p"))
+        .select(col("theta"), col("p.h").as("h"), col("p.v").as("ca"))
+        .filter(col("h") < col("theta"))
+      val eb = pair.select(explode(col("kb")).as("p"))
+        .select(col("p.h").as("h"), col("p.v").as("cb"))
+      ea.join(eb, "h")
+        .agg(count(lit(1)).as("n_matched"),
+          coalesce(sum(col("ca") * col("cb")), lit(0L)).as("s_below"))
+        .crossJoin(pair.select(col("theta"))) // 1 row × 1 row
+        .select(lit(name).as("join_name"), lit(k.toLong).as("k"),
+          col("theta"), col("n_matched"), col("s_below"),
+          // s_below·2^52 overflows a long (Σc²·2^52 ~ 1e21) — route the
+          // numerator through decimal(38) like the mining lift (r8)
+          Sketches.idiv(col("s_below").cast("decimal(38,0)") * space,
+            col("theta")).cast("long").as("est"))
+    }
+    def exact(kca: DataFrame, kcb: DataFrame) =
+      kca.join(kcb.withColumnRenamed("_c", "_c2"), "_key")
+        .agg(coalesce(sum(col("_c") * col("_c2")), lit(0L)).as("exact"))
+    def ordersKc = keyCounts(orders(s, dir), "o_custkey")
+    def custKc = keyCounts(customer(s, dir), "c_custkey")
+    // def (not val): each use builds a fresh plan — a self-join of one
+    // DataFrame instance trips Spark's ambiguous-self-join detection
+    def partKc = keyCounts(lineitem(s, dir), "l_partkey")
+    val r1 = estimate("orders_customer", sketch(ordersKc), sketch(custKc))
+      .crossJoin(exact(ordersKc, custKc)) // 1 row × 1 row
+    val r2 = estimate("lineitem_selfjoin_partkey", sketch(partKc), sketch(partKc))
+      .crossJoin(exact(partKc, partKc)) // 1 row × 1 row
+    r1.unionByName(r2).orderBy("join_name")
+  }
+
+  val profileJoinSizeEstOracle: String = {
+    def side(table: String, key: String, a: String) =
+      s"""${a}kc AS (SELECT $key AS _key, CAST(count(*) AS BIGINT) AS c FROM $table GROUP BY 1),
+         |${a}h AS (SELECT ('0x'||substr(md5(CAST(_key AS VARCHAR)),1,13))::BIGINT AS h, min(c) AS c
+         |      FROM ${a}kc GROUP BY 1 ORDER BY h LIMIT 256),
+         |${a}t AS (SELECT CASE WHEN count(*) = 256 THEN max(h) ELSE 4503599627370496 END AS th
+         |      FROM ${a}h)""".stripMargin
+    def one(name: String, a: String, b: String) =
+      s"""SELECT '$name' AS join_name, CAST(256 AS BIGINT) AS k, z.theta, z.n_matched, z.s_below,
+         |  CAST((z.s_below * 4503599627370496::HUGEINT) // z.theta AS BIGINT) AS est,
+         |  (SELECT coalesce(CAST(sum(x.c * y.c) AS BIGINT), 0)
+         |   FROM ${a}kc x JOIN ${b}kc y USING (_key)) AS exact
+         |FROM (
+         |  SELECT t.theta, CAST(count(m.h) AS BIGINT) AS n_matched,
+         |         coalesce(CAST(sum(m.p) AS BIGINT), 0) AS s_below
+         |  FROM (SELECT least(ta.th, tb.th) AS theta FROM ${a}t ta, ${b}t tb) t
+         |  LEFT JOIN (SELECT x.h AS h, x.c * y.c AS p
+         |             FROM ${a}h x JOIN ${b}h y USING (h)) m ON m.h < t.theta
+         |  GROUP BY t.theta) z""".stripMargin
+    s"""WITH ${side("orders", "o_custkey", "o")},
+       |${side("customer", "c_custkey", "c")},
+       |${side("lineitem", "l_partkey", "p")}
+       |${one("orders_customer", "o", "c")}
+       |UNION ALL
+       |${one("lineitem_selfjoin_partkey", "p", "p")}
+       |ORDER BY join_name""".stripMargin
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "profile_kmv" -> (profileKmv _),
+    "profile_join_size_est" -> (profileJoinSizeEst _),
     "profile_quantile_sketch" -> (profileQuantileSketch _),
     "profile_theta_overlap" -> (profileThetaOverlap _),
     "profile_cms_topk" -> (profileCmsTopk _),
@@ -792,6 +884,7 @@ object ProfileQueries {
 
   def oracles: Map[String, String] = Map(
     "profile_kmv" -> profileKmvOracle,
+    "profile_join_size_est" -> profileJoinSizeEstOracle,
     "profile_quantile_sketch" -> profileQuantileSketchOracle,
     "profile_theta_overlap" -> profileThetaOverlapOracle,
     "profile_cms_topk" -> profileCmsTopkOracle,

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
 import org.apache.spark.sql.Row
@@ -322,6 +322,27 @@ object Streams {
         col("_c.j").as("j"), col("_c.bucket").as("bucket"))
       .agg(count(lit(1)).as("c"))
       .select(col("w.start").as("window_start"), col("j"), col("bucket"), col("c"))
+  }
+
+  /** Per-window bottom-k hash reservoir — the QUANTILE sibling of
+    * [[hllWindowRegisters]]/[[cmsWindowCounters]]: one windowed agg
+    * whose state per window is ONE size-capped
+    * [[graft.functions.BottomKPairs]] buffer (≤ k (hash, value) pairs
+    * at ANY event cardinality — exact per-window percentile state is
+    * the whole window's values). Because the reservoir is a pure set
+    * property, the cross-batch state merge (capped union) makes the
+    * streamed sketch bit-identical to the batch one — Round10bSpec
+    * proves it on MemoryStream; `stream_quantile` hash-gates the batch
+    * face including the quantile estimates.
+    */
+  def reservoirWindow(events: DataFrame, dur: String, id: String,
+      value: Column, k: Int): DataFrame = {
+    import graft.profiling.Sketches
+    events
+      .groupBy(window(col("ts"), dur).as("w"))
+      .agg(graft.functions.bottomk.bottomKPairs(
+        Sketches.hash52(col(id)), value, k).as("rs"))
+      .select(col("w.start").as("window_start"), col("rs"))
   }
 
   /** Streaming exact dedup: drop repeated keys arriving within the

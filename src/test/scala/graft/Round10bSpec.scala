@@ -205,6 +205,48 @@ class Round10bSpec extends AnyFunSuite {
       s"queries must broadcast (corpus streams):\n$exec")
   }
 
+  test("streaming reservoir: the windowed bottom-k-pairs agg emits a " +
+      "reservoir bit-identical to the batch sketch across batches " +
+      "(cross-batch state merge = capped union), StateStoreSave in plan") {
+    import org.apache.spark.sql.execution.streaming.runtime.{MemoryStream, StreamingQueryWrapper}
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // two batches into the same day-1 window: the reservoir must merge
+    val day1a = (1L to 300L).map(i => (ts("2024-01-01 06:00:00"), i, i * 13 % 997))
+    val day1b = (301L to 500L).map(i => (ts("2024-01-01 18:00:00"), i, i * 13 % 997))
+    val mem = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val q = Streams.reservoirWindow(
+        mem.toDF.toDF("ts", "event_id", "v").withWatermark("ts", "1 hour"),
+        "1 day", "event_id", col("v"), 64)
+      .writeStream.format("memory").queryName("rsv_sink")
+      .outputMode("append")
+      .option("checkpointLocation", Streams.freshCheckpointDir("rsv_spec"))
+      .start()
+    try {
+      mem.addData(day1a: _*)
+      q.processAllAvailable()
+      mem.addData(day1b: _*)
+      q.processAllAvailable()
+      mem.addData((ts("2024-01-03 12:00:00"), 9999L, 1L)) // close day 1
+      q.processAllAvailable()
+      val streamed = spark.table("rsv_sink")
+        .filter($"window_start" === ts("2024-01-01 00:00:00"))
+        .select(explode($"rs").as("p")).select("p.h", "p.v")
+      val batch = Streams.reservoirWindow(
+          (day1a ++ day1b).toDF("ts", "event_id", "v"), "1 day", "event_id",
+          col("v"), 64)
+        .select(explode($"rs").as("p")).select("p.h", "p.v")
+      assert(streamed.count() == 64, "day-1 reservoir must have emitted k pairs")
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+        "streamed reservoir must equal the batch sketch exactly")
+      val exec = q.asInstanceOf[StreamingQueryWrapper].streamingQuery.lastExecution
+      assert(exec.executedPlan.toString.contains("StateStoreSave"),
+        "must be a real stateful streaming aggregation")
+    } finally q.stop()
+  }
+
   test("streaming CMS: stateful windowed agg emits the identical counter " +
       "cells the batch transform computes, with (window x d*w)-bounded state") {
     import org.apache.spark.sql.execution.streaming.runtime.{MemoryStream, StreamingQueryWrapper}
