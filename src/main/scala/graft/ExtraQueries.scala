@@ -218,6 +218,27 @@ object ExtraQueries {
       |GROUP BY 1, 2, 3
       |ORDER BY window_start, event_type""".stripMargin
 
+  /** Sliding event-time windows ([[Streams.slidingWindowAgg]]): 24 h
+    * totals per event type refreshed every 6 h — every event counted in
+    * 4 overlapping windows. Oracle replays Spark's epoch-aligned window
+    * expansion as time_bucket(6 h) − j·6 h for j ∈ 0..3 (duration/slide
+    * covering windows, partial leading windows included).
+    */
+  def streamSlidingWindow(s: SparkSession, dir: String): DataFrame =
+    Streams.slidingWindowAgg(events(s, dir))
+      .orderBy("window_start", "event_type")
+
+  val streamSlidingWindowOracle: String =
+    """WITH e AS (SELECT ts, event_type, CAST(round(value * 100) AS BIGINT) AS vc,
+      |                time_bucket(INTERVAL 6 HOUR, ts) AS b FROM events),
+      |w AS (SELECT e.*, b - j * INTERVAL 6 HOUR AS window_start
+      |      FROM e, (SELECT unnest(range(0, 4)) AS j) js)
+      |SELECT window_start, window_start + INTERVAL 24 HOUR AS window_end,
+      |       event_type, count(*) AS n_events,
+      |       CAST(sum(vc) AS DOUBLE) / 100.0 AS sum_value
+      |FROM w GROUP BY 1, 2, 3
+      |ORDER BY window_start, event_type""".stripMargin
+
   /** Gap-based sessionization, batch semantics (stream version proven
     * equivalent in MlStreamSpec via flatMapGroupsWithState).
     */
@@ -1725,6 +1746,7 @@ object ExtraQueries {
     "mm_binary_meta" -> (mmBinaryMeta _),
     "mm_frame_sample" -> (mmFrameSample _),
     "stream_window_agg" -> (streamWindowAgg _),
+    "stream_sliding_window" -> (streamSlidingWindow _),
     "stream_sessionize" -> (streamSessionize _),
     "stream_dedup" -> (streamDedup _),
     "stream_upsert" -> (streamUpsert _),
@@ -1770,6 +1792,7 @@ object ExtraQueries {
     "mm_frame_sample" -> mmFrameSampleOracle,
     "stream_neardup" -> streamNearDupOracle,
     "stream_window_agg" -> streamWindowAggOracle,
+    "stream_sliding_window" -> streamSlidingWindowOracle,
     "stream_sessionize" -> streamSessionizeOracle,
     "stream_dedup" -> streamDedupOracle,
     "stream_upsert" -> streamUpsertOracle,

@@ -585,8 +585,181 @@ object MatchQueries {
     "match_rule" -> (matchRule _),
     "match_eval" -> (matchEval _),
     "match_eval_labeled" -> (matchEvalLabeled _),
+    "match_auc" -> (matchAuc _),
+    "match_calibration" -> (matchCalibration _),
     "match_threshold_sweep" -> (matchThresholdSweep _)
   )
+
+  /** Threshold-free matcher evaluation: AUC per SCORER (full rule vs
+    * its single-feature ablations name_jw / bal_sim) over a labeled
+    * pair set with negatives at two hardness tiers — off-candidate
+    * pairs (score 0, the heavy-tie path) and nearest-id in-block
+    * non-matches (names differing only in trailing digits). On this
+    * scenario bal_sim drops to ~994.7k micro while name_jw stays at
+    * 1e6 — the synthetic names are a CONSTANT 0.98 jw for every gold
+    * pair, so separation is structural (and its all-positives tie
+    * group exercises the average-rank law hard). Computed as
+    * the Mann-Whitney rank-sum in EXACT integer arithmetic: integer
+    * s5 = round(score·1e5); ties by average rank via the identity
+    * 2·r̄ = 2·rank + tie_count − 1 (SQL `rank()` is the min-rank);
+    * AUC_micro = (Σ_pos 2r̄ − n_pos(n_pos+1))·1e6 div (2·n_pos·n_neg)
+    * — no float division anywhere, so the metric itself hash-gates.
+    * Rank windows partition by scorer over the LABELED set only
+    * (gold-bounded, like every evaluator), never the candidates.
+    */
+  /** Shared labeled+scored pair frame for the threshold-free
+    * evaluators (`match_auc` / `match_calibration`): positives = gold;
+    * negatives at two hardness tiers — off-candidate off-by-one pairs
+    * (all scores 0, the heavy-tie path) and the nearest-id in-block
+    * non-match per even id1 (custkey-adjacent records share the name
+    * up to the final digits, so the weak scorers genuinely overlap).
+    * Columns: label + integer 1e5-scaled rule/name/bal scores,
+    * null-coalesced to 0 for pairs outside the candidate set.
+    */
+  private def labeledScoredPairs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val l = EmScenario.custL(s, dir)
+    val r = EmScenario.custR(s, dir)
+    val cands = Blockers.standard(l, r, Seq("seg", "nat"), "id")
+    val scored = Matching.attachRecords(cands, l, r, "id")
+      .select(col("id1"), col("id2"),
+        round((sims.jaroWinkler(col("l_name"), col("r_name")) * 0.6
+          + sims.exactSim(col("l_seg"), col("r_seg")) * 0.2
+          + sims.numericAbsSim(col("l_bal"), col("r_bal"), 1000.0) * 0.2) * 1e5)
+          .cast("long").as("s_rule"),
+        round(sims.jaroWinkler(col("l_name"), col("r_name")) * 1e5)
+          .cast("long").as("s_name"),
+        round(sims.numericAbsSim(col("l_bal"), col("r_bal"), 1000.0) * 1e5)
+          .cast("long").as("s_bal"))
+    val gold = EmScenario.gold(s, dir)
+    val wN = Window.partitionBy("id1")
+      .orderBy(abs(col("id2") - (col("id1") + lit(EmScenario.ROffset))), col("id2"))
+    val negHard = cands.join(gold, Seq("id1", "id2"), "left_anti")
+      .filter(col("id1") % 2 === 0)
+      .withColumn("_rn", row_number().over(wN)).filter(col("_rn") === 1)
+      .select(col("id1"), col("id2"), lit(0L).as("label"))
+    val labeled = gold
+      .select(col("id1"), col("id2"), lit(1L).as("label"))
+      .unionByName(gold
+        .filter(col("id1") % 3 === 0)
+        .select(col("id1"), (col("id2") + 1).as("id2"), lit(0L).as("label")))
+      .unionByName(negHard)
+    labeled.join(scored, Seq("id1", "id2"), "left")
+      .select(col("label"),
+        coalesce(col("s_rule"), lit(0L)).as("s_rule"),
+        coalesce(col("s_name"), lit(0L)).as("s_name"),
+        coalesce(col("s_bal"), lit(0L)).as("s_bal"))
+  }
+
+  def matchAuc(s: SparkSession, dir: String): DataFrame = {
+    val j = labeledScoredPairs(s, dir)
+      .select(col("label"), explode(array(
+        struct(lit("rule").as("scorer"), col("s_rule").as("s5")),
+        struct(lit("name_jw").as("scorer"), col("s_name").as("s5")),
+        struct(lit("bal_sim").as("scorer"), col("s_bal").as("s5")))).as("_x"))
+      .select(col("label"), col("_x.scorer"), col("_x.s5"))
+    Matching.aucByScorer(j).orderBy("scorer")
+  }
+
+  /** Calibration of the rule score as a match-probability surrogate:
+    * decile bins of s5 (clamped to bin 9) over the same labeled set as
+    * `match_auc`; per bin the empirical positive rate next to the mean
+    * score, gap = |rate − confidence| — the reliability-diagram rows +
+    * the per-bin terms of ECE, all exact integer milli without a
+    * single float. At scale: one groupBy over the gold-bounded frame.
+    */
+  def matchCalibration(s: SparkSession, dir: String): DataFrame = {
+    import graft.profiling.Sketches.idiv
+    labeledScoredPairs(s, dir)
+      .select(col("label"),
+        least(idiv(col("s_rule"), lit(10000L)), lit(9L)).as("bin"), col("s_rule"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum(col("label")).cast("long").as("n_pos"),
+        sum(col("s_rule")).as("sum_s5"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        idiv(col("n_pos") * 1000L, col("n")).as("pos_rate_milli"),
+        idiv(col("sum_s5"), col("n") * 100L).as("conf_milli"),
+        abs(idiv(col("n_pos") * 1000L, col("n"))
+          - idiv(col("sum_s5"), col("n") * 100L)).as("gap_milli"))
+      .orderBy("bin")
+  }
+
+  val matchCalibrationOracle: String =
+    s"""${EmScenario.oracleWith},
+       |cand AS (SELECT l.id AS id1, r.id AS id2, l.name AS ln, r.name AS rn,
+       |                l.seg AS ls, r.seg AS rs, l.bal AS lb, r.bal AS rb
+       |         FROM l JOIN r ON l.seg = r.seg AND l.nat = r.nat),
+       |scored AS (SELECT id1, id2,
+       |  CAST(round((jaro_winkler_similarity(ln, rn) * 0.6
+       |        + (CASE WHEN ls = rs THEN 1.0 ELSE 0.0 END) * 0.2
+       |        + greatest(0.0, 1.0 - abs(lb - rb) / 1000.0) * 0.2) * 100000) AS BIGINT) AS s_rule
+       |  FROM cand),
+       |negh AS (SELECT id1, id2, 0 AS label FROM (
+       |           SELECT c.id1, c.id2,
+       |             row_number() OVER (PARTITION BY c.id1
+       |               ORDER BY abs(c.id2 - (c.id1 + 10000000)), c.id2) AS rn
+       |           FROM cand c
+       |           LEFT JOIN gold g ON g.id1 = c.id1 AND g.id2 = c.id2
+       |           WHERE g.id1 IS NULL) nm
+       |         WHERE id1 % 2 = 0 AND rn = 1),
+       |lab AS (SELECT id1, id2, 1 AS label FROM gold
+       |        UNION ALL SELECT id1, id2 + 1, 0 FROM gold WHERE id1 % 3 = 0
+       |        UNION ALL SELECT id1, id2, label FROM negh),
+       |j AS (SELECT t.label, coalesce(s.s_rule, 0) AS s5
+       |      FROM lab t LEFT JOIN scored s ON s.id1 = t.id1 AND s.id2 = t.id2),
+       |b AS (SELECT least(s5 // 10000, 9) AS bin, label, s5 FROM j),
+       |a AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+       |             CAST(sum(label) AS BIGINT) AS n_pos,
+       |             CAST(sum(s5) AS BIGINT) AS sum_s5
+       |      FROM b GROUP BY bin)
+       |SELECT bin, n, n_pos,
+       |       (n_pos * 1000) // n AS pos_rate_milli,
+       |       sum_s5 // (n * 100) AS conf_milli,
+       |       abs((n_pos * 1000) // n - sum_s5 // (n * 100)) AS gap_milli
+       |FROM a ORDER BY bin""".stripMargin
+
+  val matchAucOracle: String =
+    s"""${EmScenario.oracleWith},
+       |cand AS (SELECT l.id AS id1, r.id AS id2, l.name AS ln, r.name AS rn,
+       |                l.seg AS ls, r.seg AS rs, l.bal AS lb, r.bal AS rb
+       |         FROM l JOIN r ON l.seg = r.seg AND l.nat = r.nat),
+       |scored AS (SELECT id1, id2,
+       |  CAST(round((jaro_winkler_similarity(ln, rn) * 0.6
+       |        + (CASE WHEN ls = rs THEN 1.0 ELSE 0.0 END) * 0.2
+       |        + greatest(0.0, 1.0 - abs(lb - rb) / 1000.0) * 0.2) * 100000) AS BIGINT) AS s_rule,
+       |  CAST(round(jaro_winkler_similarity(ln, rn) * 100000) AS BIGINT) AS s_name,
+       |  CAST(round(greatest(0.0, 1.0 - abs(lb - rb) / 1000.0) * 100000) AS BIGINT) AS s_bal
+       |  FROM cand),
+       |negh AS (SELECT id1, id2, 0 AS label FROM (
+       |           SELECT c.id1, c.id2,
+       |             row_number() OVER (PARTITION BY c.id1
+       |               ORDER BY abs(c.id2 - (c.id1 + 10000000)), c.id2) AS rn
+       |           FROM cand c
+       |           LEFT JOIN gold g ON g.id1 = c.id1 AND g.id2 = c.id2
+       |           WHERE g.id1 IS NULL) nm
+       |         WHERE id1 % 2 = 0 AND rn = 1),
+       |lab AS (SELECT id1, id2, 1 AS label FROM gold
+       |        UNION ALL SELECT id1, id2 + 1, 0 FROM gold WHERE id1 % 3 = 0
+       |        UNION ALL SELECT id1, id2, label FROM negh),
+       |j0 AS (SELECT t.label, s.s_rule, s.s_name, s.s_bal
+       |       FROM lab t LEFT JOIN scored s ON s.id1 = t.id1 AND s.id2 = t.id2),
+       |j AS (SELECT label, 'rule' AS scorer, coalesce(s_rule, 0) AS s5 FROM j0
+       |      UNION ALL SELECT label, 'name_jw', coalesce(s_name, 0) FROM j0
+       |      UNION ALL SELECT label, 'bal_sim', coalesce(s_bal, 0) FROM j0),
+       |rk AS (SELECT label, scorer,
+       |        2 * rank() OVER (PARTITION BY scorer ORDER BY s5)
+       |          + CAST(count(*) OVER (PARTITION BY scorer, s5) AS BIGINT) - 1 AS r2
+       |      FROM j),
+       |a AS (SELECT scorer,
+       |             CAST(sum(label) AS BIGINT) AS n_pos,
+       |             CAST(sum(1 - label) AS BIGINT) AS n_neg,
+       |             CAST(sum(CASE WHEN label = 1 THEN r2 ELSE 0 END) AS BIGINT) AS rank2_sum
+       |      FROM rk GROUP BY scorer)
+       |SELECT scorer, n_pos, n_neg, rank2_sum,
+       |       rank2_sum - n_pos * (n_pos + 1) AS u2,
+       |       (rank2_sum - n_pos * (n_pos + 1)) * 1000000
+       |         // (2 * n_pos * n_neg) AS auc_micro
+       |FROM a ORDER BY scorer""".stripMargin
 
   /** Labeled-pair evaluation (evaluation.py:415 with a 0/1 label
     * column): positives = scenario gold; negatives = deliberate
@@ -657,6 +830,8 @@ object MatchQueries {
     "match_rule" -> matchRuleSql,
     "match_eval" -> matchEvalOracle,
     "match_eval_labeled" -> matchEvalLabeledOracle,
+    "match_auc" -> matchAucOracle,
+    "match_calibration" -> matchCalibrationOracle,
     "match_threshold_sweep" -> matchThresholdSweepOracle
   )
 }

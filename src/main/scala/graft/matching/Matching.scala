@@ -128,4 +128,28 @@ object Matching {
         round((col("tp") + col("tn")) /
           greatest(col("tp") + col("fp") + col("fn") + col("tn"), lit(1L)), 5).as("accuracy"))
   }
+
+  /** Mann-Whitney AUC in exact integer arithmetic, per scorer, from a
+    * frame of (label ∈ {0,1}, scorer, s5: integer score): average
+    * ranks via the identity 2·r̄ = 2·rank + tie_count − 1 (`rank()` is
+    * the min-rank of a tie group), U from the rank-sum, AUC in integer
+    * micro — no float division, so the metric hash-gates against a
+    * relational oracle. Rank windows are per scorer over the LABELED
+    * set (gold-bounded by construction at any corpus size).
+    */
+  def aucByScorer(labeledScores: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.profiling.Sketches.idiv
+    val r2 = labeledScores.withColumn("r2",
+      lit(2L) * rank().over(Window.partitionBy("scorer").orderBy("s5")).cast("long")
+        + count(lit(1)).over(Window.partitionBy("scorer", "s5")) - 1L)
+    r2.groupBy("scorer").agg(
+        sum(col("label")).cast("long").as("n_pos"),
+        sum(lit(1L) - col("label")).cast("long").as("n_neg"),
+        sum(when(col("label") === 1L, col("r2")).otherwise(0L)).as("rank2_sum"))
+      .select(col("scorer"), col("n_pos"), col("n_neg"), col("rank2_sum"),
+        (col("rank2_sum") - col("n_pos") * (col("n_pos") + 1L)).as("u2"),
+        idiv((col("rank2_sum") - col("n_pos") * (col("n_pos") + 1L)) * 1000000L,
+          lit(2L) * col("n_pos") * col("n_neg")).as("auc_micro"))
+  }
 }

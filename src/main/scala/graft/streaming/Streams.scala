@@ -39,6 +39,25 @@ object Streams {
       .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** SLIDING event-time windows (duration > slide ⟹ every event lands
+    * in duration/slide overlapping windows) — the window shape tumbling
+    * [[windowAgg]] can't express: a "24 h metrics, refreshed every 6 h"
+    * monitor. Spark expands each row to its covering windows BEFORE the
+    * agg (explode of duration/slide structs, map-side combined), so
+    * streaming state is (open windows × groups) rows, never the events.
+    * One transform serves batch (`stream_sliding_window`, hash-gated)
+    * and streaming (Round10bSpec: append-mode MemoryStream emission ≡
+    * batch for watermark-closed windows).
+    */
+  def slidingWindowAgg(events: DataFrame, dur: String = "1 day",
+      slide: String = "6 hours"): DataFrame =
+    events
+      .groupBy(window(col("ts"), dur, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(graft.Tables.cents(col("value"))).cast("double") / 100.0).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
   /** Streaming source over the events parquet dir (nanos ts → micros,
     * same as the batch reader), with a 2-hour watermark by default
     * (override for operators that key emission off the watermark, e.g.

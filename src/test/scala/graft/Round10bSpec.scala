@@ -247,6 +247,76 @@ class Round10bSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sliding windows: append-mode streaming emission for closed windows " +
+      "equals the batch sliding agg (every event in 4 overlapping windows)") {
+    import org.apache.spark.sql.execution.streaming.runtime.{MemoryStream, StreamingQueryWrapper}
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // hours ascend across the two batches (0–11 then 12–23): batch 2
+    // must stay ahead of the watermark batch 1 advanced, else its rows
+    // are dropped as late and streamed ≠ batch by design
+    val day1 = (0L until 120L).map(i =>
+      (ts(f"2024-01-01 ${i / 5}%02d:30:00"), if (i % 2 == 0) "view" else "click", 1.0 + i))
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val q = Streams.slidingWindowAgg(
+        mem.toDF.toDF("ts", "event_type", "value").withWatermark("ts", "1 hour"))
+      .writeStream.format("memory").queryName("slide_sink")
+      .outputMode("append")
+      .option("checkpointLocation", Streams.freshCheckpointDir("slide_spec"))
+      .start()
+    try {
+      mem.addData(day1.take(60): _*)
+      q.processAllAvailable()
+      mem.addData(day1.drop(60): _*)
+      q.processAllAvailable()
+      mem.addData((ts("2024-01-05 12:00:00"), "view", 1.0)) // close day-1 windows
+      q.processAllAvailable()
+      val streamed = spark.table("slide_sink")
+        .filter($"window_end" <= ts("2024-01-03 00:00:00"))
+      val batch = Streams.slidingWindowAgg(day1.toDF("ts", "event_type", "value"))
+        .filter($"window_end" <= ts("2024-01-03 00:00:00"))
+      assert(streamed.count() > 0, "closed sliding windows must have emitted")
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+        "streamed sliding-window rows must equal the batch agg exactly")
+      // an event must appear in duration/slide = 4 windows
+      val one = Streams.slidingWindowAgg(
+          Seq((ts("2024-01-01 03:10:00"), "view", 2.0)).toDF("ts", "event_type", "value"))
+      assert(one.count() == 4, "one event must land in exactly 4 sliding windows")
+      val exec = q.asInstanceOf[StreamingQueryWrapper].streamingQuery.lastExecution
+      assert(exec.executedPlan.toString.contains("StateStoreSave"),
+        "must be a real stateful streaming aggregation")
+    } finally q.stop()
+  }
+
+  test("integer Mann-Whitney AUC: hand-computed example with ties, " +
+      "perfect and inverted separation edges") {
+    val spark2 = spark
+    import spark2.implicits._
+    // pos scores {3, 2}, neg {2, 1}: U = 1+1+0.5+1 = 3.5 → AUC 0.875
+    val tiny = Seq((1L, "t", 3L), (1L, "t", 2L), (0L, "t", 2L), (0L, "t", 1L))
+      .toDF("label", "scorer", "s5")
+    val r = graft.matching.Matching.aucByScorer(tiny).collect()(0)
+    assert(r.getAs[Long]("auc_micro") == 875000L,
+      s"hand-computed AUC 875000, got ${r.getAs[Long]("auc_micro")}")
+    assert(r.getAs[Long]("u2") == 7L) // 2U carries the .5 exactly
+    // perfect separation → 1e6; inverted → 0
+    val perfect = Seq((1L, "p", 9L), (1L, "p", 8L), (0L, "p", 2L), (0L, "p", 1L))
+      .toDF("label", "scorer", "s5")
+    assert(graft.matching.Matching.aucByScorer(perfect)
+      .collect()(0).getAs[Long]("auc_micro") == 1000000L)
+    val inverted = Seq((0L, "i", 9L), (0L, "i", 8L), (1L, "i", 2L), (1L, "i", 1L))
+      .toDF("label", "scorer", "s5")
+    assert(graft.matching.Matching.aucByScorer(inverted)
+      .collect()(0).getAs[Long]("auc_micro") == 0L)
+    // all-tied → exactly 1/2 (pure chance)
+    val tied = Seq((1L, "x", 5L), (1L, "x", 5L), (0L, "x", 5L), (0L, "x", 5L))
+      .toDF("label", "scorer", "s5")
+    assert(graft.matching.Matching.aucByScorer(tied)
+      .collect()(0).getAs[Long]("auc_micro") == 500000L)
+  }
+
   test("streaming CMS: stateful windowed agg emits the identical counter " +
       "cells the batch transform computes, with (window x d*w)-bounded state") {
     import org.apache.spark.sql.execution.streaming.runtime.{MemoryStream, StreamingQueryWrapper}
