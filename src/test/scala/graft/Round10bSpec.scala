@@ -290,6 +290,22 @@ class Round10bSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("session-c newcomers: sketch/evaluator outputs are CONSTANT-SIZE " +
+      "across sf0.001 -> sf0.01 (the artifact, not the data, sets the row count)") {
+    val contracts = Map(
+      "profile_kmv" -> 1L, "profile_theta_overlap" -> 1L,
+      "profile_join_size_est" -> 2L, "profile_quantile_sketch" -> 6L,
+      "match_auc" -> 3L, "sample_hash_consistent" -> 1L)
+    for ((q, n) <- contracts; sf <- Seq("sf0.001", "sf0.01")) {
+      val c = SparkEntry.queries(q)(spark, s"/root/testdata/$sf").count()
+      assert(c == n, s"$q at $sf: expected exactly $n rows, got $c")
+    }
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val c = SparkEntry.queries("match_calibration")(spark, s"/root/testdata/$sf").count()
+      assert(c <= 10, s"match_calibration at $sf: ≤ 10 decile bins, got $c")
+    }
+  }
+
   test("integer Mann-Whitney AUC: hand-computed example with ties, " +
       "perfect and inverted separation edges") {
     val spark2 = spark
