@@ -18,6 +18,26 @@ object GraphQueries {
     * customer ⋈ supplier, one groupBy(src, dst) — nation/supplier
     * dims broadcast, AQE sizes the fact joins.
     */
+  /** Multi-source BFS hop distance ([[Bfs]]) over the match-edge graph
+    * (gold links + same-nation custkey chain — the cc scenario's graph):
+    * distance from every record to the NEAREST seed (every 40th
+    * custkey), capped at 4 hops — the blast-radius query ("which
+    * records are ≤ k hops from a known-bad source?") and the distance
+    * face of `cluster_connected_components`' reachability.
+    */
+  def graphBfs(s: SparkSession, dir: String): DataFrame = {
+    val e = graft.clustering.ClusterQueries.edges(s, dir)
+    val seeds = customer(s, dir).filter(col("c_custkey") % 40 === 0)
+      .select(col("c_custkey").as("v"))
+    Bfs.run(seeds, e, iters = 4).orderBy("v")
+  }
+
+  val graphBfsOracle: String =
+    s"""WITH RECURSIVE ${graft.clustering.ClusterQueries.edgesSql},
+       |seeds AS (SELECT c_custkey AS v FROM customer WHERE c_custkey % 40 = 0),
+       |${Bfs.oracleSql(4)}
+       |SELECT v, dist FROM bfs ORDER BY v""".stripMargin
+
   def graphPagerank(s: SparkSession, dir: String): DataFrame = {
     val li = lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
     val o = orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
@@ -196,6 +216,7 @@ object GraphQueries {
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_link_predict" -> (graphLinkPredict _),
+    "graph_bfs" -> (graphBfs _),
     "graph_pagerank" -> (graphPagerank _),
     "graph_triangles" -> (graphTriangles _),
     "graph_kcore" -> (graphKcore _),
@@ -203,6 +224,7 @@ object GraphQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "graph_bfs" -> graphBfsOracle,
     "graph_pagerank" -> graphPagerankOracle,
     "graph_triangles" -> graphTrianglesOracle,
     "graph_kcore" -> graphKcoreOracle,

@@ -306,6 +306,26 @@ class Round10bSpec extends AnyFunSuite {
     }
   }
 
+  test("BFS: line-graph distances exact, cap honored, nearest-seed wins, " +
+      "partition-invariant") {
+    val spark2 = spark
+    import spark2.implicits._
+    import graft.graph.Bfs
+    // line 1-2-3-4-5-6-7 plus isolated 9; seeds {1, 7}
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L))
+      .toDF("id1", "id2")
+    val seeds = Seq(1L, 7L).toDF("v")
+    val got = Bfs.run(seeds, e.repartition(5), iters = 4)
+      .as[(Long, Long)].collect().toMap
+    // nearest seed: node 4 is 3 hops from both ends; 5 is 2 from seed 7
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L,
+      5L -> 2L, 6L -> 1L, 7L -> 0L))
+    // cap: single seed, iters 2 → nodes beyond 2 hops absent
+    val capped = Bfs.run(Seq(1L).toDF("v"), e, iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(capped == Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+  }
+
   test("integer Mann-Whitney AUC: hand-computed example with ties, " +
       "perfect and inverted separation edges") {
     val spark2 = spark
