@@ -98,7 +98,10 @@ object Bench {
       "ann_sq8" -> 2,
       // sketch estimators whose exact faces ride along by definition
       "profile_join_size_est" -> 2,
-      "stream_quantile" -> 2)
+      "stream_quantile" -> 2,
+      // reads the events source as TWO independent streaming sides
+      // of one stream-stream join — a 2-source cost by definition
+      "stream_interval_join" -> 2)
     val prJson = pipelinesRun.toSeq.sorted
       .map { case (k, v) => "\"" + esc(k) + "\":" + v }.mkString("{", ",", "}")
     val json =
