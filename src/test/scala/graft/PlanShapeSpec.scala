@@ -127,4 +127,48 @@ class PlanShapeSpec extends AnyFunSuite {
       ex.unpersist(false)
     } finally sh.unpersist(false)
   }
+
+  test("bottom-k sketch family: ObjectHashAggregate with map-side partial, " +
+      "no keyed exchange on the sketch path, no cartesian anywhere") {
+    val kmv = planOf("profile_kmv")
+    // partial + final object agg = the constant-wire sketch shape:
+    // partial_bottom_k feeds an Exchange SinglePartition (≤ k longs per
+    // partition on the wire); the ONE keyed exchange in the plan
+    // belongs to the exact face's countDistinct evaluator, not the
+    // sketch
+    assert(kmv.contains("partial_bottom_k") &&
+      count(kmv, "ObjectHashAggregate") >= 2,
+      s"kmv lost its two-level object agg:\n$kmv")
+    assert(count(kmv, "Exchange hashpartitioning") <= 1,
+      s"kmv grew keyed shuffles beyond the exact face:\n$kmv")
+    val qsk = planOf("profile_quantile_sketch")
+    assert(count(qsk, "ObjectHashAggregate") >= 2 &&
+      count(qsk, "CartesianProduct") == 0,
+      s"quantile reservoir lost its two-level object agg:\n$qsk")
+    val jse = planOf("profile_join_size_est")
+    // two sides × (partial+final) × two demonstrations
+    assert(count(jse, "ObjectHashAggregate") >= 4 &&
+      count(jse, "CartesianProduct") == 0,
+      s"join-size estimator plan degraded:\n$jse")
+  }
+
+  test("sliding windows: per-row window expansion BEFORE a two-level agg " +
+      "(state is windows x groups, never events)") {
+    val p = planOf("stream_sliding_window")
+    assert(p.contains("Expand") || p.contains("explode"),
+      s"sliding window lost its row->windows expansion:\n$p")
+    assert(count(p, "HashAggregate") >= 2,
+      s"sliding agg must keep the map-side partial:\n$p")
+    assert(count(p, "CartesianProduct") == 0)
+  }
+
+  test("consistent hash sampling: both joins below the hash filters, " +
+      "no cartesian or nested loop over base tables") {
+    val p = planOf("sample_hash_consistent")
+    // sample filters are expression filters on the scans' output —
+    // the joins only ever see the ~10% frames
+    assert(p.contains("Filter") && p.contains("md5"),
+      s"hash-law filters missing from the plan:\n$p")
+    assert(count(p, "CartesianProduct") == 0, s"cartesian leaked:\n$p")
+  }
 }
