@@ -37,17 +37,19 @@ object Bfs {
       .unionByName(edges.select(col("id2").as("src"), col("id1").as("dst")))
       .distinct()
       .repartition(col("src")).persist()
-    adj.count() // materialize the layout once, before the sweeps
     var dist = seeds.select(col("v"), lit(0L).as("dist")).persist()
     var frontier = dist
     for (i <- 1 to iters) {
+      // lazy persists: each level/settled frame is computed exactly
+      // once, during the single final action — no per-level jobs (the
+      // eager-materialization variant paid 3 scheduling rounds per
+      // level for the same DAG)
       val next = frontier.join(adj, col("v") === col("src"))
         .select(col("dst").as("v"))
         .distinct()
         .join(dist.select(col("v")), Seq("v"), "left_anti")
         .select(col("v"), lit(i.toLong).as("dist"))
         .persist()
-      next.count() // settle this level before the union re-reads `dist`
       dist = dist.unionByName(next).persist()
       frontier = next
     }
