@@ -85,7 +85,7 @@ object Bench {
     // (candidates + exact ground truth); annotate so their totals are
     // read as N-pipeline costs, not single-operator regressions.
     val pipelinesRun = Map("dedup_eval" -> 2, "block_eval" -> 2,
-      "ann_recall_eval" -> 4,
+      "ann_recall_eval" -> 6,
       // admission control runs the full MinHash banding pipeline on
       // BOTH sides (corpus index + arriving stream) inside one
       // streaming query — a 2-pipeline cost by definition
@@ -107,6 +107,17 @@ object Bench {
     val json =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"cold":$cold,"errors":$errJson,"n_failed":${errors.size},"reps":$reps,"pipelines_run":$prJson,"sf":"$sfDir"}"""
     println(json)
+    // The driver captures only the LAST ~2000 chars of stdout and
+    // parses the last JSON line it finds; the full artifact above is
+    // ~12 KB so rounds 8-10 arrived tail-truncated (parsed: null).
+    // Emit a compact summary — total, failures, the slowest queries,
+    // and a pointer to the full per-query artifact — as the final
+    // stdout line, sized to fit the tail capture whole.
+    val slowest = results.filter(_._3 >= 0).sortBy(-_._3).take(20)
+      .map { case (k, _, w) => "\"" + esc(k) + "\":" + r3(w) }
+      .mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${errors.size},"reps":$reps,"sf":"$sfDir","slowest":$slowest,"full":"BENCH_LAST.json"}""")
     // Belt and braces: the driver captures stdout (which has been
     // truncated in past rounds); persist the full artifact to a file too.
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LAST.json"), json + "\n")

@@ -286,7 +286,12 @@ object ExtraQueries {
     */
   def streamAsof(s: SparkSession, dir: String): DataFrame = {
     val name = "graft_stream_asof_" + java.lang.Integer.toHexString(dir.hashCode)
-    val src = Streams.eventsStream(s, dir)
+    // per-user-bounded state over a small key universe: run with few
+    // state partitions — the r11 probe measured the 32-way default
+    // paying ~32 fixed state-file commits per batch for a 15-key state
+    // (per-partition fsync overhead WAS the query's wall time)
+    val sq = Streams.boundedStateSession(s)
+    val src = Streams.eventsStream(sq, dir)
       .select(col("ts"), col("user_id"), col("event_type"), col("event_id"))
     val q = Streams.asofStream(src)
       .writeStream.format("memory").queryName(name)
@@ -295,7 +300,8 @@ object ExtraQueries {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.table(name).orderBy("purchase_id")
+    Streams.recordProgress(q, name)
+    sq.table(name).orderBy("purchase_id")
   }
 
   val streamAsofOracle: String =
@@ -316,7 +322,11 @@ object ExtraQueries {
     */
   def streamAsofBuffered(s: SparkSession, dir: String): DataFrame = {
     val name = "graft_stream_asofb_" + java.lang.Integer.toHexString(dir.hashCode)
-    val src = Streams.eventsStream(s, dir, watermark = "0 seconds")
+    // bounded-key state × exactly 2 micro-batches (data + timeout
+    // drain): per-partition state-commit overhead dominates at the
+    // 32-way default — see streamAsof
+    val sq = Streams.boundedStateSession(s)
+    val src = Streams.eventsStream(sq, dir, watermark = "0 seconds")
       .select(col("ts"), col("user_id"), col("event_type"), col("event_id"))
     val q = Streams.asofStreamBuffered(src)
       .writeStream.format("memory").queryName(name)
@@ -325,7 +335,8 @@ object ExtraQueries {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.table(name).orderBy("purchase_id")
+    Streams.recordProgress(q, name)
+    sq.table(name).orderBy("purchase_id")
   }
 
   /** Stream-static decontamination run FOR REAL: documents readStream →
@@ -346,6 +357,7 @@ object ExtraQueries {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    Streams.recordProgress(q, name)
     s.table(name).orderBy("doc_id")
   }
 
@@ -383,6 +395,7 @@ object ExtraQueries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+    Streams.recordProgress(q, name)
       // the memory sink holds materialized rows — safe to release the
       // index before the caller consumes the result
       s.table(name).orderBy("doc_id")
@@ -434,6 +447,7 @@ object ExtraQueries {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    Streams.recordProgress(q, name)
     s.table(name).orderBy("user_id", "event_type")
   }
 
@@ -466,6 +480,7 @@ object ExtraQueries {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    Streams.recordProgress(q, name)
     s.table(name).orderBy("user_id")
   }
 
@@ -784,6 +799,7 @@ object ExtraQueries {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    Streams.recordProgress(q, name)
     s.table(name).orderBy("view_id", "purchase_id")
   }
 
@@ -820,6 +836,7 @@ object ExtraQueries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+    Streams.recordProgress(q, name)
       s.table(name).orderBy("doc_id")
     } finally s.sql(s"DROP TABLE IF EXISTS $tbl")
   }

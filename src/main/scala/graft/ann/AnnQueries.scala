@@ -520,14 +520,19 @@ object AnnQueries {
   }
 
   /** ANN recall@5 evaluator — the block_eval/dedup_eval analogue for
-    * the index family: every approximate method (LSH bucket, IVF
-    * fixed-centroid search, PQ/ADC fixed-codebook search) scored
-    * against the brute-force ground truth in ONE query. Recall is THE
+    * the index family: every approximate method (LSH bucket single- and
+    * multi-table, IVF fixed-centroid search, PQ/ADC fixed-codebook
+    * search, the composed IVF-PQ tier at the same nlist/nprobe, and
+    * SQ8) scored against the brute-force ground truth in ONE query, so
+    * ONE frame ranks every index family at the same k. Recall is THE
     * acceptance metric for index parameter choice at scale (planes /
-    * nlist·nprobe / m·ksub); this runs all four pipelines by
+    * nlist·nprobe / m·ksub / bits); this runs all six pipelines by
     * definition — the truth side is persisted once and each method
     * joins against it. Output is methods-bounded; shares are exact
-    * milli-units.
+    * milli-units. The L2-metric tiers (pq/ivfpq/sq8) are scored against
+    * the same cosine truth as everything else: the evaluator measures
+    * end-to-end "would you have retrieved the true neighbors", so
+    * metric mismatch is part of the honestly-reported loss.
     */
   def annRecallEval(s: SparkSession, dir: String): DataFrame = {
     val c = orig(s, dir)
@@ -558,7 +563,13 @@ object AnnQueries {
         "lsh_tuned" -> Ann.lshTopKMulti(q, c, "vec_id", "v", Dim, k = 5,
           planes = 4, tables = 8),
         "ivf" -> Ann.ivfSearch(q, c, cents, "vec_id", "v", Dim, k = 5, nprobe = 3),
-        "pq" -> Ann.pqSearch(q, c, books, "vec_id", "v", Dim, m = PqM, k = 5))
+        "pq" -> Ann.pqSearch(q, c, books, "vec_id", "v", Dim, m = PqM, k = 5),
+        // the two r10 tiers a deployment actually picks between (r10
+        // verdict ask #2): cell-pruned ADC at the same nlist/nprobe as
+        // the ivf row, and the integer-exact scalar-quantization tier
+        "ivfpq" -> Ann.ivfpqSearch(q, c, cents, books, "vec_id", "v", Dim,
+          m = PqM, k = 5, nprobe = 3),
+        "sq8" -> Ann.sq8TopK(q, c, "vec_id", "v", Dim, k = 5))
       val hits = methods.map { case (name, df) =>
         df.select(col("qid"), col("vec_id")).join(brute, Seq("qid", "vec_id"))
           .agg(count(lit(1)).as("hits"))
@@ -572,6 +583,19 @@ object AnnQueries {
       out.localCheckpoint(true)
     } finally brute.unpersist(false)
   }
+
+  // SQ8 oracle fragments shared by the standalone annSq8Oracle law and
+  // the recall evaluator's sq8 row: per-dim micro min/max codebook,
+  // 8-bit codes, integer ADC over reconstructions (aliases q/c).
+  private val sq8MnL = (1 to Dim).map(d => s"min(vm[$d])").mkString("[", ", ", "]")
+  private val sq8MxL = (1 to Dim).map(d => s"max(vm[$d])").mkString("[", ", ", "]")
+  private val sq8CodeL = (1 to Dim).map(d =>
+    s"CASE WHEN mx[$d] > mn[$d] THEN ((vm[$d]-mn[$d])*255)//(mx[$d]-mn[$d]) ELSE 0 END")
+    .mkString("[", ", ", "]")
+  private def sq8ReconD(d: Int) =
+    s"(c.mn[$d] + (c.code[$d]*(c.mx[$d]-c.mn[$d]))//255)"
+  private val sq8DistSql = (1 to Dim).map(d =>
+    s"(q.qm[$d]-${sq8ReconD(d)})*(q.qm[$d]-${sq8ReconD(d)})").mkString(" + ")
 
   val annRecallEvalOracle: String = {
     val sub = Dim / PqM
@@ -647,6 +671,35 @@ object AnnQueries {
        |  SELECT qid, vec_id,
        |         row_number() OVER (PARTITION BY qid ORDER BY adc_scaled, vec_id) AS rank
        |  FROM adc) WHERE rank <= 5),
+       |qp0 AS (SELECT q.qid, cents.cell,
+       |        row_number() OVER (PARTITION BY q.qid
+       |          ORDER BY ${l2sqSql("q.qv", "cents.cv")}, cents.cell) AS rn
+       |        FROM q CROSS JOIN cents),
+       |qp AS (SELECT qid, cell FROM qp0 WHERE rn <= 3),
+       |adcp AS (SELECT d.qid, e.vec_id,
+       |           CAST(sum(d.dq) AS BIGINT) AS adc_scaled
+       |         FROM enc e
+       |         JOIN asg a ON a.vec_id = e.vec_id
+       |         JOIN qp p ON p.cell = a.cell
+       |         JOIN dtab d ON d.qid = p.qid AND d.m = e.m AND d.code = e.code
+       |         WHERE e.vec_id <> d.qid
+       |         GROUP BY 1, 2),
+       |ivfpqR AS (SELECT qid, vec_id FROM (
+       |  SELECT qid, vec_id,
+       |         row_number() OVER (PARTITION BY qid ORDER BY adc_scaled, vec_id) AS rank
+       |  FROM adcp) WHERE rank <= 5),
+       |micro AS (SELECT vec_id,
+       |            list_transform(v, x -> CAST(round(x*10000000) AS BIGINT)) AS vm
+       |          FROM o),
+       |sqst AS (SELECT ${sq8MnL} AS mn, ${sq8MxL} AS mx FROM micro),
+       |sqcd AS (SELECT vec_id, mn, mx, ${sq8CodeL} AS code FROM micro, sqst),
+       |sqq AS (SELECT vec_id AS qid, vm AS qm FROM micro WHERE vec_id < 10),
+       |sqd AS (SELECT q.qid, c.vec_id, ${sq8DistSql} AS dist
+       |        FROM sqq q JOIN sqcd c ON c.vec_id <> q.qid),
+       |sq8R AS (SELECT qid, vec_id FROM (
+       |  SELECT qid, vec_id,
+       |         row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rank
+       |  FROM sqd) WHERE rank <= 5),
        |hits AS (
        |  SELECT 'lsh' AS method, CAST(count(*) AS BIGINT) AS hits
        |  FROM lshR JOIN bruteR USING (qid, vec_id)
@@ -658,7 +711,13 @@ object AnnQueries {
        |  FROM ivfR JOIN bruteR USING (qid, vec_id)
        |  UNION ALL
        |  SELECT 'pq', CAST(count(*) AS BIGINT)
-       |  FROM pqR JOIN bruteR USING (qid, vec_id)),
+       |  FROM pqR JOIN bruteR USING (qid, vec_id)
+       |  UNION ALL
+       |  SELECT 'ivfpq', CAST(count(*) AS BIGINT)
+       |  FROM ivfpqR JOIN bruteR USING (qid, vec_id)
+       |  UNION ALL
+       |  SELECT 'sq8', CAST(count(*) AS BIGINT)
+       |  FROM sq8R JOIN bruteR USING (qid, vec_id)),
        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM bruteR)
        |SELECT method, hits, n_total, hits * 1000 // n_total AS recall_milli
        |FROM hits, tot

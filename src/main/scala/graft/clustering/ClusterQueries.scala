@@ -32,6 +32,42 @@ object ClusterQueries {
     EmScenario.gold(s, dir).unionByName(chain)
   }
 
+  /** Weighted edge set for the shortest-path member — three link
+    * flavors with integer trust costs: verified cross-source gold
+    * links cost 1 (near-free hop), the consecutive-custkey backbone
+    * costs 3, and +2 "skip" links cost 7 — DELIBERATELY more than two
+    * backbone hops (6), so the cheapest path disagrees with the
+    * fewest-hop path at every interior node: weighted distance is a
+    * genuinely different law than [[edges]]' hop count (SsspSpec pins
+    * the discriminating case).
+    */
+  def weightedEdges(s: SparkSession, dir: String): DataFrame = {
+    val c = customer(s, dir).select(col("c_custkey").as("k"))
+    val a = c.select(col("k").as("id1"))
+    val b = c.select(col("k").as("id2"))
+    val chain = a.join(b, col("id2") === col("id1") + 1)
+      .select(col("id1"), col("id2"), lit(3L).as("w"))
+    val skip = a.join(b, col("id2") === col("id1") + 2)
+      .select(col("id1"), col("id2"), lit(7L).as("w"))
+    EmScenario.gold(s, dir).select(col("id1"), col("id2"), lit(1L).as("w"))
+      .unionByName(chain).unionByName(skip)
+  }
+
+  /** gold + chain + skip + we CTEs (edge set of [[weightedEdges]]). */
+  val weightedEdgesSql: String =
+    """gold AS (
+      |  SELECT c_custkey AS id1, c_custkey + 10000000 AS id2
+      |  FROM customer WHERE c_custkey % 10 <> 3),
+      |wchain AS (
+      |  SELECT a.c_custkey AS id1, b.c_custkey AS id2
+      |  FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 1),
+      |wskip AS (
+      |  SELECT a.c_custkey AS id1, b.c_custkey AS id2
+      |  FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 2),
+      |we AS (SELECT id1, id2, 1 AS w FROM gold
+      |       UNION ALL SELECT id1, id2, 3 FROM wchain
+      |       UNION ALL SELECT id1, id2, 7 FROM wskip)""".stripMargin
+
   /** chain + e CTEs; expects a `gold` CTE upstream. */
   val chainEdgesSql: String =
     """chain AS (

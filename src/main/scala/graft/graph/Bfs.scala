@@ -30,14 +30,19 @@ object Bfs {
 
   /** seeds: (v); edges: (id1, id2) undirected pairs. Returns (v, dist)
     * for every node within `iters` hops of any seed, dist ∈ [0, iters].
+    * Duplicate seed rows are deduped (one dist-0 row per node — the
+    * same min(dist) contract the recursive-CTE oracle has).
     */
   def run(seeds: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, s"bfs requires iters >= 1, got $iters")
+    val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val adj = edges.select(col("id1").as("src"), col("id2").as("dst"))
       .unionByName(edges.select(col("id2").as("src"), col("id1").as("dst")))
       .distinct()
       .repartition(col("src")).persist()
-    var dist = seeds.select(col("v"), lit(0L).as("dist")).persist()
+    var dist = seeds.select(col("v")).distinct()
+      .select(col("v"), lit(0L).as("dist")).persist()
+    persisted += dist
     var frontier = dist
     for (i <- 1 to iters) {
       // lazy persists: each level/settled frame is computed exactly
@@ -50,11 +55,17 @@ object Bfs {
         .join(dist.select(col("v")), Seq("v"), "left_anti")
         .select(col("v"), lit(i.toLong).as("dist"))
         .persist()
+      persisted += next
       dist = dist.unionByName(next).persist()
+      persisted += dist
       frontier = next
     }
+    // localCheckpoint materializes every intermediate exactly once;
+    // after it the per-level caches are dead weight for the session
+    // lifetime — release them all, not just adj (r10 advice).
     val out = dist.localCheckpoint(true)
     adj.unpersist(false)
+    persisted.foreach(_.unpersist(false))
     out
   }
 

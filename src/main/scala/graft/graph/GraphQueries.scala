@@ -38,6 +38,26 @@ object GraphQueries {
        |${Bfs.oracleSql(4)}
        |SELECT v, dist FROM bfs ORDER BY v""".stripMargin
 
+  /** Weighted multi-source shortest paths ([[Sssp]]) over the SAME
+    * match graph as `graph_bfs` with integer link costs (gold link = 1,
+    * same-nation chain link = 3 — [[graft.clustering.ClusterQueries
+    * .weightedEdges]]): min path weight from every record to the
+    * nearest seed within 4 links — the trust-decay distance the
+    * hop-count BFS can't express (two strong links beat one weak one).
+    */
+  def graphSssp(s: SparkSession, dir: String): DataFrame = {
+    val we = graft.clustering.ClusterQueries.weightedEdges(s, dir)
+    val seeds = customer(s, dir).filter(col("c_custkey") % 40 === 0)
+      .select(col("c_custkey").as("v"))
+    Sssp.run(seeds, we, iters = 4).orderBy("v")
+  }
+
+  val graphSsspOracle: String =
+    s"""WITH RECURSIVE ${graft.clustering.ClusterQueries.weightedEdgesSql},
+       |seeds AS (SELECT c_custkey AS v FROM customer WHERE c_custkey % 40 = 0),
+       |${Sssp.oracleSql(4)}
+       |SELECT v, dist FROM sssp ORDER BY v""".stripMargin
+
   def graphPagerank(s: SparkSession, dir: String): DataFrame = {
     val li = lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
     val o = orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
@@ -217,6 +237,7 @@ object GraphQueries {
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_link_predict" -> (graphLinkPredict _),
     "graph_bfs" -> (graphBfs _),
+    "graph_sssp" -> (graphSssp _),
     "graph_pagerank" -> (graphPagerank _),
     "graph_triangles" -> (graphTriangles _),
     "graph_kcore" -> (graphKcore _),
@@ -225,6 +246,7 @@ object GraphQueries {
 
   def oracles: Map[String, String] = Map(
     "graph_bfs" -> graphBfsOracle,
+    "graph_sssp" -> graphSsspOracle,
     "graph_pagerank" -> graphPagerankOracle,
     "graph_triangles" -> graphTrianglesOracle,
     "graph_kcore" -> graphKcoreOracle,

@@ -228,6 +228,133 @@ object MatchQueries {
        |  round(CAST(tp AS DOUBLE) * 2.0 / greatest(2 * tp + fp + fn, 1), 5) AS f1
        |FROM agg ORDER BY threshold""".stripMargin
 
+  /** Calibration-aware threshold SELECTION — the decision step that
+    * closes the evaluator loop (r10 verdict ask #3): given the scored
+    * candidates, pick the operating θ three ways and report each
+    * pick's full confusion row from a FINE sweep grid (0.01 steps —
+    * the 0.1 grid the sweep query reports is too coarse to place θ
+    * where the score mass actually concentrates):
+    *   - `max_f1`: grid θ maximizing F1 (ties → smallest θ);
+    *   - `min_theta_p95`: smallest θ whose grid precision ≥ 0.95
+    *     (the "at least this precise" service-level pick);
+    *   - `calibrated_p90`: the reliability-diagram pick — smallest
+    *     score bin from `match_calibration` whose TAIL (that bin and
+    *     every bin above) keeps an observed positive rate ≥ 900 milli,
+    *     mapped to its lower edge on the grid. Calibration-aware by
+    *     construction: it reads observed label rates per score bin,
+    *     not the scores' self-reported confidence.
+    * All three are exact laws over frames that already hash-gate
+    * (sweep grid + integer reliability diagram), so the pick row set
+    * hash-gates too. At sf0.01 the picks land at 0.96 / 0.96 / 0.90 —
+    * and max_f1's 0.992 F1 beats the hand-set rule θ=0.97 (0.948),
+    * which is exactly the story a threshold evaluator exists to tell.
+    * Reference anchor: evaluation.py:861 threshold_sweep ends at the
+    * grid; the argmax/service-level/calibrated picks are the
+    * published post-processing (Fairstein et al. calibration
+    * literature; standard max-F1 operating-point selection).
+    */
+  def matchThresholdPick(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val l = EmScenario.custL(s, dir)
+    val r = EmScenario.custR(s, dir)
+    val cands = Blockers.standard(l, r, Seq("seg", "nat"), "id")
+    val scored = Matching.ruleMatch(cands, l, r, "id",
+      Seq(
+        sims.jaroWinkler(col("l_name"), col("r_name")) -> 0.6,
+        sims.exactSim(col("l_seg"), col("r_seg")) -> 0.2,
+        sims.numericAbsSim(col("l_bal"), col("r_bal"), 1000.0) -> 0.2),
+      threshold = 0.0)
+    // grid frame is 101 rows by construction (localCheckpoint: three
+    // picks read it — without it each branch re-runs the full sweep,
+    // the union-of-selects CSE trap)
+    val sweep = Matching.thresholdSweep(scored, EmScenario.gold(s, dir),
+      (0 to 100).map(_ / 100.0)).localCheckpoint(true)
+    val picked = Seq("threshold", "tp", "fp", "fn", "n_pred",
+      "precision", "recall", "f1").map(col)
+    // single-partition windows are fine here: the frame IS the grid
+    val maxF1 = sweep
+      .withColumn("_rk", row_number().over(
+        Window.orderBy(col("f1").desc, col("threshold").asc)))
+      .filter(col("_rk") === 1)
+      .select(lit("max_f1").as("rule") +: picked: _*)
+    val p95 = sweep.filter(col("precision") >= 0.95)
+      .withColumn("_rk", row_number().over(Window.orderBy(col("threshold").asc)))
+      .filter(col("_rk") === 1)
+      .select(lit("min_theta_p95").as("rule") +: picked: _*)
+    val tailW = Window.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val calBin = matchCalibration(s, dir)
+      .withColumn("_tailmin", min(col("pos_rate_milli")).over(tailW))
+      .filter(col("_tailmin") >= 900)
+      .agg(min(col("bin")).as("_bin"))
+      .select((col("_bin").cast("double") / 10.0).as("threshold"))
+    val calibrated = sweep.join(calBin, Seq("threshold"))
+      .select(lit("calibrated_p90").as("rule") +: picked: _*)
+    maxF1.unionByName(p95).unionByName(calibrated).orderBy("rule")
+  }
+
+  val matchThresholdPickOracle: String =
+    s"""${EmScenario.oracleWith},
+       |cand AS (SELECT l.id AS id1, r.id AS id2, l.name AS ln, r.name AS rn,
+       |                l.seg AS ls, r.seg AS rs, l.bal AS lb, r.bal AS rb
+       |         FROM l JOIN r ON l.seg = r.seg AND l.nat = r.nat),
+       |scored AS (SELECT id1, id2,
+       |  round(jaro_winkler_similarity(ln, rn) * 0.6
+       |        + (CASE WHEN ls = rs THEN 1.0 ELSE 0.0 END) * 0.2
+       |        + greatest(0.0, 1.0 - abs(lb - rb) / 1000.0) * 0.2, 5) AS score
+       |  FROM cand),
+       |lab AS (SELECT s.score AS score,
+       |               CASE WHEN g.id1 IS NOT NULL THEN 1 ELSE 0 END AS is_gold
+       |        FROM scored s FULL OUTER JOIN gold g
+       |          ON s.id1 = g.id1 AND s.id2 = g.id2),
+       |t AS (SELECT CAST(i AS DOUBLE) / 100.0 AS threshold FROM range(0, 101) t(i)),
+       |agg AS (SELECT t.threshold,
+       |  sum(CASE WHEN lab.score >= t.threshold AND lab.is_gold = 1 THEN 1 ELSE 0 END) AS tp,
+       |  sum(CASE WHEN lab.score >= t.threshold AND lab.is_gold = 0 THEN 1 ELSE 0 END) AS fp,
+       |  sum(CASE WHEN (lab.score IS NULL OR lab.score < t.threshold)
+       |           AND lab.is_gold = 1 THEN 1 ELSE 0 END) AS fn
+       |  FROM lab CROSS JOIN t GROUP BY t.threshold),
+       |sweepq AS (SELECT threshold, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       |  CAST(fn AS BIGINT) AS fn, CAST(tp + fp AS BIGINT) AS n_pred,
+       |  round(CAST(tp AS DOUBLE) / greatest(tp + fp, 1), 5) AS precision,
+       |  round(CAST(tp AS DOUBLE) / greatest(tp + fn, 1), 5) AS recall,
+       |  round(CAST(tp AS DOUBLE) * 2.0 / greatest(2 * tp + fp + fn, 1), 5) AS f1
+       |FROM agg),
+       |scored5 AS (SELECT id1, id2,
+       |  CAST(round((jaro_winkler_similarity(ln, rn) * 0.6
+       |        + (CASE WHEN ls = rs THEN 1.0 ELSE 0.0 END) * 0.2
+       |        + greatest(0.0, 1.0 - abs(lb - rb) / 1000.0) * 0.2) * 100000) AS BIGINT) AS s_rule
+       |  FROM cand),
+       |negh AS (SELECT id1, id2, 0 AS label FROM (
+       |           SELECT c.id1, c.id2,
+       |             row_number() OVER (PARTITION BY c.id1
+       |               ORDER BY abs(c.id2 - (c.id1 + 10000000)), c.id2) AS rn
+       |           FROM cand c
+       |           LEFT JOIN gold g ON g.id1 = c.id1 AND g.id2 = c.id2
+       |           WHERE g.id1 IS NULL) nm
+       |         WHERE id1 % 2 = 0 AND rn = 1),
+       |lab5 AS (SELECT id1, id2, 1 AS label FROM gold
+       |        UNION ALL SELECT id1, id2 + 1, 0 FROM gold WHERE id1 % 3 = 0
+       |        UNION ALL SELECT id1, id2, label FROM negh),
+       |j AS (SELECT t.label, coalesce(s.s_rule, 0) AS s5
+       |      FROM lab5 t LEFT JOIN scored5 s ON s.id1 = t.id1 AND s.id2 = t.id2),
+       |b5 AS (SELECT least(s5 // 10000, 9) AS bin, label FROM j),
+       |calq AS (SELECT bin,
+       |           (CAST(sum(label) AS BIGINT) * 1000) // CAST(count(*) AS BIGINT)
+       |             AS pos_rate_milli
+       |         FROM b5 GROUP BY bin),
+       |tailm AS (SELECT bin, min(pos_rate_milli) OVER
+       |            (ORDER BY bin DESC ROWS UNBOUNDED PRECEDING) AS tailmin FROM calq),
+       |calpick AS (SELECT min(bin) AS bin FROM tailm WHERE tailmin >= 900),
+       |p1 AS (SELECT 'max_f1' AS rule, * FROM sweepq ORDER BY f1 DESC, threshold LIMIT 1),
+       |p2 AS (SELECT 'min_theta_p95' AS rule, * FROM sweepq WHERE precision >= 0.95
+       |       ORDER BY threshold LIMIT 1),
+       |p3 AS (SELECT 'calibrated_p90' AS rule, s.* FROM sweepq s
+       |       JOIN calpick c ON s.threshold = CAST(c.bin AS DOUBLE) / 10.0)
+       |SELECT * FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2
+       |               UNION ALL SELECT * FROM p3)
+       |ORDER BY rule""".stripMargin
+
   /** Character n-gram Jaccard sims (similarity_registry ngram_2/3) over
     * adjacent part-name pairs — fully oracled via DuckDB set algebra.
     */
@@ -587,7 +714,8 @@ object MatchQueries {
     "match_eval_labeled" -> (matchEvalLabeled _),
     "match_auc" -> (matchAuc _),
     "match_calibration" -> (matchCalibration _),
-    "match_threshold_sweep" -> (matchThresholdSweep _)
+    "match_threshold_sweep" -> (matchThresholdSweep _),
+    "match_threshold_pick" -> (matchThresholdPick _)
   )
 
   /** Threshold-free matcher evaluation: AUC per SCORER (full rule vs
@@ -832,6 +960,7 @@ object MatchQueries {
     "match_eval_labeled" -> matchEvalLabeledOracle,
     "match_auc" -> matchAucOracle,
     "match_calibration" -> matchCalibrationOracle,
-    "match_threshold_sweep" -> matchThresholdSweepOracle
+    "match_threshold_sweep" -> matchThresholdSweepOracle,
+    "match_threshold_pick" -> matchThresholdPickOracle
   )
 }

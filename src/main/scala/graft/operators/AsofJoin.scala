@@ -161,6 +161,16 @@ object AsofJoin {
   /** `tolerance`: maximum allowed staleness `l.ts - r.ts` (same unit
     * as the ts column); a match older than that is nulled out — "don't
     * enrich with a quote from last year". None = unbounded (pure ASOF).
+    *
+    * Auto-routing cost note (default `spark.graft.asof.chunkWidth =
+    * auto`): for inputs past [[AutoMinBytesConf]] (256 MB plan stats),
+    * construction of this DataFrame EAGERLY runs one bounded sampling
+    * job over both sides' (key, ts) to decide chunk routing — call it
+    * once and reuse the frame, or set the conf to `off`/a width to
+    * skip the probe. The ~200k-row uniform sample estimates the MAX
+    * per-key row count; at very high key cardinality it can miss a hot
+    * key and keep the unchunked plan (result-identical either way —
+    * the probe only picks between result-equal physical strategies).
     */
   def asofBackward(left: DataFrame, right: DataFrame,
       key: String, ts: String, tolerance: Option[Long] = None): DataFrame = {

@@ -611,6 +611,70 @@ object ProfileQueries {
       |  exact_distinct
       |FROM s, ex""".stripMargin
 
+  /** KMV sketch union across partitioned corpus shards (SURVEY §2.12;
+    * the r10 verdict's preferred surfacing of the sharded-build story
+    * Round10bSpec proves at spec level): each shard of the event feed
+    * builds its OWN bottom-k sketch independently — the deployment
+    * shape where 100 TB arrives as shards/regions/days and no single
+    * job ever sees the whole input — and the merged sketch is just
+    * bottom-k OVER THE UNION OF THE SHARD SKETCHES (explode + re-agg:
+    * the aggregation mechanism IS the merge; ≤ shards·k longs ever
+    * move). The frame shows per-shard estimates, the merged estimate,
+    * and the whole-input sketch side by side: merged ≡ whole EXACTLY
+    * (any globally-k-smallest hash is among its own shard's k
+    * smallest — the mergeable-sketch law, hash-gated here rather than
+    * asserted), so sharded builds lose NOTHING.
+    */
+  def profileKmvSharded(s: SparkSession, dir: String): DataFrame = {
+    val k = 256
+    val ev = events(s, dir).select(col("event_id"),
+      (col("event_id") % 4).as("shard"),
+      Sketches.hash52(col("event_id")).as("h"))
+    // 4 rows; localCheckpoint: read by both the shard faces and the
+    // merge (without it each branch re-scans events — the CSE trap)
+    val perShard = ev.groupBy("shard")
+      .agg(graft.functions.bottomk.bottomK(col("h"), k).as("ks"))
+      .localCheckpoint(true)
+    val shardFaces = perShard
+      .select(concat(lit("shard_"), col("shard")).as("face"), col("ks"))
+    val merged = perShard.select(explode(col("ks")).as("h"))
+      .agg(graft.functions.bottomk.bottomK(col("h"), k).as("ks"))
+      .select(lit("merged").as("face"), col("ks"))
+    val whole = ev.agg(graft.functions.bottomk.bottomK(col("h"), k).as("ks"))
+      .select(lit("whole").as("face"), col("ks"))
+    shardFaces.unionByName(merged).unionByName(whole)
+      .select(col("face"),
+        size(col("ks")).cast("long").as("n_in_sketch"),
+        when(size(col("ks")) === 0, lit(null).cast("long"))
+          .otherwise(element_at(col("ks"), least(size(col("ks")), lit(k))))
+          .as("kth_hash"),
+        Sketches.kmvEstimate(col("ks"), k).as("est"))
+      .orderBy("face")
+  }
+
+  val profileKmvShardedOracle: String =
+    """WITH hs AS (SELECT DISTINCT event_id % 4 AS shard,
+      |              ('0x'||substr(md5(CAST(event_id AS VARCHAR)),1,13))::BIGINT AS h
+      |            FROM events),
+      |ranked AS (SELECT shard, h,
+      |             row_number() OVER (PARTITION BY shard ORDER BY h) AS rn
+      |           FROM hs),
+      |ps AS (SELECT shard, h FROM ranked WHERE rn <= 256),
+      |faces AS (
+      |  SELECT 'shard_' || CAST(shard AS VARCHAR) AS face,
+      |         CAST(count(*) AS BIGINT) AS n, max(h) AS kth
+      |  FROM ps GROUP BY shard
+      |  UNION ALL
+      |  SELECT 'merged', CAST(count(*) AS BIGINT), max(h)
+      |  FROM (SELECT DISTINCT h FROM ps ORDER BY h LIMIT 256)
+      |  UNION ALL
+      |  SELECT 'whole', CAST(count(*) AS BIGINT), max(h)
+      |  FROM (SELECT DISTINCT h FROM hs ORDER BY h LIMIT 256))
+      |SELECT face, n AS n_in_sketch, kth AS kth_hash,
+      |  CASE WHEN n < 256 THEN n
+      |       ELSE (255 * 4503599627370496::BIGINT) // kth END AS est
+      |FROM faces ORDER BY face""".stripMargin
+
   /** Theta-sketch corpus overlap (SURVEY §2.12; the DataSketches theta
     * set-operation shape over [[graft.functions.BottomK]] synopses):
     * estimate the 3-gram shingle intersection / union / Jaccard
@@ -859,6 +923,7 @@ object ProfileQueries {
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "profile_kmv" -> (profileKmv _),
+    "profile_kmv_sharded" -> (profileKmvSharded _),
     "profile_join_size_est" -> (profileJoinSizeEst _),
     "profile_quantile_sketch" -> (profileQuantileSketch _),
     "profile_theta_overlap" -> (profileThetaOverlap _),
@@ -884,6 +949,7 @@ object ProfileQueries {
 
   def oracles: Map[String, String] = Map(
     "profile_kmv" -> profileKmvOracle,
+    "profile_kmv_sharded" -> profileKmvShardedOracle,
     "profile_join_size_est" -> profileJoinSizeEstOracle,
     "profile_quantile_sketch" -> profileQuantileSketchOracle,
     "profile_theta_overlap" -> profileThetaOverlapOracle,

