@@ -182,6 +182,59 @@ object ExtraQueries {
       |FROM customer
       |ORDER BY id""".stripMargin
 
+  /** Multimodal perceptual-hash near-dup ([[Multimodal.aHash64]] over
+    * the documents corpus as media payloads) — the image-dedup shape a
+    * training pipeline runs (PDQ/aHash fingerprints, banded Hamming
+    * join): fingerprint every payload (one typed-kernel pass, 8 bytes
+    * out per record — the only thing that ever shuffles), band the
+    * 64-bit hash into 4×16-bit keys, candidates by band equi-join
+    * (pigeonhole: Hamming ≤ 3 GUARANTEES a colliding band; beyond
+    * that banding is the recall/cost dial, exactly as in production
+    * PDQ pipelines), verify bit_count(xor) ≤ 9 in-bucket only. The
+    * corpus is never compared all-pairs; at 10⁹ images this is a
+    * band-bucketed equi-join like the MinHash tier, with an 8-byte
+    * wire footprint per image.
+    */
+  def mmPhashNeardup(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.syntheticMedia(
+      graft.Tables.documents(s, dir).select(col("doc_id"), col("text")),
+      "doc_id", "text")
+    val ph = Multimodal.aHash64(media)
+    val bandCols = (0 until 4).map(b =>
+      shiftright(col("phash"), b * 16).bitwiseAND(lit(0xffffL)))
+    val banded = ph.select(col("id"), col("phash"),
+      posexplode(array(bandCols: _*)).as(Seq("bidx", "bkey")))
+    val a = banded.select(col("id").as("id1"), col("phash").as("h1"),
+      col("bidx"), col("bkey"))
+    val b = banded.select(col("id").as("id2"), col("phash").as("h2"),
+      col("bidx"), col("bkey"))
+    a.join(b, Seq("bidx", "bkey"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        expr("bit_count(h1 ^ h2)").cast("long").as("hamming"))
+      .filter(col("hamming") <= 9)
+      .distinct()
+      .orderBy("id1", "id2")
+  }
+
+  val mmPhashNeardupOracle: String =
+    """WITH d AS (SELECT doc_id AS id, text AS t, length(text) AS L FROM documents),
+      |px AS (SELECT id, j, ord(substr(t, (j*L)//64 + 1, 1)) AS p
+      |       FROM d, range(0,64) r(j)),
+      |mn AS (SELECT id, sum(p)//64 AS m FROM px GROUP BY id),
+      |ph AS (SELECT px.id, CAST(sum(CASE WHEN p <= m THEN 0
+      |         WHEN j = 63 THEN CAST(-9223372036854775808 AS HUGEINT)
+      |         ELSE CAST(CAST(1 AS BIGINT) << j AS HUGEINT) END) AS BIGINT) AS phash
+      |       FROM px JOIN mn ON mn.id = px.id GROUP BY px.id),
+      |banded AS (SELECT id, phash, j AS bidx, (phash >> (j*16)) & 65535 AS bkey
+      |           FROM ph, range(0,4) r(j)),
+      |cand AS (SELECT DISTINCT a.id AS id1, b.id AS id2, a.phash AS h1, b.phash AS h2
+      |         FROM banded a JOIN banded b
+      |           ON a.bidx = b.bidx AND a.bkey = b.bkey AND a.id < b.id)
+      |SELECT id1, id2, CAST(bit_count(xor(h1, h2)) AS BIGINT) AS hamming
+      |FROM cand WHERE bit_count(xor(h1, h2)) <= 9
+      |ORDER BY id1, id2""".stripMargin
+
   /** Multimodal frame sampling: payload treated as consecutive 5-byte
     * frames, every 2nd emitted — the explode-shaped video op; the
     * oracle recomputes frames as substrings.
@@ -1762,6 +1815,7 @@ object ExtraQueries {
     "match_text_format" -> (matchTextFormat _),
     "mm_binary_meta" -> (mmBinaryMeta _),
     "mm_frame_sample" -> (mmFrameSample _),
+    "mm_phash_neardup" -> (mmPhashNeardup _),
     "stream_window_agg" -> (streamWindowAgg _),
     "stream_sliding_window" -> (streamSlidingWindow _),
     "stream_sessionize" -> (streamSessionize _),
@@ -1807,6 +1861,7 @@ object ExtraQueries {
     "match_text_format" -> matchTextFormatOracle,
     "mm_binary_meta" -> mmBinaryMetaOracle,
     "mm_frame_sample" -> mmFrameSampleOracle,
+    "mm_phash_neardup" -> mmPhashNeardupOracle,
     "stream_neardup" -> streamNearDupOracle,
     "stream_window_agg" -> streamWindowAggOracle,
     "stream_sliding_window" -> streamSlidingWindowOracle,

@@ -51,11 +51,24 @@ object Matching {
     * the score as given (round it consistently with the oracle first).
     */
   def thresholdSweep(scored: DataFrame, gold: DataFrame,
-      thresholds: Seq[Double]): DataFrame = {
+      thresholds: Seq[Double]): DataFrame =
+    thresholdSweepLabeled(sweepLabels(scored, gold), thresholds)
+
+  /** The (score, gold-flag) label frame the sweep counters aggregate —
+    * the expensive half of a sweep (candidate re-agg + full-outer gold
+    * join). Exposed so a multi-grid caller (match_threshold_pick's
+    * two-phase zoom) builds it ONCE, checkpoints the narrow 2-column
+    * frame, and re-aggregates per grid instead of re-joining.
+    */
+  def sweepLabels(scored: DataFrame, gold: DataFrame): DataFrame = {
     val p = scored.groupBy("id1", "id2").agg(max(col("score")).as("_score"))
     val g = gold.select("id1", "id2").distinct().withColumn("_gold", lit(1L))
-    val labeled = p.join(g, Seq("id1", "id2"), "full_outer")
+    p.join(g, Seq("id1", "id2"), "full_outer")
       .select(col("_score"), coalesce(col("_gold"), lit(0L)).as("_gold"))
+  }
+
+  def thresholdSweepLabeled(labeled: DataFrame,
+      thresholds: Seq[Double]): DataFrame = {
     // ONE conditional-aggregation pass: 3 counters per θ as columns of a
     // single global aggregate (map-side partial to one row per task),
     // then the tiny grid unpacks to rows. The previous explode-per-θ

@@ -74,6 +74,33 @@ object Multimodal {
     }.toDF("id", "kind", "frame_idx", "frame")
   }
 
+  /** 64-bit average-hash perceptual fingerprint over the decoded pixel
+    * stream — the production image near-dup primitive (aHash; pHash/PDQ
+    * differ only in the transform applied before thresholding). The
+    * DECODE is this module's documented stub (the payload bytes ARE the
+    * luminance stream); a real deployment swaps the byte source for the
+    * codec's grayscale plane — the fingerprint law, the banding, and
+    * the join shape downstream do not change. Law, exact integer end to
+    * end so the whole family oracle-replays: resample the L-byte stream
+    * to 64 pixels by nearest neighbor (pixel_j = byte[j·L div 64]),
+    * threshold against the floor-mean of the 64 samples, bit j set iff
+    * pixel_j > mean (bit 63 carries the sign — two's complement,
+    * identical in both engines).
+    */
+  def aHash64(records: Dataset[MediaRecord]): DataFrame = {
+    import records.sparkSession.implicits._
+    records.map { r =>
+      val L = r.media.length
+      require(L >= 1, s"empty media payload for id ${r.id}")
+      val px = (0 until 64).map(j => (r.media(j * L / 64) & 0xff).toLong)
+      val mean = px.sum / 64
+      val h = px.zipWithIndex.foldLeft(0L) { case (acc, (p, j)) =>
+        if (p > mean) acc | (1L << j) else acc
+      }
+      (r.id, h)
+    }.toDF("id", "phash")
+  }
+
   /** Build a media table from any (id, payload-string) source — payload
     * bytes are the UTF-8 of the string; metadata derived arithmetically.
     */

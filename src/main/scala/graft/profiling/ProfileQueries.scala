@@ -458,6 +458,92 @@ object ProfileQueries {
       |  max(n_sensitive) AS max_diversity
       |FROM c""".stripMargin
 
+  /** t-closeness audit (t = 0.2) — the third member of the privacy
+    * trio over the SAME QI set as [[profileKanon]]/[[profileLdiv]]:
+    * l-diversity still leaks when a class's sensitive values are
+    * diverse but SKEWED relative to the population (the skewness
+    * attack, Li-Li-Venkatasubramanian ICDE'07); t-closeness bounds the
+    * Earth-Mover's Distance between each class's sensitive-attribute
+    * distribution and the global one. For an ORDERED domain (balance
+    * buckets, the ldiv sensitive law's bucket face) the 1-D EMD has a
+    * closed form — mean |prefix sum of probability differences| over
+    * the sorted domain, normalized by (m−1) — and with counts kept as
+    * counts it is EXACT INTEGER: diff_b = c_b·N − g_b·n (common
+    * denominator n·N), emd_milli = 1000·Σ|prefix| div ((m−1)·n·N).
+    * Shape: one groupBy(QI, bucket) + a classes×domain grid (both
+    * QI-domain-bounded, never row-bounded) + one windowed prefix sum.
+    * Longs hold to ~10⁹ rows (c·N ≤ N²); past that route the products
+    * through decimal(38) like the join-size estimator.
+    */
+  def profileTclose(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.profiling.Sketches.idiv
+    val tMilli = 200L
+    val b = floor(col("c_acctbal") / lit(1000.0)).cast("long").as("b")
+    val base = customer(s, dir).select(col("c_nationkey").as("nat"),
+      col("c_mktsegment").as("seg"), b)
+    val global = base.groupBy("b").agg(count(lit(1)).as("g"))
+    val classes = base.groupBy("nat", "seg").agg(count(lit(1)).as("n"))
+    val cb = base.groupBy("nat", "seg", "b").agg(count(lit(1)).as("c"))
+    // tiny frames after the aggs: domain m ≈ 11 buckets, classes =
+    // |nations × segments|; the grid is their cross join with zero fill
+    val tot = global.agg(sum(col("g")).as("nt"), count(lit(1)).as("m"))
+    val grid = classes.crossJoin(broadcast(global))
+      .join(cb, Seq("nat", "seg", "b"), "left")
+      .select(col("nat"), col("seg"), col("n"), col("b"), col("g"),
+        coalesce(col("c"), lit(0L)).as("c"))
+    val w = Window.partitionBy(col("nat"), col("seg")).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val perClass = grid.crossJoin(broadcast(tot))
+      .withColumn("_pfx", sum(col("c") * col("nt") - col("g") * col("n")).over(w))
+      .groupBy(col("nat"), col("seg"), col("n"), col("nt"), col("m"))
+      .agg(sum(abs(col("_pfx"))).as("_sum"))
+      .select(col("nat"), col("seg"), col("n"),
+        idiv(col("_sum") * 1000L, (col("m") - 1L) * col("n") * col("nt"))
+          .as("emd_milli"))
+    perClass.agg(
+      count(lit(1)).as("n_classes"),
+      sum(when(col("emd_milli") > tMilli, 1L).otherwise(0L))
+        .as("n_skewed_classes"),
+      sum(when(col("emd_milli") > tMilli, col("n")).otherwise(0L))
+        .as("n_rows_at_risk"),
+      min("emd_milli").as("min_emd_milli"),
+      max("emd_milli").as("max_emd_milli"))
+  }
+
+  val profileTcloseOracle: String =
+    """WITH base AS (
+      |  SELECT c_nationkey AS nat, c_mktsegment AS seg,
+      |         CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS b
+      |  FROM customer),
+      |global AS (SELECT b, CAST(count(*) AS BIGINT) AS g FROM base GROUP BY b),
+      |tot AS (SELECT CAST(sum(g) AS BIGINT) AS nt,
+      |               CAST(count(*) AS BIGINT) AS m FROM global),
+      |classes AS (SELECT nat, seg, CAST(count(*) AS BIGINT) AS n
+      |            FROM base GROUP BY nat, seg),
+      |cb AS (SELECT nat, seg, b, CAST(count(*) AS BIGINT) AS c
+      |       FROM base GROUP BY nat, seg, b),
+      |grid AS (SELECT cl.nat, cl.seg, cl.n, gl.b, gl.g,
+      |                coalesce(cb.c, 0) AS c
+      |         FROM classes cl CROSS JOIN global gl
+      |         LEFT JOIN cb ON cb.nat = cl.nat AND cb.seg = cl.seg AND cb.b = gl.b),
+      |pfx AS (SELECT nat, seg, n, m, nt,
+      |          sum(c * nt - g * n) OVER (PARTITION BY nat, seg ORDER BY b
+      |            ROWS UNBOUNDED PRECEDING) AS p
+      |        FROM grid, tot),
+      |per AS (SELECT nat, seg, n,
+      |          CAST(CAST(sum(abs(p)) AS HUGEINT) * 1000
+      |               // ((m - 1) * n * nt) AS BIGINT) AS emd_milli
+      |        FROM pfx GROUP BY nat, seg, n, m, nt)
+      |SELECT CAST(count(*) AS BIGINT) AS n_classes,
+      |  CAST(sum(CASE WHEN emd_milli > 200 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_skewed_classes,
+      |  CAST(sum(CASE WHEN emd_milli > 200 THEN n ELSE 0 END) AS BIGINT)
+      |    AS n_rows_at_risk,
+      |  min(emd_milli) AS min_emd_milli,
+      |  max(emd_milli) AS max_emd_milli
+      |FROM per""".stripMargin
+
   /** Benford's-law first-digit audit over order totals — the classic
     * fabricated-numbers screen (forensic accounting, synthetic-data
     * detection). First significant digit via string head of the cents
@@ -924,6 +1010,7 @@ object ProfileQueries {
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "profile_kmv" -> (profileKmv _),
     "profile_kmv_sharded" -> (profileKmvSharded _),
+    "profile_tclose" -> (profileTclose _),
     "profile_join_size_est" -> (profileJoinSizeEst _),
     "profile_quantile_sketch" -> (profileQuantileSketch _),
     "profile_theta_overlap" -> (profileThetaOverlap _),
@@ -950,6 +1037,7 @@ object ProfileQueries {
   def oracles: Map[String, String] = Map(
     "profile_kmv" -> profileKmvOracle,
     "profile_kmv_sharded" -> profileKmvShardedOracle,
+    "profile_tclose" -> profileTcloseOracle,
     "profile_join_size_est" -> profileJoinSizeEstOracle,
     "profile_quantile_sketch" -> profileQuantileSketchOracle,
     "profile_theta_overlap" -> profileThetaOverlapOracle,

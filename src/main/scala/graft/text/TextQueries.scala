@@ -472,7 +472,9 @@ object TextQueries {
       .orderBy("q_id", "rank")
   }
 
-  val textBm25Oracle: String = {
+  /** The shared BM25 ranked-retrieval CTE chain (through `rk`), reused
+    * by the raw top-k oracle and the retrieval evaluator's. */
+  private val bm25RankedWith: String = {
     import graft.functions.DetMath
     s"""WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
        |             FROM documents),
@@ -514,11 +516,62 @@ object TextQueries {
        |rk AS (SELECT q_id, doc_id, score_scaled,
        |         CAST(row_number() OVER (PARTITION BY q_id
        |           ORDER BY score_scaled DESC, doc_id) AS BIGINT) AS rank
-       |       FROM agg)
-       |SELECT q_id, doc_id, rank,
-       |  (CAST(score_scaled AS DOUBLE) / CAST(1000000000 AS DOUBLE)) AS score
-       |FROM rk WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+       |       FROM agg)""".stripMargin
   }
+
+  val textBm25Oracle: String =
+    bm25RankedWith + """
+      |SELECT q_id, doc_id, rank,
+      |  (CAST(score_scaled AS DOUBLE) / CAST(1000000000 AS DOUBLE)) AS score
+      |FROM rk WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+
+  /** Retrieval-quality evaluator over the BM25 index — the text
+    * analogue of `ann_recall_eval` (the index exists; this is the
+    * number that says whether to SHIP it): self-retrieval protocol
+    * (each query is a corpus document's leading terms; the document
+    * itself is the known-relevant answer — the standard label-free
+    * index smoke test), scored as MRR and recall@{1,5,10}, all exact
+    * integer milli (per-query reciprocal rank floor(1000/rank), summed
+    * then floor-divided — deterministic in both engines, no float
+    * means). One extra filter + two 1-row aggs on top of the ranked
+    * frame the bm25 query already builds.
+    */
+  def textRetrievalEval(s: SparkSession, dir: String): DataFrame = {
+    import graft.profiling.Sketches.idiv
+    val docs = graft.Tables.documents(s, dir)
+    val queries = docs.where(col("doc_id") % 25 === 0)
+    val topk = TextOps.bm25TopK(docs, "doc_id", "text",
+      queries, "doc_id", "text")
+    val self = topk.filter(col("q_id") === col("doc_id"))
+    val stats = self.agg(
+      count(lit(1)).as("n_found"),
+      coalesce(sum(idiv(lit(1000L), col("rank"))), lit(0L)).as("_mrr_sum"),
+      coalesce(sum(when(col("rank") <= 1, 1L).otherwise(0L)), lit(0L)).as("_f1"),
+      coalesce(sum(when(col("rank") <= 5, 1L).otherwise(0L)), lit(0L)).as("_f5"))
+    val nq = queries.agg(count(lit(1)).as("n_queries"))
+    stats.crossJoin(nq) // 1 row × 1 row
+      .select(col("n_queries"), col("n_found"),
+        idiv(col("_mrr_sum"), col("n_queries")).as("mrr_milli"),
+        idiv(col("_f1") * 1000L, col("n_queries")).as("recall1_milli"),
+        idiv(col("_f5") * 1000L, col("n_queries")).as("recall5_milli"),
+        idiv(col("n_found") * 1000L, col("n_queries")).as("recall10_milli"))
+  }
+
+  val textRetrievalEvalOracle: String =
+    bm25RankedWith + """,
+      |self AS (SELECT q_id, rank FROM rk WHERE doc_id = q_id AND rank <= 10),
+      |nq AS (SELECT CAST(count(*) AS BIGINT) AS n_queries FROM q),
+      |s1 AS (SELECT CAST(count(*) AS BIGINT) AS n_found,
+      |         CAST(coalesce(sum(1000 // rank), 0) AS BIGINT) AS mrr_sum,
+      |         CAST(coalesce(sum(CASE WHEN rank <= 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS f1,
+      |         CAST(coalesce(sum(CASE WHEN rank <= 5 THEN 1 ELSE 0 END), 0) AS BIGINT) AS f5
+      |       FROM self)
+      |SELECT n_queries, n_found,
+      |  mrr_sum // n_queries AS mrr_milli,
+      |  f1 * 1000 // n_queries AS recall1_milli,
+      |  f5 * 1000 // n_queries AS recall5_milli,
+      |  n_found * 1000 // n_queries AS recall10_milli
+      |FROM s1, nq""".stripMargin
 
   /** Unigram token entropy per document: diversity filter with
     * bit-deterministic logs (TextOps.tokenEntropy).
@@ -1255,6 +1308,7 @@ object TextQueries {
     "text_tfidf_keywords" -> (textTfidfKeywords _),
     "text_domain_cap" -> (textDomainCap _),
     "text_bm25" -> (textBm25 _),
+    "text_retrieval_eval" -> (textRetrievalEval _),
     "text_mixture_temperature" -> (textMixtureTemperature _),
     "text_zipf" -> (textZipf _),
     "text_entropy" -> (textEntropy _),
@@ -1296,6 +1350,7 @@ object TextQueries {
     "text_tfidf_keywords" -> textTfidfKeywordsOracle,
     "text_domain_cap" -> textDomainCapOracle,
     "text_bm25" -> textBm25Oracle,
+    "text_retrieval_eval" -> textRetrievalEvalOracle,
     "text_entropy" -> textEntropyOracle,
     "text_unigram_xent" -> textUnigramXentOracle,
     "text_source_kl" -> textSourceKlOracle,

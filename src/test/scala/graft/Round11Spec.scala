@@ -126,6 +126,64 @@ class Round11Spec extends AnyFunSuite {
       s"sq8 ${rows("sq8")} vs pq ${rows("pq")}")
   }
 
+  // ---------- t-closeness ----------
+
+  test("profile_tclose: EMD milli values are bounded and the audit is " +
+      "non-degenerate") {
+    val r = graft.profiling.ProfileQueries.profileTclose(spark, sf).collect()(0)
+    val (nClasses, minE, maxE) = (r.getLong(0), r.getLong(3), r.getLong(4))
+    assert(nClasses > 0)
+    assert(minE >= 0 && maxE <= 1000, s"EMD out of [0,1000]: $minE..$maxE")
+    assert(maxE > minE, "a uniform-EMD audit would mean the law collapsed")
+  }
+
+  // ---------- perceptual-hash near-dup ----------
+
+  test("aHash64: identical payloads collide; the fingerprint is a pure " +
+      "function of the bytes") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rows = Seq(
+      graft.multimodal.MediaRecord(1L, "image", 8, 8,
+        "the quick brown fox jumps over the lazy dog".getBytes("UTF-8")),
+      graft.multimodal.MediaRecord(2L, "image", 8, 8,
+        "the quick brown fox jumps over the lazy dog".getBytes("UTF-8")),
+      graft.multimodal.MediaRecord(3L, "image", 8, 8,
+        "completely different content with other words here".getBytes("UTF-8")))
+    val ds = spark2.createDataset(rows)
+    val h = graft.multimodal.Multimodal.aHash64(ds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(1L) == h(2L), "same bytes must fingerprint identically")
+    assert(h(1L) != h(3L), "different content must (here) differ")
+    // banding pigeonhole: at Hamming 0 every band collides
+    (0 until 4).foreach { b =>
+      assert(((h(1L) >> (b * 16)) & 0xffffL) == ((h(2L) >> (b * 16)) & 0xffffL))
+    }
+  }
+
+  test("mm_phash_neardup returns verified pairs only (hamming <= 9, id1 < id2)") {
+    val rows = ExtraQueries.mmPhashNeardup(spark, sf).collect()
+    assert(rows.nonEmpty, "sf0.001 must surface at least one near-dup pair")
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= 9)
+    }
+  }
+
+  // ---------- retrieval evaluator ----------
+
+  test("text_retrieval_eval: metric sandwich recall@1 <= MRR <= recall@10 " +
+      "and monotone recall") {
+    val r = graft.text.TextQueries.textRetrievalEval(spark, sf).collect()(0)
+    val (nq, nf) = (r.getLong(0), r.getLong(1))
+    val (mrr, r1, r5, r10) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+    assert(nq > 0 && nf <= nq)
+    assert(r1 <= r5 && r5 <= r10, s"recall must be monotone: $r1/$r5/$r10")
+    assert(r1 <= mrr && mrr <= r10,
+      s"MRR $mrr must sit between recall@1 $r1 and recall@10 $r10")
+    Seq(mrr, r1, r5, r10).foreach(v => assert(v >= 0 && v <= 1000))
+  }
+
   // ---------- sharded KMV union ----------
 
   test("profile_kmv_sharded: merged shard sketches equal the whole-input " +
