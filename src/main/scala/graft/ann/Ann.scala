@@ -275,14 +275,38 @@ object Ann {
   }
 
   def ivfSearch(queries: DataFrame, corpus: DataFrame, cents: DataFrame,
-      id: String, vec: String, dim: Int, k: Int, nprobe: Int = 3): DataFrame = {
+      id: String, vec: String, dim: Int, k: Int, nprobe: Int = 3): DataFrame =
+    ivfSearchAssigned(queries, ivfAssign(corpus, cents, id, vec, dim),
+      cents, id, vec, dim, k, nprobe)
+
+  /** The coarse-assignment phase of [[ivfSearch]], exposed on its own
+    * because it is POINTWISE — each row's cell depends only on that row
+    * and the broadcast centroids — which is exactly what makes an IVF
+    * index incrementally maintainable: assigning an arrival batch and
+    * unioning it into the stored index equals re-assigning the whole
+    * corpus, row for row (`ann_ivf_incremental` hash-gates that law
+    * against the full-rebuild oracle). At 100 TB this is the difference
+    * between an append-only nightly index job and a full re-shuffle of
+    * 10⁹ vectors per corpus version.
+    */
+  def ivfAssign(corpus: DataFrame, cents: DataFrame, id: String,
+      vec: String, dim: Int): DataFrame = {
     val c = withNorm(corpus, id, vec, dim)
     val l2 = graft.functions.vecs.l2sq(col("_v"), col("_cv"))
-    val assigned = c.crossJoin(broadcast(cents))
+    c.crossJoin(broadcast(cents))
       .groupBy(col("_id"))
       .agg(min(struct(l2.as("_d"), col("_cell"), col("_v"), col("_n"))).as("_b"))
       .select(col("_id"), col("_b._cell").as("_cell"),
         col("_b._v").as("_v"), col("_b._n").as("_n"))
+  }
+
+  /** Search phase of [[ivfSearch]] against a PREPARED assignment frame
+    * (`(_id, _cell, _v, _n)` — from [[ivfAssign]], a stored index, or
+    * an incremental union of both).
+    */
+  def ivfSearchAssigned(queries: DataFrame, assigned: DataFrame,
+      cents: DataFrame, id: String, vec: String, dim: Int, k: Int,
+      nprobe: Int = 3): DataFrame = {
     val q = withNorm(queries, id, vec, dim)
       .select(col("_id").as("qid"), col("_v").as("_qv"), col("_n").as("_qn"))
     val cellW = Window.partitionBy(col("qid")).orderBy(col("_d").desc, col("_cell"))

@@ -238,6 +238,104 @@ object AnnQueries {
       .orderBy("qid", "rank")
   }
 
+  /** INCREMENTAL IVF index maintenance — the lifecycle face of the IVF
+    * family: the stored index is the assignment frame; when an arrival
+    * batch lands, ONLY the arrivals are assigned (pointwise, broadcast
+    * centroids) and unioned in — no refit, no corpus re-shuffle. The
+    * hash-gate IS the maintenance law: Spark searches the
+    * incrementally-built index (base ∪ arrivals assigned separately),
+    * the oracle replays a FULL REBUILD over the whole corpus — they
+    * must agree bit for bit because assignment is pointwise
+    * ([[Ann.ivfAssign]]). FAISS `add()` relies on the same property.
+    */
+  def annIvfIncremental(s: SparkSession, dir: String): DataFrame = {
+    val c = orig(s, dir)
+    val cents = c.orderBy("vec_id").limit(16)
+      .select((row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy("vec_id")) - 1).as("_cell"),
+        col("v").as("_cv"))
+    val base = c.filter(col("vec_id") % 10 =!= 7)
+    val arrivals = c.filter(col("vec_id") % 10 === 7)
+    val index = Ann.ivfAssign(base, cents, "vec_id", "v", Dim)
+      .unionByName(Ann.ivfAssign(arrivals, cents, "vec_id", "v", Dim))
+    Ann.ivfSearchAssigned(c.filter(col("vec_id") < 10), index, cents,
+        "vec_id", "v", Dim, k = 5, nprobe = 3)
+      .orderBy("qid", "rank")
+  }
+
+  /** FILTERED ANN search — the metadata-predicate face every vector
+    * store ships (license-clean subset, language, date range): top-k
+    * among vectors satisfying a predicate (vec_id % 3 = 0 here). Two
+    * strategies rank-aligned in one frame, because the contrast is the
+    * lesson: PRE-FILTER (apply the predicate, then search — exact
+    * filtered truth, cost proportional to the subset) vs POST-FILTER
+    * (search the full corpus at the same k, then drop non-matching
+    * hits — the naive composition, which silently returns FEWER than k
+    * and misses filtered-true neighbors crowded out by non-matching
+    * ones). Per-query recall@5 of post vs pre rides along in exact
+    * milli — the number that says how much k-oversampling a
+    * post-filter deployment needs.
+    */
+  def annFiltered(s: SparkSession, dir: String): DataFrame = {
+    val c = orig(s, dir)
+    val q = c.filter(col("vec_id") < 10)
+    val subset = c.filter(col("vec_id") % 3 === 0)
+    val pre = Ann.bruteForceTopK(q, subset, "vec_id", "v", Dim, k = 5)
+      .select(col("qid"), col("rank"), col("vec_id").as("pre_id"),
+        col("cosine").as("pre_cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy("rank")
+    val post = Ann.bruteForceTopK(q, c, "vec_id", "v", Dim, k = 5)
+      .filter(col("vec_id") % 3 === 0)
+      .withColumn("post_rank", row_number().over(w))
+      .select(col("qid"), col("post_rank").as("rank"),
+        col("vec_id").as("post_id"))
+    val hits = pre.select(col("qid"), col("pre_id").as("_id"))
+      .join(post.select(col("qid"), col("post_id").as("_id")), Seq("qid", "_id"))
+      .groupBy("qid").agg(count(lit(1)).as("_h"))
+    pre.join(post, Seq("qid", "rank"), "left")
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"), col("rank"), col("pre_id"), col("pre_cosine"),
+        col("post_id"),
+        (coalesce(col("_h"), lit(0L)) * 200L).as("post_recall5_milli"))
+      .orderBy("qid", "rank")
+  }
+
+  val annFilteredOracle: String =
+    s"""WITH o AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |c AS (SELECT vec_id, v, ${normSql("v")} AS n FROM o),
+       |q AS (SELECT vec_id AS qid, v AS qv, n AS qn FROM c WHERE vec_id < 10),
+       |preR AS (SELECT qid, vec_id, cosine, rank FROM (
+       |  SELECT q.qid, c.vec_id,
+       |         round((${dotSql("q.qv", "c.v")}) / (q.qn * c.n), 5) AS cosine,
+       |         row_number() OVER (PARTITION BY q.qid
+       |           ORDER BY round((${dotSql("q.qv", "c.v")}) / (q.qn * c.n), 7) DESC,
+       |                    c.vec_id) AS rank
+       |  FROM q JOIN c ON c.vec_id % 3 = 0 AND c.vec_id <> q.qid)
+       |  WHERE rank <= 5),
+       |fullR AS (SELECT qid, vec_id, rank FROM (
+       |  SELECT q.qid, c.vec_id,
+       |         row_number() OVER (PARTITION BY q.qid
+       |           ORDER BY round((${dotSql("q.qv", "c.v")}) / (q.qn * c.n), 7) DESC,
+       |                    c.vec_id) AS rank
+       |  FROM q JOIN c ON c.vec_id <> q.qid)
+       |  WHERE rank <= 5),
+       |postR AS (SELECT qid, vec_id,
+       |            row_number() OVER (PARTITION BY qid ORDER BY rank) AS rank
+       |          FROM fullR WHERE vec_id % 3 = 0),
+       |hits AS (SELECT preR.qid, CAST(count(*) AS BIGINT) AS h
+       |         FROM preR JOIN postR
+       |           ON postR.qid = preR.qid AND postR.vec_id = preR.vec_id
+       |         GROUP BY preR.qid)
+       |SELECT preR.qid, CAST(preR.rank AS INT) AS rank,
+       |       preR.vec_id AS pre_id, preR.cosine AS pre_cosine,
+       |       postR.vec_id AS post_id,
+       |       coalesce(h, 0) * 200 AS post_recall5_milli
+       |FROM preR
+       |LEFT JOIN postR ON postR.qid = preR.qid AND postR.rank = preR.rank
+       |LEFT JOIN hits ON hits.qid = preR.qid
+       |ORDER BY preR.qid, preR.rank""".stripMargin
+
   private def l2sqSql(a: String, b: String): String =
     (1 to Dim).map(i => s"($a[$i]-$b[$i])*($a[$i]-$b[$i])").mkString(" + ")
 
@@ -813,6 +911,8 @@ object AnnQueries {
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
     "ann_ivf_search" -> (annIvfSearch _),
+    "ann_ivf_incremental" -> (annIvfIncremental _),
+    "ann_filtered" -> (annFiltered _),
     "block_embedding" -> (blockEmbedding _),
     "match_vector_features" -> (matchVectorFeatures _)
   )
@@ -830,6 +930,10 @@ object AnnQueries {
     "ann_bruteforce" -> annBruteforceOracle,
     "ann_lsh" -> annLshOracle,
     "ann_ivf_search" -> annIvfSearchOracle,
+    // the incremental index hash-gates against the FULL-REBUILD law:
+    // assignment is pointwise, so both must agree bit for bit
+    "ann_ivf_incremental" -> annIvfSearchOracle,
+    "ann_filtered" -> annFilteredOracle,
     "block_embedding" -> blockEmbeddingOracle,
     "match_vector_features" -> matchVectorFeaturesOracle
   )

@@ -184,6 +184,29 @@ class Round11Spec extends AnyFunSuite {
     Seq(mrr, r1, r5, r10).foreach(v => assert(v >= 0 && v <= 1000))
   }
 
+  // ---------- incremental IVF / filtered ANN ----------
+
+  test("ann_ivf_incremental equals the full rebuild row for row " +
+      "(pointwise-assignment law)") {
+    val inc = graft.ann.AnnQueries.annIvfIncremental(spark, sf).collect()
+    val full = graft.ann.AnnQueries.annIvfSearch(spark, sf).collect()
+    assert(inc.length == full.length && inc.nonEmpty)
+    inc.zip(full).foreach { case (a, b) => assert(a == b, s"$a != $b") }
+  }
+
+  test("ann_filtered: pre-filter rows always match the predicate; " +
+      "post-filter never beats pre-filter recall") {
+    val rows = graft.ann.AnnQueries.annFiltered(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) % 3 == 0, "pre_id must satisfy the predicate")
+      if (!r.isNullAt(4))
+        assert(r.getLong(4) % 3 == 0, "post_id must satisfy the predicate")
+      val rec = r.getLong(5)
+      assert(rec >= 0 && rec <= 1000)
+    }
+  }
+
   // ---------- sharded KMV union ----------
 
   test("profile_kmv_sharded: merged shard sketches equal the whole-input " +
