@@ -544,6 +544,90 @@ object ProfileQueries {
       |  max(emd_milli) AS max_emd_milli
       |FROM per""".stripMargin
 
+  /** The privacy RELEASE GATE — the decision step over the audit trio
+    * (the threshold-pick idiom applied to governance): one row that
+    * says whether the quasi-identified view may ship, from the three
+    * audits a release review actually runs — k-anonymity (re-identi-
+    * fication), l-diversity (homogeneity attack), t-closeness
+    * (skewness attack). Each audit is already a 1-row summary; the
+    * gate is their cross join (1×1×1) plus the decision flags, so the
+    * whole check costs three QI-bounded aggregation passes at any row
+    * count. A release gate must FAIL CLOSED: `release_ok` is true only
+    * when every audit passes outright.
+    */
+  def profilePrivacyGate(s: SparkSession, dir: String): DataFrame = {
+    val kanon = profileKanon(s, dir)
+      .select(col("n_small_classes"), col("n_rows_at_risk").as("kanon_rows_at_risk"))
+    val ldiv = profileLdiv(s, dir)
+      .select(col("n_undiverse_classes"),
+        col("n_rows_at_risk").as("ldiv_rows_at_risk"))
+    val tclose = profileTclose(s, dir)
+      .select(col("n_skewed_classes"),
+        col("n_rows_at_risk").as("tclose_rows_at_risk"))
+    kanon.crossJoin(ldiv).crossJoin(tclose) // 1 row × 1 row × 1 row
+      .select(
+        lit(5L).as("k"), lit(3L).as("l"), lit(200L).as("t_milli"),
+        col("kanon_rows_at_risk"), col("ldiv_rows_at_risk"),
+        col("tclose_rows_at_risk"),
+        (col("n_small_classes") === 0L).as("kanon_ok"),
+        (col("n_undiverse_classes") === 0L).as("ldiv_ok"),
+        (col("n_skewed_classes") === 0L).as("tclose_ok"),
+        (col("n_small_classes") === 0L && col("n_undiverse_classes") === 0L
+          && col("n_skewed_classes") === 0L).as("release_ok"))
+  }
+
+  val profilePrivacyGateOracle: String =
+    """WITH kc AS (
+      |  SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS class_size,
+      |    CAST(count(DISTINCT CAST(c_acctbal < 0 AS BIGINT) * 10 +
+      |      CAST(floor(c_acctbal / 2000.0) AS BIGINT)) AS BIGINT) AS n_sensitive
+      |  FROM customer GROUP BY 1, 2),
+      |ka AS (SELECT CAST(sum(CASE WHEN class_size < 5 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_small,
+      |       CAST(sum(CASE WHEN class_size < 5 THEN class_size ELSE 0 END) AS BIGINT)
+      |         AS kanon_rows_at_risk
+      |       FROM kc),
+      |ld AS (SELECT CAST(sum(CASE WHEN n_sensitive < 3 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_undiverse,
+      |       CAST(sum(CASE WHEN n_sensitive < 3 THEN class_size ELSE 0 END) AS BIGINT)
+      |         AS ldiv_rows_at_risk
+      |       FROM kc),
+      |base AS (
+      |  SELECT c_nationkey AS nat, c_mktsegment AS seg,
+      |         CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS b
+      |  FROM customer),
+      |global AS (SELECT b, CAST(count(*) AS BIGINT) AS g FROM base GROUP BY b),
+      |tot AS (SELECT CAST(sum(g) AS BIGINT) AS nt,
+      |               CAST(count(*) AS BIGINT) AS m FROM global),
+      |classes AS (SELECT nat, seg, CAST(count(*) AS BIGINT) AS n
+      |            FROM base GROUP BY nat, seg),
+      |cb AS (SELECT nat, seg, b, CAST(count(*) AS BIGINT) AS c
+      |       FROM base GROUP BY nat, seg, b),
+      |grid AS (SELECT cl.nat, cl.seg, cl.n, gl.b, gl.g,
+      |                coalesce(cb.c, 0) AS c
+      |         FROM classes cl CROSS JOIN global gl
+      |         LEFT JOIN cb ON cb.nat = cl.nat AND cb.seg = cl.seg AND cb.b = gl.b),
+      |pfx AS (SELECT nat, seg, n, m, nt,
+      |          sum(c * nt - g * n) OVER (PARTITION BY nat, seg ORDER BY b
+      |            ROWS UNBOUNDED PRECEDING) AS p
+      |        FROM grid, tot),
+      |per AS (SELECT nat, seg, n,
+      |          CAST(CAST(sum(abs(p)) AS HUGEINT) * 1000
+      |               // ((m - 1) * n * nt) AS BIGINT) AS emd_milli
+      |        FROM pfx GROUP BY nat, seg, n, m, nt),
+      |tc AS (SELECT CAST(sum(CASE WHEN emd_milli > 200 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_skewed,
+      |       CAST(sum(CASE WHEN emd_milli > 200 THEN n ELSE 0 END) AS BIGINT)
+      |         AS tclose_rows_at_risk
+      |       FROM per)
+      |SELECT CAST(5 AS BIGINT) AS k, CAST(3 AS BIGINT) AS l,
+      |  CAST(200 AS BIGINT) AS t_milli,
+      |  kanon_rows_at_risk, ldiv_rows_at_risk, tclose_rows_at_risk,
+      |  n_small = 0 AS kanon_ok, n_undiverse = 0 AS ldiv_ok,
+      |  n_skewed = 0 AS tclose_ok,
+      |  (n_small = 0 AND n_undiverse = 0 AND n_skewed = 0) AS release_ok
+      |FROM ka, ld, tc""".stripMargin
+
   /** Benford's-law first-digit audit over order totals — the classic
     * fabricated-numbers screen (forensic accounting, synthetic-data
     * detection). First significant digit via string head of the cents
@@ -1011,6 +1095,7 @@ object ProfileQueries {
     "profile_kmv" -> (profileKmv _),
     "profile_kmv_sharded" -> (profileKmvSharded _),
     "profile_tclose" -> (profileTclose _),
+    "profile_privacy_gate" -> (profilePrivacyGate _),
     "profile_join_size_est" -> (profileJoinSizeEst _),
     "profile_quantile_sketch" -> (profileQuantileSketch _),
     "profile_theta_overlap" -> (profileThetaOverlap _),
@@ -1038,6 +1123,7 @@ object ProfileQueries {
     "profile_kmv" -> profileKmvOracle,
     "profile_kmv_sharded" -> profileKmvShardedOracle,
     "profile_tclose" -> profileTcloseOracle,
+    "profile_privacy_gate" -> profilePrivacyGateOracle,
     "profile_join_size_est" -> profileJoinSizeEstOracle,
     "profile_quantile_sketch" -> profileQuantileSketchOracle,
     "profile_theta_overlap" -> profileThetaOverlapOracle,

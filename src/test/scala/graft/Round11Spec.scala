@@ -137,6 +137,19 @@ class Round11Spec extends AnyFunSuite {
     assert(maxE > minE, "a uniform-EMD audit would mean the law collapsed")
   }
 
+  test("profile_privacy_gate fails closed: release_ok is the conjunction " +
+      "of the three audit flags") {
+    val r = graft.profiling.ProfileQueries.profilePrivacyGate(spark, sf).collect()(0)
+    val (ka, ld, tc, ok) =
+      (r.getBoolean(6), r.getBoolean(7), r.getBoolean(8), r.getBoolean(9))
+    assert(ok == (ka && ld && tc), "gate must be the conjunction, nothing weaker")
+    // a violated audit names at least one row at risk, a passing one none
+    // (every violating class holds >= 1 row)
+    assert(ka == (r.getLong(3) == 0L))
+    assert(ld == (r.getLong(4) == 0L))
+    assert(tc == (r.getLong(5) == 0L))
+  }
+
   // ---------- perceptual-hash near-dup ----------
 
   test("aHash64: identical payloads collide; the fingerprint is a pure " +
