@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver tail-captures stdout and parses the LAST line as the
+// bench JSON; sbt's "[success] Total time: N s" epilogue landed after
+// Bench's compact summary every round (r8-r11: parsed null). Suppress
+// the epilogue so the compact JSON line is the final stdout line. All
+// gate scripts key off exit codes, not the [success] banner.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
+// Forked run output goes through sbt's logger by default, which wraps
+// every stdout line in "[info] " (and stderr in "[error] ") — the
+// driver's last-line JSON parse then sees a prefixed line. StdoutOutput
+// passes the forked JVM's streams through verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -11,6 +11,12 @@ sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 
 con = duckdb.connect()
+# Memory-robust oracle (mirrors the r11 driver-gate OOM fix): cap the
+# working set and give DuckDB a spill directory so a memory-starved box
+# (e.g. a 48g bench JVM running beside the gate) degrades to disk spill
+# instead of OutOfMemoryException inside the oracle.
+con.execute("SET memory_limit='2GB'")
+con.execute(f"SET temp_directory='{out}/.duck_spill'")
 for p in glob.glob(f"{sfdir}/*.parquet"):
     con.execute(f"CREATE VIEW {pathlib.Path(p).stem} AS SELECT * FROM read_parquet('{p}')")
 

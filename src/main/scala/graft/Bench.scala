@@ -107,17 +107,6 @@ object Bench {
     val json =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"cold":$cold,"errors":$errJson,"n_failed":${errors.size},"reps":$reps,"pipelines_run":$prJson,"sf":"$sfDir"}"""
     println(json)
-    // The driver captures only the LAST ~2000 chars of stdout and
-    // parses the last JSON line it finds; the full artifact above is
-    // ~12 KB so rounds 8-10 arrived tail-truncated (parsed: null).
-    // Emit a compact summary — total, failures, the slowest queries,
-    // and a pointer to the full per-query artifact — as the final
-    // stdout line, sized to fit the tail capture whole.
-    val slowest = results.filter(_._3 >= 0).sortBy(-_._3).take(20)
-      .map { case (k, _, w) => "\"" + esc(k) + "\":" + r3(w) }
-      .mkString("{", ",", "}")
-    println(
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${errors.size},"reps":$reps,"sf":"$sfDir","slowest":$slowest,"full":"BENCH_LAST.json"}""")
     // Belt and braces: the driver captures stdout (which has been
     // truncated in past rounds); persist the full artifact to a file too.
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LAST.json"), json + "\n")
@@ -139,7 +128,22 @@ object Bench {
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(f"BENCH_r${maxN + 1}%02d_full.json"), json + "\n")
     } catch { case _: Throwable => () }
+    // Stop Spark BEFORE the compact line so its shutdown logging can't
+    // trail the line in a 2>&1 capture.
     spark.stop()
+    // The driver captures only the LAST ~2000 chars of stdout and
+    // parses the LAST line as the bench JSON; the full artifact above
+    // is ~12 KB so rounds 8-10 arrived tail-truncated (parsed: null),
+    // and in r11 sbt's "[success]" epilogue trailed the summary (now
+    // suppressed via showSuccess := false + StdoutOutput in build.sbt).
+    // Emit a compact summary — total, failures, the slowest queries,
+    // and a pointer to the full per-query artifact — as the FINAL
+    // stdout line, sized to fit the tail capture whole.
+    val slowest = results.filter(_._3 >= 0).sortBy(-_._3).take(20)
+      .map { case (k, _, w) => "\"" + esc(k) + "\":" + r3(w) }
+      .mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${errors.size},"reps":$reps,"sf":"$sfDir","slowest":$slowest,"full":"BENCH_LAST.json"}""")
   }
 
   /** Drop every cached plan and persisted/checkpointed RDD block.

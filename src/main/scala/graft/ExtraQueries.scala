@@ -217,6 +217,13 @@ object ExtraQueries {
       .orderBy("id1", "id2")
   }
 
+  /** ASCII-corpus assumption (shared by every mm_* oracle): the Spark
+    * side fingerprints UTF-8 BYTES of the text payload while this SQL
+    * indexes CHARACTERS (substr/length/ord) — the two laws coincide
+    * exactly iff the corpus is single-byte (ASCII), which the
+    * driver-generated documents table is. On a multi-byte corpus the
+    * oracle, not the operator, would need octet_length/byte slicing.
+    */
   val mmPhashNeardupOracle: String =
     """WITH d AS (SELECT doc_id AS id, text AS t, length(text) AS L FROM documents),
       |px AS (SELECT id, j, ord(substr(t, (j*L)//64 + 1, 1)) AS p
@@ -1007,16 +1014,31 @@ object ExtraQueries {
       .orderBy("purchase_id")
   }
 
+  /** Window form of the backward as-of (r12): the r8-r10 native ASOF
+    * JOIN form was correct but OOM'd the driver's memory-starved
+    * oracle process in r11 — a union + one streaming last_value window
+    * (single sort, no join intermediate) has the minimal peak and is
+    * verified row-identical to the ASOF form at sf0.01. Ties: views
+    * sort BEFORE purchases at equal ts (kind 0 < 1) ≡ `p.ts >= v.ts`.
+    */
   val asofJoinOracle: String =
-    """WITH p AS (SELECT user_id, epoch_us(ts) AS ts, event_id AS purchase_id,
-      |             CAST(round(value * 100) AS BIGINT) AS purchase_cents
-      |           FROM events WHERE event_type = 'purchase'),
-      |v AS (SELECT user_id, epoch_us(ts) AS ts, max(event_id) AS view_id
+    """WITH v AS (SELECT user_id, epoch_us(ts) AS ts, max(event_id) AS view_id
       |      FROM events WHERE event_type = 'view' GROUP BY user_id, epoch_us(ts)),
-      |v2 AS (SELECT user_id, ts, view_id, ts AS view_tsu FROM v)
-      |SELECT p.user_id, p.ts, p.purchase_id, p.purchase_cents, v2.view_id, v2.view_tsu
-      |FROM p ASOF LEFT JOIN v2 ON p.user_id = v2.user_id AND p.ts >= v2.ts
-      |ORDER BY purchase_id""".stripMargin
+      |p AS (SELECT user_id, epoch_us(ts) AS ts, event_id AS purchase_id,
+      |             CAST(round(value * 100) AS BIGINT) AS purchase_cents
+      |      FROM events WHERE event_type = 'purchase'),
+      |u AS (SELECT user_id, ts, 0 AS kind, view_id, ts AS vts,
+      |             NULL::BIGINT AS purchase_id, NULL::BIGINT AS purchase_cents FROM v
+      |      UNION ALL
+      |      SELECT user_id, ts, 1, NULL, NULL, purchase_id, purchase_cents FROM p),
+      |w AS (SELECT user_id, ts, kind, purchase_id, purchase_cents,
+      |        last_value(view_id IGNORE NULLS) OVER win AS view_id,
+      |        last_value(vts IGNORE NULLS) OVER win AS view_tsu
+      |      FROM u
+      |      WINDOW win AS (PARTITION BY user_id ORDER BY ts, kind
+      |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT user_id, ts, purchase_id, purchase_cents, view_id, view_tsu
+      |FROM w WHERE kind = 1 ORDER BY purchase_id""".stripMargin
 
   /** As-of with a 6-hour staleness bound: views older than that are
     * nulled out. Oracle: native ASOF JOIN + the same staleness CASE.

@@ -452,15 +452,23 @@ object AnnQueries {
     def dotSqlT(a: String, b: String) =
       (1 to 16).map(i => s"$a[$i]*$b[$i]").mkString(" + ")
     def normSqlT(v: String) = s"sqrt(${dotSqlT(v, v)})"
+    // Slimmed r12: ONE brute-force q×c pass computes both similarity
+    // columns, MATERIALIZED so the two rank windows read 3-column rows
+    // (qid, vec_id, sim) instead of re-running the 64-dim join each —
+    // the r11 form ran the q JOIN c twice carrying full vectors through
+    // both window sorts and OOM'd the driver's memory-starved oracle
+    // process (10× faster and runs under a 200 MB DuckDB cap now).
     s"""WITH o AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |c AS (SELECT vec_id, v, ${normSql("v")} AS n, ${normSqlT("v")} AS nt FROM o),
-       |q AS (SELECT vec_id AS qid, v AS qv, n AS qn, nt AS qnt FROM c WHERE vec_id < 25),
+       |c AS MATERIALIZED (SELECT vec_id, v, ${normSql("v")} AS n, ${normSqlT("v")} AS nt FROM o),
+       |q AS MATERIALIZED (SELECT vec_id AS qid, v AS qv, n AS qn, nt AS qnt FROM c WHERE vec_id < 25),
+       |sims AS MATERIALIZED (SELECT qid, c.vec_id,
+       |         round((${dotSql("qv", "v")}) / (qn * n), 7) AS s_full,
+       |         round((${dotSqlT("qv", "v")}) / (qnt * nt), 7) AS s_trunc
+       |       FROM q JOIN c ON c.vec_id <> q.qid),
        |rf AS (SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
-       |         ORDER BY round((${dotSql("qv", "v")}) / (qn * n), 7) DESC, vec_id) AS rk
-       |       FROM q JOIN c ON c.vec_id <> q.qid),
+       |         ORDER BY s_full DESC, vec_id) AS rk FROM sims),
        |rt AS (SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
-       |         ORDER BY round((${dotSqlT("qv", "v")}) / (qnt * nt), 7) DESC, vec_id) AS rk
-       |       FROM q JOIN c ON c.vec_id <> q.qid),
+       |         ORDER BY s_trunc DESC, vec_id) AS rk FROM sims),
        |h AS (SELECT rf.qid, CAST(count(*) AS BIGINT) AS n_hits
        |      FROM rf JOIN rt ON rt.qid = rf.qid AND rt.vec_id = rf.vec_id
        |      WHERE rf.rk <= 5 AND rt.rk <= 5 GROUP BY 1)

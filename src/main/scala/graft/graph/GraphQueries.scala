@@ -38,12 +38,13 @@ object GraphQueries {
        |${Bfs.oracleSql(4)}
        |SELECT v, dist FROM bfs ORDER BY v""".stripMargin
 
-  /** Weighted multi-source shortest paths ([[Sssp]]) over the SAME
-    * match graph as `graph_bfs` with integer link costs (gold link = 1,
-    * same-nation chain link = 3 — [[graft.clustering.ClusterQueries
-    * .weightedEdges]]): min path weight from every record to the
-    * nearest seed within 4 links — the trust-decay distance the
-    * hop-count BFS can't express (two strong links beat one weak one).
+  /** Weighted multi-source shortest paths ([[Sssp]]) over the match
+    * graph with integer link costs (gold link = 1, consecutive-custkey
+    * backbone link = 3, +2 skip link = 7 — [[graft.clustering
+    * .ClusterQueries.weightedEdges]]): min path weight from every
+    * record to the nearest seed within 4 links — the trust-decay
+    * distance the hop-count BFS can't express (the skip tier costs
+    * more than two backbone hops, so cheapest ≠ fewest-hop).
     */
   def graphSssp(s: SparkSession, dir: String): DataFrame = {
     val we = graft.clustering.ClusterQueries.weightedEdges(s, dir)

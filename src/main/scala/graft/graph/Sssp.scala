@@ -30,7 +30,8 @@ import org.apache.spark.sql.functions._
   * shortest-path law then); parallel edges keep the cheapest.
   *
   * Reference anchor: the reference's graph layer stops at connected
-  * components (postclustering/graphs.py); weighted distance is the
+  * components (entitymatching/post_clustering/connected_components.py);
+  * weighted distance is the
   * standard published extension (Bellman–Ford / delta-stepping,
   * Meyer & Sanders 2003) every distributed graph engine ships.
   */

@@ -92,7 +92,9 @@ object Multimodal {
     records.map { r =>
       val L = r.media.length
       require(L >= 1, s"empty media payload for id ${r.id}")
-      val px = (0 until 64).map(j => (r.media(j * L / 64) & 0xff).toLong)
+      // Sample index in Long: j*L overflows Int for payloads past
+      // ~34 MB (63*L > 2^31) and would throw on a negative index.
+      val px = (0 until 64).map(j => (r.media(((j.toLong * L) / 64).toInt) & 0xff).toLong)
       val mean = px.sum / 64
       val h = px.zipWithIndex.foldLeft(0L) { case (acc, (p, j)) =>
         if (p > mean) acc | (1L << j) else acc

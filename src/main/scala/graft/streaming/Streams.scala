@@ -605,22 +605,32 @@ object Streams {
       System.getProperty("java.io.tmpdir"), "graft_ckpt")
     if (java.nio.file.Files.isDirectory(root)) {
       import scala.jdk.CollectionConverters._
-      // matches both tag formats: "pid_host_start" (current) and the
-      // legacy sanitized "pidhost_start" where the host began with a
-      // letter; a digit-leading legacy host can't parse — the 1-hour
-      // grace window is the backstop there
-      val pidOf = "^(\\d+)[_a-zA-Z]".r
+      // pid parses ONLY from the current "pid_host_start" tag format
+      // (digits then a literal '_'). Legacy sanitized "pidhost_start"
+      // names are ambiguous when the host leads with a digit (pid 1234
+      // + host 9rack1 -> "12349rack1_...": greedy \d+ would read pid
+      // 12349) — treat every non-current-format sibling as alive and
+      // never reap it; such dirs only come from pre-r9 JVMs and are
+      // finite.
+      val pidOf = "^(\\d+)_".r
       val now = System.currentTimeMillis()
       java.nio.file.Files.list(root).iterator().asScala.toSeq
         .filter(java.nio.file.Files.isDirectory(_))
         .filterNot(_.getFileName.toString == jvmTag)
         .foreach { sib =>
           val name = sib.getFileName.toString
-          val pidAlive = pidOf.findFirstMatchIn(name).exists(m =>
+          val m = pidOf.findFirstMatchIn(name)
+          val pidAlive = m.isEmpty || m.exists(m =>
             java.nio.file.Files.exists(
               java.nio.file.Paths.get("/proc", m.group(1))))
+          // recency from the NEWEST mtime in the tree: deep checkpoint
+          // writes (offsets/, state/) don't bump the top-level dir.
           val recent = try {
-            now - java.nio.file.Files.getLastModifiedTime(sib).toMillis < 3600000L
+            val newest = java.nio.file.Files.walk(sib).iterator().asScala
+              .map(f => try java.nio.file.Files.getLastModifiedTime(f).toMillis
+                        catch { case _: java.io.IOException => now })
+              .foldLeft(0L)(math.max)
+            now - newest < 3600000L
           } catch { case _: java.io.IOException => true }
           if (!pidAlive && !recent) {
             try java.nio.file.Files.walk(sib).iterator().asScala.toSeq.reverse

@@ -118,12 +118,23 @@ class Round11Spec extends AnyFunSuite {
     assert(rows.keySet == Set("lsh", "lsh_tuned", "ivf", "pq", "ivfpq", "sq8"),
       s"methods: ${rows.keySet}")
     rows.values.foreach(v => assert(v >= 0 && v <= 1000))
-    // OR-construction must dominate the single table it extends
-    assert(rows("lsh_tuned") > rows("lsh"),
+    // The cross-tier orderings below are DATA-DEPENDENT (they hold on
+    // the driver-generated sf0.01 embeddings but are not laws of the
+    // index families), so pin them with ≥ (no strict gap): a
+    // regenerated corpus may tie, but OR-construction can never
+    // RETRIEVE LESS than the single table it extends when the recall
+    // differences we currently observe (820 vs 0, 920 vs 340 milli)
+    // collapse entirely.
+    assert(rows("lsh_tuned") >= rows("lsh"),
       s"lsh_tuned ${rows("lsh_tuned")} vs lsh ${rows("lsh")}")
-    // 8-bit/dim scalar codes are strictly finer than 4-subspace PQ here
-    assert(rows("sq8") > rows("pq"),
+    // 8-bit/dim scalar codes vs 4-subspace PQ: finer on this corpus
+    assert(rows("sq8") >= rows("pq"),
       s"sq8 ${rows("sq8")} vs pq ${rows("pq")}")
+    // recorded expected values at the test SF (sf0.01, driver-generated
+    // seed): regenerating the corpus shifts these — update the pins
+    // with the data, they exist to catch CODE regressions at fixed data
+    assert(rows("lsh_tuned") >= 500 && rows("ivf") >= 500 && rows("sq8") >= 500,
+      s"strong tiers lost recall on fixed data: $rows")
   }
 
   // ---------- t-closeness ----------
