@@ -530,37 +530,51 @@ object TextQueries {
     * number that says whether to SHIP it): self-retrieval protocol
     * (each query is a corpus document's leading terms; the document
     * itself is the known-relevant answer — the standard label-free
-    * index smoke test), scored as MRR and recall@{1,5,10}, all exact
-    * integer milli (per-query reciprocal rank floor(1000/rank), summed
-    * then floor-divided — deterministic in both engines, no float
-    * means). One extra filter + two 1-row aggs on top of the ranked
-    * frame the bm25 query already builds.
+    * index smoke test), scored as MRR, recall@{1,5,10}, and nDCG@10,
+    * all exact integer milli (per-query reciprocal rank
+    * floor(1000/rank), summed then floor-divided — deterministic in
+    * both engines, no float means). nDCG under binary self-relevance
+    * has IDCG = 1, so the per-query gain is 1/log2(rank+1) =
+    * ln2/ln(rank+1) — computed with [[graft.functions.DetMath.detLn]]
+    * (bit-identical ln in both engines; rank+1 ∈ [2,11] ⊂ domain),
+    * floor-scaled to micro units per hit BEFORE summation so the
+    * aggregate is an exact long. One extra filter + two 1-row aggs on
+    * top of the ranked frame the bm25 query already builds.
     */
   def textRetrievalEval(s: SparkSession, dir: String): DataFrame = {
     import graft.profiling.Sketches.idiv
+    import graft.functions.DetMath
     val docs = graft.Tables.documents(s, dir)
     val queries = docs.where(col("doc_id") % 25 === 0)
     val topk = TextOps.bm25TopK(docs, "doc_id", "text",
       queries, "doc_id", "text")
     val self = topk.filter(col("q_id") === col("doc_id"))
+    val ndcgGain = floor((lit(DetMath.Ln2) /
+      DetMath.detLn(col("rank").cast("double") + lit(1.0))) * lit(1000000.0))
     val stats = self.agg(
       count(lit(1)).as("n_found"),
       coalesce(sum(idiv(lit(1000L), col("rank"))), lit(0L)).as("_mrr_sum"),
       coalesce(sum(when(col("rank") <= 1, 1L).otherwise(0L)), lit(0L)).as("_f1"),
-      coalesce(sum(when(col("rank") <= 5, 1L).otherwise(0L)), lit(0L)).as("_f5"))
+      coalesce(sum(when(col("rank") <= 5, 1L).otherwise(0L)), lit(0L)).as("_f5"),
+      coalesce(sum(ndcgGain), lit(0L)).as("_ndcg_sum"))
     val nq = queries.agg(count(lit(1)).as("n_queries"))
     stats.crossJoin(nq) // 1 row × 1 row
       .select(col("n_queries"), col("n_found"),
         idiv(col("_mrr_sum"), col("n_queries")).as("mrr_milli"),
         idiv(col("_f1") * 1000L, col("n_queries")).as("recall1_milli"),
         idiv(col("_f5") * 1000L, col("n_queries")).as("recall5_milli"),
-        idiv(col("n_found") * 1000L, col("n_queries")).as("recall10_milli"))
+        idiv(col("n_found") * 1000L, col("n_queries")).as("recall10_milli"),
+        idiv(col("_ndcg_sum"), col("n_queries") * lit(1000L)).as("ndcg10_milli"))
   }
 
   val textRetrievalEvalOracle: String =
-    bm25RankedWith + """,
+    bm25RankedWith + s""",
       |self AS (SELECT q_id, rank FROM rk WHERE doc_id = q_id AND rank <= 10),
       |nq AS (SELECT CAST(count(*) AS BIGINT) AS n_queries FROM q),
+      |${graft.functions.DetMath.sqlLnCtes("lnr", "self", "q_id, rank",
+             "CAST(rank + 1 AS DOUBLE)")},
+      |sg AS (SELECT CAST(coalesce(sum(CAST(floor((${graft.functions.DetMath.Ln2Sql}
+      |         / lnv) * 1000000.0) AS BIGINT)), 0) AS BIGINT) AS ndcg_sum FROM lnr),
       |s1 AS (SELECT CAST(count(*) AS BIGINT) AS n_found,
       |         CAST(coalesce(sum(1000 // rank), 0) AS BIGINT) AS mrr_sum,
       |         CAST(coalesce(sum(CASE WHEN rank <= 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS f1,
@@ -570,8 +584,9 @@ object TextQueries {
       |  mrr_sum // n_queries AS mrr_milli,
       |  f1 * 1000 // n_queries AS recall1_milli,
       |  f5 * 1000 // n_queries AS recall5_milli,
-      |  n_found * 1000 // n_queries AS recall10_milli
-      |FROM s1, nq""".stripMargin
+      |  n_found * 1000 // n_queries AS recall10_milli,
+      |  ndcg_sum // (n_queries * 1000) AS ndcg10_milli
+      |FROM s1, nq, sg""".stripMargin
 
   /** Unigram token entropy per document: diversity filter with
     * bit-deterministic logs (TextOps.tokenEntropy).

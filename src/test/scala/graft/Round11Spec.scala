@@ -201,11 +201,17 @@ class Round11Spec extends AnyFunSuite {
     val r = graft.text.TextQueries.textRetrievalEval(spark, sf).collect()(0)
     val (nq, nf) = (r.getLong(0), r.getLong(1))
     val (mrr, r1, r5, r10) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+    val ndcg = r.getLong(6)
     assert(nq > 0 && nf <= nq)
     assert(r1 <= r5 && r5 <= r10, s"recall must be monotone: $r1/$r5/$r10")
     assert(r1 <= mrr && mrr <= r10,
       s"MRR $mrr must sit between recall@1 $r1 and recall@10 $r10")
-    Seq(mrr, r1, r5, r10).foreach(v => assert(v >= 0 && v <= 1000))
+    // nDCG sandwich: per query 1/r <= ln2/ln(r+1) <= 1 for r in 1..10,
+    // so MRR <= nDCG@10 <= recall@10 in milli (±1 for the finer micro
+    // flooring on the nDCG side).
+    assert(mrr - 1 <= ndcg && ndcg <= r10,
+      s"nDCG@10 $ndcg must sit between MRR $mrr and recall@10 $r10")
+    Seq(mrr, r1, r5, r10, ndcg).foreach(v => assert(v >= 0 && v <= 1000))
   }
 
   // ---------- incremental IVF / filtered ANN ----------
