@@ -62,6 +62,23 @@ object Ann {
       .select(col("qid"), col("_id").as(id), round(col("_cos"), 5).as("cosine"), col("rank"))
   }
 
+  /** Uncut brute-force ranking (same order law as [[bruteForceTopK]]:
+    * round(cos,7) desc, id asc; self excluded): (qid, id, full_rank)
+    * for EVERY corpus vector — the shared frame a post-filter query
+    * cuts at several k values without re-running the scan.
+    */
+  def bruteForceRanked(queries: DataFrame, corpus: DataFrame, id: String,
+      vec: String, dim: Int): DataFrame = {
+    val q = withNorm(queries, id, vec, dim)
+      .select(col("_id").as("qid"), col("_v").as("_qv"), col("_n").as("_qn"))
+    val c = withNorm(corpus, id, vec, dim)
+    val w = Window.partitionBy(col("qid")).orderBy(round(col("_cos"), 7).desc, col("_id"))
+    broadcast(q).join(c, col("qid") =!= col("_id"))
+      .withColumn("_cos", dot(col("_qv"), col("_v"), dim) / (col("_qn") * col("_n")))
+      .withColumn("full_rank", row_number().over(w))
+      .select(col("qid"), col("_id").as(id), col("full_rank"))
+  }
+
   /** LSH top-k (#59): identical contract to [[bruteForceTopK]] but
     * candidates are restricted to the query's hyperplane bucket — an
     * equi-join on the bucket id. Recall is tunable via plane count /

@@ -336,6 +336,110 @@ object AnnQueries {
        |LEFT JOIN hits ON hits.qid = preR.qid
        |ORDER BY preR.qid, preR.rank""".stripMargin
 
+  /** The OPERATOR answer to `ann_filtered`'s measurement: post-filter
+    * search with a selectivity-derived oversampled cut. `ann_filtered`
+    * showed the naive composition (search at k, then filter) loses
+    * 600-1000 milli of recall; a deployment fixes that by searching
+    * deeper — search_k = ceil(k / selectivity) with selectivity
+    * MEASURED from the corpus (exact integer arithmetic: ceil(k·n/ns)),
+    * then post-filtering and keeping the first k. One uncut ranking
+    * ([[Ann.bruteForceRanked]], persisted) feeds the naive cut AND the
+    * oversampled cut, so the contrast is measured on one scan. The
+    * subset law guarantees over_recall ≥ post_recall per query (the
+    * filtered survivors of top-5 are a prefix of the filtered
+    * survivors of top-search_k). At 100 TB the same cut composes with
+    * the IVF/PQ tiers — search_k only changes the k handed to the
+    * index, not the plan shape.
+    */
+  def annFilteredOversample(s: SparkSession, dir: String): DataFrame = {
+    import graft.profiling.Sketches.idiv
+    import org.apache.spark.sql.expressions.Window
+    val c = orig(s, dir)
+    val q = c.filter(col("vec_id") < 10)
+    val subset = c.filter(col("vec_id") % 3 === 0)
+    val pre = Ann.bruteForceTopK(q, subset, "vec_id", "v", Dim, k = 5)
+      .select(col("qid"), col("rank"), col("vec_id").as("pre_id"))
+    val ranked = Ann.bruteForceRanked(q, c, "vec_id", "v", Dim)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val sk = c.agg(count(lit(1)).as("_n"),
+          sum(when(col("vec_id") % 3 === 0, 1L).otherwise(0L)).as("_ns"))
+        .select(idiv(lit(5L) * col("_n") + col("_ns") - 1L, col("_ns")).as("search_k"),
+          idiv(col("_ns") * 1000L, col("_n")).as("selectivity_milli"))
+      val w = Window.partitionBy("qid").orderBy("full_rank")
+      val over = ranked.crossJoin(broadcast(sk)) // 1-row stats frame
+        .filter(col("vec_id") % 3 === 0 && col("full_rank") <= col("search_k"))
+        .select(col("qid"), col("vec_id"), col("full_rank"),
+          col("search_k"), col("selectivity_milli"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+      val post = ranked.filter(col("vec_id") % 3 === 0 && col("full_rank") <= 5)
+        .withColumn("rank", row_number().over(w))
+        .select(col("qid"), col("rank"), col("vec_id").as("post_id"))
+      def hits(side: DataFrame, idc: String, out: String) =
+        pre.select(col("qid"), col("pre_id").as("_id"))
+          .join(side.select(col("qid"), col(idc).as("_id")), Seq("qid", "_id"))
+          .groupBy("qid").agg(count(lit(1)).as(out))
+      val hOver = hits(over, "vec_id", "_ho")
+      val hPost = hits(post, "post_id", "_hp")
+      pre.join(over.select(col("qid"), col("rank"), col("vec_id").as("over_id"),
+            col("search_k"), col("selectivity_milli")), Seq("qid", "rank"), "left")
+        .join(hOver, Seq("qid"), "left").join(hPost, Seq("qid"), "left")
+        .select(col("qid"), col("rank"), col("pre_id"), col("over_id"),
+          col("search_k"), col("selectivity_milli"),
+          (coalesce(col("_hp"), lit(0L)) * 200L).as("post_recall5_milli"),
+          (coalesce(col("_ho"), lit(0L)) * 200L).as("over_recall5_milli"))
+        .orderBy("qid", "rank")
+        .localCheckpoint(true)
+    } finally ranked.unpersist(false)
+  }
+
+  val annFilteredOversampleOracle: String =
+    s"""WITH o AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |c AS MATERIALIZED (SELECT vec_id, v, ${normSql("v")} AS n FROM o),
+       |q AS (SELECT vec_id AS qid, v AS qv, n AS qn FROM c WHERE vec_id < 10),
+       |sk AS (SELECT (5 * n + ns - 1) // ns AS search_k,
+       |              ns * 1000 // n AS selectivity_milli FROM (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(CASE WHEN vec_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ns
+       |  FROM c)),
+       |rk AS MATERIALIZED (SELECT qid, vec_id, fr FROM (
+       |  SELECT q.qid, c.vec_id,
+       |         row_number() OVER (PARTITION BY q.qid
+       |           ORDER BY round((${dotSql("q.qv", "c.v")}) / (q.qn * c.n), 7) DESC,
+       |                    c.vec_id) AS fr
+       |  FROM q JOIN c ON c.vec_id <> q.qid)),
+       |preR AS (SELECT qid, vec_id, rank FROM (
+       |  SELECT q.qid, c.vec_id,
+       |         row_number() OVER (PARTITION BY q.qid
+       |           ORDER BY round((${dotSql("q.qv", "c.v")}) / (q.qn * c.n), 7) DESC,
+       |                    c.vec_id) AS rank
+       |  FROM q JOIN c ON c.vec_id % 3 = 0 AND c.vec_id <> q.qid)
+       |  WHERE rank <= 5),
+       |overR AS (SELECT qid, vec_id, search_k, selectivity_milli,
+       |            row_number() OVER (PARTITION BY qid ORDER BY fr) AS rank
+       |          FROM rk, sk WHERE vec_id % 3 = 0 AND fr <= search_k),
+       |postR AS (SELECT qid, vec_id,
+       |            row_number() OVER (PARTITION BY qid ORDER BY fr) AS rank
+       |          FROM rk WHERE vec_id % 3 = 0 AND fr <= 5),
+       |ho AS (SELECT preR.qid, CAST(count(*) AS BIGINT) AS h FROM preR
+       |       JOIN overR ON overR.qid = preR.qid AND overR.vec_id = preR.vec_id
+       |                  AND overR.rank <= 5
+       |       GROUP BY preR.qid),
+       |hp AS (SELECT preR.qid, CAST(count(*) AS BIGINT) AS h FROM preR
+       |       JOIN postR ON postR.qid = preR.qid AND postR.vec_id = preR.vec_id
+       |       GROUP BY preR.qid)
+       |SELECT preR.qid, CAST(preR.rank AS INT) AS rank,
+       |       preR.vec_id AS pre_id, overR.vec_id AS over_id,
+       |       overR.search_k, overR.selectivity_milli,
+       |       coalesce(hp.h, 0) * 200 AS post_recall5_milli,
+       |       coalesce(ho.h, 0) * 200 AS over_recall5_milli
+       |FROM preR
+       |LEFT JOIN overR ON overR.qid = preR.qid AND overR.rank = preR.rank
+       |LEFT JOIN ho ON ho.qid = preR.qid
+       |LEFT JOIN hp ON hp.qid = preR.qid
+       |ORDER BY preR.qid, preR.rank""".stripMargin
+
   private def l2sqSql(a: String, b: String): String =
     (1 to Dim).map(i => s"($a[$i]-$b[$i])*($a[$i]-$b[$i])").mkString(" + ")
 
@@ -921,6 +1025,7 @@ object AnnQueries {
     "ann_ivf_search" -> (annIvfSearch _),
     "ann_ivf_incremental" -> (annIvfIncremental _),
     "ann_filtered" -> (annFiltered _),
+    "ann_filtered_oversample" -> (annFilteredOversample _),
     "block_embedding" -> (blockEmbedding _),
     "match_vector_features" -> (matchVectorFeatures _)
   )
@@ -942,6 +1047,7 @@ object AnnQueries {
     // assignment is pointwise, so both must agree bit for bit
     "ann_ivf_incremental" -> annIvfSearchOracle,
     "ann_filtered" -> annFilteredOracle,
+    "ann_filtered_oversample" -> annFilteredOversampleOracle,
     "block_embedding" -> blockEmbeddingOracle,
     "match_vector_features" -> matchVectorFeaturesOracle
   )
