@@ -349,6 +349,139 @@ object IoQueries {
        |ORDER BY layout, chunk""".stripMargin
   }
 
+  /** Where [[ioZorderPruned]] lands its two layouts (exposed so the
+    * spec can re-open the selective read and assert the pushed-filter
+    * scan shape on the executed plan).
+    */
+  def zorderPath(dir: String): String =
+    java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_zorder_${dir.hashCode.toHexString}").toString
+
+  /** Z-order pruning MEASURED on real parquet files (the claim
+    * `io_zorder` proves on chunk stats, cashed on disk): both layouts
+    * are written as 16 actual parquet files (one per chunk — the
+    * row-group/file stand-in a Delta/Iceberg data-skipping index
+    * stats), then per-FILE min/max is derived by reading the files
+    * back and grouping by `input_file_name()` — stats from the bytes
+    * on disk, not from the plan. For two predicates — a 2-D box
+    * (nat = 7 AND bal IN [4,7], the z-order win) and a 1-D range
+    * (bal IN [4,7], the single-sort win) — the frame reports how many
+    * files a stats-aware reader MUST read (file ranges overlapping the
+    * predicate box) out of the 16 total, next to the matching row
+    * count. The oracle predicts the same numbers from the layout law
+    * alone (chunk ≡ file), so the hash gate proves the written layout
+    * realizes the predicted pruning. Both predicates ship because the
+    * trade is the lesson: Z bounds both dimensions per file (few files
+    * for the box, slightly more for the 1-D range); the single sort is
+    * optimal for its own column and unable to prune the other.
+    */
+  def ioZorderPruned(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = customer(s, dir).select(
+      col("c_custkey").as("id"),
+      expr("CAST(c_nationkey AS BIGINT) * 16 div 25").as("nat"),
+      expr("(CAST(round(c_acctbal * 100) AS BIGINT) + 100000) * 16 div 1200000")
+        .as("bal"))
+      .withColumn("z", morton(col("nat"), col("bal"), 4))
+    val out = zorderPath(dir)
+    def write(layout: String, ord: Seq[org.apache.spark.sql.Column]): Unit =
+      base.withColumn("chunk",
+          ntile(16).over(Window.orderBy(ord: _*)).cast("long"))
+        .select("id", "nat", "bal", "chunk")
+        .repartition(1) // one task -> exactly one file per chunk dir
+        .write.mode("overwrite").partitionBy("chunk")
+        .parquet(s"$out/$layout")
+    write("zorder", Seq(col("z"), col("id")))
+    write("single", Seq(col("bal"), col("id")))
+    def measure(layout: String): DataFrame = {
+      val r = s.read.parquet(s"$out/$layout")
+        .select(col("nat"), col("bal"), input_file_name().as("_f"))
+      val boxRow = col("nat") === 7 && col("bal").between(4, 7)
+      val balRow = col("bal").between(4, 7)
+      val natRow = col("nat") === 7
+      val fileStats = r.groupBy("_f").agg(
+        min("nat").as("_mn"), max("nat").as("_xn"),
+        min("bal").as("_mb"), max("bal").as("_xb"))
+      val boxFile = col("_mn") <= 7 && col("_xn") >= 7 &&
+        col("_mb") <= 7 && col("_xb") >= 4
+      val balFile = col("_mb") <= 7 && col("_xb") >= 4
+      val natFile = col("_mn") <= 7 && col("_xn") >= 7
+      val files = fileStats.agg(count(lit(1)).as("_total"),
+        sum(when(boxFile, 1L).otherwise(0L)).as("_fbox"),
+        sum(when(balFile, 1L).otherwise(0L)).as("_fbal"),
+        sum(when(natFile, 1L).otherwise(0L)).as("_fnat"))
+      val rows = r.agg(sum(when(boxRow, 1L).otherwise(0L)).as("_rbox"),
+        sum(when(balRow, 1L).otherwise(0L)).as("_rbal"),
+        sum(when(natRow, 1L).otherwise(0L)).as("_rnat"))
+      // unpivot via explode-of-structs: ONE pass over each 1-row agg
+      files.crossJoin(rows)
+        .select(explode(array(
+          struct(lit("box").as("pred"), col("_total").as("n_files_total"),
+            col("_fbox").as("n_files_read"), col("_rbox").as("n_rows_matched")),
+          struct(lit("bal_range").as("pred"), col("_total").as("n_files_total"),
+            col("_fbal").as("n_files_read"), col("_rbal").as("n_rows_matched")),
+          struct(lit("nat_eq").as("pred"), col("_total").as("n_files_total"),
+            col("_fnat").as("n_files_read"), col("_rnat").as("n_rows_matched"))))
+          .as("_s"))
+        .select(lit(layout).as("layout"), col("_s.pred"),
+          col("_s.n_files_total"), col("_s.n_files_read"),
+          col("_s.n_rows_matched"))
+    }
+    measure("zorder").unionAll(measure("single")).orderBy("layout", "pred")
+  }
+
+  val ioZorderPrunedOracle: String = {
+    val m = sqlMorton("nat", "bal", 4)
+    s"""WITH base AS (
+       |  SELECT c_custkey AS id, CAST(c_nationkey AS BIGINT) * 16 // 25 AS nat,
+       |         (CAST(round(c_acctbal * 100) AS BIGINT) + 100000) * 16 // 1200000 AS bal
+       |  FROM customer),
+       |z AS (SELECT *, $m AS z FROM base),
+       |cz AS (SELECT nat, bal, ntile(16) OVER (ORDER BY z, id) AS chunk FROM z),
+       |cs AS (SELECT nat, bal, ntile(16) OVER (ORDER BY bal, id) AS chunk FROM z),
+       |fz AS (SELECT chunk, min(nat) mn, max(nat) xn, min(bal) mb, max(bal) xb
+       |       FROM cz GROUP BY 1),
+       |fs AS (SELECT chunk, min(nat) mn, max(nat) xn, min(bal) mb, max(bal) xb
+       |       FROM cs GROUP BY 1),
+       |rows_m AS (SELECT
+       |    CAST(sum(CASE WHEN nat = 7 AND bal BETWEEN 4 AND 7 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS rbox,
+       |    CAST(sum(CASE WHEN bal BETWEEN 4 AND 7 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS rbal,
+       |    CAST(sum(CASE WHEN nat = 7 THEN 1 ELSE 0 END) AS BIGINT) AS rnat
+       |  FROM base),
+       |agg_z AS (SELECT CAST(count(*) AS BIGINT) AS total,
+       |    CAST(sum(CASE WHEN mn <= 7 AND xn >= 7 AND mb <= 7 AND xb >= 4
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS fbox,
+       |    CAST(sum(CASE WHEN mb <= 7 AND xb >= 4 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS fbal,
+       |    CAST(sum(CASE WHEN mn <= 7 AND xn >= 7 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS fnat
+       |  FROM fz),
+       |agg_s AS (SELECT CAST(count(*) AS BIGINT) AS total,
+       |    CAST(sum(CASE WHEN mn <= 7 AND xn >= 7 AND mb <= 7 AND xb >= 4
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS fbox,
+       |    CAST(sum(CASE WHEN mb <= 7 AND xb >= 4 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS fbal,
+       |    CAST(sum(CASE WHEN mn <= 7 AND xn >= 7 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS fnat
+       |  FROM fs)
+       |SELECT layout, pred, n_files_total, n_files_read, n_rows_matched FROM (
+       |  SELECT 'zorder' AS layout, 'box' AS pred, total AS n_files_total,
+       |         fbox AS n_files_read, rbox AS n_rows_matched FROM agg_z, rows_m
+       |  UNION ALL
+       |  SELECT 'zorder', 'bal_range', total, fbal, rbal FROM agg_z, rows_m
+       |  UNION ALL
+       |  SELECT 'zorder', 'nat_eq', total, fnat, rnat FROM agg_z, rows_m
+       |  UNION ALL
+       |  SELECT 'single', 'box', total, fbox, rbox FROM agg_s, rows_m
+       |  UNION ALL
+       |  SELECT 'single', 'bal_range', total, fbal, rbal FROM agg_s, rows_m
+       |  UNION ALL
+       |  SELECT 'single', 'nat_eq', total, fnat, rnat FROM agg_s, rows_m)
+       |ORDER BY layout, pred""".stripMargin
+  }
+
   private def csvPath(dir: String): String =
     java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
       s"graft_csv_${dir.hashCode.toHexString}").toString
@@ -475,6 +608,7 @@ object IoQueries {
     "io_table_diff" -> (ioTableDiff _),
     "io_csv_roundtrip" -> (ioCsvRoundtrip _),
     "io_zorder" -> (ioZorder _),
+    "io_zorder_pruned" -> (ioZorderPruned _),
     "io_orc" -> (ioOrc _),
     "io_compact" -> (ioCompact _),
     "io_merge_schema" -> (ioMergeSchema _),
@@ -492,6 +626,7 @@ object IoQueries {
     "io_table_diff" -> ioTableDiffOracle,
     "io_csv_roundtrip" -> ioCsvRoundtripOracle,
     "io_zorder" -> ioZorderOracle,
+    "io_zorder_pruned" -> ioZorderPrunedOracle,
     "io_orc" -> ioOrcOracle,
     "io_compact" -> ioCompactOracle,
     "io_merge_schema" -> ioMergeSchemaOracle,

@@ -45,4 +45,44 @@ class Round12Spec extends AnyFunSuite {
         "over_id must satisfy the predicate")
     }
   }
+
+  test("io_zorder_pruned: measured file skipping — single sort cannot " +
+      "prune the non-sorted dimension, z-order prunes both") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.io.IoQueries.ioZorderPruned(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows.size == 6, s"expected 2 layouts x 3 preds: ${rows.keys}")
+    // 16 real files per layout, every predicate's matching-row count
+    // identical across layouts (layout changes WHERE rows live, never
+    // WHICH rows match)
+    rows.values.foreach { case (total, read, _) =>
+      assert(total == 16); assert(read >= 1 && read <= total)
+    }
+    Seq("box", "bal_range", "nat_eq").foreach { p =>
+      assert(rows(("zorder", p))._3 == rows(("single", p))._3,
+        s"pred $p: matched rows must be layout-independent")
+    }
+    // the lesson, measured on bytes written to disk:
+    // 1. a predicate on the NON-sorted dimension defeats the single
+    //    sort completely (its files all span the full nat range)...
+    assert(rows(("single", "nat_eq"))._2 == 16,
+      "single sort must be unable to prune nat")
+    // ...while the z-layout bounds nat per file and skips
+    assert(rows(("zorder", "nat_eq"))._2 < 16,
+      "z-order must prune files on the non-sorted dimension")
+    // 2. on the 2-D box, z-order needs no more files than the single
+    //    sort; 3. on the sorted column's own range, the single sort is
+    //    at least as good — the honest trade
+    assert(rows(("zorder", "box"))._2 <= rows(("single", "box"))._2)
+    assert(rows(("single", "bal_range"))._2 <= rows(("zorder", "bal_range"))._2)
+    // plan pin: the selective read of the written layout carries the
+    // predicate INTO the parquet scan (PushedFilters) — stats-based
+    // skipping happens below Spark, but only for pushed filters
+    val sel = spark.read.parquet(graft.io.IoQueries.zorderPath(sf) + "/zorder")
+      .filter(col("nat") === 7 && col("bal").between(4, 7))
+    val plan = sel.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:") && plan.contains("EqualTo(nat,7)"),
+      s"predicate must reach the parquet scan, got:\n$plan")
+  }
 }
