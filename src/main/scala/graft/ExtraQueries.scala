@@ -834,6 +834,119 @@ object ExtraQueries {
       |FROM est JOIN ex ON est.window_start = ex.window_start AND est.q_milli = ex.q_milli
       |ORDER BY est.window_start, est.q_milli""".stripMargin
 
+  /** Windowed drift audit — PSI per event-time window against a fixed
+    * reference snapshot, over [[graft.streaming.Streams
+    * .driftWindowBins]]'s windowed-histogram state shape (the drift
+    * face of the windowed-sketch family; r11 verdict ask #7 chose this
+    * over a streaming privacy gate). A regression is PLANTED like
+    * `profile_drift`'s: from Jan 24 every value arrives 100.00 too
+    * high (the "scraper started double-counting fees" story), so
+    * windows before the cutoff must stay quiet and windows after must
+    * fire — the assertion a monitor exists to make. Per (window, bin):
+    * window count vs baseline count and the exact-integer PSI
+    * contribution (smoothed +1/+bins, detLn circuit — bit-identical in
+    * both engines); per window: psi_scaled and the drift flag at the
+    * conventional PSI > 0.2 threshold. The bin law is FIXED-domain
+    * (streaming-safe — observed-min/max binning would absorb the very
+    * shift it must detect). State at scale: windows × 10 longs.
+    */
+  def streamDriftAudit(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.DetMath.detLn
+    import org.apache.spark.sql.expressions.Window
+    val ev = events(s, dir)
+    val cut = lit(java.sql.Timestamp.valueOf("2024-01-24 00:00:00"))
+    val shifted = ev.withColumn("value",
+      when(col("ts") >= cut, col("value") + 100.0).otherwise(col("value")))
+    val wb = graft.streaming.Streams.driftWindowBins(shifted)
+    val baseBins = ev
+      .select(graft.streaming.Streams.driftBin(col("value")).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("_nb0"))
+    val grid = wb.select("window_start").distinct()
+      .crossJoin(s.range(10).select(col("id").as("bin"))) // windows × 10
+    val filled = grid
+      .join(wb, Seq("window_start", "bin"), "left")
+      .join(baseBins, Seq("bin"), "left")
+      .select(col("window_start"), col("bin"),
+        coalesce(col("n"), lit(0L)).as("n_window"),
+        coalesce(col("_nb0"), lit(0L)).as("n_base"))
+    val w = Window.partitionBy("window_start")
+    // each window partition holds each bin exactly once, so the two
+    // partition sums ARE the window total and the baseline total
+    val tot = filled
+      .withColumn("_na", sum("n_window").over(w))
+      .withColumn("_nb", sum("n_base").over(w))
+    val bl = lit(10L)
+    val pa = (col("n_window") + lit(1L)).cast("double") / (col("_na") + bl).cast("double")
+    val pb = (col("n_base") + lit(1L)).cast("double") / (col("_nb") + bl).cast("double")
+    val lnRatio = detLn((col("n_window") + lit(1L)).cast("double")) -
+      detLn((col("n_base") + lit(1L)).cast("double")) -
+      detLn((col("_na") + bl).cast("double")) +
+      detLn((col("_nb") + bl).cast("double"))
+    tot
+      .withColumn("psi_contrib_scaled",
+        floor((pa - pb) * lnRatio * lit(1.0e12)).cast("long"))
+      .withColumn("psi_scaled", sum("psi_contrib_scaled").over(w))
+      .select(col("window_start"), col("bin"), col("n_window"), col("n_base"),
+        col("psi_contrib_scaled"), col("psi_scaled"),
+        (col("psi_scaled") > lit(200000000000L)).as("drift"))
+      .orderBy("window_start", "bin")
+  }
+
+  val streamDriftAuditOracle: String = {
+    import graft.functions.DetMath
+    val binOf = (v: String) =>
+      s"least(greatest(CAST(round($v * 100) AS BIGINT), 0), 49999) * 10 // 50000"
+    s"""WITH sh AS (SELECT ts,
+       |    CASE WHEN ts >= TIMESTAMP '2024-01-24 00:00:00'
+       |         THEN value + 100.0 ELSE value END AS value
+       |  FROM events),
+       |wb AS (SELECT date_trunc('day', ts) AS window_start,
+       |         ${binOf("value")} AS bin, CAST(count(*) AS BIGINT) AS n
+       |       FROM sh GROUP BY 1, 2),
+       |bb AS (SELECT ${binOf("value")} AS bin, CAST(count(*) AS BIGINT) AS nb0
+       |       FROM events GROUP BY 1),
+       |grid AS (SELECT ws.window_start, b.bin
+       |         FROM (SELECT DISTINCT window_start FROM wb) ws,
+       |              (SELECT unnest(range(0, 10)) AS bin) b),
+       |filled AS (SELECT g.window_start, g.bin,
+       |             coalesce(wb.n, 0) AS n_window, coalesce(bb.nb0, 0) AS n_base
+       |           FROM grid g
+       |           LEFT JOIN wb ON wb.window_start = g.window_start AND wb.bin = g.bin
+       |           LEFT JOIN bb ON bb.bin = g.bin),
+       |tot AS (SELECT window_start, bin, n_window, n_base,
+       |          CAST(sum(n_window) OVER (PARTITION BY window_start) AS BIGINT) AS na,
+       |          CAST(sum(n_base) OVER (PARTITION BY window_start) AS BIGINT) AS nb
+       |        FROM filled),
+       |${DetMath.sqlLnCtes("la", "tot", "window_start, bin, n_window, n_base, na, nb",
+            "CAST(n_window + 1 AS DOUBLE)")},
+       |r1 AS (SELECT window_start, bin, n_window, n_base, na, nb, lnv AS l_a FROM la),
+       |${DetMath.sqlLnCtes("lb", "r1",
+            "window_start, bin, n_window, n_base, na, nb, l_a",
+            "CAST(n_base + 1 AS DOUBLE)")},
+       |r2 AS (SELECT window_start, bin, n_window, n_base, na, nb, l_a, lnv AS l_b FROM lb),
+       |${DetMath.sqlLnCtes("lc", "r2",
+            "window_start, bin, n_window, n_base, na, nb, l_a, l_b",
+            "CAST(na + 10 AS DOUBLE)")},
+       |r3 AS (SELECT window_start, bin, n_window, n_base, na, nb, l_a, l_b,
+       |              lnv AS l_na FROM lc),
+       |${DetMath.sqlLnCtes("ld", "r3",
+            "window_start, bin, n_window, n_base, na, nb, l_a, l_b, l_na",
+            "CAST(nb + 10 AS DOUBLE)")},
+       |r4 AS (SELECT window_start, bin, n_window, n_base, na, nb, l_a, l_b, l_na,
+       |              lnv AS l_nb FROM ld),
+       |per AS (SELECT window_start, bin, n_window, n_base,
+       |          CAST(floor(((CAST(n_window + 1 AS DOUBLE) / (na + 10))
+       |                      - (CAST(n_base + 1 AS DOUBLE) / (nb + 10)))
+       |                     * (l_a - l_b - l_na + l_nb) * 1e12) AS BIGINT)
+       |            AS psi_contrib_scaled
+       |        FROM r4),
+       |fin AS (SELECT *, CAST(sum(psi_contrib_scaled)
+       |          OVER (PARTITION BY window_start) AS BIGINT) AS psi_scaled FROM per)
+       |SELECT window_start, bin, n_window, n_base, psi_contrib_scaled, psi_scaled,
+       |       psi_scaled > 200000000000 AS drift
+       |FROM fin ORDER BY window_start, bin""".stripMargin
+  }
+
   /** STREAM-STREAM interval join run FOR REAL: the events dir read as
     * TWO independent streaming sources (views / purchases), inner-
     * joined on user within a 24 h event-time window
@@ -1853,7 +1966,8 @@ object ExtraQueries {
     "stream_hll" -> (streamHll _),
     "stream_cms" -> (streamCms _),
     "stream_quantile" -> (streamQuantile _),
-    "stream_session_window" -> (streamSessionWindow _)
+    "stream_session_window" -> (streamSessionWindow _),
+    "stream_drift_audit" -> (streamDriftAudit _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -1889,6 +2003,7 @@ object ExtraQueries {
     "stream_sliding_window" -> streamSlidingWindowOracle,
     "stream_sessionize" -> streamSessionizeOracle,
     "stream_dedup" -> streamDedupOracle,
+    "stream_drift_audit" -> streamDriftAuditOracle,
     "stream_upsert" -> streamUpsertOracle,
     "stream_contamination" -> streamContaminationOracle,
     "stream_asof" -> streamAsofOracle,

@@ -343,6 +343,37 @@ object Streams {
       .select(col("w.start").as("window_start"), col("j"), col("bucket"), col("c"))
   }
 
+  /** The fixed-domain bin law shared by [[driftWindowBins]] and its
+    * baseline face: cents clamped to [0, domainCents), split into
+    * `bins` equal integer buckets. Domain CONSTANTS, not observed
+    * min/max — a stream cannot know its eventual range, and a drifting
+    * range is exactly what the monitor must detect rather than absorb.
+    */
+  def driftBin(value: Column, bins: Int = 10, domainCents: Long = 50000L): Column =
+    graft.profiling.Sketches.idiv(
+      greatest(lit(0L), least(graft.Tables.cents(value), lit(domainCents - 1L)))
+        * lit(bins.toLong),
+      lit(domainCents))
+
+  /** Per-window fixed-domain value histogram — the DRIFT face of the
+    * windowed-sketch family ([[hllWindowRegisters]] /
+    * [[cmsWindowCounters]] / [[reservoirWindow]]): bin counts of the
+    * event value per event-time window under [[driftBin]]'s fixed law.
+    * State = windows × bins longs at ANY event rate (the exact
+    * per-window distribution state a naive monitor keeps is every
+    * value seen). One transform serves batch (hash-gated via
+    * `stream_drift_audit`, which puts a PSI circuit on top) and
+    * streaming (append-mode windowed agg — Round12Spec proves streamed
+    * bins ≡ batch bins on MemoryStream, watermark-closed windows).
+    */
+  def driftWindowBins(events: DataFrame, dur: String = "1 day", bins: Int = 10,
+      domainCents: Long = 50000L): DataFrame =
+    events
+      .select(col("ts"), driftBin(col("value"), bins, domainCents).as("bin"))
+      .groupBy(window(col("ts"), dur).as("w"), col("bin"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("bin"), col("n"))
+
   /** Per-window bottom-k hash reservoir — the QUANTILE sibling of
     * [[hllWindowRegisters]]/[[cmsWindowCounters]]: one windowed agg
     * whose state per window is ONE size-capped

@@ -85,4 +85,77 @@ class Round12Spec extends AnyFunSuite {
     assert(plan.contains("PushedFilters:") && plan.contains("EqualTo(nat,7)"),
       s"predicate must reach the parquet scan, got:\n$plan")
   }
+
+  test("driftWindowBins: streamed bins equal the batch histogram exactly " +
+      "(watermark-closed window, real stateful agg)") {
+    import org.apache.spark.sql.execution.streaming.runtime.{MemoryStream, StreamingQueryWrapper}
+    import org.apache.spark.sql.functions._
+    import graft.streaming.Streams
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(t: String) = java.sql.Timestamp.valueOf(t)
+    // batches must ascend in event time across addData calls (late rows
+    // beyond the watermark are dropped) — day 1 in two batches, then a
+    // day-3 marker to close day 1's window
+    val day1a = (1 to 200).map(i => (ts("2024-01-01 06:00:00"), i * 2.37))
+    val day1b = (1 to 150).map(i => (ts("2024-01-01 18:00:00"), i * 3.11 + 120.0))
+    val mem = MemoryStream[(java.sql.Timestamp, Double)]
+    val q = Streams.driftWindowBins(
+        mem.toDF.toDF("ts", "value").withWatermark("ts", "1 hour"))
+      .writeStream.format("memory").queryName("drift_sink")
+      .outputMode("append")
+      .option("checkpointLocation", Streams.freshCheckpointDir("drift_spec"))
+      .start()
+    try {
+      mem.addData(day1a: _*)
+      q.processAllAvailable()
+      mem.addData(day1b: _*)
+      q.processAllAvailable()
+      mem.addData((ts("2024-01-03 12:00:00"), 1.0))
+      q.processAllAvailable()
+      val streamed = spark.table("drift_sink")
+        .filter($"window_start" === ts("2024-01-01 00:00:00"))
+        .select("bin", "n")
+      val batch = (day1a ++ day1b).toDF("ts", "value")
+        .select(Streams.driftBin($"value").as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("n"))
+      assert(streamed.count() > 0, "day-1 window must have emitted")
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+        "streamed bin counts must equal the batch histogram exactly")
+      val exec = q.asInstanceOf[StreamingQueryWrapper].streamingQuery.lastExecution
+      assert(exec.executedPlan.toString.contains("StateStoreSave"),
+        "must be a real stateful streaming aggregation")
+    } finally q.stop()
+  }
+
+  test("stream_drift_audit: every shifted window fires and the planted " +
+      "shift separates cleanly from pre-cutoff noise") {
+    val rows = graft.ExtraQueries.streamDriftAudit(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val cut = java.sql.Timestamp.valueOf("2024-01-24 00:00:00")
+    val byW = rows.groupBy(_.getTimestamp(0))
+    val (post, pre) = byW.partition { case (w, _) => !w.before(cut) }
+    assert(post.nonEmpty && pre.nonEmpty)
+    // every shifted window must fire — the assertion a monitor exists for
+    post.foreach { case (w, rs) =>
+      assert(rs.head.getBoolean(6), s"shifted window $w did not fire")
+    }
+    // the planted +100.00 shift must separate from sampling noise: the
+    // QUIETEST shifted window scores far above the LOUDEST unshifted
+    // one. (At sf0.01's ~330-event windows the unshifted side also sits
+    // under the 0.2 flag threshold; the ~33-event windows at this SF
+    // smooth-noise above it, which is a window-sizing lesson, not a
+    // monitor defect — hence the separation pin, not a threshold pin.)
+    val maxPre = pre.values.map(_.head.getLong(5)).max
+    val minPost = post.values.map(_.head.getLong(5)).min
+    assert(minPost > 4L * maxPre,
+      s"planted shift must dominate noise: min post $minPost vs max pre $maxPre")
+    // psi is constant within a window and contribs sum to it
+    byW.foreach { case (w, rs) =>
+      val psi = rs.head.getLong(5)
+      assert(rs.forall(_.getLong(5) == psi))
+      assert(rs.map(_.getLong(4)).sum == psi, s"window $w: contribs must sum to psi")
+    }
+  }
 }
