@@ -120,7 +120,11 @@ object Bench {
       "dedup_simhash" -> ("r12 A/B vs r10 tree: no code regression (2.68 vs 2.95 " +
         "same box); then filter-before-distinct cut it to 2.48 solo"),
       "pipeline_data_e2e" -> ("r12 A/B vs r10 tree: HEAD faster (1.95-2.06 vs " +
-        "2.30 same box); r10_full 1.35 was a quieter driver box"))
+        "2.30 same box); r10_full 1.35 was a quieter driver box"),
+      "ann_filtered" -> ("untouched since r11; r12 solo min-of-9 = 0.70 s, " +
+        "faster than r11's 1.00 — any in-suite delta is contention"),
+      "io_partitioned" -> ("untouched since r11; r12 solo min-of-9 = 0.81 s, " +
+        "in-family with r11's 0.64 — any in-suite delta is contention"))
     val pnJson = probeNotes.toSeq.sorted
       .map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }
       .mkString("{", ",", "}")
