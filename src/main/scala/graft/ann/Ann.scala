@@ -341,6 +341,32 @@ object Ann {
       .select(col("qid"), col("_id").as(id), round(cos, 5).as("cosine"), col("rank"))
   }
 
+  /** Uncut IVF ranking within the probed cells — the
+    * [[bruteForceRanked]] analogue for the index tier: (qid, id,
+    * full_rank) for EVERY corpus vector in the query's nprobe cells,
+    * same order law as [[ivfSearchAssigned]] (round(cos,7) desc, id
+    * asc). A post-filter consumer cuts this at any k — including a
+    * COLUMN-valued k like a measured-selectivity search_k — without
+    * re-running the cell probe or the scoring scan.
+    */
+  def ivfRanked(queries: DataFrame, assigned: DataFrame, cents: DataFrame,
+      id: String, vec: String, dim: Int, nprobe: Int = 3): DataFrame = {
+    val q = withNorm(queries, id, vec, dim)
+      .select(col("_id").as("qid"), col("_v").as("_qv"), col("_n").as("_qn"))
+    val cellW = Window.partitionBy(col("qid")).orderBy(col("_d").desc, col("_cell"))
+    val qCells = broadcast(q).crossJoin(broadcast(cents))
+      .withColumn("_d", dot(col("_qv"), col("_cv"), dim))
+      .withColumn("_rn", row_number().over(cellW))
+      .filter(col("_rn") <= nprobe)
+      .select(col("qid"), col("_qv"), col("_qn"), col("_cell"))
+    val cos = dot(col("_qv"), col("_v"), dim) / (col("_qn") * col("_n"))
+    val w = Window.partitionBy(col("qid")).orderBy(round(cos, 7).desc, col("_id"))
+    qCells.join(assigned, Seq("_cell"))
+      .filter(col("qid") =!= col("_id"))
+      .withColumn("full_rank", row_number().over(w))
+      .select(col("qid"), col("_id").as(id), col("full_rank"))
+  }
+
   /** IVF top-k (the FAISS-style scale path): a k-means coarse quantizer
     * partitions the corpus into `nlist` cells, then [[ivfSearch]] runs
     * the relational search phase. Search cost drops from O(n) to

@@ -440,6 +440,127 @@ object AnnQueries {
        |LEFT JOIN hp ON hp.qid = preR.qid
        |ORDER BY preR.qid, preR.rank""".stripMargin
 
+  /** `ann_filtered_oversample` COMPOSED WITH THE INDEX TIER — the
+    * production-shaped filtered vector search (the claim that query's
+    * doc makes, proven as code): the same selectivity-derived search_k
+    * cuts ONE uncut IVF ranking ([[Ann.ivfRanked]] over the probed
+    * cells), so oversampling changes only the k handed to the index,
+    * never the plan shape. Pre-filter truth is the filtered index
+    * itself — and because assignment is POINTWISE ([[Ann.ivfAssign]],
+    * the `ann_ivf_incremental` law), the subset's index IS the full
+    * assignment frame filtered, so pre/naive/oversampled all ride one
+    * assignment + one scoring pass. Same guarantee as the brute-force
+    * face: over-recall ≥ naive post-recall per query.
+    */
+  def annIvfFilteredOversample(s: SparkSession, dir: String): DataFrame = {
+    import graft.profiling.Sketches.idiv
+    import org.apache.spark.sql.expressions.Window
+    val c = orig(s, dir)
+    val q = c.filter(col("vec_id") < 10)
+    val cents = c.orderBy("vec_id").limit(16)
+      .select((row_number().over(Window.orderBy("vec_id")) - 1).as("_cell"),
+        col("v").as("_cv"))
+    val assigned = Ann.ivfAssign(c, cents, "vec_id", "v", Dim)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // pre-filter truth within the tier: the pointwise law makes the
+      // subset's index = the full assignment filtered
+      val pre = Ann.ivfSearchAssigned(q, assigned.filter(col("_id") % 3 === 0),
+          cents, "vec_id", "v", Dim, k = 5, nprobe = 3)
+        .select(col("qid"), col("rank"), col("vec_id").as("pre_id"))
+      val ranked = Ann.ivfRanked(q, assigned, cents, "vec_id", "v", Dim, nprobe = 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val sk = c.agg(count(lit(1)).as("_n"),
+            sum(when(col("vec_id") % 3 === 0, 1L).otherwise(0L)).as("_ns"))
+          .select(idiv(lit(5L) * col("_n") + col("_ns") - 1L, col("_ns")).as("search_k"),
+            idiv(col("_ns") * 1000L, col("_n")).as("selectivity_milli"))
+        val w = Window.partitionBy("qid").orderBy("full_rank")
+        val over = ranked.crossJoin(broadcast(sk))
+          .filter(col("vec_id") % 3 === 0 && col("full_rank") <= col("search_k"))
+          .select(col("qid"), col("vec_id"), col("full_rank"),
+            col("search_k"), col("selectivity_milli"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+        val post = ranked.filter(col("vec_id") % 3 === 0 && col("full_rank") <= 5)
+          .withColumn("rank", row_number().over(w))
+          .select(col("qid"), col("rank"), col("vec_id").as("post_id"))
+        def hits(side: DataFrame, idc: String, out: String) =
+          pre.select(col("qid"), col("pre_id").as("_id"))
+            .join(side.select(col("qid"), col(idc).as("_id")), Seq("qid", "_id"))
+            .groupBy("qid").agg(count(lit(1)).as(out))
+        val hOver = hits(over, "vec_id", "_ho")
+        val hPost = hits(post, "post_id", "_hp")
+        pre.join(over.select(col("qid"), col("rank"), col("vec_id").as("over_id"),
+              col("search_k"), col("selectivity_milli")), Seq("qid", "rank"), "left")
+          .join(hOver, Seq("qid"), "left").join(hPost, Seq("qid"), "left")
+          .select(col("qid"), col("rank"), col("pre_id"), col("over_id"),
+            col("search_k"), col("selectivity_milli"),
+            (coalesce(col("_hp"), lit(0L)) * 200L).as("post_recall5_milli"),
+            (coalesce(col("_ho"), lit(0L)) * 200L).as("over_recall5_milli"))
+          .orderBy("qid", "rank")
+          .localCheckpoint(true)
+      } finally ranked.unpersist(false)
+    } finally assigned.unpersist(false)
+  }
+
+  val annIvfFilteredOversampleOracle: String =
+    s"""WITH o AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |c AS MATERIALIZED (SELECT vec_id, v, ${normSql("v")} AS n FROM o),
+       |cents AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cell, v AS cv
+       |          FROM (SELECT * FROM o ORDER BY vec_id LIMIT 16)),
+       |asg0 AS (SELECT c.vec_id, c.v, c.n, cents.cell,
+       |         row_number() OVER (PARTITION BY c.vec_id
+       |           ORDER BY ${l2sqSql("c.v", "cents.cv")}, cents.cell) AS rn
+       |         FROM c CROSS JOIN cents),
+       |asg AS (SELECT vec_id, v, n, cell FROM asg0 WHERE rn = 1),
+       |q AS (SELECT vec_id AS qid, v AS qv, n AS qn FROM c WHERE vec_id < 10),
+       |qc0 AS (SELECT q.qid, q.qv, q.qn, cents.cell,
+       |        row_number() OVER (PARTITION BY q.qid
+       |          ORDER BY (${dotSql("q.qv", "cents.cv")}) DESC, cents.cell) AS rn
+       |        FROM q CROSS JOIN cents),
+       |qc AS (SELECT qid, qv, qn, cell FROM qc0 WHERE rn <= 3),
+       |sk AS (SELECT (5 * n + ns - 1) // ns AS search_k,
+       |              ns * 1000 // n AS selectivity_milli FROM (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(CASE WHEN vec_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ns
+       |  FROM c)),
+       |scored AS MATERIALIZED (
+       |  SELECT qc.qid, asg.vec_id,
+       |         round((${dotSql("qc.qv", "asg.v")}) / (qc.qn * asg.n), 7) AS cos7
+       |  FROM qc JOIN asg ON asg.cell = qc.cell AND asg.vec_id <> qc.qid),
+       |rkF AS (SELECT qid, vec_id,
+       |          row_number() OVER (PARTITION BY qid ORDER BY cos7 DESC, vec_id) AS fr
+       |        FROM scored),
+       |preR AS (SELECT qid, vec_id, rank FROM (
+       |  SELECT qid, vec_id,
+       |         row_number() OVER (PARTITION BY qid ORDER BY cos7 DESC, vec_id) AS rank
+       |  FROM scored WHERE vec_id % 3 = 0)
+       |  WHERE rank <= 5),
+       |overR AS (SELECT qid, vec_id, search_k, selectivity_milli,
+       |            row_number() OVER (PARTITION BY qid ORDER BY fr) AS rank
+       |          FROM rkF, sk WHERE vec_id % 3 = 0 AND fr <= search_k),
+       |postR AS (SELECT qid, vec_id,
+       |            row_number() OVER (PARTITION BY qid ORDER BY fr) AS rank
+       |          FROM rkF WHERE vec_id % 3 = 0 AND fr <= 5),
+       |ho AS (SELECT preR.qid, CAST(count(*) AS BIGINT) AS h FROM preR
+       |       JOIN overR ON overR.qid = preR.qid AND overR.vec_id = preR.vec_id
+       |                  AND overR.rank <= 5
+       |       GROUP BY preR.qid),
+       |hp AS (SELECT preR.qid, CAST(count(*) AS BIGINT) AS h FROM preR
+       |       JOIN postR ON postR.qid = preR.qid AND postR.vec_id = preR.vec_id
+       |       GROUP BY preR.qid)
+       |SELECT preR.qid, CAST(preR.rank AS INT) AS rank,
+       |       preR.vec_id AS pre_id, overR.vec_id AS over_id,
+       |       overR.search_k, overR.selectivity_milli,
+       |       coalesce(hp.h, 0) * 200 AS post_recall5_milli,
+       |       coalesce(ho.h, 0) * 200 AS over_recall5_milli
+       |FROM preR
+       |LEFT JOIN overR ON overR.qid = preR.qid AND overR.rank = preR.rank
+       |LEFT JOIN ho ON ho.qid = preR.qid
+       |LEFT JOIN hp ON hp.qid = preR.qid
+       |ORDER BY preR.qid, preR.rank""".stripMargin
+
   private def l2sqSql(a: String, b: String): String =
     (1 to Dim).map(i => s"($a[$i]-$b[$i])*($a[$i]-$b[$i])").mkString(" + ")
 
@@ -1026,6 +1147,7 @@ object AnnQueries {
     "ann_ivf_incremental" -> (annIvfIncremental _),
     "ann_filtered" -> (annFiltered _),
     "ann_filtered_oversample" -> (annFilteredOversample _),
+    "ann_ivf_filtered_oversample" -> (annIvfFilteredOversample _),
     "block_embedding" -> (blockEmbedding _),
     "match_vector_features" -> (matchVectorFeatures _)
   )
@@ -1048,6 +1170,7 @@ object AnnQueries {
     "ann_ivf_incremental" -> annIvfSearchOracle,
     "ann_filtered" -> annFilteredOracle,
     "ann_filtered_oversample" -> annFilteredOversampleOracle,
+    "ann_ivf_filtered_oversample" -> annIvfFilteredOversampleOracle,
     "block_embedding" -> blockEmbeddingOracle,
     "match_vector_features" -> matchVectorFeaturesOracle
   )

@@ -46,6 +46,31 @@ class Round12Spec extends AnyFunSuite {
     }
   }
 
+  test("ann_ivf_filtered_oversample: the same laws hold composed with the " +
+      "index tier, and search_k only changed the cut, not the plan") {
+    val rows = graft.ann.AnnQueries.annIvfFilteredOversample(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byQ = rows.groupBy(_.getLong(0))
+    byQ.foreach { case (qid, rs) =>
+      val post = rs.head.getLong(6); val over = rs.head.getLong(7)
+      // subset law survives the composition: the filtered survivors of
+      // the tier's top-5 are a prefix of its top-search_k survivors
+      assert(over >= post, s"qid $qid: over $over < post $post")
+    }
+    rows.foreach { r =>
+      assert(r.getLong(2) % 3 == 0, "pre_id must satisfy the predicate")
+      if (!r.isNullAt(3)) assert(r.getLong(3) % 3 == 0,
+        "over_id must satisfy the predicate")
+      if (!r.isNullAt(4)) assert(r.getLong(4) == 15L,
+        "search_k must be the measured ceil(5*500/167)")
+    }
+    // at the test SF the oversampled cut holds the same 400-milli floor
+    // as the brute-force face on every query (naive loses up to all 5)
+    byQ.foreach { case (qid, rs) =>
+      assert(rs.head.getLong(7) >= 400, s"qid $qid: over recall too low")
+    }
+  }
+
   test("io_zorder_pruned: measured file skipping — single sort cannot " +
       "prune the non-sorted dimension, z-order prunes both") {
     import org.apache.spark.sql.functions._
