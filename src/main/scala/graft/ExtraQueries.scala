@@ -727,6 +727,56 @@ object ExtraQueries {
           .as("indep_cov_milli"))
   }
 
+  /** Deterministic STRATIFIED sampling — the balanced-eval-set face of
+    * the sampling family (`sample_hash_consistent` is the rate law /
+    * consistent-across-tables face; this is equal allocation across
+    * strata): per customer market segment, keep the k = 20 rows with
+    * the SMALLEST hash52(key) — a uniform random sample of exactly
+    * min(k, |stratum|) rows per stratum that is a pure SET property of
+    * the input. Implementation is [[graft.functions.BottomKPairs]]
+    * per stratum (partial-aggregatable: map-side combine sends ≤ k
+    * pairs per partition per stratum, the shuffle merge is the capped
+    * union) — NOT a row_number window, which would sort every stratum's
+    * full partition and put the whole table through one skew-prone
+    * shuffle; at 100 TB the sketch agg moves strata × k × 16 bytes.
+    * Replay law (the oracle): group by hash → min(key), rank by hash,
+    * rk ≤ k per stratum. Output carries the per-stratum totals so the
+    * allocation law (n_sampled = min(k, n_total)) is hash-gated too.
+    */
+  def sampleStratified(s: SparkSession, dir: String): DataFrame = {
+    import graft.profiling.Sketches
+    val k = 20
+    val cust = customer(s, dir)
+    val picked = cust
+      .groupBy(col("c_mktsegment"))
+      .agg(graft.functions.bottomk.bottomKPairs(
+        Sketches.hash52(col("c_custkey")), col("c_custkey"), k).as("_rs"))
+      .select(col("c_mktsegment"), explode(col("_rs")).as("_p"))
+      .select(col("c_mktsegment"), col("_p.v").as("c_custkey"))
+    val totals = cust.groupBy("c_mktsegment").agg(count(lit(1)).as("n_total"))
+    picked.join(totals, "c_mktsegment")
+      .select(col("c_mktsegment"), col("n_total"),
+        least(lit(k.toLong), col("n_total")).as("n_sampled"),
+        col("c_custkey"))
+      .orderBy("c_mktsegment", "c_custkey")
+  }
+
+  val sampleStratifiedOracle: String =
+    """WITH h AS (SELECT c_mktsegment, c_custkey,
+      |    ('0x'||substr(md5(CAST(c_custkey AS VARCHAR)),1,13))::BIGINT AS h52
+      |  FROM customer),
+      |g AS (SELECT c_mktsegment, h52, min(c_custkey) AS c_custkey
+      |      FROM h GROUP BY 1, 2),
+      |r AS (SELECT *, row_number()
+      |        OVER (PARTITION BY c_mktsegment ORDER BY h52) AS rk FROM g),
+      |t AS (SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_total
+      |      FROM customer GROUP BY 1)
+      |SELECT r.c_mktsegment, t.n_total,
+      |       least(20, t.n_total) AS n_sampled, r.c_custkey
+      |FROM r JOIN t ON r.c_mktsegment = t.c_mktsegment
+      |WHERE r.rk <= 20
+      |ORDER BY r.c_mktsegment, r.c_custkey""".stripMargin
+
   val sampleHashConsistentOracle: String =
     """WITH cs AS (SELECT c_custkey FROM customer
       |            WHERE ('0x'||substr(md5(CAST(c_custkey AS VARCHAR)),1,13))::BIGINT < 450359962737049),
@@ -943,6 +993,124 @@ object ExtraQueries {
        |fin AS (SELECT *, CAST(sum(psi_contrib_scaled)
        |          OVER (PARTITION BY window_start) AS BIGINT) AS psi_scaled FROM per)
        |SELECT window_start, bin, n_window, n_base, psi_contrib_scaled, psi_scaled,
+       |       psi_scaled > 200000000000 AS drift
+       |FROM fin ORDER BY window_start, bin""".stripMargin
+  }
+
+  /** Trailing-window drift audit — PSI per event-time window against the
+    * PREVIOUS window (the SURVEY §15 candidate: CONCEPT-drift /
+    * change-point detection, where [[streamDriftAudit]] is REGRESSION
+    * detection against an approved fixed snapshot). Same planted
+    * +100.00 shift from Jan 24, same fixed-domain bin law
+    * ([[graft.streaming.Streams.driftBin]]) and the same exact-integer
+    * detLn PSI circuit — but the reference for window W is
+    * `lag(n, 1 window)` per bin, so the monitor ADAPTS: only the window
+    * CONTAINING the change-point fires; every later window compares to
+    * an already-shifted neighbour and goes quiet again. The two
+    * monitors together are the production pairing: fixed-reference says
+    * "we differ from what was approved", trailing says "something just
+    * changed here". The first window has no predecessor and is
+    * excluded. State at scale: current + previous window × 10 longs —
+    * O(1) in stream length, vs the fixed variant's one extra frozen
+    * histogram.
+    */
+  def streamDriftTrailing(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.DetMath.detLn
+    import org.apache.spark.sql.expressions.Window
+    val ev = events(s, dir)
+    val cut = lit(java.sql.Timestamp.valueOf("2024-01-24 00:00:00"))
+    val shifted = ev.withColumn("value",
+      when(col("ts") >= cut, col("value") + 100.0).otherwise(col("value")))
+    val wb = graft.streaming.Streams.driftWindowBins(shifted)
+    val grid = wb.select("window_start").distinct()
+      .crossJoin(s.range(10).select(col("id").as("bin"))) // windows × 10
+    val filled = grid
+      .join(wb, Seq("window_start", "bin"), "left")
+      .select(col("window_start"), col("bin"),
+        coalesce(col("n"), lit(0L)).as("n_window"))
+    // trailing reference: the same bin's count one window earlier. The
+    // grid is dense, so lag(1) is null exactly on the earliest window.
+    val byBin = Window.partitionBy("bin").orderBy("window_start")
+    val withPrev = filled
+      .withColumn("n_prev", lag("n_window", 1).over(byBin))
+      .filter(col("n_prev").isNotNull)
+    val w = Window.partitionBy("window_start")
+    // dense grid ⇒ the two partition sums are this window's total and
+    // the previous window's total
+    val tot = withPrev
+      .withColumn("_na", sum("n_window").over(w))
+      .withColumn("_nb", sum("n_prev").over(w))
+    val bl = lit(10L)
+    val pa = (col("n_window") + lit(1L)).cast("double") / (col("_na") + bl).cast("double")
+    val pb = (col("n_prev") + lit(1L)).cast("double") / (col("_nb") + bl).cast("double")
+    val lnRatio = detLn((col("n_window") + lit(1L)).cast("double")) -
+      detLn((col("n_prev") + lit(1L)).cast("double")) -
+      detLn((col("_na") + bl).cast("double")) +
+      detLn((col("_nb") + bl).cast("double"))
+    tot
+      .withColumn("psi_contrib_scaled",
+        floor((pa - pb) * lnRatio * lit(1.0e12)).cast("long"))
+      .withColumn("psi_scaled", sum("psi_contrib_scaled").over(w))
+      .select(col("window_start"), col("bin"), col("n_window"), col("n_prev"),
+        col("psi_contrib_scaled"), col("psi_scaled"),
+        (col("psi_scaled") > lit(200000000000L)).as("drift"))
+      .orderBy("window_start", "bin")
+  }
+
+  val streamDriftTrailingOracle: String = {
+    import graft.functions.DetMath
+    val binOf = (v: String) =>
+      s"least(greatest(CAST(round($v * 100) AS BIGINT), 0), 49999) * 10 // 50000"
+    s"""WITH sh AS (SELECT ts,
+       |    CASE WHEN ts >= TIMESTAMP '2024-01-24 00:00:00'
+       |         THEN value + 100.0 ELSE value END AS value
+       |  FROM events),
+       |wb AS (SELECT date_trunc('day', ts) AS window_start,
+       |         ${binOf("value")} AS bin, CAST(count(*) AS BIGINT) AS n
+       |       FROM sh GROUP BY 1, 2),
+       |grid AS (SELECT ws.window_start, b.bin
+       |         FROM (SELECT DISTINCT window_start FROM wb) ws,
+       |              (SELECT unnest(range(0, 10)) AS bin) b),
+       |filled AS (SELECT g.window_start, g.bin, coalesce(wb.n, 0) AS n_window
+       |           FROM grid g
+       |           LEFT JOIN wb ON wb.window_start = g.window_start AND wb.bin = g.bin),
+       |lagd AS (SELECT window_start, bin, n_window,
+       |           lag(n_window, 1) OVER (PARTITION BY bin ORDER BY window_start)
+       |             AS n_prev
+       |         FROM filled),
+       |pv AS (SELECT window_start, bin, CAST(n_window AS BIGINT) AS n_window,
+       |              CAST(n_prev AS BIGINT) AS n_prev
+       |       FROM lagd WHERE n_prev IS NOT NULL),
+       |tot AS (SELECT window_start, bin, n_window, n_prev,
+       |          CAST(sum(n_window) OVER (PARTITION BY window_start) AS BIGINT) AS na,
+       |          CAST(sum(n_prev) OVER (PARTITION BY window_start) AS BIGINT) AS nb
+       |        FROM pv),
+       |${DetMath.sqlLnCtes("la", "tot", "window_start, bin, n_window, n_prev, na, nb",
+            "CAST(n_window + 1 AS DOUBLE)")},
+       |r1 AS (SELECT window_start, bin, n_window, n_prev, na, nb, lnv AS l_a FROM la),
+       |${DetMath.sqlLnCtes("lb", "r1",
+            "window_start, bin, n_window, n_prev, na, nb, l_a",
+            "CAST(n_prev + 1 AS DOUBLE)")},
+       |r2 AS (SELECT window_start, bin, n_window, n_prev, na, nb, l_a, lnv AS l_b FROM lb),
+       |${DetMath.sqlLnCtes("lc", "r2",
+            "window_start, bin, n_window, n_prev, na, nb, l_a, l_b",
+            "CAST(na + 10 AS DOUBLE)")},
+       |r3 AS (SELECT window_start, bin, n_window, n_prev, na, nb, l_a, l_b,
+       |              lnv AS l_na FROM lc),
+       |${DetMath.sqlLnCtes("ld", "r3",
+            "window_start, bin, n_window, n_prev, na, nb, l_a, l_b, l_na",
+            "CAST(nb + 10 AS DOUBLE)")},
+       |r4 AS (SELECT window_start, bin, n_window, n_prev, na, nb, l_a, l_b, l_na,
+       |              lnv AS l_nb FROM ld),
+       |per AS (SELECT window_start, bin, n_window, n_prev,
+       |          CAST(floor(((CAST(n_window + 1 AS DOUBLE) / (na + 10))
+       |                      - (CAST(n_prev + 1 AS DOUBLE) / (nb + 10)))
+       |                     * (l_a - l_b - l_na + l_nb) * 1e12) AS BIGINT)
+       |            AS psi_contrib_scaled
+       |        FROM r4),
+       |fin AS (SELECT *, CAST(sum(psi_contrib_scaled)
+       |          OVER (PARTITION BY window_start) AS BIGINT) AS psi_scaled FROM per)
+       |SELECT window_start, bin, n_window, n_prev, psi_contrib_scaled, psi_scaled,
        |       psi_scaled > 200000000000 AS drift
        |FROM fin ORDER BY window_start, bin""".stripMargin
   }
@@ -1963,11 +2131,13 @@ object ExtraQueries {
     "stream_interval_join" -> (streamIntervalJoin _),
     "stream_neardup_bucketed" -> (streamNearDupBucketed _),
     "sample_hash_consistent" -> (sampleHashConsistent _),
+    "sample_stratified" -> (sampleStratified _),
     "stream_hll" -> (streamHll _),
     "stream_cms" -> (streamCms _),
     "stream_quantile" -> (streamQuantile _),
     "stream_session_window" -> (streamSessionWindow _),
-    "stream_drift_audit" -> (streamDriftAudit _)
+    "stream_drift_audit" -> (streamDriftAudit _),
+    "stream_drift_trailing" -> (streamDriftTrailing _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -2004,6 +2174,7 @@ object ExtraQueries {
     "stream_sessionize" -> streamSessionizeOracle,
     "stream_dedup" -> streamDedupOracle,
     "stream_drift_audit" -> streamDriftAuditOracle,
+    "stream_drift_trailing" -> streamDriftTrailingOracle,
     "stream_upsert" -> streamUpsertOracle,
     "stream_contamination" -> streamContaminationOracle,
     "stream_asof" -> streamAsofOracle,
@@ -2011,6 +2182,7 @@ object ExtraQueries {
     "stream_interval_join" -> streamIntervalJoinOracle,
     "stream_neardup_bucketed" -> streamNearDupOracle,
     "sample_hash_consistent" -> sampleHashConsistentOracle,
+    "sample_stratified" -> sampleStratifiedOracle,
     "stream_hll" -> streamHllOracle,
     "stream_cms" -> streamCmsOracle,
     "stream_quantile" -> streamQuantileOracle,

@@ -30,6 +30,20 @@ object Bucketing {
     (if (sorted) w.sortBy(key) else w).saveAsTable(table)
   }
 
+  /** [[saveBucketed]] with an EXPLICIT external path (an entry-path
+    * query must not write into the caller session's default warehouse
+    * directory — the driver's cwd is not ours to fill). `repartition(1)`
+    * first: one task → exactly one file per bucket, the layout whose
+    * per-bucket read is a single sorted run.
+    */
+  def saveBucketedAt(df: DataFrame, table: String, key: String, buckets: Int,
+      path: String): Unit =
+    df.repartition(1)
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, key).sortBy(key)
+      .option("path", path)
+      .saveAsTable(table)
+
   /** The two bucketed tables joined on their bucket key. */
   def bucketedJoin(spark: SparkSession, left: String, right: String,
       key: String): DataFrame =

@@ -603,7 +603,252 @@ object IoQueries {
       |       lang
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Where [[ioBucketedJoin]] lands its bucketed layouts (exposed so the
+    * spec can rebuild the join frame and assert the shuffle-free plan).
+    */
+  def bucketedPath(dir: String): String =
+    java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_bucketed_${dir.hashCode.toHexString}").toString
+
+  /** Catalog-unique bucketed table name for `dir`. */
+  def bucketedTable(side: String, dir: String): String =
+    s"graft_bkt_${side}_${java.lang.Integer.toHexString(dir.hashCode)}"
+
+  /** Write both join sides bucketed on the join key and return the
+    * joined frames (customer ⋈ orders on custkey), for [[ioBucketedJoin]]
+    * and its plan-shape spec. Each side is written ONCE per call as 8
+    * bucket files (repartition(1) → one task → exactly one file per
+    * bucket), sorted within buckets, registered as external tables in
+    * the session catalog. With both sides bucketed by the same key into
+    * the same bucket count, Catalyst's EnsureRequirements sees matching
+    * HashPartitioning on both children and inserts NO Exchange under the
+    * sort-merge join — the co-located-join contract that at 100 TB turns
+    * the nightly fact⋈dim re-shuffle (the single largest cost in a
+    * repeated-join pipeline) into a local merge per bucket. The `merge`
+    * hint pins SMJ so the demonstration doesn't degenerate to a
+    * broadcast at test SF; at scale neither side broadcasts anyway.
+    */
+  def bucketedJoinFrame(s: SparkSession, dir: String): DataFrame = {
+    val base = bucketedPath(dir)
+    val nb = 8
+    Bucketing.saveBucketedAt(
+      customer(s, dir).select("c_custkey", "c_mktsegment", "c_acctbal"),
+      bucketedTable("cust", dir), "c_custkey", nb, s"$base/customer")
+    Bucketing.saveBucketedAt(
+      orders(s, dir).select("o_orderkey", "o_custkey", "o_totalprice"),
+      bucketedTable("ord", dir), "o_custkey", nb, s"$base/orders")
+    val c = s.table(bucketedTable("cust", dir))
+    val o = s.table(bucketedTable("ord", dir))
+    c.hint("merge").join(o, c("c_custkey") === o("o_custkey"))
+  }
+
+  /** Bucketed co-located join, end to end: write → catalog → shuffle-free
+    * SMJ → aggregate. The OUTPUT is the ordinary revenue-per-segment
+    * frame (bucketing must never change answers — that is the oracle's
+    * check, plain SQL over the original parquet); the plan is the
+    * payload (spec-pinned: zero shuffles below the join, vs two for the
+    * same join over the raw files).
+    */
+  def ioBucketedJoin(s: SparkSession, dir: String): DataFrame =
+    bucketedJoinFrame(s, dir)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        (sum(cents(col("o_totalprice"))).cast("double") / 100.0).as("revenue"))
+      .orderBy("c_mktsegment")
+
+  val ioBucketedJoinOracle: String =
+    """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+      |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+      |         AS revenue
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** Where [[ioZorderCompact]] lands its three layouts. */
+  def zorderCompactPath(dir: String): String =
+    java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_zcompact_${dir.hashCode.toHexString}").toString
+
+  /** Z-order COMPACTION, measured on real files (the SURVEY §15
+    * candidate: appends erode z-locality; restore it by re-clustering
+    * ONLY the affected key range). The base layout holds every customer
+    * outside nation 12, written as the 16-chunk z-order layout of
+    * `io_zorder_pruned`; nation 12's rows then "arrive" as 4
+    * arrival-ordered append files — a LOCALIZED arrival (the scenario
+    * compaction exists for: one region/tenant/day lands at a time),
+    * each append file unclustered in z, so a stats-aware reader must
+    * read every append file whose stats cover the predicate: the
+    * erosion (sf0.01 box read: 8 of 20 files vs 4 of 16 after repair). Compaction assigns each appended row to
+    * the base chunk whose z upper bound covers its z code (first
+    * chunk with ub ≥ z; past the last bound → chunk 16) and rewrites
+    * ONLY the affected chunks — base files outside the affected set are
+    * left byte-untouched on disk (they are read back filtered by
+    * partition-pruned chunk ids, never rewritten). The frame reports,
+    * for the 2-D box and the 1-D range predicate, the files a
+    * stats-aware reader must read in the post-append vs post-compact
+    * layout (per-file min/max derived via input_file_name() from the
+    * bytes), plus the compaction bill: files_rewritten = |affected
+    * chunks| out of 16 (a full re-sort rewrites all 16 + 4). The oracle
+    * PREDICTS every number from the layout law alone, so the hash gate
+    * proves the written layouts realize the predicted erosion AND the
+    * predicted repair. At 100 TB this is Delta/Iceberg OPTIMIZE with a
+    * key-range scope: the affected-chunk set is metadata-scale (≤
+    * #chunks ids, collected like the other grid-bounded sets), and the
+    * rewrite touches only partitions whose z-range received appends.
+    */
+  def ioZorderCompact(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val all0 = customer(s, dir).select(
+      col("c_custkey").as("id"),
+      col("c_nationkey"),
+      expr("CAST(c_nationkey AS BIGINT) * 16 div 25").as("nat"),
+      expr("(CAST(round(c_acctbal * 100) AS BIGINT) + 100000) * 16 div 1200000")
+        .as("bal"))
+      .withColumn("z", morton(col("nat"), col("bal"), 4))
+    // LOCALIZED arrival (one nation's rows) — the scenario compaction
+    // exists for; a uniform append would touch every chunk's z-range
+    // and the "affected range only" scope would degenerate to a full
+    // rewrite (measured: 16/16 affected for a %5 split)
+    val base = all0.filter(col("c_nationkey") =!= 12)
+      .withColumn("chunk", ntile(16).over(Window.orderBy(col("z"), col("id"))).cast("long"))
+    val appends = all0.filter(col("c_nationkey") === 12)
+      .withColumn("afile", ntile(4).over(Window.orderBy(col("id"))).cast("long"))
+    val out = zorderCompactPath(dir)
+    base.select("id", "nat", "bal", "z", "chunk")
+      .repartition(1).write.mode("overwrite").partitionBy("chunk")
+      .parquet(s"$out/base")
+    appends.select("id", "nat", "bal", "z", "afile")
+      .repartition(1).write.mode("overwrite").partitionBy("afile")
+      .parquet(s"$out/appends")
+    // chunk z upper bounds from the written base (16 rows — metadata)
+    val baseBack = s.read.parquet(s"$out/base")
+    val bounds = baseBack.groupBy("chunk").agg(max("z").as("_ub"))
+    val appBack = s.read.parquet(s"$out/appends")
+    val assigned = appBack
+      .join(broadcast(bounds), col("z") <= col("_ub"), "left")
+      .groupBy("id", "nat", "bal", "z")
+      .agg(coalesce(min("chunk"), lit(16L)).as("chunk"))
+    val affected = assigned.select("chunk").distinct()
+      .collect().map(_.getLong(0)).sorted // ≤ 16 ids — metadata-scale
+    baseBack.filter(col("chunk").isin(affected: _*))
+      .select("id", "nat", "bal", "z", "chunk")
+      .unionByName(assigned.select("id", "nat", "bal", "z", "chunk"))
+      .repartition(1).write.mode("overwrite").partitionBy("chunk")
+      .parquet(s"$out/compact")
+    val rewritten = s.read.parquet(s"$out/compact")
+    def measure(phase: String, r: DataFrame): DataFrame = {
+      val boxFile = col("_mn") <= 7 && col("_xn") >= 7 &&
+        col("_mb") <= 7 && col("_xb") >= 4
+      val balFile = col("_mb") <= 7 && col("_xb") >= 4
+      val fileStats = r
+        .select(col("nat"), col("bal"), input_file_name().as("_f"))
+        .groupBy("_f").agg(
+          min("nat").as("_mn"), max("nat").as("_xn"),
+          min("bal").as("_mb"), max("bal").as("_xb"))
+      val files = fileStats.agg(count(lit(1)).as("_total"),
+        sum(when(boxFile, 1L).otherwise(0L)).as("_fbox"),
+        sum(when(balFile, 1L).otherwise(0L)).as("_fbal"))
+      val rows = r.agg(
+        sum(when(col("nat") === 7 && col("bal").between(4, 7), 1L)
+          .otherwise(0L)).as("_rbox"),
+        sum(when(col("bal").between(4, 7), 1L).otherwise(0L)).as("_rbal"))
+      files.crossJoin(rows) // 1 row × 1 row
+        .select(explode(array(
+          struct(lit("box").as("pred"), col("_total").as("n_files_total"),
+            col("_fbox").as("n_files_read"), col("_rbox").as("n_rows_matched")),
+          struct(lit("bal_range").as("pred"), col("_total").as("n_files_total"),
+            col("_fbal").as("n_files_read"), col("_rbal").as("n_rows_matched"))))
+          .as("_s"))
+        .select(lit(phase).as("phase"), col("_s.pred"),
+          col("_s.n_files_total"), col("_s.n_files_read"),
+          col("_s.n_rows_matched"))
+    }
+    val postAppend = measure("post_append", baseBack.unionByName(
+      appBack.withColumnRenamed("afile", "chunk")))
+    val postCompact = measure("post_compact",
+      baseBack.filter(!col("chunk").isin(affected: _*)).unionByName(rewritten))
+    val bill = rewritten.agg(
+        countDistinct("chunk").as("n_files_read"),
+        count(lit(1)).as("n_rows_matched"))
+      .select(lit("rewrite").as("phase"), lit("cost").as("pred"),
+        lit(16L).as("n_files_total"), col("n_files_read"),
+        col("n_rows_matched"))
+    postAppend.unionByName(postCompact).unionByName(bill)
+      .orderBy("phase", "pred")
+  }
+
+  val ioZorderCompactOracle: String = {
+    val m = sqlMorton("nat", "bal", 4)
+    s"""WITH all0 AS (
+       |  SELECT c_custkey AS id, c_nationkey,
+       |         CAST(c_nationkey AS BIGINT) * 16 // 25 AS nat,
+       |         (CAST(round(c_acctbal * 100) AS BIGINT) + 100000) * 16 // 1200000 AS bal
+       |  FROM customer),
+       |z AS (SELECT *, $m AS z FROM all0),
+       |base AS (SELECT *, CAST(ntile(16) OVER (ORDER BY z, id) AS BIGINT) AS chunk
+       |         FROM z WHERE c_nationkey <> 12),
+       |app AS (SELECT *, CAST(ntile(4) OVER (ORDER BY id) AS BIGINT) AS afile
+       |        FROM z WHERE c_nationkey = 12),
+       |bounds AS (SELECT chunk, max(z) AS ub FROM base GROUP BY 1),
+       |assigned AS (SELECT a.id, a.nat, a.bal, a.z,
+       |               coalesce(min(b.chunk), 16) AS chunk
+       |             FROM app a LEFT JOIN bounds b ON a.z <= b.ub
+       |             GROUP BY a.id, a.nat, a.bal, a.z),
+       |aff AS (SELECT DISTINCT chunk FROM assigned),
+       |pa_files AS (
+       |  SELECT 'b' || CAST(chunk AS VARCHAR) AS f, nat, bal FROM base
+       |  UNION ALL SELECT 'a' || CAST(afile AS VARCHAR), nat, bal FROM app),
+       |pc_files AS (
+       |  SELECT 'b' || CAST(chunk AS VARCHAR) AS f, nat, bal FROM base
+       |  WHERE chunk NOT IN (SELECT chunk FROM aff)
+       |  UNION ALL
+       |  SELECT 'c' || CAST(chunk AS VARCHAR), nat, bal FROM (
+       |    SELECT chunk, nat, bal FROM base
+       |    WHERE chunk IN (SELECT chunk FROM aff)
+       |    UNION ALL SELECT chunk, nat, bal FROM assigned)),
+       |rows_m AS (SELECT
+       |    CAST(sum(CASE WHEN nat = 7 AND bal BETWEEN 4 AND 7 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS rbox,
+       |    CAST(sum(CASE WHEN bal BETWEEN 4 AND 7 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS rbal
+       |  FROM all0),
+       |pa_stats AS (SELECT f, min(nat) mn, max(nat) xn, min(bal) mb, max(bal) xb
+       |             FROM pa_files GROUP BY 1),
+       |pc_stats AS (SELECT f, min(nat) mn, max(nat) xn, min(bal) mb, max(bal) xb
+       |             FROM pc_files GROUP BY 1),
+       |pa_agg AS (SELECT CAST(count(*) AS BIGINT) AS total,
+       |    CAST(sum(CASE WHEN mn <= 7 AND xn >= 7 AND mb <= 7 AND xb >= 4
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS fbox,
+       |    CAST(sum(CASE WHEN mb <= 7 AND xb >= 4 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS fbal
+       |  FROM pa_stats),
+       |pc_agg AS (SELECT CAST(count(*) AS BIGINT) AS total,
+       |    CAST(sum(CASE WHEN mn <= 7 AND xn >= 7 AND mb <= 7 AND xb >= 4
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS fbox,
+       |    CAST(sum(CASE WHEN mb <= 7 AND xb >= 4 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS fbal
+       |  FROM pc_stats),
+       |bill AS (SELECT CAST(count(DISTINCT chunk) AS BIGINT) AS n_files_read,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM base
+       |     WHERE chunk IN (SELECT chunk FROM aff))
+       |    + CAST(count(*) AS BIGINT) AS n_rows_matched
+       |  FROM assigned)
+       |SELECT phase, pred, n_files_total, n_files_read, n_rows_matched FROM (
+       |  SELECT 'post_append' AS phase, 'box' AS pred, total AS n_files_total,
+       |         fbox AS n_files_read, rbox AS n_rows_matched FROM pa_agg, rows_m
+       |  UNION ALL
+       |  SELECT 'post_append', 'bal_range', total, fbal, rbal FROM pa_agg, rows_m
+       |  UNION ALL
+       |  SELECT 'post_compact', 'box', total, fbox, rbox FROM pc_agg, rows_m
+       |  UNION ALL
+       |  SELECT 'post_compact', 'bal_range', total, fbal, rbal FROM pc_agg, rows_m
+       |  UNION ALL
+       |  SELECT 'rewrite', 'cost', 16, n_files_read, n_rows_matched FROM bill)
+       |ORDER BY phase, pred""".stripMargin
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "io_bucketed_join" -> (ioBucketedJoin _),
+    "io_zorder_compact" -> (ioZorderCompact _),
     "io_jsonl_roundtrip" -> (ioJsonlRoundtrip _),
     "io_table_diff" -> (ioTableDiff _),
     "io_csv_roundtrip" -> (ioCsvRoundtrip _),
@@ -622,6 +867,8 @@ object IoQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "io_bucketed_join" -> ioBucketedJoinOracle,
+    "io_zorder_compact" -> ioZorderCompactOracle,
     "io_jsonl_roundtrip" -> ioJsonlRoundtripOracle,
     "io_table_diff" -> ioTableDiffOracle,
     "io_csv_roundtrip" -> ioCsvRoundtripOracle,

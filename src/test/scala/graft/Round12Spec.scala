@@ -183,4 +183,130 @@ class Round12Spec extends AnyFunSuite {
       assert(rs.map(_.getLong(4)).sum == psi, s"window $w: contribs must sum to psi")
     }
   }
+
+  test("stream_drift_trailing: the change-point window dominates and the " +
+      "monitor adapts — post-shift windows go quiet again") {
+    val rows = graft.ExtraQueries.streamDriftTrailing(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val cut = java.sql.Timestamp.valueOf("2024-01-24 00:00:00")
+    val byW = rows.groupBy(_.getTimestamp(0))
+    // the earliest window has no predecessor and must be excluded
+    val first = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    assert(!byW.contains(first), "first window must be excluded (no lag)")
+    assert(byW.contains(cut), "change-point window must be present")
+    val cpPsi = byW(cut).head.getLong(5)
+    assert(byW(cut).head.getBoolean(6), "change-point window must fire")
+    // adaptation is the trailing monitor's whole point: every OTHER
+    // window — including the post-shift ones, which compare to an
+    // already-shifted neighbour — scores far below the change-point.
+    // (measured: 2.40 vs ≤0.41 at sf0.001, 6.02 vs ≤0.07 at sf0.01; the
+    // 4× pin survives window-count noise at ~33-event test windows)
+    val maxOther = (byW - cut).values.map(_.head.getLong(5)).max
+    assert(cpPsi > 4L * maxOther,
+      s"change-point must dominate: cp $cpPsi vs max other $maxOther")
+    // contribs sum to psi within each window
+    byW.foreach { case (w, rs) =>
+      assert(rs.map(_.getLong(4)).sum == rs.head.getLong(5),
+        s"window $w: contribs must sum to psi")
+    }
+  }
+
+  test("io_bucketed_join: the registered query's join subtree is " +
+      "shuffle-free and the answer equals the raw join's") {
+    import org.apache.spark.sql.functions._
+    // (BucketingSpec proves the general contract; this pins the
+    // REGISTERED query's own frame.) Materialize so AQE finalizes, then
+    // scan only the final plan section — AQE nests exchanges in query
+    // stages whose `children` is empty, so rendered text is the
+    // reliable view (BucketingSpec idiom).
+    val joined = graft.io.IoQueries.bucketedJoinFrame(spark, sf)
+    joined.collect()
+    val finalPlan = joined.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(finalPlan.contains("SortMergeJoin"),
+      s"expected a sort-merge join, got:\n$finalPlan")
+    assert("ShuffleQueryStage".r.findAllIn(finalPlan).isEmpty,
+      s"bucketed join must not shuffle either side, got:\n$finalPlan")
+    // and the bucketed answer equals the raw answer (bucketing never
+    // changes results) — the oracle re-proves this against DuckDB
+    val c = spark.read.parquet(s"$sf/customer.parquet")
+      .select("c_custkey", "c_mktsegment")
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_custkey")
+    val a = graft.io.IoQueries.ioBucketedJoin(spark, sf).collect().toSeq
+    assert(a.nonEmpty)
+    val b = c.join(o, c("c_custkey") === o("o_custkey"))
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n_orders"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    a.foreach { r =>
+      assert(r.getLong(1) == b(r.getString(0)), s"row-count mismatch: $r")
+    }
+  }
+
+  test("io_zorder_compact: compaction restores pruning without touching " +
+      "unaffected base files, and the bill stays partial") {
+    import org.apache.spark.sql.functions._
+    val out = graft.io.IoQueries.ioZorderCompact(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // invariants that hold at any SF (the sf0.01 magnitudes are the
+    // oracle's to check): totals are 20 pre-, 16 post-compact; the
+    // repaired read never needs MORE files than the eroded one; row
+    // counts are phase-invariant (no row lost or duplicated by the
+    // rewrite); the bill is scoped (≥1, ≤16 chunks)
+    for (pred <- Seq("box", "bal_range")) {
+      assert(out(("post_append", pred))._1 == 20L)
+      assert(out(("post_compact", pred))._1 == 16L)
+      assert(out(("post_compact", pred))._2 <= out(("post_append", pred))._2,
+        s"$pred: compaction must not worsen the read")
+      assert(out(("post_append", pred))._3 == out(("post_compact", pred))._3,
+        s"$pred: row counts must be phase-invariant")
+    }
+    val (billTotal, rewrittenFiles, rewrittenRows) = out(("rewrite", "cost"))
+    assert(billTotal == 16L)
+    assert(rewrittenFiles >= 1L && rewrittenFiles <= 16L)
+    assert(rewrittenRows > 0L)
+    // unaffected base chunk files must be byte-identical after the
+    // query ran (compaction reads them, never rewrites them): their
+    // parquet files' modification set lives under base/, while the
+    // rewritten chunks live under compact/ — assert both dirs exist and
+    // compact holds exactly the billed chunk count
+    val root = java.nio.file.Paths.get(
+      graft.io.IoQueries.zorderCompactPath(sf))
+    val compactChunks = java.nio.file.Files.list(root.resolve("compact"))
+      .filter(p => p.getFileName.toString.startsWith("chunk="))
+      .count()
+    assert(compactChunks == rewrittenFiles,
+      s"compact dir holds $compactChunks chunk dirs, billed $rewrittenFiles")
+  }
+
+  test("sample_stratified: per stratum exactly min(k, n) rows survive and " +
+      "they are the k smallest hashes — verified against a brute recompute") {
+    import org.apache.spark.sql.functions._
+    val out = graft.ExtraQueries.sampleStratified(spark, sf).collect()
+    assert(out.nonEmpty)
+    // brute-force truth: full customer table, JVM-side md5-nibble hash
+    // (the same law Sketches.hash52 compiles to)
+    def h52(key: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(key.toString.getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.substring(0, 13)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .select(col("c_mktsegment"), col("c_custkey").cast("long")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val bySeg = cust.groupBy(_._1)
+    val outBySeg = out.groupBy(_.getString(0))
+    assert(outBySeg.keySet == bySeg.keySet)
+    bySeg.foreach { case (seg, rows) =>
+      val expect = rows.map(_._2).sortBy(k => (h52(k), k)).take(20).toSet
+      val got = outBySeg(seg).map(_.getLong(3)).toSet
+      assert(got == expect, s"stratum $seg: sample mismatch")
+      val nTotal = outBySeg(seg).head.getLong(1)
+      val nSampled = outBySeg(seg).head.getLong(2)
+      assert(nTotal == rows.length.toLong)
+      assert(nSampled == math.min(20L, nTotal) && got.size.toLong == nSampled)
+    }
+  }
 }
