@@ -777,6 +777,83 @@ object ExtraQueries {
       |WHERE r.rk <= 20
       |ORDER BY r.c_mktsegment, r.c_custkey""".stripMargin
 
+  /** Salted skewed join ([[graft.operators.Skew.saltedJoin]]): lineitem
+    * ⋈ supplier on suppkey with the fact side spread across 8 salt
+    * buckets — the manual skew fix for when AQE's splitter can't apply
+    * or the hot key is known ahead of time (from `profile_topk` /
+    * `profile_cms_topk`). The HASH GATE is the safety law: the salted
+    * join's aggregate equals the plain join's (the oracle runs the
+    * UNSALTED SQL), because every fact row meets exactly one replica of
+    * its supplier row. The spec pins the plan half: the sort-merge join
+    * keys include `_salt`, so a hot suppkey's rows land in 8 shuffle
+    * partitions instead of one.
+    */
+  def joinSkewSalted(s: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(s, dir).select(col("l_suppkey"),
+      cents(col("l_extendedprice")).as("_price_c"),
+      col("l_orderkey"), col("l_linenumber"))
+    val sup = supplier(s, dir)
+      .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+    graft.operators.Skew
+      .saltedJoin(li, sup, "l_suppkey", 8,
+        xxhash64(col("l_orderkey"), col("l_linenumber")))
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n_items"),
+        centsToDouble(sum("_price_c")).as("revenue"))
+      .orderBy("s_nationkey")
+  }
+
+  val joinSkewSaltedOracle: String =
+    """SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_items,
+      |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+      |         / 100.0 AS revenue
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Two-phase distinct aggregation under group skew: distinct users
+    * per event type computed as distinct-on-(type, user) THEN
+    * count-per-type — the decomposition that spreads a hot group across
+    * the whole cluster in phase 1 (the shuffle hashes BOTH columns)
+    * and moves one row per (type, user) into phase 2. The hash gate
+    * pins the law that the decomposition equals the direct
+    * count(DISTINCT) (the oracle runs the direct form); with 5 event
+    * types and 32+ executor cores, the direct final agg would bottleneck
+    * on 5 reducers at any data size — the decomposed phase 1 scales
+    * with distinct pairs instead.
+    */
+  def aggSkewDistinct(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).select("event_type", "user_id").distinct()
+      .groupBy("event_type").agg(count(lit(1)).as("n_users"))
+      .orderBy("event_type")
+
+  val aggSkewDistinctOracle: String =
+    """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Stream-static broadcast enrichment ([[Streams.enrichAgg]]): the
+    * purchase stream joined to the customer dimension (user_id ↦
+    * custkey − 1) and rolled up per (day window, market segment). The
+    * registered face is the batch frame (hash-gated); Round12Spec runs
+    * the SAME transform on a real streaming source and proves the
+    * streamed result equals this, with BroadcastHashJoin (stateless
+    * enrich) + StateStoreSave (windowed state only) pinned in the plan.
+    */
+  def streamEnrich(s: SparkSession, dir: String): DataFrame = {
+    val dim = customer(s, dir).select(
+      (col("c_custkey") - 1).cast("long").as("user_id"), col("c_mktsegment"))
+    Streams.enrichAgg(events(s, dir), dim)
+      .orderBy("window_start", "c_mktsegment")
+  }
+
+  val streamEnrichOracle: String =
+    """SELECT date_trunc('day', e.ts) AS window_start, c.c_mktsegment,
+      |       CAST(count(*) AS BIGINT) AS n_purchases,
+      |       CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+      |         AS revenue
+      |FROM events e JOIN customer c ON c.c_custkey = e.user_id + 1
+      |WHERE e.event_type = 'purchase'
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val sampleHashConsistentOracle: String =
     """WITH cs AS (SELECT c_custkey FROM customer
       |            WHERE ('0x'||substr(md5(CAST(c_custkey AS VARCHAR)),1,13))::BIGINT < 450359962737049),
@@ -2132,6 +2209,9 @@ object ExtraQueries {
     "stream_neardup_bucketed" -> (streamNearDupBucketed _),
     "sample_hash_consistent" -> (sampleHashConsistent _),
     "sample_stratified" -> (sampleStratified _),
+    "join_skew_salted" -> (joinSkewSalted _),
+    "agg_skew_distinct" -> (aggSkewDistinct _),
+    "stream_enrich" -> (streamEnrich _),
     "stream_hll" -> (streamHll _),
     "stream_cms" -> (streamCms _),
     "stream_quantile" -> (streamQuantile _),
@@ -2183,6 +2263,9 @@ object ExtraQueries {
     "stream_neardup_bucketed" -> streamNearDupOracle,
     "sample_hash_consistent" -> sampleHashConsistentOracle,
     "sample_stratified" -> sampleStratifiedOracle,
+    "join_skew_salted" -> joinSkewSaltedOracle,
+    "agg_skew_distinct" -> aggSkewDistinctOracle,
+    "stream_enrich" -> streamEnrichOracle,
     "stream_hll" -> streamHllOracle,
     "stream_cms" -> streamCmsOracle,
     "stream_quantile" -> streamQuantileOracle,

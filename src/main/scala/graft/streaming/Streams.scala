@@ -395,6 +395,29 @@ object Streams {
       .select(col("w.start").as("window_start"), col("rs"))
   }
 
+  /** Stream-static broadcast enrichment + windowed rollup — the most
+    * common production streaming shape (facts join a slowly-changing
+    * dimension, then aggregate by event-time window): a STATELESS
+    * broadcast-hash join (the dim broadcasts once per micro-batch; no
+    * join state, no watermark needed for the join itself) feeding the
+    * stateful windowed agg. One transform serves batch (hash-gated via
+    * `stream_enrich`) and streaming (spec proves streamed ≡ batch on a
+    * real stream and pins BroadcastHashJoin + StateStoreSave in the
+    * executed plan). At 100 TB/day the fact side must stream through
+    * linearly — a stream-stream join here would buffer it for nothing;
+    * broadcast the dim and keep the only state in the window agg.
+    */
+  def enrichAgg(events: DataFrame, dim: DataFrame,
+      dur: String = "1 day"): DataFrame =
+    events.filter(col("event_type") === "purchase")
+      .join(broadcast(dim), Seq("user_id"))
+      .groupBy(window(col("ts"), dur).as("w"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(graft.Tables.cents(col("value"))).as("_rev_c"))
+      .select(col("w.start").as("window_start"), col("c_mktsegment"),
+        col("n_purchases"),
+        (col("_rev_c").cast("double") / 100.0).as("revenue"))
+
   /** Streaming exact dedup: drop repeated keys arriving within the
     * watermark horizon — the streaming face of Dedup.exact for
     * continuous ingest (state is bounded by the watermark; an unbounded

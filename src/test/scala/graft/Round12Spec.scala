@@ -280,6 +280,77 @@ class Round12Spec extends AnyFunSuite {
       s"compact dir holds $compactChunks chunk dirs, billed $rewrittenFiles")
   }
 
+  test("join_skew_salted: result equals the unsalted join; the SMJ keys " +
+      "carry the salt so a hot key spreads across partitions") {
+    import org.apache.spark.sql.functions._
+    val salted = graft.ExtraQueries.joinSkewSalted(spark, sf)
+    val li = Tables.lineitem(spark, sf)
+    val sup = Tables.supplier(spark, sf)
+    val plain = li
+      .select(col("l_suppkey"), Tables.cents(col("l_extendedprice")).as("_pc"))
+      .join(sup.select(col("s_suppkey").as("l_suppkey"), col("s_nationkey")),
+        "l_suppkey")
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n_items"),
+        Tables.centsToDouble(sum("_pc")).as("revenue"))
+    assert(salted.count() > 0)
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty,
+      "salting must not change the join's answer")
+    // plan half: the salted join's sort-merge keys include _salt
+    val joined = graft.operators.Skew.saltedJoin(
+      li.select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber")),
+      sup.select(col("s_suppkey").as("l_suppkey"), col("s_nationkey")),
+      "l_suppkey", 8, xxhash64(col("l_orderkey"), col("l_linenumber")))
+    joined.collect()
+    val fp = joined.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(fp.contains("SortMergeJoin"), s"expected SMJ:\n$fp")
+    assert(fp.contains("_salt"), s"join keys must carry the salt:\n$fp")
+  }
+
+  test("agg_skew_distinct: the two-phase decomposition equals the direct " +
+      "count distinct, and phase 1 shuffles on BOTH columns") {
+    import org.apache.spark.sql.functions._
+    val two = graft.ExtraQueries.aggSkewDistinct(spark, sf)
+    val direct = Tables.events(spark, sf)
+      .groupBy("event_type").agg(countDistinct("user_id").as("n_users"))
+    assert(two.count() > 0)
+    assert(two.exceptAll(direct).isEmpty && direct.exceptAll(two).isEmpty)
+    two.collect()
+    val fp = two.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert("hashpartitioning\\(event_type#\\d+, user_id#\\d+".r
+        .findFirstIn(fp).isDefined,
+      s"phase-1 exchange must hash (event_type, user_id):\n$fp")
+  }
+
+  test("stream_enrich: streamed enrichment equals the batch frame; the dim " +
+      "joins broadcast (stateless) and only the window agg is stateful") {
+    import org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper
+    import org.apache.spark.sql.functions._
+    import graft.streaming.Streams
+    val batch = graft.ExtraQueries.streamEnrich(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val dim = Tables.customer(spark, sf).select(
+      (col("c_custkey") - 1).cast("long").as("user_id"), col("c_mktsegment"))
+    val q = Streams.enrichAgg(Streams.eventsStream(spark, sf), dim)
+      .writeStream.format("memory").queryName("enrich_sink")
+      .option("checkpointLocation", Streams.freshCheckpointDir("enrich_spec"))
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("enrich_sink").collect().map(_.toSeq).toSet
+    assert(batch.nonEmpty && streamed == batch,
+      "streamed enrichment must equal the batch frame")
+    val plan = q.asInstanceOf[StreamingQueryWrapper]
+      .streamingQuery.lastExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"dim must broadcast:\n$plan")
+    assert(plan.contains("StateStoreSave"), "window agg must be stateful")
+    assert(!plan.contains("StreamingSymmetricHashJoin"),
+      "enrichment must not buffer the fact side in a stream-stream join")
+  }
+
   test("sample_stratified: per stratum exactly min(k, n) rows survive and " +
       "they are the k smallest hashes — verified against a brute recompute") {
     import org.apache.spark.sql.functions._
