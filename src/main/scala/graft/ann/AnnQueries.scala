@@ -850,6 +850,118 @@ object AnnQueries {
        |ORDER BY qid, rank""".stripMargin
   }
 
+  /** PQ search + exact REFINE — the FAISS IndexRefineFlat composition
+    * and the standard answer to PQ's quantization loss: ADC ranks the
+    * whole corpus cheaply (m bytes/vector), then the top k·r candidates
+    * (r = 4 here) are re-ranked with EXACT distances on full vectors —
+    * per query that is 20 full-vector reads instead of 500, which at
+    * 10⁹ vectors is the difference between a RAM-resident index and a
+    * full-corpus scan. The guarantee the frame hash-gates: refined
+    * recall ≥ PQ recall PER QUERY — if v is in both the PQ top-5 and
+    * the exact top-5, at most 4 corpus vectors beat v exactly, so at
+    * most 4 CANDIDATES beat v and v survives the refine cut; refinement
+    * can only promote truth into the top-5, never evict it. The exact
+    * truth side is the documented brute-force contrast baseline (the
+    * `ann_filtered` idiom); the candidate set is the only approximate
+    * input. Everything stays engine-exact: ADC sums are the 1e9-scaled
+    * longs of [[Ann.pqSearch]], refine distances floor-scale the same
+    * way before ranking.
+    */
+  def annPqRefine(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = orig(s, dir)
+    val sub = Dim / PqM
+    val w = Window.orderBy("vec_id")
+    val seeds = c.orderBy("vec_id").limit(PqK)
+      .select((row_number().over(w) - 1).as("_code"), col("v"))
+    val books = seeds.select(col("_code"), explode(expr(
+        s"transform(sequence(0, ${PqM - 1}), i -> struct(i as _m, slice(v, i * $sub + 1, $sub) as _cv))")).as("_s"))
+      .select(col("_s._m").as("_m"), col("_code"), col("_s._cv").as("_cv"))
+    val queries = c.filter(col("vec_id") < 10)
+    val cand = Ann.pqSearch(queries, c, books, "vec_id", "v", Dim,
+      m = PqM, k = 20)
+    val qv = queries.select(col("vec_id").as("qid"), col("v").as("_qv"))
+    val cv = c.select(col("vec_id"), col("v").as("_fv"))
+    val exact = floor(graft.functions.vecs.l2sq(col("_qv"), col("_fv"))
+      * lit(1.0e9)).cast("long")
+    val wq = Window.partitionBy("qid").orderBy(col("_ex"), col("vec_id"))
+    val refined = cand.select("qid", "vec_id")
+      .join(qv, "qid").join(cv, "vec_id")
+      .select(col("qid"), col("vec_id"), exact.as("_ex"))
+      .withColumn("_rk", row_number().over(wq)).filter(col("_rk") <= 5)
+      .select("qid", "vec_id")
+    // exact truth — brute-force contrast baseline, query-side bounded
+    val truth = qv.crossJoin(cv).filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), exact.as("_ex"))
+      .withColumn("_rk", row_number().over(wq)).filter(col("_rk") <= 5)
+      .select("qid", "vec_id")
+    def hits(sel: DataFrame, name: String): DataFrame = sel
+      .join(truth, Seq("qid", "vec_id"), "left_semi")
+      .groupBy("qid").agg(count(lit(1)).as(name))
+    val hp = hits(cand.filter(col("rank") <= 5).select("qid", "vec_id"),
+      "n_hits_pq")
+    val hr = hits(refined, "n_hits_refined")
+    qv.select("qid")
+      .join(hp, Seq("qid"), "left").join(hr, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("n_hits_pq"), lit(0L)).as("n_hits_pq"),
+        coalesce(col("n_hits_refined"), lit(0L)).as("n_hits_refined"),
+        (coalesce(col("n_hits_pq"), lit(0L)) * 200).as("recall_pq_milli"),
+        (coalesce(col("n_hits_refined"), lit(0L)) * 200)
+          .as("recall_refined_milli"))
+      .orderBy("qid")
+  }
+
+  val annPqRefineOracle: String = {
+    val sub = Dim / PqM
+    s"""WITH o AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |seeds AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS code, v
+       |          FROM (SELECT * FROM o ORDER BY vec_id LIMIT $PqK)),
+       |mset AS (SELECT unnest([${(0 until PqM).mkString(", ")}]) AS m),
+       |books AS (SELECT m, code, v[m*$sub+1 : m*$sub+$sub] AS cv FROM seeds, mset),
+       |subs AS (SELECT vec_id, m, v[m*$sub+1 : m*$sub+$sub] AS sv FROM o, mset),
+       |enc0 AS (SELECT s.vec_id, s.m, b.code,
+       |           row_number() OVER (PARTITION BY s.vec_id, s.m
+       |             ORDER BY ${l2sqSubSql("s.sv", "b.cv", sub)}, b.code) AS rn
+       |         FROM subs s JOIN books b ON b.m = s.m),
+       |enc AS (SELECT vec_id, m, code FROM enc0 WHERE rn = 1),
+       |q AS (SELECT vec_id AS qid, m, sv FROM subs WHERE vec_id < 10),
+       |dtab AS (SELECT q.qid, b.m, b.code,
+       |           CAST(floor((${l2sqSubSql("q.sv", "b.cv", sub)}) * 1e9) AS BIGINT) AS dq
+       |         FROM q JOIN books b ON b.m = q.m),
+       |adc AS (SELECT d.qid, e.vec_id, CAST(sum(d.dq) AS BIGINT) AS adc_scaled
+       |        FROM enc e JOIN dtab d ON d.m = e.m AND d.code = e.code
+       |        WHERE e.vec_id <> d.qid GROUP BY 1, 2),
+       |ranked AS (SELECT qid, vec_id,
+       |             row_number() OVER (PARTITION BY qid
+       |               ORDER BY adc_scaled, vec_id) AS rank FROM adc),
+       |cand AS (SELECT qid, vec_id FROM ranked WHERE rank <= 20),
+       |pq5 AS (SELECT qid, vec_id FROM ranked WHERE rank <= 5),
+       |exall AS (SELECT qq.vec_id AS qid, cc.vec_id,
+       |            CAST(floor((${l2sqSql("qq.v", "cc.v")}) * 1e9) AS BIGINT) AS ex
+       |          FROM o qq JOIN o cc ON cc.vec_id <> qq.vec_id
+       |          WHERE qq.vec_id < 10),
+       |truth AS (SELECT qid, vec_id FROM (
+       |            SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+       |              ORDER BY ex, vec_id) AS rk FROM exall) WHERE rk <= 5),
+       |ref AS (SELECT qid, vec_id FROM (
+       |          SELECT e.qid, e.vec_id, row_number() OVER (PARTITION BY e.qid
+       |            ORDER BY e.ex, e.vec_id) AS rk
+       |          FROM exall e JOIN cand ON cand.qid = e.qid AND cand.vec_id = e.vec_id)
+       |        WHERE rk <= 5),
+       |hp AS (SELECT p.qid, CAST(count(*) AS BIGINT) AS n FROM pq5 p
+       |       JOIN truth t ON t.qid = p.qid AND t.vec_id = p.vec_id GROUP BY 1),
+       |hr AS (SELECT r.qid, CAST(count(*) AS BIGINT) AS n FROM ref r
+       |       JOIN truth t ON t.qid = r.qid AND t.vec_id = r.vec_id GROUP BY 1)
+       |SELECT q0.qid, coalesce(hp.n, 0) AS n_hits_pq,
+       |       coalesce(hr.n, 0) AS n_hits_refined,
+       |       coalesce(hp.n, 0) * 200 AS recall_pq_milli,
+       |       coalesce(hr.n, 0) * 200 AS recall_refined_milli
+       |FROM (SELECT vec_id AS qid FROM o WHERE vec_id < 10) q0
+       |LEFT JOIN hp ON hp.qid = q0.qid LEFT JOIN hr ON hr.qid = q0.qid
+       |ORDER BY q0.qid""".stripMargin
+  }
+
   /** ANN recall@5 evaluator — the block_eval/dedup_eval analogue for
     * the index family: every approximate method (LSH bucket single- and
     * multi-table, IVF fixed-centroid search, PQ/ADC fixed-codebook
@@ -1133,6 +1245,7 @@ object AnnQueries {
     "ann_recall_eval" -> (annRecallEval _),
     "ann_sq8" -> (annSq8 _),
     "ann_pq_search" -> (annPqSearch _),
+    "ann_pq_refine" -> (annPqRefine _),
     "ann_ivfpq" -> (annIvfpq _),
     "ann_pq_fit" -> (annPqFit _),
     "ann_truncate_recall" -> (annTruncateRecall _),
@@ -1156,6 +1269,7 @@ object AnnQueries {
     "ann_recall_eval" -> annRecallEvalOracle,
     "ann_sq8" -> annSq8Oracle,
     "ann_pq_search" -> annPqSearchOracle,
+    "ann_pq_refine" -> annPqRefineOracle,
     "ann_ivfpq" -> annIvfpqOracle,
     "ann_truncate_recall" -> annTruncateRecallOracle,
     "ann_centroid_sim" -> annCentroidSimOracle,

@@ -351,6 +351,23 @@ class Round12Spec extends AnyFunSuite {
       "enrichment must not buffer the fact side in a stream-stream join")
   }
 
+  test("ann_pq_refine: refinement never evicts truth — refined recall " +
+      "dominates PQ recall per query, at 20 exact reads per query") {
+    val rows = graft.ann.AnnQueries.annPqRefine(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val pq = r.getLong(1); val ref = r.getLong(2)
+      assert(ref >= pq, s"qid ${r.getLong(0)}: refined $ref < pq $pq")
+      assert(r.getLong(3) == pq * 200 && r.getLong(4) == ref * 200)
+      assert(ref <= 5L)
+    }
+    // the refine must actually buy recall somewhere at this SF, or the
+    // composition is vacuous (measured: it does — PQ with 16 fixed
+    // codes loses truth that exact re-ranking recovers)
+    assert(rows.map(_.getLong(2)).sum > rows.map(_.getLong(1)).sum,
+      "refine should recover recall PQ lost at this SF")
+  }
+
   test("sample_stratified: per stratum exactly min(k, n) rows survive and " +
       "they are the k smallest hashes — verified against a brute recompute") {
     import org.apache.spark.sql.functions._
