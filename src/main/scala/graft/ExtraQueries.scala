@@ -1372,6 +1372,55 @@ object ExtraQueries {
       .orderBy("purchase_id")
   }
 
+  /** Temporal (SCD2) dimension join — every fact enriched with the dim
+    * VERSION valid at the fact's event time, the canonical warehouse
+    * problem (`events_scd2` builds the versioned table; this query
+    * CONSUMES one). Dim = per-user signup history (tier from the signup
+    * value, deduped per (user, ts) — asof's right-side contract); facts
+    * = purchases. The Spark plan is [[graft.operators.AsofJoin
+    * .asofBackward]] — ONE hash shuffle + window carry, cost-invariant
+    * in versions-per-user; the ORACLE is the naive formulation, an
+    * explicit interval join against the lead()-built SCD2 table
+    * (valid_from ≤ ts < valid_to). The hash gate therefore proves the
+    * asof plan IMPLEMENTS SCD2 validity semantics — including the two
+    * boundary cases (a fact AT a version boundary takes the new
+    * version; a fact before the first version stays unmatched/null) —
+    * while shipping the plan that survives a hot user, which the range
+    * join does not.
+    */
+  def joinDimScd(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val dim = e.filter(col("event_type") === "signup")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts"),
+        least(greatest(floor(col("value") / lit(100.0)).cast("long"), lit(0L)),
+          lit(4L)).as("_tier0"))
+      .groupBy("user_id", "ts").agg(min("_tier0").as("tier"))
+    val facts = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts"),
+        col("event_id"), cents(col("value")).as("value_cents"))
+    graft.operators.AsofJoin.asofBackward(facts, dim, "user_id", "ts")
+      .orderBy("user_id", "ts", "event_id")
+  }
+
+  val joinDimScdOracle: String =
+    s"""WITH d0 AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts,
+       |    least(greatest(CAST(floor(value / 100.0) AS BIGINT), 0), 4) AS tier0
+       |  FROM events WHERE event_type = 'signup'),
+       |d1 AS (SELECT user_id, ts, CAST(min(tier0) AS BIGINT) AS tier
+       |       FROM d0 GROUP BY 1, 2),
+       |dim AS (SELECT user_id, ts AS valid_from,
+       |          coalesce(lead(ts) OVER (PARTITION BY user_id ORDER BY ts),
+       |            ${Long.MaxValue}) AS valid_to,
+       |          tier
+       |        FROM d1),
+       |f AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts, event_id,
+       |        CAST(round(value * 100) AS BIGINT) AS value_cents
+       |      FROM events WHERE event_type = 'purchase')
+       |SELECT f.user_id, f.ts, f.event_id, f.value_cents, dim.tier
+       |FROM f LEFT JOIN dim ON dim.user_id = f.user_id
+       |  AND dim.valid_from <= f.ts AND f.ts < dim.valid_to
+       |ORDER BY f.user_id, f.ts, f.event_id""".stripMargin
+
   /** Window form of the backward as-of (r12): the r8-r10 native ASOF
     * JOIN form was correct but OOM'd the driver's memory-starved
     * oracle process in r11 — a union + one streaming last_value window
@@ -2188,6 +2237,7 @@ object ExtraQueries {
     "asof_join_chunked" -> (asofJoinChunked _),
     "interval_overlap" -> (intervalOverlap _),
     "asof_join" -> (asofJoin _),
+    "join_dim_scd" -> (joinDimScd _),
     "pipeline_e2e" -> (pipelineE2e _),
     "pipeline_data_e2e" -> (pipelineDataE2e _),
     "match_ml" -> (matchMl _),
@@ -2242,6 +2292,7 @@ object ExtraQueries {
     "asof_join_chunked" -> asofJoinOracle,
     "interval_overlap" -> intervalOverlapOracle,
     "asof_join" -> asofJoinOracle,
+    "join_dim_scd" -> joinDimScdOracle,
     "pipeline_e2e" -> pipelineE2eOracle,
     "pipeline_data_e2e" -> pipelineDataE2eOracle,
     "match_text_format" -> matchTextFormatOracle,

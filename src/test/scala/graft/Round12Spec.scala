@@ -368,6 +368,43 @@ class Round12Spec extends AnyFunSuite {
       "refine should recover recall PQ lost at this SF")
   }
 
+  test("join_dim_scd: the asof plan equals the SCD2 interval join, " +
+      "boundary semantics included") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val asof = graft.ExtraQueries.joinDimScd(spark, sf)
+    // Spark-side recompute of the ORACLE formulation (the naive
+    // interval join) — proves the equivalence independent of DuckDB
+    val e = Tables.events(spark, sf)
+    val d1 = e.filter(col("event_type") === "signup")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts"),
+        least(greatest(floor(col("value") / lit(100.0)).cast("long"), lit(0L)),
+          lit(4L)).as("_t0"))
+      .groupBy("user_id", "ts").agg(min("_t0").as("tier"))
+    val dim = d1.select(col("user_id").as("_du"), col("ts").as("valid_from"),
+      coalesce(lead(col("ts"), 1).over(
+          Window.partitionBy("user_id").orderBy("ts")),
+        lit(Long.MaxValue)).as("valid_to"),
+      col("tier"))
+    val f = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts"),
+        col("event_id"), Tables.cents(col("value")).as("value_cents"))
+    val interval = f.join(dim,
+        f("user_id") === dim("_du") && dim("valid_from") <= f("ts") &&
+          f("ts") < dim("valid_to"), "left")
+      .select(f("user_id"), f("ts"), col("event_id"), col("value_cents"),
+        col("tier"))
+    assert(asof.count() > 0)
+    assert(asof.exceptAll(interval).isEmpty && interval.exceptAll(asof).isEmpty,
+      "asof enrichment must equal the SCD2 interval join")
+    // both boundary populations exist at the test SF, or the law is
+    // only half-exercised: some fact matched a non-first version, and
+    // some fact predates every version (tier null)
+    val rows = asof.collect()
+    assert(rows.exists(_.isNullAt(4)), "need pre-first-version facts")
+    assert(rows.exists(!_.isNullAt(4)), "need matched facts")
+  }
+
   test("sample_stratified: per stratum exactly min(k, n) rows survive and " +
       "they are the k smallest hashes — verified against a brute recompute") {
     import org.apache.spark.sql.functions._
