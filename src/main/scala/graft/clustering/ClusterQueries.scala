@@ -117,6 +117,58 @@ object ClusterQueries {
        |SELECT node AS id, min(r) AS cluster FROM reach GROUP BY node
        |ORDER BY id""".stripMargin
 
+  /** INCREMENTAL connected components — the daily-ingest face of
+    * [[clusterConnectedComponents]] (the `ann_ivf_incremental` idiom
+    * applied to the match graph): the historical graph's labeling is a
+    * persisted artifact; when new match edges arrive, each arrival
+    * endpoint is CONTRACTED to its stored component root (absent
+    * endpoints keep their own id), connected components runs on the
+    * contracted ARRIVAL graph only, and the stored labeling is mapped
+    * through the merge result. Labels are component-min ids, and a base
+    * root is its component's min while new-only nodes contribute raw
+    * ids — so the merged min equals the global min and the incremental
+    * labeling is BIT-IDENTICAL to a full recompute over all edges,
+    * which is exactly what the oracle computes (recursive-CTE CC over
+    * the union): the hash gate IS the maintenance law. At 100 TB the
+    * historical CC runs once ever; each increment pays CC on a graph
+    * the size of the day's arrivals, never the corpus.
+    */
+  def clusterCcIncremental(s: SparkSession, dir: String): DataFrame = {
+    val all = edges(s, dir)
+    val isNew = col("id1") % 5 === 0
+    val e0 = all.filter(!isNew)
+    val e1 = all.filter(isNew)
+    val lab = Clusterers.connectedComponents(e0) // the persisted artifact
+    def root(side: String) = lab
+      .select(col("id").as(side), col("cluster").as(s"_r$side"))
+    val contracted = e1
+      .join(root("id1"), Seq("id1"), "left")
+      .join(root("id2"), Seq("id2"), "left")
+      .select(coalesce(col("_rid1"), col("id1")).as("id1"),
+        coalesce(col("_rid2"), col("id2")).as("id2"))
+    val merged = Clusterers.connectedComponents(contracted)
+      .select(col("id").as("cluster"), col("cluster").as("_newc"))
+    val relabeled = lab.join(merged, Seq("cluster"), "left")
+      .select(col("id"), coalesce(col("_newc"), col("cluster")).as("cluster"))
+    val newOnly = e1.select(col("id1").as("id"))
+      .unionByName(e1.select(col("id2").as("id"))).distinct()
+      .join(lab.select("id"), Seq("id"), "left_anti")
+      .join(merged.withColumnRenamed("cluster", "id"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("_newc"), col("id")).as("cluster"))
+    relabeled.unionByName(newOnly).orderBy("id")
+  }
+
+  val ccIncrementalOracle: String =
+    s"""WITH RECURSIVE $edgesSql,
+       |sym AS (SELECT id1 AS u, id2 AS v FROM e UNION SELECT id2, id1 FROM e),
+       |nodes AS (SELECT DISTINCT u AS id FROM sym),
+       |reach(node, r) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT s.v, reach.r FROM reach JOIN sym s ON s.u = reach.node)
+       |SELECT node AS id, min(r) AS cluster FROM reach GROUP BY node
+       |ORDER BY id""".stripMargin
+
   // ---- greedy 1:1 ----
 
   def clusterGreedyOneToOne(s: SparkSession, dir: String): DataFrame =
@@ -521,6 +573,7 @@ object ClusterQueries {
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cluster_connected_components" -> (clusterConnectedComponents _),
+    "cluster_cc_incremental" -> (clusterCcIncremental _),
     "cluster_hierarchical_average" -> (clusterHierarchicalAverage _),
     "cluster_greedy_one_to_one" -> (clusterGreedyOneToOne _),
     "cluster_centre" -> (clusterCentre _),
@@ -535,6 +588,7 @@ object ClusterQueries {
 
   def oracles: Map[String, String] = Map(
     "cluster_connected_components" -> ccOracle,
+    "cluster_cc_incremental" -> ccIncrementalOracle,
     "cluster_greedy_one_to_one" -> greedyOracle,
     "cluster_centre" -> centreOracle,
     "cluster_stable" -> stableOracle,

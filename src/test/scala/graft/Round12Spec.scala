@@ -405,6 +405,27 @@ class Round12Spec extends AnyFunSuite {
     assert(rows.exists(!_.isNullAt(4)), "need matched facts")
   }
 
+  test("cluster_cc_incremental: contracted-arrival labeling equals the " +
+      "full recompute, and arrivals genuinely merge base components") {
+    import org.apache.spark.sql.functions._
+    val inc = graft.clustering.ClusterQueries.clusterCcIncremental(spark, sf)
+    val full = graft.clustering.Clusterers.connectedComponents(
+      graft.clustering.ClusterQueries.edges(spark, sf))
+    assert(inc.count() > 0)
+    assert(inc.exceptAll(full).isEmpty && full.exceptAll(inc).isEmpty,
+      "incremental labeling must equal the full recompute")
+    // the split must exercise real merges at this SF: some base
+    // component's root is relabeled by the arrival pass (otherwise the
+    // contraction law was never load-bearing)
+    val all = graft.clustering.ClusterQueries.edges(spark, sf)
+    val e0 = all.filter(!(col("id1") % 5 === 0))
+    val base = graft.clustering.Clusterers.connectedComponents(e0)
+      .select(col("id"), col("cluster").as("base_cluster"))
+    val mergedSome = inc.join(base, Seq("id"))
+      .filter(col("cluster") =!= col("base_cluster")).count()
+    assert(mergedSome > 0, "arrival edges must merge base components")
+  }
+
   test("sample_stratified: per stratum exactly min(k, n) rows survive and " +
       "they are the k smallest hashes — verified against a brute recompute") {
     import org.apache.spark.sql.functions._
