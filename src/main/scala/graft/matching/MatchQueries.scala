@@ -228,6 +228,66 @@ object MatchQueries {
        |  round(CAST(tp AS DOUBLE) * 2.0 / greatest(2 * tp + fp + fn, 1), 5) AS f1
        |FROM agg ORDER BY threshold""".stripMargin
 
+  /** ACTIVE-LEARNING batch selection — uncertainty sampling over the
+    * scored candidates: the 20 pairs whose score sits CLOSEST to the
+    * operating threshold (θ = 0.96, `match_threshold_pick`'s max_f1
+    * choice) are the ones a human labeler should see next, because the
+    * decision boundary is exactly where the rule is least sure and a
+    * label moves θ the most (the classic uncertainty-sampling rule;
+    * the reference's labeling loop picks its batches the same way).
+    * Distances are exact integers on the 1e5 score grid (the scores
+    * are 5-decimal-rounded, so round-to-long is engine-stable).
+    * Top-20 is `orderBy(...).limit(...)` — Spark's TakeOrderedAndProject,
+    * per-partition top-k then a 20-row merge, never a global sort. The
+    * gold flag rides along as the demonstration column: the boundary
+    * batch is where labels genuinely disagree (mixed is_gold), unlike
+    * a top-score or random batch.
+    */
+  def matchUncertaintySample(s: SparkSession, dir: String): DataFrame = {
+    val l = EmScenario.custL(s, dir)
+    val r = EmScenario.custR(s, dir)
+    val cands = Blockers.standard(l, r, Seq("seg", "nat"), "id")
+    val scored = Matching.ruleMatch(cands, l, r, "id",
+      Seq(
+        sims.jaroWinkler(col("l_name"), col("r_name")) -> 0.6,
+        sims.exactSim(col("l_seg"), col("r_seg")) -> 0.2,
+        sims.numericAbsSim(col("l_bal"), col("r_bal"), 1000.0) -> 0.2),
+      threshold = 0.0)
+    val g = EmScenario.gold(s, dir).withColumn("_g", lit(1L))
+    val picked = scored.join(g, Seq("id1", "id2"), "left")
+      .select(col("id1"), col("id2"), col("score"),
+        abs(round(col("score") * 100000).cast("long") - lit(96000L))
+          .as("dist_e5"),
+        coalesce(col("_g"), lit(0L)).as("is_gold"))
+      .orderBy(col("dist_e5"), col("id1"), col("id2"))
+      .limit(20)
+    picked.withColumn("pick_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("dist_e5"), col("id1"), col("id2"))).cast("long"))
+      .select("pick_rank", "id1", "id2", "score", "dist_e5", "is_gold")
+      .orderBy("pick_rank")
+  }
+
+  val matchUncertaintySampleOracle: String =
+    s"""${EmScenario.oracleWith},
+       |cand AS (SELECT l.id AS id1, r.id AS id2, l.name AS ln, r.name AS rn,
+       |                l.seg AS ls, r.seg AS rs, l.bal AS lb, r.bal AS rb
+       |         FROM l JOIN r ON l.seg = r.seg AND l.nat = r.nat),
+       |scored AS (SELECT id1, id2,
+       |  round(jaro_winkler_similarity(ln, rn) * 0.6
+       |        + (CASE WHEN ls = rs THEN 1.0 ELSE 0.0 END) * 0.2
+       |        + greatest(0.0, 1.0 - abs(lb - rb) / 1000.0) * 0.2, 5) AS score
+       |  FROM cand),
+       |j AS (SELECT s.id1, s.id2, s.score,
+       |        abs(CAST(round(s.score * 100000) AS BIGINT) - 96000) AS dist_e5,
+       |        CASE WHEN g.id1 IS NOT NULL THEN CAST(1 AS BIGINT)
+       |             ELSE CAST(0 AS BIGINT) END AS is_gold
+       |      FROM scored s LEFT JOIN gold g ON g.id1 = s.id1 AND g.id2 = s.id2)
+       |SELECT CAST(row_number() OVER (ORDER BY dist_e5, id1, id2) AS BIGINT)
+       |         AS pick_rank,
+       |       id1, id2, score, dist_e5, is_gold
+       |FROM j ORDER BY dist_e5, id1, id2 LIMIT 20""".stripMargin
+
   /** Calibration-aware threshold SELECTION — the decision step that
     * closes the evaluator loop (r10 verdict ask #3): given the scored
     * candidates, pick the operating θ three ways and report each
@@ -798,6 +858,7 @@ object MatchQueries {
     "match_auc" -> (matchAuc _),
     "match_calibration" -> (matchCalibration _),
     "match_threshold_sweep" -> (matchThresholdSweep _),
+    "match_uncertainty_sample" -> (matchUncertaintySample _),
     "match_threshold_pick" -> (matchThresholdPick _)
   )
 
@@ -1044,6 +1105,7 @@ object MatchQueries {
     "match_auc" -> matchAucOracle,
     "match_calibration" -> matchCalibrationOracle,
     "match_threshold_sweep" -> matchThresholdSweepOracle,
+    "match_uncertainty_sample" -> matchUncertaintySampleOracle,
     "match_threshold_pick" -> matchThresholdPickOracle
   )
 }

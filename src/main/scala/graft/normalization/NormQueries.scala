@@ -857,7 +857,59 @@ object NormQueries {
       |  CAST(10 AS BIGINT) AS n_transforms
       |FROM o ORDER BY o_orderkey""".stripMargin
 
+  /** FD-violation REPAIR — the enforcement face of `profile_fd` (which
+    * only MEASURES how badly c_nationkey ↛ name holds): for each
+    * determinant group, every row's dependent value is replaced by the
+    * group's MAJORITY value (ties broken to the lexicographic minimum —
+    * the deterministic HoloClean-lite rule), with the repair decision
+    * riding along. Violations are PLANTED (custkey % 97 corrupts the
+    * joined nation name) so both populations exist. Scale shape: the
+    * candidate frame is |groups × distinct dependent values| — domain-
+    * bounded, nothing row-scale shuffles twice; the majority frame
+    * broadcast-joins back onto the rows. The documented limitation is
+    * part of the law: majority repair keeps a corruption that IS the
+    * majority (single-row groups), which the oracle reproduces rather
+    * than hides.
+    */
+  def normFdRepair(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = nation(s, dir).select(col("n_nationkey"), col("n_name"))
+    val dirty = customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey"),
+        when(col("c_custkey") % 97 === 0, concat(col("n_name"), lit("_X")))
+          .otherwise(col("n_name")).as("n_name"))
+    val counts = dirty.groupBy("c_nationkey", "n_name")
+      .agg(count(lit(1)).as("_c"))
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(col("_c").desc, col("n_name"))
+    val majority = counts.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1)
+      .select(col("c_nationkey"), col("n_name").as("n_name_repaired"))
+    dirty.join(broadcast(majority), Seq("c_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey"), col("n_name"),
+        col("n_name_repaired"),
+        (col("n_name") =!= col("n_name_repaired")).as("was_repaired"))
+      .orderBy("c_custkey")
+  }
+
+  val normFdRepairOracle: String =
+    """WITH d AS (SELECT c_custkey, c_nationkey,
+      |    CASE WHEN c_custkey % 97 = 0 THEN n_name || '_X' ELSE n_name END
+      |      AS n_name
+      |  FROM customer JOIN nation ON n_nationkey = c_nationkey),
+      |cnt AS (SELECT c_nationkey, n_name, count(*) AS c FROM d GROUP BY 1, 2),
+      |maj AS (SELECT c_nationkey, n_name AS n_name_repaired FROM (
+      |          SELECT c_nationkey, n_name, row_number() OVER (
+      |            PARTITION BY c_nationkey ORDER BY c DESC, n_name) AS rk
+      |          FROM cnt) WHERE rk = 1)
+      |SELECT d.c_custkey, d.c_nationkey, d.n_name, maj.n_name_repaired,
+      |       d.n_name <> maj.n_name_repaired AS was_repaired
+      |FROM d JOIN maj ON maj.c_nationkey = d.c_nationkey
+      |ORDER BY d.c_custkey""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "norm_fd_repair" -> (normFdRepair _),
     "norm_text" -> (normText _),
     "norm_headers" -> (normHeaders _),
     "norm_tokenize" -> (normTokenize _),
@@ -887,6 +939,7 @@ object NormQueries {
     "norm_transforms" -> (normTransforms _))
 
   def oracles: Map[String, String] = Map(
+    "norm_fd_repair" -> normFdRepairOracle,
     "norm_text" -> normTextOracle,
     "norm_headers" -> normHeadersOracle,
     "norm_tokenize" -> normTokenizeOracle,

@@ -426,6 +426,46 @@ class Round12Spec extends AnyFunSuite {
     assert(mergedSome > 0, "arrival edges must merge base components")
   }
 
+  test("norm_fd_repair: every repaired row moves to its group majority, " +
+      "clean groups are untouched, planted corruption is fixed") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.normalization.NormQueries.normFdRepair(spark, sf).collect()
+    assert(rows.nonEmpty)
+    def key(r: org.apache.spark.sql.Row) = r.getAs[Number](0).longValue
+    // within a determinant group the repaired value is constant
+    rows.groupBy(_.getAs[Number](1).longValue).foreach { case (k, rs) =>
+      assert(rs.map(_.getString(3)).distinct.length == 1,
+        s"group $k: repaired value must be the single majority")
+    }
+    // was_repaired marks exactly the rows whose value differs
+    rows.foreach { r =>
+      assert(r.getBoolean(4) == (r.getString(2) != r.getString(3)))
+    }
+    // the planted corruption (custkey % 97 == 0) is repaired at this SF
+    // (every nation has enough clean rows for the majority to win)
+    val planted = rows.filter(key(_) % 97 == 0)
+    assert(planted.nonEmpty && planted.forall(_.getBoolean(4)),
+      "planted violations must be repaired")
+    assert(rows.filterNot(key(_) % 97 == 0).forall(!_.getBoolean(4)),
+      "clean rows must not be rewritten")
+  }
+
+  test("match_uncertainty_sample: the batch is the 20 boundary-nearest " +
+      "pairs and sits where labels disagree") {
+    val rows = graft.matching.MatchQueries
+      .matchUncertaintySample(spark, sf).collect()
+    assert(rows.length == 20)
+    // ranks are 1..20 and distances ascend with rank
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 20L))
+    val dists = rows.sortBy(_.getLong(0)).map(_.getLong(4))
+    assert(dists.zip(dists.tail).forall { case (a, b) => a <= b })
+    // the boundary batch genuinely mixes labels at this SF — the
+    // uncertainty-sampling point (an all-gold or no-gold batch would
+    // mean the threshold sits nowhere near the decision boundary)
+    val golds = rows.map(_.getLong(5)).toSet
+    assert(golds == Set(0L, 1L), s"expected mixed labels, got $golds")
+  }
+
   test("sample_stratified: per stratum exactly min(k, n) rows survive and " +
       "they are the k smallest hashes — verified against a brute recompute") {
     import org.apache.spark.sql.functions._
