@@ -237,6 +237,46 @@ object FuseQueries {
        |     JOIN lo USING (cluster) JOIN fs USING (cluster) JOIN cnt USING (cluster)
        |ORDER BY v.cluster""".stripMargin
 
+  /** INCREMENTAL fusion — the maintenance face of [[fuseEngine]] (the
+    * `ann_ivf_incremental` / `cluster_cc_incremental` idiom applied to
+    * the fused zone): the fused table is a persisted artifact; when a
+    * late source's records arrive (source C's rows for cluster % 7 = 0
+    * here — a LOCALIZED arrival, the scenario maintenance exists for),
+    * only the AFFECTED clusters re-fuse from their full raw records
+    * (the raw zone is kept — required anyway, since `average`-style
+    * resolvers are not mergeable from the fused value alone), and every
+    * other cluster's fused row is reused untouched. Fusion is a pure
+    * per-cluster aggregation, so reuse ∪ recompute is BIT-IDENTICAL to
+    * full fusion over all records — the oracle runs exactly the full
+    * `fuse_engine` SQL, making the hash gate the maintenance law. At
+    * 100 TB the daily refuse bill is the arrival clusters' records,
+    * never the fused zone.
+    */
+  def fuseIncremental(s: SparkSession, dir: String): DataFrame = {
+    val src = sources(s, dir)
+    val arrivalCond = col("src") === "C" && col("cluster") % 7 === 0
+    val base = src.filter(!arrivalCond)
+    val arrivals = src.filter(arrivalCond)
+    def fuseAll(records: DataFrame): DataFrame = {
+      val core = Fusion.runEngine(records, "cluster", Seq(
+          "status" -> "voting", "price" -> "average",
+          "odate" -> "most_recent", "prio" -> "longest_string"))
+        .withColumnRenamed("prio", "prio_longest")
+      val fs = Fusion.favourSources(records, "cluster", "prio", "src",
+          Seq("C", "A"))
+        .withColumnRenamed("prio", "prio_pref")
+      core.join(fs, "cluster")
+        .select(col("cluster"), col("status"), col("price"), col("odate"),
+          col("prio_longest"), col("prio_pref"), col("n_records"))
+    }
+    val baseFused = fuseAll(base) // the persisted artifact
+    val affected = arrivals.select("cluster").distinct()
+    val refused = fuseAll(src.join(affected, Seq("cluster"), "left_semi"))
+    baseFused.join(affected, Seq("cluster"), "left_anti")
+      .unionByName(refused)
+      .orderBy("cluster")
+  }
+
   // ---- evaluation + consistency (#52) ----
 
   /** Fusion accuracy vs gold (= source A's values), per attribute. */
@@ -732,6 +772,7 @@ object FuseQueries {
     "fuse_dates" -> (fuseDates _),
     "fuse_lists" -> (fuseLists _),
     "fuse_engine" -> (fuseEngine _),
+    "fuse_incremental" -> (fuseIncremental _),
     "fuse_report" -> (fuseReport _),
     "fuse_conflicts_preview" -> (fuseConflictsPreview _),
     "fuse_eval" -> (fuseEval _),
@@ -765,6 +806,8 @@ object FuseQueries {
     "fuse_dates" -> fuseDatesOracle,
     "fuse_lists" -> fuseListsOracle,
     "fuse_engine" -> fuseEngineOracle,
+    "fuse_incremental" -> fuseEngineOracle, // full fusion IS the law
+
     "fuse_report" -> fuseReportOracle,
     "fuse_conflicts_preview" -> fuseConflictsPreviewOracle,
     "fuse_eval" -> fuseEvalRealOracle,

@@ -426,6 +426,29 @@ class Round12Spec extends AnyFunSuite {
     assert(mergedSome > 0, "arrival edges must merge base components")
   }
 
+  test("fuse_incremental: reuse + affected-cluster recompute equals full " +
+      "fusion, and the arrival actually changes fused rows") {
+    import org.apache.spark.sql.functions._
+    val inc = graft.fusion.FuseQueries.fuseIncremental(spark, sf)
+    val full = graft.fusion.FuseQueries.fuseEngine(spark, sf)
+    assert(inc.count() > 0)
+    assert(inc.exceptAll(full).isEmpty && full.exceptAll(inc).isEmpty,
+      "incremental fusion must equal full fusion")
+    // the arrival must be load-bearing: some affected cluster's fused
+    // row differs from what the base-only fusion produced
+    val src = graft.fusion.FuseQueries.sources(spark, sf)
+    val baseOnly = src.filter(!(col("src") === "C" && col("cluster") % 7 === 0))
+    val affectedChanged = inc
+      .filter(col("cluster") % 7 === 0)
+      .join(graft.fusion.Fusion.runEngine(baseOnly, "cluster",
+          Seq("price" -> "average"))
+          .select(col("cluster"), col("price").as("_base_price")),
+        Seq("cluster"))
+      .filter(col("price") =!= col("_base_price"))
+      .count()
+    assert(affectedChanged > 0, "arrival records must change fused values")
+  }
+
   test("norm_fd_repair: every repaired row moves to its group majority, " +
       "clean groups are untouched, planted corruption is fixed") {
     import org.apache.spark.sql.functions._
