@@ -162,6 +162,52 @@ object IoQueries {
       |WHERE source IN ('src1', 'src2', 'src3')
       |GROUP BY source ORDER BY source""".stripMargin
 
+  /** Where [[ioDppJoin]] lands its partitioned fact (exposed for the
+    * spec's plan pin). */
+  def dppPath(dir: String): String =
+    java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_dpp_${dir.hashCode.toHexString}").toString
+
+  /** DYNAMIC partition pruning, demonstrated on a real partitioned
+    * layout — the third member of the pruning family (`io_partitioned`
+    * = static partition pruning from a literal predicate;
+    * `io_zorder_pruned` = file-stats skipping; this = pruning decided
+    * AT RUNTIME from the other side of a join): orders written
+    * partitioned by priority, joined to a small dim whose filter
+    * (urgency_rank ≤ 2) lives on a dim-only DERIVED column — a
+    * predicate the optimizer cannot statically translate onto the fact
+    * scan, so only DPP can avoid reading the 3 non-urgent partitions:
+    * Spark plants a `dynamicpruning` subquery in the fact scan's
+    * partition filters, fed by the reused broadcast of the dim
+    * (spec-pinned on the executed plan). At 100 TB this is the "scan
+    * only the dates the dimension selects" pattern that decides whether
+    * a star join reads 2 % or 100 % of the fact table.
+    */
+  def ioDppJoin(s: SparkSession, dir: String): DataFrame = {
+    val out = dppPath(dir)
+    orders(s, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+      .write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
+    val fact = s.read.parquet(out)
+    val urgent = orders(s, dir).select(col("o_orderpriority")).distinct()
+      .select(col("o_orderpriority").as("p"),
+        substring(col("o_orderpriority"), 1, 1).cast("int").as("urgency_rank"))
+      .filter(col("urgency_rank") <= 2)
+    fact.join(broadcast(urgent), fact("o_orderpriority") === urgent("p"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        centsToDouble(sum(cents(col("o_totalprice")))).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  val ioDppJoinOracle: String =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+      |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+      |         / 100.0 AS revenue
+      |FROM orders
+      |WHERE CAST(substr(o_orderpriority, 1, 1) AS INT) <= 2
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   private def orcPath(dir: String): String =
     java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
       s"graft_orc_${dir.hashCode.toHexString}").toString
@@ -849,6 +895,7 @@ object IoQueries {
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "io_bucketed_join" -> (ioBucketedJoin _),
     "io_zorder_compact" -> (ioZorderCompact _),
+    "io_dpp_join" -> (ioDppJoin _),
     "io_jsonl_roundtrip" -> (ioJsonlRoundtrip _),
     "io_table_diff" -> (ioTableDiff _),
     "io_csv_roundtrip" -> (ioCsvRoundtrip _),
@@ -869,6 +916,7 @@ object IoQueries {
   def oracles: Map[String, String] = Map(
     "io_bucketed_join" -> ioBucketedJoinOracle,
     "io_zorder_compact" -> ioZorderCompactOracle,
+    "io_dpp_join" -> ioDppJoinOracle,
     "io_jsonl_roundtrip" -> ioJsonlRoundtripOracle,
     "io_table_diff" -> ioTableDiffOracle,
     "io_csv_roundtrip" -> ioCsvRoundtripOracle,

@@ -426,6 +426,22 @@ class Round12Spec extends AnyFunSuite {
     assert(mergedSome > 0, "arrival edges must merge base components")
   }
 
+  test("io_dpp_join: the fact scan carries a dynamicpruning partition " +
+      "filter fed by the dim broadcast") {
+    import org.apache.spark.sql.functions._
+    val df = graft.io.IoQueries.ioDppJoin(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // urgent = priorities starting 1/2 only
+    assert(rows.forall(r => Set("1", "2")(r.getString(0).substring(0, 1))))
+    // the executed plan must prune the fact partitions DYNAMICALLY:
+    // the dim filter lives on a derived dim-only column, so only the
+    // runtime subquery can skip the non-urgent partitions
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"fact scan must carry a dynamicpruning partition filter:\n$plan")
+  }
+
   test("fuse_incremental: reuse + affected-cluster recompute equals full " +
       "fusion, and the arrival actually changes fused rows") {
     import org.apache.spark.sql.functions._
