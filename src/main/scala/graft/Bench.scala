@@ -85,7 +85,7 @@ object Bench {
     // (candidates + exact ground truth); annotate so their totals are
     // read as N-pipeline costs, not single-operator regressions.
     val pipelinesRun = Map("dedup_eval" -> 2, "block_eval" -> 2,
-      "ann_recall_eval" -> 6,
+      "ann_recall_eval" -> 7,
       // admission control runs the full MinHash banding pipeline on
       // BOTH sides (corpus index + arriving stream) inside one
       // streaming query — a 2-pipeline cost by definition
