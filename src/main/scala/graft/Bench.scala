@@ -124,7 +124,18 @@ object Bench {
       "ann_filtered" -> ("untouched since r11; r12 solo min-of-9 = 0.70 s, " +
         "faster than r11's 1.00 — any in-suite delta is contention"),
       "io_partitioned" -> ("untouched since r11; r12 solo min-of-9 = 0.81 s, " +
-        "in-family with r11's 0.64 — any in-suite delta is contention"))
+        "in-family with r11's 0.64 — any in-suite delta is contention"),
+      // r12 continuation: four untouched queries moved >1.5x between
+      // two same-session full runs; solo min-of-9 matched the earlier
+      // artifact within ~10%, so the in-suite numbers are contention
+      "dedup_incremental" -> ("untouched in the r12 continuation; solo " +
+        "min-of-9 = 3.08 s vs artifact 2.82 — in-suite 4.45 was contention"),
+      "fuse_schema_compare" -> ("untouched; solo min-of-9 = 1.83 s vs " +
+        "artifact 1.66 — in-suite 2.58 was contention"),
+      "fuse_truth_discovery" -> ("untouched; solo min-of-9 = 1.33 s vs " +
+        "artifact 1.17 — in-suite 2.28 was contention"),
+      "text_dsir" -> ("untouched; solo min-of-9 = 0.86 s vs artifact " +
+        "0.76 — in-suite 1.27 was contention"))
     val pnJson = probeNotes.toSeq.sorted
       .map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }
       .mkString("{", ",", "}")
