@@ -1697,6 +1697,37 @@ object ExtraQueries {
        |WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, event_id)
        |ORDER BY user_id, valid_from, event_id""".stripMargin
 
+  /** Multi-dimensional CUBE aggregate — the 2^d-margin sibling of
+    * `q4_rollup` (which covers only the hierarchical prefixes): per
+    * (event_type, day) cell AND every margin (per type, per day, grand
+    * total) in ONE pass, `grouping_id` disambiguating real NULLs from
+    * margin NULLs. Spark plans this as a single Expand (each input row
+    * replicated once per grouping set) + one aggregation — one scan,
+    * one shuffle for all 2² sets, vs the naive four-query union a
+    * dashboard would otherwise run over 100 TB four times. Ordering
+    * pins NULLS FIRST explicitly (Spark's ASC default) so the oracle's
+    * DuckDB sort (NULLS LAST default) agrees.
+    */
+  def eventsCube(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        cents(col("value")).as("_vc"))
+      .cube(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n_events"),
+        centsToDouble(sum("_vc")).as("sum_value"),
+        grouping_id().as("gid"))
+      .orderBy(col("gid"), col("event_type").asc_nulls_first,
+        col("day").asc_nulls_first)
+
+  val eventsCubeOracle: String =
+    """WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(round(value * 100) AS BIGINT) AS vc FROM events)
+      |SELECT event_type, day, CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(sum(vc) AS DOUBLE) / 100.0 AS sum_value,
+      |       CAST(GROUPING(event_type, day) AS BIGINT) AS gid
+      |FROM e GROUP BY CUBE (event_type, day)
+      |ORDER BY gid, event_type NULLS FIRST, day NULLS FIRST""".stripMargin
+
   /** Semi-structured schema-on-read: the events `props` JSON column
     * parsed with an EXPLICIT schema (`from_json` — codegen'd, no
     * sampling pass, the only schema-on-read shape that scales: schema
@@ -2228,6 +2259,7 @@ object ExtraQueries {
     "events_rolling" -> (eventsRolling _),
     "events_scd2" -> (eventsScd2 _),
     "events_json" -> (eventsJson _),
+    "events_cube" -> (eventsCube _),
     "events_anomaly" -> (eventsAnomaly _),
     "events_retention" -> (eventsRetention _),
     "events_funnel" -> (eventsFunnel _),
@@ -2283,6 +2315,7 @@ object ExtraQueries {
     "events_rolling" -> eventsRollingOracle,
     "events_scd2" -> eventsScd2Oracle,
     "events_json" -> eventsJsonOracle,
+    "events_cube" -> eventsCubeOracle,
     "events_anomaly" -> eventsAnomalyOracle,
     "events_retention" -> eventsRetentionOracle,
     "events_funnel" -> eventsFunnelOracle,

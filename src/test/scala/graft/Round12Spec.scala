@@ -426,6 +426,26 @@ class Round12Spec extends AnyFunSuite {
     assert(mergedSome > 0, "arrival edges must merge base components")
   }
 
+  test("events_cube: one Expand pass produces every margin and the " +
+      "margins reconcile with the cells") {
+    import org.apache.spark.sql.functions._
+    val df = graft.ExtraQueries.eventsCube(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    def n(r: org.apache.spark.sql.Row) = r.getLong(2)
+    val byGid = rows.groupBy(_.getLong(4))
+    assert(byGid.keySet == Set(0L, 1L, 2L, 3L), s"gids: ${byGid.keySet}")
+    // margin law: each margin level's counts sum to the grand total
+    val grand = n(byGid(3L).head)
+    assert(byGid(3L).size == 1)
+    Seq(0L, 1L, 2L).foreach { g =>
+      assert(byGid(g).map(n).sum == grand, s"gid $g margins must reconcile")
+    }
+    // single-pass plan: CUBE compiles to Expand + one aggregate
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), s"cube must plan as Expand:\n$plan")
+  }
+
   test("io_dpp_join: the fact scan carries a dynamicpruning partition " +
       "filter fed by the dim broadcast") {
     import org.apache.spark.sql.functions._
