@@ -46,37 +46,60 @@ object Bench {
     // cleared between reps, so a warm rep re-executes everything except
     // JVM compilation — it measures the operator, not the cache.
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt)
-    val results = selected.map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        try {
-          val df = fn(spark, sfDir)
-          // Force every output column: hash the full row, XOR the hashes
-          // (order-independent; no ANSI overflow, unlike sum).
-          df.agg(expr(s"bit_xor(xxhash64(${df.columns.map(c => s"`$c`").mkString(",")}))"))
-            .collect()
-          (System.nanoTime() - t0) / 1e9
-        } catch {
-          case e: Throwable =>
-            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-            -1.0
-        } finally {
-          // Queries run back-to-back in ONE JVM: any cached plan or
-          // persisted/checkpointed RDD a query leaves behind slows every
-          // later query (round-3 verdict measured a ~20× blowup from
-          // accumulated blocks). Start each query with a clean block
-          // manager, like a fresh session would.
-          Bench.clearSessionState(spark)
-        }
+    // One timed, fully-materialized execution. Forces every output
+    // column: hash the full row, XOR the hashes (order-independent; no
+    // ANSI overflow, unlike sum). Returns -1 and records the error on
+    // failure.
+    def timedRun(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try {
+        val df = fn(spark, sfDir)
+        df.agg(expr(s"bit_xor(xxhash64(${df.columns.map(c => s"`$c`").mkString(",")}))"))
+          .collect()
+        (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+          -1.0
+      } finally {
+        // Queries run back-to-back in ONE JVM: any cached plan or
+        // persisted/checkpointed RDD a query leaves behind slows every
+        // later query (round-3 verdict measured a ~20× blowup from
+        // accumulated blocks). Start each query with a clean block
+        // manager, like a fresh session would.
+        Bench.clearSessionState(spark)
       }
+    }
+    val results = selected.map { case (name, fn) =>
+      val times = (1 to reps).map(_ => timedRun(name, fn))
       // min over the warm reps that succeeded; -1 only if they all failed
       val warmReps = (if (times.size > 1) times.tail else times).filter(_ >= 0)
       (name, times.head, if (warmReps.isEmpty) -1.0 else warmReps.min)
+    }
+    // r12 verdict ask #2, automated adjudication of the heavy tail: the
+    // in-suite number for the slowest queries drifts with suite
+    // contention (dedup_simhash measured 8.56 s in-suite vs 2.48 s solo
+    // in r12 — a 3.5× band on code that got FASTER). After the full
+    // suite, re-measure the N slowest queries "solo" — min of 3 quiesced
+    // reps at the END of the run, when no other query's cleanup overlaps
+    // — and ship BOTH numbers, so a cross-round delta is read against
+    // the solo number that adjudicates it. Same-JVM solo is the honest
+    // local stand-in for a fresh process: clearSessionState + GC between
+    // reps removes the block-manager/contention component, which the r12
+    // hand probes (interleaved A/B, min-of-9) showed is the entire gap.
+    val soloN = math.max(0, sys.env.getOrElse("SPARK_GRAFT_SOLO_N", "10").toInt)
+    val fnByName = selected.toMap
+    val solo = results.filter(_._3 >= 0).sortBy(-_._3).take(soloN).map {
+      case (name, _, _) =>
+        val ts = (1 to 3).map(_ => timedRun(name, fnByName(name))).filter(_ >= 0)
+        (name, if (ts.isEmpty) -1.0 else ts.min)
     }
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
     val qs = results.map { case (k, _, w) => "\"" + esc(k) + "\":" + r3(w) }
       .mkString("{", ",", "}")
     val cold = results.map { case (k, c, _) => "\"" + esc(k) + "\":" + r3(c) }
+      .mkString("{", ",", "}")
+    val soloJson = solo.map { case (k, v) => "\"" + esc(k) + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }
       .mkString("{", ",", "}")
@@ -140,7 +163,7 @@ object Bench {
       .map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }
       .mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"cold":$cold,"errors":$errJson,"n_failed":${errors.size},"reps":$reps,"pipelines_run":$prJson,"probes":$pnJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"cold":$cold,"solo":$soloJson,"errors":$errJson,"n_failed":${errors.size},"reps":$reps,"pipelines_run":$prJson,"probes":$pnJson,"sf":"$sfDir"}"""
     println(json)
     // Belt and braces: the driver captures stdout (which has been
     // truncated in past rounds); persist the full artifact to a file too.
@@ -178,7 +201,7 @@ object Bench {
       .map { case (k, _, w) => "\"" + esc(k) + "\":" + r3(w) }
       .mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${errors.size},"reps":$reps,"sf":"$sfDir","slowest":$slowest,"full":"BENCH_LAST.json"}""")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${errors.size},"reps":$reps,"sf":"$sfDir","slowest":$slowest,"solo":$soloJson,"full":"BENCH_LAST.json"}""")
   }
 
   /** Drop every cached plan and persisted/checkpointed RDD block.

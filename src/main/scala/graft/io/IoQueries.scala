@@ -137,13 +137,27 @@ object IoQueries {
     * of scanning+discarding (IoProfileSchemaSpec asserts the pruned
     * scan shape on the executed plan).
     */
+  /** Collision-resistant token for the shared-tmpdir layout paths: md5
+    * of the FULL data-dir string (r12 advice: `dir.hashCode` lets two
+    * different dirs collide and silently share/overwrite each other's
+    * layouts). Deliberately stable — NOT a per-session UUID — because
+    * the write half (the registered query) and the read half (the spec
+    * re-opening the layout to assert pruning) must compute the same
+    * path; two sessions on the SAME dir sharing a layout is the
+    * intended idempotent-overwrite contract.
+    */
+  private[graft] def dirToken(dir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8"))
+      .take(8).map(b => f"$b%02x").mkString
+
   /** Where [[ioPartitioned]] lands its partitioned copy (exposed so the
     * spec can re-open the read and assert partition pruning on the
     * executed plan).
     */
   def partitionedPath(dir: String): String =
     java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft_part_${dir.hashCode.toHexString}").toString
+      s"graft_part_${dirToken(dir)}").toString
 
   def ioPartitioned(s: SparkSession, dir: String): DataFrame = {
     val out = partitionedPath(dir)
@@ -166,7 +180,7 @@ object IoQueries {
     * spec's plan pin). */
   def dppPath(dir: String): String =
     java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft_dpp_${dir.hashCode.toHexString}").toString
+      s"graft_dpp_${dirToken(dir)}").toString
 
   /** DYNAMIC partition pruning, demonstrated on a real partitioned
     * layout — the third member of the pruning family (`io_partitioned`
@@ -210,7 +224,7 @@ object IoQueries {
 
   private def orcPath(dir: String): String =
     java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft_orc_${dir.hashCode.toHexString}").toString
+      s"graft_orc_${dirToken(dir)}").toString
 
   /** ORC source roundtrip: write a lineitem projection as ORC (the
     * second columnar format large pipelines standardize on), read it
@@ -242,7 +256,7 @@ object IoQueries {
 
   private def compactPath(dir: String): String =
     java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft_compact_${dir.hashCode.toHexString}").toString
+      s"graft_compact_${dirToken(dir)}").toString
 
   /** Target rows per output file for the compaction demo. In production
     * the knob is bytes (`maxRecordsPerFile` / target file size); rows
@@ -277,7 +291,7 @@ object IoQueries {
 
   private def evolvePath(dir: String): String =
     java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft_evolve_${dir.hashCode.toHexString}").toString
+      s"graft_evolve_${dirToken(dir)}").toString
 
   /** Schema-evolution read: two parquet batches with different schemas
     * (v2 adds a column) merged by `mergeSchema` into one unified view —
@@ -401,7 +415,7 @@ object IoQueries {
     */
   def zorderPath(dir: String): String =
     java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft_zorder_${dir.hashCode.toHexString}").toString
+      s"graft_zorder_${dirToken(dir)}").toString
 
   /** Z-order pruning MEASURED on real parquet files (the claim
     * `io_zorder` proves on chunk stats, cashed on disk): both layouts
@@ -530,7 +544,7 @@ object IoQueries {
 
   private def csvPath(dir: String): String =
     java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft_csv_${dir.hashCode.toHexString}").toString
+      s"graft_csv_${dirToken(dir)}").toString
 
   /** CSV roundtrip under adversarial content: every document is
     * prefixed with an embedded quote, comma and newline (the characters
@@ -621,7 +635,7 @@ object IoQueries {
 
   private def jsonlPath(dir: String): String =
     java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft_jsonl_${dir.hashCode.toHexString}").toString
+      s"graft_jsonl_${dirToken(dir)}").toString
 
   /** JSONL roundtrip — THE training-data interchange format: documents
     * written as newline-delimited JSON (with the same embedded
@@ -654,7 +668,7 @@ object IoQueries {
     */
   def bucketedPath(dir: String): String =
     java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft_bucketed_${dir.hashCode.toHexString}").toString
+      s"graft_bucketed_${dirToken(dir)}").toString
 
   /** Catalog-unique bucketed table name for `dir`. */
   def bucketedTable(side: String, dir: String): String =
@@ -712,7 +726,7 @@ object IoQueries {
   /** Where [[ioZorderCompact]] lands its three layouts. */
   def zorderCompactPath(dir: String): String =
     java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft_zcompact_${dir.hashCode.toHexString}").toString
+      s"graft_zcompact_${dirToken(dir)}").toString
 
   /** Z-order COMPACTION, measured on real files (the SURVEY §15
     * candidate: appends erode z-locality; restore it by re-clustering

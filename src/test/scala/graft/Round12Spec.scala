@@ -273,9 +273,12 @@ class Round12Spec extends AnyFunSuite {
     // compact holds exactly the billed chunk count
     val root = java.nio.file.Paths.get(
       graft.io.IoQueries.zorderCompactPath(sf))
-    val compactChunks = java.nio.file.Files.list(root.resolve("compact"))
-      .filter(p => p.getFileName.toString.startsWith("chunk="))
-      .count()
+    val compactChunks = {
+      val st = java.nio.file.Files.list(root.resolve("compact"))
+      try st.filter(p => p.getFileName.toString.startsWith("chunk="))
+        .count()
+      finally st.close() // Files.list leaks a dir handle if unclosed
+    }
     assert(compactChunks == rewrittenFiles,
       s"compact dir holds $compactChunks chunk dirs, billed $rewrittenFiles")
   }
