@@ -822,7 +822,11 @@ object ExtraQueries {
     * with distinct pairs instead.
     */
   def aggSkewDistinct(s: SparkSession, dir: String): DataFrame =
-    events(s, dir).select("event_type", "user_id").distinct()
+    // count(DISTINCT user_id) ignores NULLs; distinct()+count(*) would
+    // count a null user as one user — filter first (a no-op on current
+    // data) so the decomposition matches for the full input domain
+    events(s, dir).select("event_type", "user_id")
+      .filter(col("user_id").isNotNull).distinct()
       .groupBy("event_type").agg(count(lit(1)).as("n_users"))
       .orderBy("event_type")
 
@@ -1401,6 +1405,21 @@ object ExtraQueries {
     graft.operators.AsofJoin.asofBackward(facts, dim, "user_id", "ts")
       .orderBy("user_id", "ts", "event_id")
   }
+
+  /** Batch face of the STREAMING SCD2 enrichment ([[Streams
+    * .scd2EnrichStream]], r13): the same per-key replay kernel the
+    * stream runs, applied to the whole input as one arrival — and
+    * hash-gated against the SAME interval-join oracle as
+    * [[joinDimScd]], so THREE formulations are proven equal: the asof
+    * window plan (join_dim_scd), the naive interval join (the oracle),
+    * and the stateful replay kernel (this). The streaming face then
+    * inherits the gated semantics by sharing the kernel; Round13Spec
+    * adds the cross-batch case the batch gate cannot see (a LATE fact
+    * arriving after a newer version takes the OLD version from the
+    * carried history).
+    */
+  def streamScd2Enrich(s: SparkSession, dir: String): DataFrame =
+    Streams.scd2EnrichBatch(events(s, dir))
 
   val joinDimScdOracle: String =
     s"""WITH d0 AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts,
@@ -2270,6 +2289,7 @@ object ExtraQueries {
     "interval_overlap" -> (intervalOverlap _),
     "asof_join" -> (asofJoin _),
     "join_dim_scd" -> (joinDimScd _),
+    "stream_scd2_enrich" -> (streamScd2Enrich _),
     "pipeline_e2e" -> (pipelineE2e _),
     "pipeline_data_e2e" -> (pipelineDataE2e _),
     "match_ml" -> (matchMl _),
@@ -2326,6 +2346,9 @@ object ExtraQueries {
     "interval_overlap" -> intervalOverlapOracle,
     "asof_join" -> asofJoinOracle,
     "join_dim_scd" -> joinDimScdOracle,
+    // the reuse IS the point: the kernel must satisfy the same
+    // interval law as the asof plan (see streamScd2Enrich doc)
+    "stream_scd2_enrich" -> joinDimScdOracle,
     "pipeline_e2e" -> pipelineE2eOracle,
     "pipeline_data_e2e" -> pipelineDataE2eOracle,
     "match_text_format" -> matchTextFormatOracle,

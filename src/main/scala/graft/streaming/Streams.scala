@@ -19,6 +19,17 @@ case class AsofStreamRow(user_id: Long, ts: Long, purchase_id: Long,
   */
 case class AsofBufState(views: Seq[(Long, Long)], purchases: Seq[(Long, Long)])
 
+/** SCD2 stream-enrichment output row (top-level for the encoder);
+  * column names/types match the reused `join_dim_scd` oracle. */
+case class Scd2EnrichRow(user_id: Long, ts: Long, event_id: Long,
+    value_cents: Option[Long], tier: Option[Long])
+
+/** Per-key state for the SCD2 stream enrichment: the version history,
+  * `(valid_from µs, tier)` ascending — bounded by how often the dim
+  * attribute CHANGES for the key (a few rows), never by the fact rate.
+  */
+case class Scd2History(versions: Seq[(Long, Option[Long])])
+
 /** Structured Streaming operators (SURVEY §2.12 #65). The transform is
   * written once against a DataFrame and used by BOTH the batch query
   * (which the DuckDB oracle checks) and the streaming query (readStream →
@@ -74,7 +85,7 @@ object Streams {
     // events land in one); the test fixture is a single file, so stage a
     // symlink dir next to the JVM tmpdir.
     val stage = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), s"graft_stream_${dir.hashCode.toHexString}")
+      System.getProperty("java.io.tmpdir"), s"graft_stream_${graft.io.IoQueries.dirToken(dir)}")
     java.nio.file.Files.createDirectories(stage)
     val link = stage.resolve("events.parquet")
     if (!java.nio.file.Files.exists(link))
@@ -426,13 +437,122 @@ object Streams {
   def dedupStream(events: DataFrame, keyCols: Seq[String]): DataFrame =
     events.dropDuplicatesWithinWatermark(keyCols)
 
+  // ---------- SCD2-versioned stream enrichment (r13) ----------
+
+  /** Shared typed projection for the SCD2 enrichment kernel: one mixed
+    * change-log/fact stream — signups CREATE dim versions (tier from
+    * the signup value, the `join_dim_scd` law), purchases are the facts
+    * to enrich. Both sides keep their natural parquet types so the
+    * batch face's dump matches the reused `join_dim_scd` oracle dtypes.
+    */
+  private def scd2Typed(events: DataFrame) = {
+    import events.sparkSession.implicits._
+    events.filter(col("event_type").isin("signup", "purchase"))
+      .select(col("user_id").cast("long"), unix_micros(col("ts")).as("us"),
+        col("event_type"), col("event_id").cast("long"),
+        graft.Tables.cents(col("value")).as("cents"),
+        least(greatest(floor(col("value") / lit(100.0)).cast("long"), lit(0L)),
+          lit(4L)).as("tier0"))
+      .as[(Long, Long, String, Long, Option[Long], Option[Long])]
+  }
+
+  /** One user's arrivals replayed against a version history — the
+    * kernel BOTH faces run (batch: whole input as one arrival; stream:
+    * per micro-batch, history carried in state). Arrivals sort by
+    * (event time, signup-before-purchase, event id), so a fact AT a
+    * version boundary takes the NEW version and same-ts duplicate
+    * signups fold with min(tier) — exactly the `join_dim_scd` interval
+    * law (valid_from ≤ ts < valid_to over the lead()-built SCD2 table).
+    * History is kept ascending by valid_from; a purchase takes the
+    * FLOOR version in the history it arrives against, which is what
+    * lets a LATE fact (event time before the newest version) take the
+    * OLD version — the case a latest-value-only state (asofStream)
+    * gets wrong by construction.
+    */
+  private def scd2Replay(user: Long,
+      arrivals: Seq[(Long, Long, String, Long, Option[Long], Option[Long])],
+      hist0: Vector[(Long, Option[Long])])
+      : (Vector[Scd2EnrichRow], Vector[(Long, Option[Long])]) = {
+    var hist = hist0
+    val out = Vector.newBuilder[Scd2EnrichRow]
+    val sorted = arrivals.sortBy(r => (r._2, if (r._3 == "signup") 0 else 1, r._4))
+    for (r <- sorted) {
+      if (r._3 == "signup") {
+        val i = hist.indexWhere(_._1 == r._2)
+        if (i >= 0) {
+          // same-ts duplicate version: fold with SQL-min semantics
+          // (min ignores NULL; all-NULL stays NULL)
+          val merged = (hist(i)._2, r._6) match {
+            case (Some(a), Some(b)) => Some(math.min(a, b))
+            case (a, b) => a.orElse(b)
+          }
+          hist = hist.updated(i, (r._2, merged))
+        } else hist = (hist :+ (r._2, r._6)).sortBy(_._1)
+      } else {
+        val m = hist.takeWhile(_._1 <= r._2).lastOption
+        out += Scd2EnrichRow(user, r._2, r._4, r._5, m.flatMap(_._2))
+      }
+    }
+    (out.result(), hist)
+  }
+
+  /** Streaming SCD2-versioned enrichment — the streaming face of
+    * `join_dim_scd` (r12 verdict ask #3): purchases are enriched with
+    * the dim version VALID AT THEIR EVENT TIME while the versioned dim
+    * itself accretes from the same stream's signups. State per key is
+    * the version history only — bounded by versions-per-user (how often
+    * a dimension attribute CHANGES, a few rows), NOT by the fact rate:
+    * the alternative formulation, a stream-stream join of purchases
+    * against a signup stream, has to buffer the 100 TB/day FACT side
+    * within the watermark because a new version can always arrive
+    * (Round13Spec pins StreamingSymmetricHashJoin absent). Late facts
+    * (event time < newest version) take the OLD version from the
+    * history — the SCD2 guarantee that asofStream's latest-only state
+    * cannot give; version arrivals follow the ordered-ingest contract
+    * `stream_dedup` documents (a version must arrive before the first
+    * fact it should enrich).
+    */
+  def scd2EnrichStream(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    scd2Typed(events).groupByKey(_._1)
+      .flatMapGroupsWithState[Scd2History, Scd2EnrichRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[(Long, Long, String, Long, Option[Long], Option[Long])],
+         state: GroupState[Scd2History]) =>
+          val hist0 = state.getOption.map(_.versions.toVector).getOrElse(Vector.empty)
+          val (out, hist) = scd2Replay(user, it.toSeq, hist0)
+          if (hist.nonEmpty) state.update(Scd2History(hist))
+          out.iterator
+      }
+      .toDF()
+  }
+
+  /** Batch face of [[scd2EnrichStream]] — the SAME kernel over the
+    * whole input as one arrival per user (flatMapGroups: one hash
+    * shuffle on the key, per-user replay, no state store). Registered
+    * as `stream_scd2_enrich` and hash-gated against the `join_dim_scd`
+    * interval-join oracle, so the kernel's semantics — boundary takes
+    * the new version, pre-first-version facts stay NULL, same-ts
+    * version dedup by min — are DuckDB-proven, and the streaming face
+    * inherits them by sharing the code path.
+    */
+  def scd2EnrichBatch(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    scd2Typed(events).groupByKey(_._1)
+      .flatMapGroups { (user, it) =>
+        scd2Replay(user, it.toSeq, Vector.empty)._1.iterator
+      }
+      .toDF().orderBy("user_id", "ts", "event_id")
+  }
+
   /** Streaming documents source — same single-file staging trick as
     * [[eventsStream]] (the parquet streaming source wants a directory).
     */
   def docsStream(spark: SparkSession, dir: String): DataFrame = {
     val schema = spark.read.parquet(s"$dir/documents.parquet").schema
     val stage = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), s"graft_stream_docs_${dir.hashCode.toHexString}")
+      System.getProperty("java.io.tmpdir"), s"graft_stream_docs_${graft.io.IoQueries.dirToken(dir)}")
     java.nio.file.Files.createDirectories(stage)
     val link = stage.resolve("documents.parquet")
     if (!java.nio.file.Files.exists(link))
