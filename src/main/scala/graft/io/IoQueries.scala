@@ -836,7 +836,11 @@ object IoQueries {
       .orderBy("phase", "pred")
   }
 
-  val ioZorderCompactOracle: String = {
+  /** [[ioZorderCompactOracle]] minus its final ORDER BY — shared with
+    * the `io_compact_policy` oracle, which wraps the whole measurement
+    * as a derived table and computes the trigger decision over it.
+    */
+  private val ioZorderCompactOracleBody: String = {
     val m = sqlMorton("nat", "bal", 4)
     s"""WITH all0 AS (
        |  SELECT c_custkey AS id, c_nationkey,
@@ -902,13 +906,96 @@ object IoQueries {
        |  UNION ALL
        |  SELECT 'post_compact', 'bal_range', total, fbal, rbal FROM pc_agg, rows_m
        |  UNION ALL
-       |  SELECT 'rewrite', 'cost', 16, n_files_read, n_rows_matched FROM bill)
-       |ORDER BY phase, pred""".stripMargin
+       |  SELECT 'rewrite', 'cost', 16, n_files_read, n_rows_matched FROM bill)""".stripMargin
   }
+
+  val ioZorderCompactOracle: String =
+    ioZorderCompactOracleBody + "\nORDER BY phase, pred"
+
+  /** Bill-aware compaction trigger (r13, the OPTIMIZE-trigger policy as
+    * a query — completes the z-order lifecycle after `io_zorder_pruned`
+    * measures the layout and `io_zorder_compact` measures
+    * erosion/repair/bill): per predicate shape, the DECISION to compact
+    * is computed from the two already-measured layouts — files read on
+    * the eroded (post-append) layout vs on the repaired (post-compact)
+    * layout — as exact integer laws: `regression_milli` = relative
+    * extra files read per query because of the erosion,
+    * `break_even_queries` = how many queries of this shape pay back the
+    * rewrite bill (ceil(rewrite_files / files_saved)), and the trigger
+    * itself swept at two SLO thresholds (300 / 1500 milli) so the
+    * output is non-degenerate: at sf0.01 both predicates trigger at
+    * 300 (regressions 1000 and 666) and neither at 1500 — the decision
+    * is a FUNCTION of the threshold, the same shape
+    * `match_threshold_pick` reports its picks in. At
+    * 100 TB this is the nightly OPTIMIZE scheduler: erosion and bill
+    * are metadata-scale reads (file stats), the decision frame is
+    * predicate-count rows, and nothing row-scale moves until the
+    * trigger fires — the compaction itself then rewrites only the
+    * affected z-interval (io_zorder_compact's scope).
+    */
+  def ioCompactPolicy(s: SparkSession, dir: String): DataFrame = {
+    val m = ioZorderCompact(s, dir)
+    val e = m.filter(col("phase") === "post_append")
+      .select(col("pred"), col("n_files_total").as("eroded_total"),
+        col("n_files_read").as("eroded_files"))
+    val r = m.filter(col("phase") === "post_compact")
+      .select(col("pred"), col("n_files_total").as("repaired_total"),
+        col("n_files_read").as("repaired_files"))
+    val b = m.filter(col("phase") === "rewrite")
+      .select(col("n_files_read").as("rewrite_files"))
+    val saved = col("eroded_files") - col("repaired_files")
+    val reg = expr("(eroded_files - repaired_files) * 1000 div repaired_files")
+    e.join(r, "pred").crossJoin(broadcast(b))
+      .select(col("pred"), col("eroded_total"), col("eroded_files"),
+        col("repaired_total"), col("repaired_files"),
+        saved.as("files_saved"), reg.as("regression_milli"),
+        expr("eroded_files * 1000 div repaired_files")
+          .as("read_amp_before_milli"),
+        expr("repaired_files * 1000 div repaired_files")
+          .as("read_amp_after_milli"),
+        col("rewrite_files"),
+        when(saved > lit(0L),
+          expr("(rewrite_files + eroded_files - repaired_files - 1) " +
+            "div (eroded_files - repaired_files)"))
+          .as("break_even_queries"),
+        (reg >= 300).as("compact_at_300"),
+        (reg >= 1500).as("compact_at_1500"))
+      .orderBy("pred")
+  }
+
+  val ioCompactPolicyOracle: String =
+    s"""WITH m AS (SELECT * FROM ($ioZorderCompactOracleBody) t),
+       |e AS (SELECT pred, n_files_total AS eroded_total,
+       |             n_files_read AS eroded_files
+       |      FROM m WHERE phase = 'post_append'),
+       |r AS (SELECT pred, n_files_total AS repaired_total,
+       |             n_files_read AS repaired_files
+       |      FROM m WHERE phase = 'post_compact'),
+       |b AS (SELECT n_files_read AS rewrite_files FROM m
+       |      WHERE phase = 'rewrite')
+       |SELECT e.pred, eroded_total, eroded_files, repaired_total,
+       |  repaired_files,
+       |  eroded_files - repaired_files AS files_saved,
+       |  (eroded_files - repaired_files) * 1000 // repaired_files
+       |    AS regression_milli,
+       |  eroded_files * 1000 // repaired_files AS read_amp_before_milli,
+       |  repaired_files * 1000 // repaired_files AS read_amp_after_milli,
+       |  rewrite_files,
+       |  CASE WHEN eroded_files > repaired_files
+       |       THEN (rewrite_files + eroded_files - repaired_files - 1)
+       |            // (eroded_files - repaired_files)
+       |       ELSE NULL END AS break_even_queries,
+       |  (eroded_files - repaired_files) * 1000 // repaired_files >= 300
+       |    AS compact_at_300,
+       |  (eroded_files - repaired_files) * 1000 // repaired_files >= 1500
+       |    AS compact_at_1500
+       |FROM e JOIN r USING (pred) CROSS JOIN b
+       |ORDER BY pred""".stripMargin
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "io_bucketed_join" -> (ioBucketedJoin _),
     "io_zorder_compact" -> (ioZorderCompact _),
+    "io_compact_policy" -> (ioCompactPolicy _),
     "io_dpp_join" -> (ioDppJoin _),
     "io_jsonl_roundtrip" -> (ioJsonlRoundtrip _),
     "io_table_diff" -> (ioTableDiff _),
@@ -930,6 +1017,7 @@ object IoQueries {
   def oracles: Map[String, String] = Map(
     "io_bucketed_join" -> ioBucketedJoinOracle,
     "io_zorder_compact" -> ioZorderCompactOracle,
+    "io_compact_policy" -> ioCompactPolicyOracle,
     "io_dpp_join" -> ioDppJoinOracle,
     "io_jsonl_roundtrip" -> ioJsonlRoundtripOracle,
     "io_table_diff" -> ioTableDiffOracle,

@@ -68,6 +68,36 @@ class Round13Spec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("io_compact_policy: the trigger decision derives from the measured " +
+      "erosion, pays back the rewrite bill, and sweeps the threshold") {
+    val rows = graft.io.IoQueries.ioCompactPolicy(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("bal_range", "box"))
+    rows.foreach { r =>
+      val eroded = r.getLong(2); val repaired = r.getLong(4)
+      val saved = r.getLong(5); val reg = r.getLong(6)
+      val rewrite = r.getLong(9); val breakEven = r.getLong(10)
+      // the laws, recomputed: regression and break-even are pure
+      // functions of the two measured layouts plus the rewrite bill
+      assert(saved == eroded - repaired)
+      assert(reg == saved * 1000 / repaired)
+      assert(breakEven == (rewrite + saved - 1) / saved)
+      assert(r.getLong(7) == eroded * 1000 / repaired) // amp before
+      assert(r.getLong(8) == 1000L)                    // amp after
+      assert(r.getBoolean(11) == (reg >= 300))
+      assert(r.getBoolean(12) == (reg >= 1500))
+    }
+    // measured pins at the test SF (localized nation-12 erosion): the
+    // box predicate regresses 1000 milli (8 vs 4 files), bal_range 666
+    // (10 vs 6); both pay back the 6-file rewrite in 2 queries, both
+    // trigger at the 300-milli SLO and neither at 1500 — the sweep is
+    // what makes the decision a function of the threshold, not a
+    // constant
+    val byPred = rows.map(r => r.getString(0) -> r).toMap
+    assert(byPred("box").getLong(6) == 1000L)
+    assert(byPred("bal_range").getLong(6) == 666L)
+    assert(rows.forall(_.getBoolean(11)) && rows.forall(!_.getBoolean(12)))
+  }
+
   test("scd2EnrichStream: same-ts duplicate versions fold with min " +
       "across batches, matching the oracle's per-(user,ts) dedup") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
