@@ -70,23 +70,30 @@ class Round13Spec extends AnyFunSuite {
 
   test("io_compact_policy: the trigger decision derives from the measured " +
       "erosion, pays back the rewrite bill, and sweeps the threshold") {
-    val rows = graft.io.IoQueries.ioCompactPolicy(spark, sf).collect()
+    // sf0.01, where the nation-12 append genuinely erodes the layout
+    // (at sf0.001 the 4 appended files' z-values land inside already-
+    // read chunks, so files_saved = 0 for both predicates — the
+    // degenerate case is pinned separately below)
+    val rows = graft.io.IoQueries
+      .ioCompactPolicy(spark, "/root/testdata/sf0.01").collect()
     assert(rows.map(_.getString(0)).toSeq == Seq("bal_range", "box"))
     rows.foreach { r =>
       val eroded = r.getLong(2); val repaired = r.getLong(4)
       val saved = r.getLong(5); val reg = r.getLong(6)
-      val rewrite = r.getLong(9); val breakEven = r.getLong(10)
+      val rewrite = r.getLong(9)
       // the laws, recomputed: regression and break-even are pure
       // functions of the two measured layouts plus the rewrite bill
       assert(saved == eroded - repaired)
       assert(reg == saved * 1000 / repaired)
-      assert(breakEven == (rewrite + saved - 1) / saved)
+      if (saved > 0)
+        assert(r.getLong(10) == (rewrite + saved - 1) / saved)
+      else assert(r.isNullAt(10)) // nothing saved: no break-even
       assert(r.getLong(7) == eroded * 1000 / repaired) // amp before
       assert(r.getLong(8) == 1000L)                    // amp after
       assert(r.getBoolean(11) == (reg >= 300))
       assert(r.getBoolean(12) == (reg >= 1500))
     }
-    // measured pins at the test SF (localized nation-12 erosion): the
+    // measured pins at sf0.01 (localized nation-12 erosion): the
     // box predicate regresses 1000 milli (8 vs 4 files), bal_range 666
     // (10 vs 6); both pay back the 6-file rewrite in 2 queries, both
     // trigger at the 300-milli SLO and neither at 1500 — the sweep is
@@ -96,6 +103,13 @@ class Round13Spec extends AnyFunSuite {
     assert(byPred("box").getLong(6) == 1000L)
     assert(byPred("bal_range").getLong(6) == 666L)
     assert(rows.forall(_.getBoolean(11)) && rows.forall(!_.getBoolean(12)))
+    // the degenerate face at sf0.001: the append erodes nothing, so the
+    // policy must sit still — zero regression, NULL break-even, no
+    // trigger at ANY threshold (a policy that fires on a no-op rewrite
+    // is worse than no policy)
+    val still = graft.io.IoQueries.ioCompactPolicy(spark, sf).collect()
+    assert(still.forall(r => r.getLong(5) == 0L && r.getLong(6) == 0L &&
+      r.isNullAt(10) && !r.getBoolean(11) && !r.getBoolean(12)))
   }
 
   test("scd2EnrichStream: same-ts duplicate versions fold with min " +
