@@ -2010,9 +2010,16 @@ object ExtraQueries {
     * audit output bounded at any scale.
     */
   def mineItemsets(s: SparkSession, dir: String): DataFrame = {
+    // r13: ONE oid-keyed exchange feeds the dedup, the basket-size agg,
+    // and BOTH sides of the pair self-join (guide §2.4): repartition on
+    // the join key, then every oid-clustered consumer reuses the
+    // exchange (HashPartitioning(oid) satisfies each clustering) —
+    // where distinct() planned its own (oid, item) shuffle and the
+    // self-join re-shuffled the basket twice more.
     val items = lineitem(s, dir)
       .select(col("l_orderkey").as("oid"), col("l_partkey").as("item"))
-      .distinct()
+      .repartition(col("oid"))
+      .dropDuplicates("oid", "item")
     val small = items.groupBy("oid").agg(count(lit(1)).as("k"))
       .filter(col("k") <= 20).select("oid")
     val basket = items.join(small, "oid")
@@ -2049,9 +2056,13 @@ object ExtraQueries {
     * frame. Top-50 by (lift, conf, rule) total order.
     */
   def mineAssocRules(s: SparkSession, dir: String): DataFrame = {
+    // r13: same one-oid-exchange shape as [[mineItemsets]] — the persist
+    // then caches an already-co-partitioned frame, so the support agg,
+    // the basket join and both self-join sides all read it in place.
     val items = lineitem(s, dir)
       .select(col("l_orderkey").as("oid"), col("l_partkey").as("item"))
-      .distinct()
+      .repartition(col("oid"))
+      .dropDuplicates("oid", "item")
       .persist()
     try {
       val small = items.groupBy("oid").agg(count(lit(1)).as("k"))

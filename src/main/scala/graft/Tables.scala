@@ -33,8 +33,34 @@ object Tables {
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
   }
-  def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
+  def documents(s: SparkSession, d: String): DataFrame = spread(t(s, d, "documents"))
+  // embeddings stays UNSPREAD (r13 measured-and-rejected): the ann
+  // consumers are either already sub-second or dominated by seeded
+  // k-means fits, where 32-way scheduling over a 2000-vector corpus
+  // measured ann_pq_fit 7.4 → 11.1 s — and fit-input partitioning must
+  // stay fixed anyway so the certified float-iterative codebooks do
+  // not drift.
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+
+  /** Repair an under-parallelized scan (optimization guide §2.5, "input
+    * skew: one huge unsplittable file"). The corpus fixtures are
+    * SINGLE-ROW-GROUP parquet files: no split configuration can
+    * parallelize them, so every per-row-expensive projection pinned
+    * above the scan (shingling, per-position md5 fingerprints, minhash
+    * families, 64-dim vector kernels) runs in ONE task while the other
+    * cores idle — and the scan stage cannot scale with
+    * SPARK_GRAFT_CPUS at all. When the planned scan parallelism is
+    * below the session default, spread the rows round-robin BEFORE the
+    * heavy compute; one exchange of the (small, corpus-bounded) input
+    * buys a full-width compute stage. On a production layout — many
+    * files / many row groups, scan splits ≥ cores — the gate never
+    * fires and the plan is untouched, so this is scale-adaptive, not a
+    * local-mode constant.
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 
   /** Money column → exact integer cents (BIGINT). Summing cents is
     * exact and order-independent, unlike summing doubles — the oracle

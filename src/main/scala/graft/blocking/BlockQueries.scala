@@ -13,8 +13,16 @@ import graft.Tables._
 object EmScenario {
   val ROffset = 10000000L
 
+  /** Both record sides go through [[graft.Tables.spread]]: the EM
+    * family's expensive stage is the comparator projection over the
+    * blocked pair frame, and that frame is born in the SAME stage as
+    * whichever side the planner probes (the other side broadcasts) —
+    * over a single-row-group scan that stage is ONE task, so every
+    * Jaro-Winkler over 1.3M candidate pairs ran on one core (r13
+    * measurement; guide §2.5 input-skew repair, no-op on real layouts).
+    */
   def custL(s: SparkSession, dir: String): DataFrame =
-    customer(s, dir).select(
+    spread(customer(s, dir)).select(
       col("c_custkey").as("id"),
       lower(col("c_name")).as("name"),
       col("c_mktsegment").as("seg"),
@@ -22,7 +30,7 @@ object EmScenario {
       col("c_acctbal").as("bal"))
 
   def custR(s: SparkSession, dir: String): DataFrame =
-    customer(s, dir)
+    spread(customer(s, dir))
       .filter(col("c_custkey") % 10 =!= 3)
       .select(
         (col("c_custkey") + ROffset).as("id"),

@@ -200,10 +200,18 @@ object Clusterers {
     val spark = scored.sparkSession
     import spark.implicits._
     implicit val enc: org.apache.spark.sql.Encoder[T] = org.apache.spark.sql.Encoders.product[T]
-    val labels = connectedComponents(scored)
-      .withColumnRenamed("id", "id1").withColumnRenamed("cluster", "comp")
-    scored.select(col("id1").cast("long"), col("id2").cast("long"),
+    // r13: the scored-edge pipeline (blocking join + comparator
+    // projection) fed BOTH the component labeling and the kernel's edge
+    // join, so the whole scoring pass executed twice per query. One
+    // eager checkpoint of the narrow (id1, id2, score) frame — edges
+    // are candidate-bounded by blocking — runs it once; labels and the
+    // join both read the materialized blocks.
+    val edgesN = scored.select(col("id1").cast("long"), col("id2").cast("long"),
         col("score").cast("double"))
+      .localCheckpoint(true)
+    val labels = connectedComponents(edgesN)
+      .withColumnRenamed("id", "id1").withColumnRenamed("cluster", "comp")
+    edgesN
       .join(labels, "id1")
       .select(col("comp"), col("id1"), col("id2"), col("score"))
       .as[CompEdge]

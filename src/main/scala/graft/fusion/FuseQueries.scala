@@ -13,7 +13,11 @@ import graft.Tables._
 object FuseQueries {
 
   def sources(s: SparkSession, dir: String): DataFrame = {
-    val o = orders(s, dir).select(
+    // spread (r13): the 3-source union and every fusion op's map-side
+    // partial aggregation sit ABOVE this scan in one stage — over a
+    // single-row-group file that stage was one task for the whole
+    // fusion family (guide §2.5; no-op on real layouts).
+    val o = spread(orders(s, dir)).select(
       col("o_orderkey").as("cluster"),
       col("o_orderstatus").as("status"),
       col("o_totalprice").as("price"),

@@ -55,6 +55,16 @@ object PageRank {
     require(iters >= 1 && dampPct >= 0 && dampPct <= 100)
     val sNum = dampPct * pscale / 100 // exact: pscale is a multiple of 100
     val wsum = edges.groupBy("src").agg(sum("w").as("wt"))
+    // r13 measured-and-REJECTED: repartitioning e by src / bases by v
+    // and MERGE-hinting both per-sweep joins (co-partitioned, zero new
+    // exchange, no per-sweep broadcast build) ran 7.47 s vs 5.62 s for
+    // this shape at sf0.1 (interleaved A/B, min-of-5, identical
+    // hashes) — per-sweep SMJ sorts cost more than broadcasting the
+    // rank frame. The sole caller ranks a NATION-level graph whose
+    // node count is fixed at 25 at any data scale, so the broadcast
+    // plan is the scale-correct one here; a billion-node rank loop
+    // should co-partition instead (the rejected variant, preserved in
+    // tools/R13Probe.scala).
     val e = edges.join(wsum, "src")
       .select(col("src"), col("dst"),
         expr(s"(w * ${sNum}L) div wt").as("s"))

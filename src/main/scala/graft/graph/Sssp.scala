@@ -61,17 +61,20 @@ object Sssp {
       val cand = frontier.join(adj, col("v") === col("src"))
         .select(col("dst").as("v"), (col("dist") + col("w")).as("dist"))
         .groupBy(col("v")).agg(min(col("dist")).as("dist"))
-      val improved = cand
-        .join(best.select(col("v"), col("dist").as("_old")), Seq("v"), "left")
-        .filter(col("_old").isNull || col("dist") < col("_old"))
-        .select(col("v"), col("dist"))
+      // ONE full-outer min-merge per sweep yields BOTH outputs — next
+      // best (least of old/candidate) and the improved frontier (strict
+      // improvements) — where the previous shape paid a left join +
+      // filter AND a union + re-aggregation of the whole best frame
+      // (r13 optimization: 2 joins + 2 aggs per sweep → 1 join + 1 agg;
+      // exact integer mins, so the merged frame is bit-identical).
+      val merged = best.withColumnRenamed("dist", "_bd")
+        .join(cand.withColumnRenamed("dist", "_cd"), Seq("v"), "full_outer")
+        .select(col("v"), least(col("_bd"), col("_cd")).as("dist"),
+          (col("_bd").isNull || col("_cd") < col("_bd")).as("_imp"))
         .persist()
-      persisted += improved
-      best = best.unionByName(improved)
-        .groupBy(col("v")).agg(min(col("dist")).as("dist"))
-        .persist()
-      persisted += best
-      frontier = improved
+      persisted += merged
+      best = merged.select(col("v"), col("dist"))
+      frontier = merged.filter(col("_imp")).select(col("v"), col("dist"))
     }
     val out = best.localCheckpoint(true)
     adj.unpersist(false)

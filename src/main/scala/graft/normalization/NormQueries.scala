@@ -731,7 +731,9 @@ object NormQueries {
   //      :575 get_column_recommendations) ----
 
   private def qualityFixture(s: SparkSession, dir: String): DataFrame =
-    orders(s, dir).select(
+    // spread (r13): columnQuality/detectTypes run per-value regex typing
+    // above this scan — single-task otherwise (guide §2.5)
+    spread(orders(s, dir)).select(
       col("o_orderkey"),
       centsL(col("o_totalprice")).as("price_c"),
       when(col("o_orderkey") % 3 === 0, lit("N/A"))
