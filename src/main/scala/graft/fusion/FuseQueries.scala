@@ -13,11 +13,15 @@ import graft.Tables._
 object FuseQueries {
 
   def sources(s: SparkSession, dir: String): DataFrame = {
-    // spread (r13): the 3-source union and every fusion op's map-side
-    // partial aggregation sit ABOVE this scan in one stage — over a
-    // single-row-group file that stage was one task for the whole
-    // fusion family (guide §2.5; no-op on real layouts).
-    val o = spread(orders(s, dir)).select(
+    // r13 measured-and-REJECTED: spreading this read regressed the
+    // whole fuse family ~2x in the full bench (fuse_voting 2.4 -> 4.0,
+    // fuse_engine 1.5 -> 3.4, fuse_eval 1.7 -> 4.0 s in-suite) — each
+    // fusion op consumes sources() as its own subtree, so every op
+    // re-paid the round-robin exchange + its pre-repartition local
+    // sort, while the per-row work above the scan is too light to win
+    // it back. The family's exchanges are its keyed aggs, which
+    // already spread the work.
+    val o = orders(s, dir).select(
       col("o_orderkey").as("cluster"),
       col("o_orderstatus").as("status"),
       col("o_totalprice").as("price"),

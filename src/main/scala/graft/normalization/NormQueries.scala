@@ -731,9 +731,10 @@ object NormQueries {
   //      :575 get_column_recommendations) ----
 
   private def qualityFixture(s: SparkSession, dir: String): DataFrame =
-    // spread (r13): columnQuality/detectTypes run per-value regex typing
-    // above this scan — single-task otherwise (guide §2.5)
-    spread(orders(s, dir)).select(
+    // r13: deliberately NOT spread — measured alongside the fusion
+    // sources() spread, which the full bench rejected (multi-consumer
+    // fixtures re-pay the exchange per consumer; see FuseQueries).
+    orders(s, dir).select(
       col("o_orderkey"),
       centsL(col("o_totalprice")).as("price_c"),
       when(col("o_orderkey") % 3 === 0, lit("N/A"))
