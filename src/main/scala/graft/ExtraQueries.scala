@@ -439,7 +439,9 @@ object ExtraQueries {
     */
   def streamNearDup(s: SparkSession, dir: String): DataFrame = {
     val name = "graft_stream_neardup_" + java.lang.Integer.toHexString(dir.hashCode)
-    val corpus = graft.Tables.documents(s, dir).select("doc_id", "text")
+    // spread: the band-index build (shingle+minhash over the full
+    // corpus) is the per-row-heavy stage of this query (guide §2.5)
+    val corpus = graft.Tables.documentsSpread(s, dir).select("doc_id", "text")
     // production lifecycle: the corpus band index is PREPARED once per
     // corpus version (persisted — here cached, at scale the bucketed
     // parquet artifact), the stream admits against it, and it is
@@ -1268,8 +1270,9 @@ object ExtraQueries {
     * missing-value placeholder.
     */
   def matchTextFormat(s: SparkSession, dir: String): DataFrame = {
-    val l = EmScenario.custL(s, dir)
-    val r = EmScenario.custR(s, dir)
+    // plain: string formatting over gold-bounded pairs, no comparator
+    val l = EmScenario.custLPlain(s, dir)
+    val r = EmScenario.custRPlain(s, dir)
     val fmt = (p: String) => concat_ws(" ",
       coalesce(col(s"${p}_name"), lit("[MISSING]")),
       coalesce(col(s"${p}_seg"), lit("[MISSING]")))
@@ -1301,7 +1304,10 @@ object ExtraQueries {
         sims.numericAbsSim(col("l_bal"), col("r_bal"), 1000.0) -> 0.2),
       threshold = 0.97).select("id1", "id2")
     val cc = graft.clustering.Clusterers.connectedComponents(matches)
-    val recs = l.unionByName(r)
+    // plain record sides for the fusion half: four aggregation consumers
+    // re-paid the spread exchange each (r13 bench 3.60→7.90 s); only the
+    // blocking+comparator half above amortizes it
+    val recs = EmScenario.custLPlain(s, dir).unionByName(EmScenario.custRPlain(s, dir))
     val wc = recs.join(cc, Seq("id"), "left")
       .withColumn("cluster", coalesce(col("cluster"), col("id")))
     val name = graft.fusion.Fusion.stringResolvers(wc, "cluster", "name")

@@ -33,7 +33,25 @@ object Tables {
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
   }
-  def documents(s: SparkSession, d: String): DataFrame = spread(t(s, d, "documents"))
+  /** documents is read PLAIN. r13 put spread() here at the shared
+    * reader and the driver bench showed it is the wrong altitude: the
+    * exchange won 3-5× on ~8 per-row-heavy consumers but taxed ~35
+    * cheap consumers 2-4× each (text family 38.8→53.5 s, profile +47%,
+    * io +37%, pipeline +91%) — the exact multi-consumer pathology the
+    * r13 fuse/norm revert (1a899a8) measured. The reader cannot know
+    * the consumer's per-row cost; the call site can. Heavy consumers
+    * opt in via [[documentsSpread]].
+    */
+  def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
+  /** documents + [[spread]], for call sites whose per-row work is
+    * expensive enough to amortize one round-robin exchange of the
+    * corpus (shingling / minhash-banding / per-position fingerprints /
+    * language-profile scans). Opt-in at the consumer — guide §2.5
+    * (repair input skew right before the heavy compute) combined with
+    * §2.1 (don't add an exchange light work can't amortize).
+    */
+  def documentsSpread(s: SparkSession, d: String): DataFrame =
+    spread(t(s, d, "documents"))
   // embeddings stays UNSPREAD (r13 measured-and-rejected): the ann
   // consumers are either already sub-second or dominated by seeded
   // k-means fits, where 32-way scheduling over a 2000-vector corpus

@@ -20,18 +20,37 @@ object EmScenario {
     * over a single-row-group scan that stage is ONE task, so every
     * Jaro-Winkler over 1.3M candidate pairs ran on one core (r13
     * measurement; guide §2.5 input-skew repair, no-op on real layouts).
+    *
+    * r14: consumers that do NO comparator work over blocked pairs
+    * (pure blockers, record unions feeding dim joins, column
+    * profiling) use the [[custLPlain]]/[[custRPlain]] variants instead
+    * — the r13 driver bench showed each cheap consumption re-pays the
+    * round-robin exchange it cannot amortize (block_token 0.72→1.92 s,
+    * profile_compare 0.99→3.10 s; guide §2.1).
     */
   def custL(s: SparkSession, dir: String): DataFrame =
-    spread(customer(s, dir)).select(
+    projL(spread(customer(s, dir)))
+
+  def custR(s: SparkSession, dir: String): DataFrame =
+    projR(spread(customer(s, dir)))
+
+  /** Un-spread variants for consumers whose per-row work is light. */
+  def custLPlain(s: SparkSession, dir: String): DataFrame =
+    projL(customer(s, dir))
+
+  def custRPlain(s: SparkSession, dir: String): DataFrame =
+    projR(customer(s, dir))
+
+  private def projL(c: DataFrame): DataFrame =
+    c.select(
       col("c_custkey").as("id"),
       lower(col("c_name")).as("name"),
       col("c_mktsegment").as("seg"),
       col("c_nationkey").as("nat"),
       col("c_acctbal").as("bal"))
 
-  def custR(s: SparkSession, dir: String): DataFrame =
-    spread(customer(s, dir))
-      .filter(col("c_custkey") % 10 =!= 3)
+  private def projR(c: DataFrame): DataFrame =
+    c.filter(col("c_custkey") % 10 =!= 3)
       .select(
         (col("c_custkey") + ROffset).as("id"),
         concat(lower(col("c_name")), lit(" r")).as("name"),
@@ -70,7 +89,7 @@ object BlockQueries {
 
   /** StandardBlocker on the composite key (mktsegment, nationkey). */
   def blockStandard(s: SparkSession, dir: String): DataFrame =
-    Blockers.standard(custL(s, dir), custR(s, dir), Seq("seg", "nat"), "id")
+    Blockers.standard(custLPlain(s, dir), custRPlain(s, dir), Seq("seg", "nat"), "id")
       .orderBy("id1", "id2")
 
   val blockStandardOracle: String =
@@ -84,7 +103,7 @@ object BlockQueries {
     * pair cap; the zero-padded digit tokens are unique per record.
     */
   def blockToken(s: SparkSession, dir: String): DataFrame =
-    Blockers.token(custL(s, dir), custR(s, dir), "name", "id",
+    Blockers.token(custLPlain(s, dir), custRPlain(s, dir), "name", "id",
         minTokenLen = 2, maxPairsPerToken = Some(10000L))
       .orderBy("id1", "id2")
 
@@ -105,7 +124,7 @@ object BlockQueries {
 
   /** SortedNeighbourhoodBlocker on name, window 3. */
   def blockSortedNbhd(s: SparkSession, dir: String): DataFrame =
-    Blockers.sortedNeighbourhood(custL(s, dir), custR(s, dir), "name", "id", window = 3)
+    Blockers.sortedNeighbourhood(custLPlain(s, dir), custRPlain(s, dir), "name", "id", window = 3)
       .orderBy("id1", "id2")
 
   val blockSortedNbhdOracle: String =
@@ -296,8 +315,10 @@ object BlockQueries {
     * every record lands in ≥ 1 canopy (T2 ⊆ T1 guarantees coverage).
     */
   def blockCanopy(s: SparkSession, dir: String): DataFrame = {
-    val u = custL(s, dir).select("id", "name", "seg", "nat")
-      .unionByName(custR(s, dir).select("id", "name", "seg", "nat"))
+    // ONE spread of the union (the canopy walk's token-jaccard input)
+    // instead of one per side: same full-width walk, half the exchanges
+    val u = spread(custLPlain(s, dir).select("id", "name", "seg", "nat")
+      .unionByName(custRPlain(s, dir).select("id", "name", "seg", "nat")))
     Blockers.canopy(u, Seq("seg", "nat"), "id", "name",
         t1Milli = 300L, t2Milli = 600L)
       .orderBy("canopy", "id")
@@ -357,8 +378,10 @@ object BlockQueries {
     */
   def pipelineCanopyMatch(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.sims
-    val u = custL(s, dir).select("id", "name", "seg", "nat")
-      .unionByName(custR(s, dir).select("id", "name", "seg", "nat"))
+    // one spread at the canopy input keeps the walk and the JW scoring
+    // full-width; the name-attach sides are broadcast dims — plain
+    val u = spread(custLPlain(s, dir).select("id", "name", "seg", "nat")
+      .unionByName(custRPlain(s, dir).select("id", "name", "seg", "nat")))
     val can = Blockers.canopy(u, Seq("seg", "nat"), "id", "name",
       t1Milli = 300L, t2Milli = 600L)
     val pairs = can.select(col("canopy"), col("id").as("id1"))
@@ -367,8 +390,8 @@ object BlockQueries {
         .filter(col("id2") >= ROffset), "canopy")
       .select("id1", "id2").distinct()
     pairs
-      .join(custL(s, dir).select(col("id").as("id1"), col("name").as("na")), "id1")
-      .join(custR(s, dir).select(col("id").as("id2"), col("name").as("nb")), "id2")
+      .join(custLPlain(s, dir).select(col("id").as("id1"), col("name").as("na")), "id1")
+      .join(custRPlain(s, dir).select(col("id").as("id2"), col("name").as("nb")), "id2")
       .select(col("id1"), col("id2"),
         round(sims.jaroWinkler(col("na"), col("nb")), 5).as("score"))
       .filter(col("score") >= 0.95)

@@ -84,8 +84,11 @@ object ClusterQueries {
 
   /** Edges scored by Jaro–Winkler between the endpoint record names. */
   def scoredEdges(s: SparkSession, dir: String): DataFrame = {
-    val recs = EmScenario.custL(s, dir).select("id", "name")
-      .unionByName(EmScenario.custR(s, dir).select("id", "name"))
+    // plain record sides: they feed two broadcast dim joins onto the
+    // (small) edge frame — the JW comparator runs over edges, not over
+    // a blocked cross product, so a spread here was pure exchange tax
+    val recs = EmScenario.custLPlain(s, dir).select("id", "name")
+      .unionByName(EmScenario.custRPlain(s, dir).select("id", "name"))
     edges(s, dir)
       .join(recs.select(col("id").as("id1"), col("name").as("na")), "id1")
       .join(recs.select(col("id").as("id2"), col("name").as("nb")), "id2")
@@ -360,8 +363,8 @@ object ClusterQueries {
     val se = scoredEdges(s, dir)
     val comp = Clusterers.connectedComponents(se.select("id1", "id2"))
     val sizes = comp.groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
-    val recs = EmScenario.custL(s, dir).select("id", "name")
-      .unionByName(EmScenario.custR(s, dir).select("id", "name"))
+    val recs = EmScenario.custLPlain(s, dir).select("id", "name")
+      .unionByName(EmScenario.custRPlain(s, dir).select("id", "name"))
     se.join(comp.select(col("id").as("id1"), col("cluster")), "id1")
       .join(sizes, "cluster")
       .join(recs.select(col("id").as("id1"), col("name").as("name1")), "id1")
@@ -398,9 +401,14 @@ object ClusterQueries {
     val l = EmScenario.custL(s, dir)
     val r = EmScenario.custR(s, dir)
     val cands = Blockers.standard(l, r, Seq("seg", "nat"), "id")
+    // spread l/r feed only the blocker (the stage that owns the JW
+    // comparator's parallelism); the name-attach sides are broadcast
+    // dims and read the scan plain — half the exchanges of r13
     cands
-      .join(l.select(col("id").as("id1"), col("name").as("na")), "id1")
-      .join(r.select(col("id").as("id2"), col("name").as("nb")), "id2")
+      .join(EmScenario.custLPlain(s, dir)
+        .select(col("id").as("id1"), col("name").as("na")), "id1")
+      .join(EmScenario.custRPlain(s, dir)
+        .select(col("id").as("id2"), col("name").as("nb")), "id2")
       .select(col("id1"), col("id2"),
         round(sims.jaroWinkler(col("na"), col("nb")), 5).as("score"))
       .filter(col("score") >= 0.95)

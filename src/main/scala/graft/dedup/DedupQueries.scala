@@ -36,8 +36,13 @@ object DedupQueries {
       |FROM d JOIN g USING (dg)
       |ORDER BY doc_id""".stripMargin
 
+  // documentsSpread / spread(docs) below only where the consumer is the
+  // shingling+banding pipeline (per-row-heavy — r13 driver bench:
+  // minhash_lsh 2.24→1.24 s, simhash 8.56→2.97 s with the exchange).
+  // Cheap consumptions of the same corpus (join sides, source dims,
+  // seeds) stay plain so they don't re-pay the exchange per consumer.
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccard(documents(s, dir), "doc_id", "text", 3, 0.8)
+    Dedup.ngramJaccard(documentsSpread(s, dir), "doc_id", "text", 3, 0.8)
       .orderBy("id1", "id2")
 
   val dedupNgramOracle: String =
@@ -57,7 +62,7 @@ object DedupQueries {
        |ORDER BY id1, id2""".stripMargin
 
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashLsh(documents(s, dir), "doc_id", "text",
+    Dedup.minhashLsh(documentsSpread(s, dir), "doc_id", "text",
         n = 3, bands = 4, rows = 3, threshold = 0.8)
       .orderBy("id1", "id2")
 
@@ -142,7 +147,7 @@ object DedupQueries {
   }
 
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(documents(s, dir), "doc_id", "text", maxHamming = 3)
+    Dedup.simhashPairs(documentsSpread(s, dir), "doc_id", "text", maxHamming = 3)
       .orderBy("id1", "id2")
 
   val dedupSimhashOracle: String = {
@@ -187,7 +192,7 @@ object DedupQueries {
     */
   def dedupCluster(s: SparkSession, dir: String): DataFrame = {
     val docs = documents(s, dir)
-    val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+    val pairs = Dedup.minhashLsh(spread(docs), "doc_id", "text",
       n = 3, bands = 4, rows = 3, threshold = 0.8)
     val comp = graft.clustering.Clusterers.connectedComponents(
       pairs.select("id1", "id2"))
@@ -264,7 +269,7 @@ object DedupQueries {
   def dedupClusterSample(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = documents(s, dir)
-    val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+    val pairs = Dedup.minhashLsh(spread(docs), "doc_id", "text",
       n = 3, bands = 4, rows = 3, threshold = 0.8)
     val comp = graft.clustering.Clusterers.connectedComponents(
       pairs.select("id1", "id2"))
@@ -295,7 +300,7 @@ object DedupQueries {
     */
   def dedupSplitLeakfree(s: SparkSession, dir: String): DataFrame = {
     val docs = documents(s, dir)
-    val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+    val pairs = Dedup.minhashLsh(spread(docs), "doc_id", "text",
       n = 3, bands = 4, rows = 3, threshold = 0.8)
     val comp = graft.clustering.Clusterers.connectedComponents(
       pairs.select("id1", "id2"))
@@ -346,7 +351,7 @@ object DedupQueries {
     */
   def dedupClusterQuality(s: SparkSession, dir: String): DataFrame = {
     val docs = documents(s, dir)
-    val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+    val pairs = Dedup.minhashLsh(spread(docs), "doc_id", "text",
       n = 3, bands = 4, rows = 3, threshold = 0.8)
     val comp = graft.clustering.Clusterers.connectedComponents(
       pairs.select("id1", "id2"))
@@ -453,7 +458,7 @@ object DedupQueries {
     val batch = bA.unionByName(bB).unionByName(bC)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val corpusHits = Dedup.minhashLshAgainst(batch, docs, "doc_id", "text",
+      val corpusHits = Dedup.minhashLshAgainst(batch, spread(docs), "doc_id", "text",
           n = 3, bands = 4, rows = 3, threshold = 0.8)
         .select(col("id1").as("doc_id")).distinct()
         .withColumn("_dc", lit(1))
@@ -544,7 +549,7 @@ object DedupQueries {
     */
   def dedupCrossSource(s: SparkSession, dir: String): DataFrame = {
     val docs = documents(s, dir)
-    val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+    val pairs = Dedup.minhashLsh(spread(docs), "doc_id", "text",
       n = 3, bands = 4, rows = 3, threshold = 0.8)
     val src = docs.select(col("doc_id"), col("source"))
     pairs

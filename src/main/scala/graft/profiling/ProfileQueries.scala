@@ -43,9 +43,12 @@ object ProfileQueries {
     */
   def profileCompare(s: SparkSession, dir: String): DataFrame = {
     import graft.blocking.EmScenario
+    // Plain sides: column stats are count/distinct aggregates — no
+    // comparator work, so the spread exchange was pure tax (r13 bench
+    // 0.99→3.10 s with 6 re-paid exchanges in the plan)
     Profiler.compare(
-        EmScenario.custL(s, dir).select("name", "seg", "nat"),
-        EmScenario.custR(s, dir).select("name", "seg", "nat"))
+        EmScenario.custLPlain(s, dir).select("name", "seg", "nat"),
+        EmScenario.custRPlain(s, dir).select("name", "seg", "nat"))
       .orderBy("column_name")
   }
 

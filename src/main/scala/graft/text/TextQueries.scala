@@ -7,8 +7,13 @@ import graft.Tables._
 /** Text-analysis queries + DuckDB oracles (SURVEY §2.12 #60–63). */
 object TextQueries {
 
+  // documentsSpread (not documents) on the per-row-heavy consumers
+  // only: language-profile scan / per-position fingerprint / PII regex
+  // / minhash banding each do enough per-row work to amortize the
+  // round-robin exchange over the single-row-group corpus fixture
+  // (r13 driver bench: fingerprint 3.87→1.05 s, langid 0.58→0.35 s).
   def textLangid(s: SparkSession, dir: String): DataFrame =
-    TextOps.langId(documents(s, dir), "doc_id", "text").orderBy("doc_id")
+    TextOps.langId(documentsSpread(s, dir), "doc_id", "text").orderBy("doc_id")
 
   val textLangidOracle: String = {
     val hitSql = TextOps.LangProfiles.map { case (lang, prof) =>
@@ -67,7 +72,7 @@ object TextQueries {
       |ORDER BY doc_id""".stripMargin
 
   def textFingerprint(s: SparkSession, dir: String): DataFrame =
-    TextOps.fingerprint(documents(s, dir), "doc_id", "text").orderBy("doc_id")
+    TextOps.fingerprint(documentsSpread(s, dir), "doc_id", "text").orderBy("doc_id")
 
   val textFingerprintOracle: String =
     """WITH t AS (SELECT doc_id, lower(text) AS t FROM documents),
@@ -124,7 +129,7 @@ object TextQueries {
     * every 7th a dashed phone, every 11th an IPv4 — then scrub+count.
     */
   def textPiiScrub(s: SparkSession, dir: String): DataFrame = {
-    val salted = documents(s, dir).select(col("doc_id"),
+    val salted = documentsSpread(s, dir).select(col("doc_id"),
       concat(col("text"),
         when(col("doc_id") % 5 === 0,
           concat(lit(" contact user"), col("doc_id"), lit("@example.com"))).otherwise(lit("")),
@@ -220,7 +225,7 @@ object TextQueries {
     * can miss.
     */
   def textContaminationFuzzy(s: SparkSession, dir: String): DataFrame = {
-    val docs = documents(s, dir)
+    val docs = documentsSpread(s, dir)
     val probes = docs.filter(col("doc_id") % 100 === 0)
       .select((col("doc_id") + 1000000L).as("doc_id"),
         concat(lit("ev0 ev1 "), col("text")).as("text"))
@@ -1132,7 +1137,7 @@ object TextQueries {
     * choice at scale).
     */
   def textLangConfusion(s: SparkSession, dir: String): DataFrame = {
-    val pred = TextOps.langId(documents(s, dir), "doc_id", "text")
+    val pred = TextOps.langId(documentsSpread(s, dir), "doc_id", "text")
       .select(col("doc_id"), col("lang_pred"))
     val cells = documents(s, dir).select(col("doc_id"), col("lang"))
       .join(pred, "doc_id")
